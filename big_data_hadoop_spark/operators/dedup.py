@@ -1,0 +1,297 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all over a ``documents(doc_id, text, ...)``-shaped table:
+
+- **Exact** (``exact_dedup_groups`` / ``exact_dedup``): hash-groupBy on a
+  normalized text digest. One shuffle on the digest; at 100 TB the digest
+  (16-byte md5) shuffles instead of the document bodies.
+- **N-gram Jaccard** (``shingles``, ``ngram_jaccard_pairs``): exact
+  all-pairs similarity via an inverted shingle index — the self-join is on
+  the shingle key, so only documents sharing a shingle ever meet. This is
+  the *verification* primitive; it is quadratic in the worst case and meant
+  for oracle-scale data or for verifying candidates.
+- **MinHash + LSH** (``minhash_signatures``, ``minhash_lsh_pairs``): the
+  scale path. Signatures are computed with native expressions only
+  (``xxhash64`` base hash + universal-hash permutations, folded with array
+  higher-order functions — no Python per row). Banding turns near-dup
+  detection into an equi-join on ``(band, band_hash)``; candidates are then
+  verified with exact Jaccard so the output has no false positives.
+- **SimHash** (``simhash``): 64-bit fingerprints; near-dups differ in few
+  bits (Hamming). Bit-vote aggregation is done with 64 conditional sums —
+  all JVM-side.
+
+Embedding-cosine near-dup lives in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.functions.text import split_tokens
+
+# Deterministic universal-hash parameters for minhash permutations:
+# h_i(x) = a_i * x32 + b_i over the 31-bit-reduced base hash, with a_i and
+# b_i < 2^31 so the product stays below 2^62 — no long overflow under ANSI
+# arithmetic. Parameters come from a fixed LCG so signatures are
+# reproducible across runs and sessions.
+_HALF = 1 << 31
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    state = 0x5DEECE66D
+    out = []
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % _HALF
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _HALF
+        out.append((a or 1, b))
+    return out
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace runs,
+    trim. Cheap, reversible-intent normalization — not a semantic hash."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(h, n_dups, keep_id)`` per distinct normalized text.
+
+    ``keep_id`` is the minimum id (deterministic keep-first); ``n_dups`` the
+    group size. The groupBy key is the md5 digest, so the shuffle carries
+    32-byte keys regardless of document size.
+    """
+    return (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("h"), F.col(id_col)
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first exact dedup: rows whose id is the group's ``keep_id``."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Distinct word ``n``-gram shingles: ``(id_col, shingle)``.
+
+    Built with array higher-order functions over the raw split stream —
+    ``transform`` with index + ``slice`` — so shingling is a narrow,
+    codegen'd projection. Documents shorter than ``n`` tokens produce no
+    shingles.
+    """
+    arr = split_tokens(F.col(text_col), lowercase=lowercase)
+    sh = F.array_distinct(
+        F.filter(
+            F.transform(
+                arr,
+                lambda x, i: F.when(
+                    i <= F.size(arr) - n, F.concat_ws(" ", F.slice(arr, i + 1, n))
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs: ``(id_a, id_b, jac)`` with ``id_a <
+    id_b`` and ``jac >= threshold``.
+
+    Inverted-index join: documents meet only on shared shingles, the
+    intersection size is a count over the join, and set sizes come from a
+    broadcastable per-document aggregate. ``jac`` is an exact integer
+    division — bit-identical across engines, no rounding needed.
+    """
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ja = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+    return ja.filter(F.col("jac") >= threshold).select("id_a", "id_b", "jac")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, sig array<bigint>)`` minhash signatures.
+
+    Base hash = ``xxhash64(shingle)``; permutation ``i`` is the universal
+    hash ``a_i * h + b_i`` with 64-bit wraparound. The per-document minimum
+    over shingles is computed with ``array_min`` inside a ``transform`` over
+    the permutation table — the whole signature is one codegen'd projection
+    per document, no explode, no shuffle.
+    """
+    arr = split_tokens(F.col(text_col), lowercase=True)
+    sh = F.array_distinct(
+        F.filter(
+            F.transform(
+                arr,
+                lambda x, i: F.when(
+                    i <= F.size(arr) - n, F.concat_ws(" ", F.slice(arr, i + 1, n))
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_HALF)))
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in _perm_params(num_perm)
+        ]
+    )
+    sig = F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(hashes, lambda h: p["a"] * h + p["b"])
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("sig")).filter(F.size("sig") > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified: ``(id_a, id_b, jac)``.
+
+    Banding: each signature is cut into ``bands`` bands of ``num_perm /
+    bands`` rows; a candidate pair is any two documents agreeing on a whole
+    band (equi-join on ``(band_idx, band_hash)``). Candidates are verified
+    with exact n-gram Jaccard, so output precision is 1.0; recall at
+    similarity ``s`` is ``1 - (1 - s^r)^b`` (≈1 - 1e-15 for s=0.9 with
+    b=32, r=4). At 100 TB this replaces the quadratic inverted-index join:
+    the only wide ops are the band-bucket join on short hash keys and the
+    verification of the (tiny) candidate set.
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    sig = minhash_signatures(df, n=n, num_perm=num_perm, text_col=text_col, id_col=id_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, n=n, threshold=0.0, text_col=text_col, id_col=id_col
+    )
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprints: ``(id_col, simhash bigint)``.
+
+    Token-frequency-weighted bit votes: for each bit position, sum +cnt for
+    tokens whose ``xxhash64`` has the bit set, -cnt otherwise; the sign of
+    the vote sets the output bit. Computed per document with array
+    higher-order functions — one codegen'd projection, no shuffle at all.
+    """
+    # The Python shiftleft/shiftright wrappers require literal shift
+    # amounts, so the bit loop is a SQL higher-order expression (the >> and
+    # << operators accept column operands in SQL).
+    arr = split_tokens(F.col(text_col), lowercase=True)
+    staged = df.select(
+        F.col(id_col),
+        F.transform(
+            F.filter(arr, lambda t: t != ""), lambda t: F.xxhash64(t)
+        ).alias("_hs"),
+    )
+    fp = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform(sequence(0, {bits - 1}),
+                      b -> aggregate(_hs, 0L,
+                                     (acc, h) -> acc + if(((h >> b) & 1L) = 1L,
+                                                          1L, -1L))),
+            sequence(0, {bits - 1}),
+            (v, b) -> if(v > 0, shiftleft(1L, b), 0L)),
+          0L, (acc, x) -> acc | x)
+        """
+    )
+    return staged.select(F.col(id_col), fp.alias("simhash"))

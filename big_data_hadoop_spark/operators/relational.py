@@ -1,0 +1,147 @@
+"""Relational operator surface (SURVEY §2.5/§2.6/§2.8).
+
+The reference has no joins, SQL windows, or set operations; this module is
+the engine's generalized surface over them, delegating to Spark's built-in
+strategies (Catalyst picks broadcast/sort-merge/shuffle-hash; AQE re-plans
+at runtime). The wrappers exist to (a) name the operator inventory
+explicitly and (b) centralize the scale-minded defaults: small dimension
+sides are broadcast, aggregations rely on partial+final HashAggregate,
+top-K goes through TakeOrderedAndProject, ranking windows filter in the
+same select to avoid a second pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def filter_project(
+    df: DataFrame, predicate: Column, columns: Sequence[str | Column]
+) -> DataFrame:
+    """Filter + project; Catalyst pushes both into the parquet scan."""
+    return df.filter(predicate).select(*columns)
+
+
+def hash_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """Grouped aggregation → partial/final HashAggregate around one shuffle."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column | str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join; ``broadcast_right`` hints the dimension side so a 100-row
+    nation table never drives a shuffle of a 100 TB fact table."""
+    if broadcast_right:
+        right = F.broadcast(right)
+    return left.join(right, on, how)
+
+
+def semi_join(
+    left: DataFrame, right: DataFrame, on: Column | str | Sequence[str]
+) -> DataFrame:
+    """EXISTS — rows of ``left`` with a match; right columns dropped."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(
+    left: DataFrame, right: DataFrame, on: Column | str | Sequence[str]
+) -> DataFrame:
+    """NOT EXISTS — rows of ``left`` with no match."""
+    return left.join(right, on, "left_anti")
+
+
+def window_rank(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    rank_col: str = "rnk",
+    top: int | None = None,
+) -> DataFrame:
+    """RANK() per partition, optionally keeping ranks <= ``top``.
+
+    The rank filter is applied immediately so downstream operators see the
+    reduced row set (per-group top-K pattern).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.rank().over(w))
+    if top is not None:
+        out = out.filter(F.col(rank_col) <= top)
+    return out
+
+
+def asof_lookup(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    order_cols: Sequence[str],
+    value_when: Column,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of lookup within one ordered stream (Spark has no native as-of
+    join): for each row, the latest prior value of ``value_when`` (a CASE
+    expression selecting the rows of interest) in its partition.
+
+    Implemented as a running ``max`` over ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING`` — a single sort per partition, no join at
+    all. For two distinct tables, union them with a tag column first (the
+    classic merge-as-of); at scale this costs one shuffle on the partition
+    key, the same as any co-partitioned join.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*[F.asc(c) for c in [ts_col, *order_cols]])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(out_col, F.max(value_when).over(w))
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    equi_key: str,
+    left_ts: Column,
+    right_lo: Column,
+    right_hi: Column,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Range join (count form): pair rows sharing ``equi_key`` whose right
+    timestamp falls in ``(right_lo, right_hi]``, counting per group.
+
+    Spark plans the equi key as the join key and the band as a post-join
+    filter — correct, and safe when the equi key bounds group sizes. For
+    unkeyed bands at 100 TB, bucketize the range dimension and equi-join on
+    the bucket (see SURVEY §4).
+    """
+    joined = left.join(
+        right,
+        (left[equi_key] == right[equi_key])
+        & (left_ts > right_lo)
+        & (left_ts <= right_hi),
+    )
+    return joined.groupBy(*group_cols).agg(F.count("*").alias("n_within"))
+
+
+def intersect(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Set intersection (distinct)."""
+    return left.intersect(right)
+
+
+def union_all(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Bag union (no dedup) — pair with ``distinct`` for set union."""
+    return left.unionAll(right)
+
+
+def except_all(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Bag difference."""
+    return left.exceptAll(right)

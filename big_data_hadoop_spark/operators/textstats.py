@@ -1,0 +1,109 @@
+"""Text analysis operators over ``documents`` (LLM-pipeline surface).
+
+All native expressions (no UDFs): token counting, quality scoring,
+stopword-based language ID, and canonical fingerprinting. Ratios are exact
+integer divisions in DOUBLE and score formulas use a fixed term order, so
+the DuckDB oracle matches bit-for-bit without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.functions.text import categorize, split_tokens
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and hard-coded: the heuristic must be
+#: reproducible in ANSI SQL for the oracle.
+STOPWORDS = {
+    "en": ["the", "a", "of", "in", "and", "is", "to"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "es": ["el", "los", "y", "un", "una", "que"],
+}
+
+
+def _toks(text_col: str) -> Column:
+    return split_tokens(F.col(text_col), lowercase=True)
+
+
+def _stop_count(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics.
+
+    ``avg_token_len`` uses the identity ``sum(len(tok)) = len(text) -
+    (n_tokens - 1)`` for a single-space-joined stream — one pass over the
+    string, no second aggregation, and an arithmetic form the oracle
+    reproduces exactly.
+    """
+    toks = _toks(text_col)
+    cats = F.transform(toks, categorize)
+    n_tokens = F.size(toks).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.size(F.filter(cats, lambda c: c == "word")).cast("long").alias("n_words"),
+        F.size(F.filter(cats, lambda c: c == "number")).cast("long").alias("n_numbers"),
+        (
+            (F.length(F.col(text_col)) - n_tokens + 1).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals: alphabetic-character ratio, stopword
+    ratio, and a fixed linear score. Term order in the score is part of the
+    contract (bit-exact oracle comparison)."""
+    text = F.col(text_col)
+    toks = _toks(text_col)
+    n_tokens = F.size(toks).cast("long")
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("long")
+    stops = _stop_count(toks, STOPWORDS["en"])
+    alpha_ratio = alpha.cast("double") / F.greatest(F.length(text).cast("long"), F.lit(1).cast("long"))
+    stop_ratio = stops.cast("double") / F.greatest(n_tokens, F.lit(1).cast("long"))
+    return df.select(
+        F.col(id_col),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (F.lit(0.5) * alpha_ratio + F.lit(0.5) * stop_ratio).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: ``(id_col, pred_lang)``.
+
+    Argmax over per-language stopword hit counts with a fixed precedence
+    (en > de > fr > es) and ``'und'`` when no list scores — a deterministic
+    CASE expression, reproduced verbatim in the oracle SQL.
+    """
+    toks = _toks(text_col)
+    scores = {lang: _stop_count(toks, ws) for lang, ws in STOPWORDS.items()}
+    s_en, s_de, s_fr, s_es = (scores[lang] for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((s_en > 0) & (s_en >= F.greatest(s_de, s_fr, s_es)), "en")
+        .when((s_de > 0) & (s_de >= F.greatest(s_fr, s_es)), "de")
+        .when((s_fr > 0) & (s_fr >= s_es), "fr")
+        .when(s_es > 0, "es")
+        .otherwise("und")
+    )
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set (the classic key-collision fingerprint). Word-order- and
+    duplication-insensitive; the digest shuffles instead of the text."""
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(_toks(text_col)))
+        )
+    )
+    return df.select(F.col(id_col), fp.alias("fp"))

@@ -1,0 +1,684 @@
+"""Declared correctness probes (SURVEY §2.8) — the t2 contract.
+
+Every entry couples a Spark implementation ``(spark, sf_dir) -> DataFrame``
+with (where SQL-expressible) an equivalent ANSI-SQL oracle string executed
+by DuckDB on the same parquet tables. The driver hash-compares values
+order-insensitively but column names and value bit-patterns must match:
+
+- every computed column is aliased identically on both sides;
+- counts are BIGINT on both sides (DuckDB ``SUM(BIGINT)`` is cast down from
+  HUGEINT explicitly);
+- float aggregates are ``ROUND(x, 2)``; pure ratios/cosines are exact
+  IEEE-double expressions with a pinned left-fold term order, so they match
+  bit-for-bit without rounding;
+- maps are exported as key-sorted entry lists (MapType has no order);
+- timestamps are compared as formatted strings; the session timezone is
+  UTC.
+
+Probes q01-q06 are the reference-parity surface (tokenization, counts,
+top-K, pairs, stripes — ``HadoopWordCount/WordPairs/WordPairs2/
+WordStripes/WordStripes2.java``, ``SparkWordCount.scala``); q07-q16 the
+relational surface; q17+ the LLM-pipeline extensions (dedup, similarity,
+text analysis, multimodal, sessionization/as-of/range over events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_hadoop_spark.functions.text import NUMBER_PATTERN, WORD_PATTERN
+from big_data_hadoop_spark.operators import relational as R
+from big_data_hadoop_spark.operators import similarity as sim
+from big_data_hadoop_spark.operators import textstats as ts
+from big_data_hadoop_spark.operators.cooccur import neighbor_counts, pair_counts
+from big_data_hadoop_spark.operators.counts import token_counts, top_k
+from big_data_hadoop_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from big_data_hadoop_spark.operators.multimodal import binary_meta, documents_as_media
+from big_data_hadoop_spark.sources.io import load_table
+
+EMBED_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+# Tokenized documents with 1-based raw positions (positions are only used
+# relatively, matching the engine's 0-based stream).
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, u.w AS token, u.p AS pos,
+         CASE WHEN regexp_full_match(u.w, '{WORD_PATTERN}') THEN 'word'
+              WHEN regexp_full_match(u.w, '{NUMBER_PATTERN}') THEN 'number'
+         END AS category
+  FROM (SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS p
+        FROM documents) u(doc_id, w, p))
+"""
+
+_SHINGLES_CTE = """
+t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[g:g+2], ' ') AS s
+       FROM t, (SELECT unnest(generate_series(1, 100000)) AS g) i(g)
+       WHERE i.g <= len(toks) - 2),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jacc AS (SELECT ia AS id_a, ib AS id_b,
+                i::DOUBLE / (x.n + y.n - i) AS jac
+         FROM inter
+         JOIN sz x ON x.doc_id = ia
+         JOIN sz y ON y.doc_id = ib)
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"({a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE)"
+        for i in range(1, EMBED_DIM + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _norm_sql() -> str:
+    terms = " + ".join(
+        f"(embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE)"
+        for i in range(1, EMBED_DIM + 1)
+    )
+    return f"sqrt(0.0 + {terms})"
+
+
+_EMB_CTE = f"e AS (SELECT vec_id, embedding, {_norm_sql()} AS nrm FROM embeddings)"
+
+
+def _stop_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains([{lst}], x))) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization probes q01-q06 (reference parity)
+# ---------------------------------------------------------------------------
+
+
+def q01_word_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 lowercased word counts (P1-P3, A1; SparkWordCount.scala:28-34)."""
+    docs = load_table(spark, sf, "documents")
+    c = token_counts(docs, lowercase=True, category="word").select("token", "cnt")
+    return c.orderBy(F.desc("cnt"), F.asc("token")).limit(100)
+
+
+def q02_number_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 number counts (P1, P4, A1; HadoopWordCount.java:40,54-61)."""
+    docs = load_table(spark, sf, "documents")
+    c = token_counts(docs, lowercase=True, category="number").select("token", "cnt")
+    return c.orderBy(F.desc("cnt"), F.asc("token")).limit(100)
+
+
+def q03_pairs_m1(spark: SparkSession, sf: str) -> DataFrame:
+    """Distance-1 same-category pairs, top-100 (W1; HadoopWordPairs.java:54-79)."""
+    docs = load_table(spark, sf, "documents")
+    p = pair_counts(docs, m=1, lowercase=True)
+    return (
+        p.select(
+            "category",
+            F.col("left").alias("left_tok"),
+            F.col("right").alias("right_tok"),
+            "cnt",
+        )
+        .orderBy(F.desc("cnt"), "left_tok", "right_tok")
+        .limit(100)
+    )
+
+
+def q04_pairs_m3(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-3 forward pairs, top-100 (W2; HadoopWordPairs2.java:49-77)."""
+    docs = load_table(spark, sf, "documents")
+    p = pair_counts(docs, m=3, lowercase=True)
+    return (
+        p.select(
+            "category",
+            F.col("left").alias("left_tok"),
+            F.col("right").alias("right_tok"),
+            "cnt",
+        )
+        .orderBy(F.desc("cnt"), "left_tok", "right_tok")
+        .limit(100)
+    )
+
+
+def q05_stripes_m1(spark: SparkSession, sf: str) -> DataFrame:
+    """Distance-1 stripes as canonical sorted entries, top-100 by mass
+    (W3/A5; HadoopWordStripes.java:53-160)."""
+    docs = load_table(spark, sf, "documents")
+    nb = neighbor_counts(docs, m=1, lowercase=True)
+    st = nb.groupBy("token").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("neighbor", "cnt"))),
+            lambda e: F.concat_ws(":", e["neighbor"], e["cnt"]),
+        ).alias("stripe"),
+        F.sum("cnt").alias("mass"),
+    )
+    return st.orderBy(F.desc("mass"), "token").limit(100)
+
+
+def q06_top1000_words(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-1000 words with deterministic tie-break (T1;
+    SparkWordCount.scala:34-35, SURVEY Q8 fix)."""
+    docs = load_table(spark, sf, "documents")
+    c = token_counts(docs, lowercase=True, category="word").select("token", "cnt")
+    return top_k(c, 1000)
+
+
+# ---------------------------------------------------------------------------
+# Relational probes q07-q16
+# ---------------------------------------------------------------------------
+
+
+def q07_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return R.filter_project(
+        li,
+        (F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"),
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q08_hash_agg(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return R.hash_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.round(F.avg("l_extendedprice"), 2).alias("ap"),
+        ],
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q09_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    j = R.equi_join(
+        cust,
+        nation,
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        broadcast_right=True,
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "n_name")
+    )
+
+
+def q10_multijoin_date(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("1995-01-01")
+    )
+    li = load_table(spark, sf, "lineitem")
+    j = R.equi_join(
+        li, orders, F.col("l_orderkey") == F.col("o_orderkey"), broadcast_right=True
+    )
+    return j.groupBy("o_orderpriority").agg(F.count("*").alias("n")).orderBy(
+        "o_orderpriority"
+    )
+
+
+def q11_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return R.anti_join(cust, orders, "c_custkey").select("c_custkey").orderBy(
+        "c_custkey"
+    )
+
+
+def q12_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 45).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return R.semi_join(part, li, "p_partkey").agg(F.count("*").alias("n"))
+
+
+def q13_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    ranked = R.window_rank(
+        cust,
+        ["c_mktsegment"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        top=5,
+    )
+    return ranked.select(
+        "c_mktsegment", "c_custkey", F.col("rnk").cast("long").alias("rnk")
+    ).orderBy("c_mktsegment", "rnk", "c_custkey")
+
+
+def q14_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return R.intersect(cust, supp).orderBy("k")
+
+
+def q15_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return R.union_all(cust, supp).agg(F.countDistinct("k").alias("n"))
+
+
+def q16_events_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension probes q17+ (LLM-pipeline surface)
+# ---------------------------------------------------------------------------
+
+
+def q17_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup_groups(docs).orderBy("h")
+
+
+def q18_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q19_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidates exact-verified at jac>=0.9; oracle is the
+    brute-force Jaccard join (recall ~1-1e-15 at these band params)."""
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        docs, n=3, num_perm=128, bands=32, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+def q20_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprints — xxhash64-based, not ANSI-SQL-expressible:
+    rows-only check (no oracle entry)."""
+    docs = load_table(spark, sf, "documents")
+    return simhash(docs).orderBy("doc_id")
+
+
+def q21_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return sim.cosine_neardup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+
+
+def q22_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return sim.cosine_topk(emb, query_ids=list(range(10)), k=5).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+def q23_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return ts.token_stats(docs).orderBy("doc_id")
+
+
+def q24_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return ts.quality_scores(docs).orderBy("doc_id")
+
+
+def q25_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return ts.language_id(docs).orderBy("doc_id")
+
+
+def q26_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return ts.fingerprint(docs).orderBy("doc_id")
+
+
+def q27_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    media = documents_as_media(docs)
+    return binary_meta(media).select("media_id", "n_bytes", "sha").orderBy("media_id")
+
+
+def q28_event_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (batch twin of the Structured
+    Streaming operator in streaming/)."""
+    ev = load_table(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sv",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q29_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user — lag + conditional sum."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    new_session = F.when(
+        prev.isNull() | ((micros - prev) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def q30_asof_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of: for each click, the latest prior 'view' timestamp of the same
+    user (merge-as-of via running max window; no native Spark as-of)."""
+    ev = load_table(spark, sf, "events")
+    looked = R.asof_lookup(
+        ev,
+        partition_col="user_id",
+        ts_col="ts",
+        order_cols=["event_id"],
+        value_when=F.when(F.col("event_type") == "view", F.col("ts")),
+        out_col="prev_view",
+    )
+    return (
+        looked.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.date_format(
+                F.col("prev_view").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("prev_view"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q31_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join: events following each click within 5 minutes, same user
+    (equi key bounds the band — the scale-safe range-join shape)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    others = ev.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    joined = clicks.join(
+        others,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return (
+        joined.groupBy(F.col("a_id").alias("event_id"))
+        .agg(F.count("*").alias("n_within"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_word_counts": q01_word_counts,
+    "q02_number_counts": q02_number_counts,
+    "q03_pairs_m1": q03_pairs_m1,
+    "q04_pairs_m3": q04_pairs_m3,
+    "q05_stripes_m1": q05_stripes_m1,
+    "q06_top1000_words": q06_top1000_words,
+    "q07_filter_project": q07_filter_project,
+    "q08_hash_agg": q08_hash_agg,
+    "q09_join_agg": q09_join_agg,
+    "q10_multijoin_date": q10_multijoin_date,
+    "q11_anti_join": q11_anti_join,
+    "q12_semi_join": q12_semi_join,
+    "q13_window_rank": q13_window_rank,
+    "q14_intersect": q14_intersect,
+    "q15_union_distinct": q15_union_distinct,
+    "q16_events_agg": q16_events_agg,
+    "q17_exact_dedup": q17_exact_dedup,
+    "q18_ngram_jaccard": q18_ngram_jaccard,
+    "q19_minhash_lsh": q19_minhash_lsh,
+    "q20_simhash": q20_simhash,
+    "q21_embedding_neardup": q21_embedding_neardup,
+    "q22_cosine_topk": q22_cosine_topk,
+    "q23_token_stats": q23_token_stats,
+    "q24_quality": q24_quality,
+    "q25_lang_id": q25_lang_id,
+    "q26_fingerprint": q26_fingerprint,
+    "q27_multimodal_meta": q27_multimodal_meta,
+    "q28_event_windows": q28_event_windows,
+    "q29_sessionization": q29_sessionization,
+    "q30_asof_lookup": q30_asof_lookup,
+    "q31_range_join": q31_range_join,
+}
+
+_EN = ts.STOPWORDS["en"]
+_DE = ts.STOPWORDS["de"]
+_FR = ts.STOPWORDS["fr"]
+_ES = ts.STOPWORDS["es"]
+
+ORACLES: dict[str, str] = {
+    "q01_word_counts": f"""
+WITH {_TOKS_CTE}
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks WHERE category = 'word'
+GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    "q02_number_counts": f"""
+WITH {_TOKS_CTE}
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks WHERE category = 'number'
+GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    "q03_pairs_m1": f"""
+WITH {_TOKS_CTE}
+SELECT t1.category, t1.token AS left_tok, t2.token AS right_tok,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks t1 JOIN toks t2
+  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+ AND t1.category = t2.category
+WHERE t1.category IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY cnt DESC, left_tok, right_tok LIMIT 100""",
+    "q04_pairs_m3": f"""
+WITH {_TOKS_CTE}
+SELECT t1.category, t1.token AS left_tok, t2.token AS right_tok,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks t1 JOIN toks t2
+  ON t1.doc_id = t2.doc_id AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + 3
+ AND t1.category = t2.category
+WHERE t1.category IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY cnt DESC, left_tok, right_tok LIMIT 100""",
+    "q05_stripes_m1": f"""
+WITH {_TOKS_CTE},
+nb AS (
+  SELECT t1.token, t2.token AS neighbor, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND abs(t2.pos - t1.pos) = 1
+   AND t1.category = t2.category
+  WHERE t1.category IS NOT NULL GROUP BY 1, 2)
+SELECT token, list(neighbor || ':' || cnt ORDER BY neighbor) AS stripe,
+       CAST(SUM(cnt) AS BIGINT) AS mass
+FROM nb GROUP BY token ORDER BY mass DESC, token LIMIT 100""",
+    "q06_top1000_words": f"""
+WITH {_TOKS_CTE}
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks WHERE category = 'word'
+GROUP BY token ORDER BY cnt DESC, token LIMIT 1000""",
+    "q07_filter_project": """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber""",
+    "q08_hash_agg": """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sq, ROUND(AVG(l_extendedprice), 2) AS ap
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q09_join_agg": """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY n DESC, n_name""",
+    "q10_multijoin_date": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+GROUP BY 1 ORDER BY 1""",
+    "q11_anti_join": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey""",
+    "q12_semi_join": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)""",
+    "q13_window_rank": """
+SELECT c_mktsegment, c_custkey, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT c_mktsegment, c_custkey,
+         RANK() OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer) t
+WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""",
+    "q14_intersect": """
+SELECT c_nationkey AS k FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY k""",
+    "q15_union_distinct": """
+SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier) u""",
+    "q16_events_agg": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+FROM events GROUP BY 1 ORDER BY 1""",
+    "q17_exact_dedup": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY h""",
+    "q18_ngram_jaccard": f"""
+WITH {_SHINGLES_CTE}
+SELECT id_a, id_b, jac FROM jacc WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    "q19_minhash_lsh": f"""
+WITH {_SHINGLES_CTE}
+SELECT id_a, id_b, jac FROM jacc WHERE jac >= 0.9 ORDER BY id_a, id_b""",
+    "q21_embedding_neardup": f"""
+WITH {_EMB_CTE}
+SELECT vec_a, vec_b, sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_dot_sql('a', 'b')} / (a.nrm * b.nrm) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id) s
+WHERE sim >= 0.4 ORDER BY vec_a, vec_b""",
+    "q22_cosine_topk": f"""
+WITH {_EMB_CTE},
+sc AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_dot_sql('a', 'b')} / (a.nrm * b.nrm) AS sim
+  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rn
+  FROM sc) t
+WHERE rn <= 5 ORDER BY query_id, neighbor_id""",
+    "q23_token_stats": f"""
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> regexp_full_match(x, '{WORD_PATTERN}')))
+            AS BIGINT) AS n_words,
+       CAST(len(list_filter(toks, x -> NOT regexp_full_match(x, '{WORD_PATTERN}')
+            AND regexp_full_match(x, '{NUMBER_PATTERN}'))) AS BIGINT) AS n_numbers,
+       (length(text) - len(toks) + 1)::DOUBLE / len(toks) AS avg_token_len
+FROM t ORDER BY doc_id""",
+    "q24_quality": f"""
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+           FROM documents),
+r AS (SELECT doc_id,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS alpha_ratio,
+             {_stop_sql(_EN)}::DOUBLE / greatest(len(toks), 1) AS stop_ratio
+      FROM t)
+SELECT doc_id, alpha_ratio, stop_ratio,
+       0.5 * alpha_ratio + 0.5 * stop_ratio AS quality_score
+FROM r ORDER BY doc_id""",
+    "q25_lang_id": f"""
+WITH s AS (SELECT doc_id,
+                  {_stop_sql(_EN)} AS s_en,
+                  {_stop_sql(_DE)} AS s_de,
+                  {_stop_sql(_FR)} AS s_fr,
+                  {_stop_sql(_ES)} AS s_es
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es) THEN 'de'
+            WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'und' END AS pred_lang
+FROM s ORDER BY doc_id""",
+    "q26_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(text), ' '))), ' ')) AS fp
+FROM documents ORDER BY doc_id""",
+    "q27_multimodal_meta": """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents ORDER BY media_id""",
+    "q28_event_windows": """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sv
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q29_sessionization": """
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(ts::TIMESTAMP) AS m,
+         lag(epoch_us(ts::TIMESTAMP)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev IS NULL OR (m - prev) > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM ev GROUP BY 1 ORDER BY user_id""",
+    "q30_asof_lookup": """
+WITH x AS (
+  SELECT event_id, event_type,
+         max(CASE WHEN event_type = 'view' THEN ts::TIMESTAMP END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view
+  FROM events)
+SELECT event_id, strftime(prev_view, '%Y-%m-%d %H:%M:%S.%f') AS prev_view
+FROM x WHERE event_type = 'click' ORDER BY event_id""",
+    "q31_range_join": """
+SELECT a.event_id, CAST(COUNT(*) AS BIGINT) AS n_within
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts::TIMESTAMP > a.ts::TIMESTAMP
+ AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 5 MINUTE
+WHERE a.event_type = 'click'
+GROUP BY 1 ORDER BY a.event_id""",
+}

@@ -1,0 +1,105 @@
+"""Sources and sinks (SURVEY §2.1).
+
+Reference parity:
+- S1/S2 text line source (``TextInputFormat`` / ``ctx.textFile``) →
+  ``read_text_lines``: a DataFrame of ``(doc_id, line_no, text)``. The
+  reference's record key is the file byte offset; we expose a stable
+  per-file line number instead (offsets are an InputFormat artifact).
+- S3 tab-separated sink (``TextOutputFormat``) → ``write_tsv``.
+- S4 single-file sink (``repartition(1).saveAsTextFile``) →
+  ``write_single_text_file`` using ``coalesce(1)`` (no full shuffle).
+- T3 category partitioner (2 reduce tasks routing words vs numbers to
+  separate files, ``HadoopWordCount.java:82-104,121``) →
+  ``write_partitioned_by_category``: partition by the stored ``category``
+  column, computed once at classification time. This fixes the reference's
+  misrouting of letterless word tokens like ``"-"`` (SURVEY Q5).
+
+Plus the testdata table catalog used by every probe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Tables the driver generates at each scale factor (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; Catalyst prunes columns/filters at the scan.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it as a nanos
+    long (``spark.sql.legacy.parquet.nanosAsLong``, set by the session
+    factory / ``configure_runtime``) and we convert to a microsecond
+    timestamp here by truncation — bit-identical to DuckDB, whose parquet
+    reader truncates NANOS to its µs TIMESTAMP on scan.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in (names or TABLES)]
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/file of text → ``(doc_id, line_no, text)``.
+
+    ``doc_id`` is a dense rank over file names (stable across runs for a
+    fixed file set); ``line_no`` is the 0-based line index within the file.
+    The per-file window is acceptable because a single text file is one
+    input split's worth of lines; huge corpora should land in Parquet
+    ``documents`` form instead (one row per document, no window needed).
+    """
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("file"),
+        F.col("value").alias("text"),
+        F.monotonically_increasing_id().alias("_order"),
+    )
+    by_file = Window.partitionBy("file").orderBy("_order")
+    files = Window.orderBy("file")
+    return (
+        raw.withColumn("line_no", F.row_number().over(by_file) - F.lit(1))
+        .withColumn("doc_id", F.dense_rank().over(files).cast("long") - F.lit(1))
+        .select("doc_id", F.col("line_no").cast("long").alias("line_no"), "text")
+    )
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """``key \\t value`` text output (TextOutputFormat parity, S3)."""
+    df.write.mode(mode).option("sep", "\t").csv(path)
+
+
+def write_single_text_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """One output file (S4) — ``coalesce(1)``, not ``repartition(1)``."""
+    df.coalesce(1).write.mode(mode).option("sep", "\t").csv(path)
+
+
+def write_partitioned_by_category(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Category-split output (T3): one directory per category.
+
+    Replaces the reference's custom ``Partitioner`` + 2 reduce tasks with
+    ``partitionBy('category')`` on the stored classification column —
+    ``part-r-00000``/``part-r-00001`` become ``category=number/`` and
+    ``category=word/``.
+    """
+    df.write.mode(mode).partitionBy("category").option("sep", "\t").csv(path)
