@@ -1,0 +1,148 @@
+"""Golden unit tests — exact expected outputs from the reference's own
+worked examples (FIXTURES.md §B; cites in SURVEY §5.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.cooccur import (
+    neighbor_counts,
+    pair_counts,
+    stripe_entries,
+    stripes,
+)
+from big_data_hadoop_spark.operators.counts import token_counts, top_k
+from big_data_hadoop_spark.operators.tokenize import tokens
+
+
+def _pairs_set(df):
+    return {
+        (r.category, r.left, r.right, r.cnt)
+        for r in df.collect()
+    }
+
+
+def test_distance1_pairs_reference_example(spark, golden_lines):
+    """HadoopWordPairs.java:64-65 in-source example."""
+    got = _pairs_set(pair_counts(golden_lines.filter("doc_id = 0"), m=1))
+    assert got == {
+        ("word", "am", "in", 1),
+        ("word", "group", "of", 1),
+        ("number", "3", "20", 1),
+        ("word", "year", "adults", 1),
+        ("word", "adults", "with", 1),
+    }
+
+
+def test_window_pairs_m4_reference_example(spark, golden_lines):
+    """HadoopWordPairs2.java:70-75: from 'i', pairs (i,study),(i,luxembourg);
+    'In' dropped (case), '1' dropped (cross-category)."""
+    got = _pairs_set(pair_counts(golden_lines.filter("doc_id = 1"), m=4))
+    from_i = {(l, r) for _, l, r, _ in got if l == "i"}
+    assert from_i == {("i", "study"), ("i", "luxembourg")}
+    assert got == {
+        ("word", "i", "study", 1),
+        ("word", "i", "luxembourg", 1),
+        ("word", "study", "luxembourg", 1),
+    }
+
+
+def test_stripes_cross_category_and_case(spark, golden_lines):
+    """HadoopWordStripes.java:102-108: stripe(am)={i:1} on 'i am 20';
+    stripe(a)={boy:1} on 'i Am a boy'."""
+    st = {
+        r.token: dict(r.stripe)
+        for r in stripes(golden_lines.filter("doc_id in (2, 3)")).collect()
+    }
+    assert st["am"] == {"i": 1}
+    assert st["a"] == {"boy": 1}
+    assert st["20"] == {}  # number token with no same-category neighbor
+
+
+def test_stripes_m1_both_directions(spark, golden_lines):
+    """HadoopWordStripes2.java:55-56: stripe(am)={i:1, good:1}."""
+    st = {
+        r.token: dict(r.stripe)
+        for r in stripes(golden_lines.filter("doc_id = 4"), m=1).collect()
+    }
+    assert st["am"] == {"i": 1, "good": 1}
+
+
+def test_empty_stripe_preserved(spark, golden_lines):
+    """HadoopWordStripes.java:100: every categorized token emits a stripe,
+    empty when no same-category neighbor exists."""
+    st = stripes(golden_lines.filter("doc_id = 10"))
+    rows = st.collect()
+    assert len(rows) == 1 and rows[0].token == "solo" and dict(rows[0].stripe) == {}
+    assert stripes(golden_lines.filter("doc_id = 10"), keep_empty=False).count() == 0
+
+
+def test_double_space_breaks_chain(spark, golden_lines):
+    """SURVEY Q6: empty token occupies a position — no (foo,bar) pair."""
+    got = _pairs_set(pair_counts(golden_lines.filter("doc_id = 5")))
+    assert got == {("word", "bar", "baz", 1)}
+
+
+def test_letterless_words_and_number_edges(spark, golden_lines):
+    """SURVEY Q5 fix + P4 edges: '-','_','--','a-b_c' are words;
+    '3.','+4','-5' are numbers; '3' counted separately from '3.'."""
+    c = {
+        (r.category, r.token): r.cnt
+        for r in token_counts(golden_lines.filter("doc_id in (6, 7)")).collect()
+    }
+    for tok in ["-", "_", "--", "a-b_c"]:
+        assert c[("word", tok)] == 1
+    for tok in ["3.", "+4", "-5", "1.25", "12", "3"]:
+        assert c[("number", tok)] == 1
+    assert ("number", "2.5.5") not in c
+
+
+def test_case_sensitivity_modes(spark, golden_lines):
+    """SURVEY Q1: Hadoop jobs drop uppercase; lowercase=True (Spark-job
+    parity) folds them in."""
+    doc11 = golden_lines.filter("doc_id = 11")
+    assert token_counts(doc11).count() == 0
+    folded = {r.token for r in token_counts(doc11, lowercase=True).collect()}
+    assert folded == {"a", "b", "c"}
+
+
+def test_topk_deterministic_tiebreak(spark, golden_lines):
+    """SURVEY Q8: equal counts ordered by token ASC."""
+    c = token_counts(golden_lines.filter("doc_id = 9"))
+    rows = top_k(c, 3).collect()
+    assert [(r.token, r.cnt) for r in rows] == [("x", 2), ("y", 2), ("z", 2)]
+
+
+def test_window_m2_pairs(spark, golden_lines):
+    """FIXTURES line 10: m=2 adds distance-2 pairs to the m=1 set."""
+    m1 = _pairs_set(pair_counts(golden_lines.filter("doc_id = 9"), m=1))
+    m2 = _pairs_set(pair_counts(golden_lines.filter("doc_id = 9"), m=2))
+    assert m1 == {
+        ("word", "x", "y", 2),
+        ("word", "y", "z", 2),
+        ("word", "z", "x", 1),
+    }
+    assert m2 == {
+        ("word", "x", "y", 2),
+        ("word", "y", "z", 2),
+        ("word", "z", "x", 1),
+        ("word", "x", "z", 2),
+        ("word", "y", "x", 1),
+        ("word", "z", "y", 1),
+    }
+
+
+def test_positions_assigned_on_raw_stream(spark, golden_lines):
+    """Positions count raw split slots, including non-matching tokens."""
+    t = tokens(golden_lines.filter("doc_id = 0"), categorized_only=False)
+    rows = {r.pos: (r.token, r.category) for r in t.collect()}
+    assert rows[0] == ("I", None)
+    assert rows[6] == ("3", "number")
+    assert rows[12] == ("2.5.5", None)
+
+
+def test_stripe_entries_canonical(spark, golden_lines):
+    """Stripe export is key-sorted 'neighbor:cnt' entries (SURVEY Q7)."""
+    st = stripe_entries(stripes(golden_lines.filter("doc_id = 4"), m=1))
+    row = {r.token: list(r.stripe) for r in st.collect()}["am"]
+    assert row == ["good:1", "i:1"]

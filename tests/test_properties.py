@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY §5.2.3) — invariants over random token
+streams, one shared SparkSession."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data_hadoop_spark.operators.cooccur import (
+    neighbor_counts,
+    pair_counts,
+    stripes,
+)
+from big_data_hadoop_spark.operators.counts import token_counts, top_k
+
+# Small alphabet → dense collisions; includes uppercase (dropped), numbers,
+# non-matching tokens, and empties (via double spaces when joined).
+TOKENS = ["a", "b", "ab", "B", "3", "42", "3.", "x!", ""]
+
+lines_strategy = st.lists(
+    st.lists(st.sampled_from(TOKENS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, lines):
+    return spark.createDataFrame(
+        list(enumerate(lines)), "doc_id long, text string"
+    )
+
+
+@given(lines=lines_strategy)
+@_SETTINGS
+def test_pairs_m1_equals_stripes_flattened(spark, lines):
+    """stripes(m=1) edge multiset == union of forward pairs + reversed."""
+    df = _df(spark, lines)
+    p = {
+        (r.left, r.right): r.cnt for r in pair_counts(df, m=1).collect()
+    }
+    nb = {
+        (r.token, r.neighbor): r.cnt
+        for r in neighbor_counts(df, m=1).collect()
+    }
+    expect: dict[tuple[str, str], int] = {}
+    for (l, r), c in p.items():
+        expect[(l, r)] = expect.get((l, r), 0) + c
+        expect[(r, l)] = expect.get((r, l), 0) + c
+    assert nb == expect
+
+
+@given(lines=lines_strategy, m=st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_window_m_is_union_of_distances(spark, lines, m):
+    """pairs(m) == sum over d in 1..m of distance-d pair counts."""
+    df = _df(spark, lines)
+    got = {
+        (r.left, r.right): r.cnt for r in pair_counts(df, m=m).collect()
+    }
+    expect: dict[tuple[str, str], int] = {}
+    for d in range(1, m + 1):
+        from big_data_hadoop_spark.operators.cooccur import _cooccur_counts
+
+        for r in _cooccur_counts(df, [d]).collect():
+            k = (r.left, r.right)
+            expect[k] = expect.get(k, 0) + r.cnt
+    assert got == expect
+
+
+@given(lines=lines_strategy)
+@_SETTINGS
+def test_stripe_mass_equals_pair_mass(spark, lines):
+    """Total stripe mass == 2 × total forward-pair count (each edge counted
+    from both endpoints)."""
+    df = _df(spark, lines)
+    pair_total = sum(r.cnt for r in pair_counts(df, m=1).collect())
+    mass_total = sum(r.mass for r in stripes(df, m=1).collect())
+    assert mass_total == 2 * pair_total
+
+
+@given(lines=lines_strategy)
+@_SETTINGS
+def test_topk_is_prefix_of_full_sort(spark, lines):
+    df = _df(spark, lines)
+    c = token_counts(df)
+    full = [
+        (r.token, r.cnt)
+        for r in c.orderBy(c.cnt.desc(), c.token.asc()).collect()
+    ]
+    k = 3
+    assert [(r.token, r.cnt) for r in top_k(c, k).collect()] == full[:k]
+
+
+@given(lines=lines_strategy)
+@_SETTINGS
+def test_categories_disjoint_cover(spark, lines):
+    """Each categorized token is word xor number; counts per category sum
+    to the total."""
+    df = _df(spark, lines)
+    rows = token_counts(df).collect()
+    assert all(r.category in ("word", "number") for r in rows)
+    by_tok: dict[str, set[str]] = {}
+    for r in rows:
+        by_tok.setdefault(r.token, set()).add(r.category)
+    assert all(len(cats) == 1 for cats in by_tok.values())
