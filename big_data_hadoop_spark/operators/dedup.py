@@ -163,40 +163,42 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(id_col, sig array<bigint>)`` minhash signatures.
 
-    Base hash = ``xxhash64(shingle)``; permutation ``i`` is the universal
-    hash ``a_i * h + b_i`` with 64-bit wraparound. The per-document minimum
-    over shingles is computed with ``array_min`` inside a ``transform`` over
-    the permutation table — the whole signature is one codegen'd projection
-    per document, no explode, no shuffle.
+    Base hash = ``xxhash64(shingle)`` reduced mod 2^31; permutation ``i``
+    is the universal hash ``a_i * h + b_i``. Shingles are exploded to flat
+    rows, hashed ONCE each, and the per-document minima for all
+    ``num_perm`` permutations are ``num_perm`` plain ``min`` aggregates in
+    a single ``groupBy`` — whole-stage-codegen'd multiply-adds with
+    map-side partial aggregation, so the shuffle carries one
+    ``num_perm``-long partial row per (doc, map partition).
+
+    (A previous formulation folded the permutation table with nested array
+    higher-order functions in one projection; HOF lambdas re-evaluate
+    captured subtrees per element, so the whole shingling pipeline ran
+    once per permutation — 128x redundant work. The flat explode/groupBy
+    form is both the fast shape locally and the scalable shape on a
+    cluster.)
+
+    Documents with no shingles (< n tokens) produce no row, matching the
+    previous ``size(sig) > 0`` filter.
     """
-    arr = split_tokens(F.col(text_col), lowercase=True)
-    sh = F.array_distinct(
-        F.filter(
-            F.transform(
-                arr,
-                lambda x, i: F.when(
-                    i <= F.size(arr) - n, F.concat_ws(" ", F.slice(arr, i + 1, n))
-                ),
-            ),
-            lambda s: s.isNotNull(),
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    hashed = sh.select(
+        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(_HALF)).alias("h")
+    )
+    mins = [
+        F.min(F.lit(a).cast("long") * F.col("h") + F.lit(b).cast("long")).alias(
+            f"_s{i}"
+        )
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_s{i}") for i in range(num_perm)]).alias("sig"),
         )
     )
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_HALF)))
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
-            )
-            for a, b in _perm_params(num_perm)
-        ]
-    )
-    sig = F.transform(
-        params,
-        lambda p: F.array_min(
-            F.transform(hashes, lambda h: p["a"] * h + p["b"])
-        ),
-    )
-    return df.select(F.col(id_col), sig.alias("sig")).filter(F.size("sig") > 0)
 
 
 def minhash_lsh_pairs(
@@ -248,14 +250,38 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, n=n, threshold=0.0, text_col=text_col, id_col=id_col
+    # Exact-Jaccard verification restricted to the candidate set: fan each
+    # candidate pair out to the left document's shingles, then equi-join on
+    # (id_b, shingle) to count the intersection. Only candidate pairs ever
+    # reach the groupBy, so verification cost is O(|candidates| x shingles
+    # per doc) — NOT the corpus-wide quadratic join (that formulation is
+    # ngram_jaccard_pairs, the standalone verifier).
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
-    return (
-        cand.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jac") >= threshold)
-        .select("id_a", "id_b", "jac")
+    ja = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
     )
+    return ja.filter(F.col("jac") >= threshold).select("id_a", "id_b", "jac")
 
 
 def simhash(

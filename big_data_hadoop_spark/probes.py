@@ -324,12 +324,14 @@ def q20_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def q21_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    return sim.cosine_neardup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+    return sim.cosine_neardup_pairs(emb, threshold=0.4, dim=EMBED_DIM).orderBy(
+        "vec_a", "vec_b"
+    )
 
 
 def q22_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    return sim.cosine_topk(emb, query_ids=list(range(10)), k=5).orderBy(
+    return sim.cosine_topk(emb, query_ids=list(range(10)), k=5, dim=EMBED_DIM).orderBy(
         "query_id", "neighbor_id"
     )
 
