@@ -292,32 +292,30 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash fingerprints: ``(id_col, simhash bigint)``.
 
-    Token-frequency-weighted bit votes: for each bit position, sum +cnt for
-    tokens whose ``xxhash64`` has the bit set, -cnt otherwise; the sign of
-    the vote sets the output bit. Computed per document with array
-    higher-order functions — one codegen'd projection, no shuffle at all.
+    Token-frequency-weighted bit votes: for each bit position, sum +1 for
+    tokens whose ``xxhash64`` has the bit set, -1 otherwise; the sign of
+    the vote sets the output bit. Tokens are exploded to flat rows, hashed
+    ONCE each, and the ``bits`` votes are plain conditional-sum aggregates
+    in a single ``groupBy`` — whole-stage codegen with map-side partial
+    aggregation, the same shape as ``minhash_signatures`` (a nested
+    array-HOF fold re-scans the token hashes once per bit).
     """
-    # The Python shiftleft/shiftright wrappers require literal shift
-    # amounts, so the bit loop is a SQL higher-order expression (the >> and
-    # << operators accept column operands in SQL).
     arr = split_tokens(F.col(text_col), lowercase=True)
-    staged = df.select(
-        F.col(id_col),
-        F.transform(
-            F.filter(arr, lambda t: t != ""), lambda t: F.xxhash64(t)
-        ).alias("_hs"),
+    hashed = df.select(
+        F.col(id_col), F.explode(F.filter(arr, lambda t: t != "")).alias("_t")
+    ).select(F.col(id_col), F.xxhash64("_t").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return (
+        hashed.groupBy(id_col).agg(*votes).select(F.col(id_col), fp.alias("simhash"))
     )
-    fp = F.expr(
-        f"""
-        aggregate(
-          zip_with(
-            transform(sequence(0, {bits - 1}),
-                      b -> aggregate(_hs, 0L,
-                                     (acc, h) -> acc + if(((h >> b) & 1L) = 1L,
-                                                          1L, -1L))),
-            sequence(0, {bits - 1}),
-            (v, b) -> if(v > 0, shiftleft(1L, b), 0L)),
-          0L, (acc, x) -> acc | x)
-        """
-    )
-    return staged.select(F.col(id_col), fp.alias("simhash"))
