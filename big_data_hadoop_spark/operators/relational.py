@@ -145,3 +145,55 @@ def union_all(left: DataFrame, right: DataFrame) -> DataFrame:
 def except_all(left: DataFrame, right: DataFrame) -> DataFrame:
     """Bag difference."""
     return left.exceptAll(right)
+
+
+def rollup_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals plus grand total."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """GROUP BY CUBE — subtotals for every key combination."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def pivot_counts(
+    df: DataFrame, group_key: str, pivot_col: str, values: Sequence[str]
+) -> DataFrame:
+    """Pivot ``pivot_col`` (explicit value list — no discovery scan, which
+    is the 100 TB-safe form) into count columns; absent combinations are 0
+    rather than null so results are engine-portable."""
+    out = df.groupBy(group_key).pivot(pivot_col, list(values)).count()
+    return out.select(
+        group_key,
+        *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v) for v in values],
+    )
+
+
+def full_outer_join(
+    left: DataFrame, right: DataFrame, on: Column | str | Sequence[str]
+) -> DataFrame:
+    """Full outer join — both unmatched sides preserved."""
+    return left.join(right, on, "full_outer")
+
+
+def moving_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    agg: Column,
+    preceding: int,
+    out_col: str,
+) -> DataFrame:
+    """Sliding-frame analytic: ``agg`` over ``ROWS BETWEEN <preceding>
+    PRECEDING AND CURRENT ROW`` — one sort per partition."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, agg.over(w))

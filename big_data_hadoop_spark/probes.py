@@ -444,6 +444,169 @@ def q31_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q32_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP subtotals; grouping nulls mapped to 'ALL' sentinels so the
+    result is total-orderable across engines."""
+    li = load_table(spark, sf, "lineitem")
+    r = R.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sq")],
+    )
+    return r.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+        "n",
+        "sq",
+    ).orderBy("rf", "ls")
+
+
+def q33_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, user bucket)."""
+    ev = load_table(spark, sf, "events")
+    src = ev.select(
+        "event_type", (F.col("user_id") % 5).cast("long").alias("ub"), "value"
+    )
+    c = R.cube_agg(
+        src,
+        ["event_type", "ub"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")],
+    )
+    return c.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("et"),
+        F.coalesce(F.col("ub").cast("string"), F.lit("ALL")).alias("ub"),
+        "n",
+        "sv",
+    ).orderBy("et", "ub")
+
+
+def q34_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped distinct aggregation (Catalyst Expand-based rewrite)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q35_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference (distinct EXCEPT)."""
+    cust = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return cust.subtract(supp).orderBy("k")
+
+
+def q36_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 3-row mean + lag per user over the event stream.
+
+    ``value`` is 2-decimal money; averaging is done over exact integer
+    cents so the frame sum is order-independent and both engines divide
+    identical integers — bit-exact without ROUND (whose half-up vs
+    binary-double semantics differ across engines at .xx5 boundaries)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    m = R.moving_agg(
+        ev.withColumn("cents", cents),
+        ["user_id"],
+        [F.asc("ts"), F.asc("event_id")],
+        F.avg("cents"),
+        preceding=2,
+        out_col="mavg_c",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return m.select(
+        "event_id",
+        (F.col("mavg_c") / 100.0).alias("mavg"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).orderBy("event_id")
+
+
+def q37_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 2).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q38_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot event_type into count columns per user bucket (explicit value
+    list — no discovery scan)."""
+    ev = load_table(spark, sf, "events")
+    src = ev.select((F.col("user_id") % 5).cast("long").alias("ub"), "event_type")
+    return R.pivot_counts(src, "ub", "event_type", _EVENT_TYPES).orderBy("ub")
+
+
+def q39_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON scalar extraction over events.props, aggregated per type."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sk"), F.count("k").alias("nk"))
+        .orderBy("event_type")
+    )
+
+
+def q40_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (the 100 TB ANN path):
+    hyperplane buckets + exact re-rank. xxhash-free but sin-seeded plane
+    literals are not reproducible in ANSI SQL — rows-only check."""
+    emb = load_table(spark, sf, "embeddings")
+    return sim.lsh_bucketed_topk(
+        emb, query_ids=list(range(10)), k=5, dim=EMBED_DIM, num_planes=8
+    ).orderBy("query_id", "neighbor_id")
+
+
+def q41_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join match accounting: customers x orders."""
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("ck"), "o_orderkey"
+    )
+    j = R.full_outer_join(cust.withColumn("is_c", F.lit(1)), orders, "ck")
+    return j.agg(
+        F.sum(
+            F.when(F.col("is_c").isNotNull() & F.col("o_orderkey").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_matched"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("n_cust_only"),
+        F.sum(F.when(F.col("is_c").isNull(), 1).otherwise(0)).alias("n_order_only"),
+    )
+
+
+def q42_scalar_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """String/date scalar function surface over orders (absent in the
+    reference — SURVEY §2.6; engine exposes Spark builtins)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.length("o_orderstatus").alias("st_len"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.round(F.sqrt(F.abs("o_totalprice")), 2).alias("rt"),
+    ).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -480,6 +643,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_sessionization": q29_sessionization,
     "q30_asof_lookup": q30_asof_lookup,
     "q31_range_join": q31_range_join,
+    "q32_rollup": q32_rollup,
+    "q33_cube": q33_cube,
+    "q34_distinct_agg": q34_distinct_agg,
+    "q35_except": q35_except,
+    "q36_moving_avg": q36_moving_avg,
+    "q37_percentiles": q37_percentiles,
+    "q38_pivot": q38_pivot,
+    "q39_json_extract": q39_json_extract,
+    "q40_lsh_ann": q40_lsh_ann,
+    "q41_full_outer": q41_full_outer,
+    "q42_scalar_fns": q42_scalar_fns,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -683,4 +857,71 @@ FROM events a JOIN events b
  AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 5 MINUTE
 WHERE a.event_type = 'click'
 GROUP BY 1 ORDER BY a.event_id""",
+    "q32_rollup": """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sq
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY rf, ls""",
+    "q33_cube": """
+SELECT COALESCE(event_type, 'ALL') AS et,
+       COALESCE(CAST(user_id % 5 AS VARCHAR), 'ALL') AS ub,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+FROM events GROUP BY CUBE (event_type, user_id % 5)
+ORDER BY et, ub""",
+    "q34_distinct_agg": """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q35_except": """
+SELECT c_nationkey AS k FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+ORDER BY k""",
+    "q36_moving_avg": """
+WITH ev AS (SELECT *, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events)
+SELECT event_id,
+       AVG(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+         AS mavg,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev_value
+FROM ev ORDER BY event_id""",
+    "q37_percentiles": """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 2) AS p90
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q38_pivot": """
+SELECT CAST(user_id % 5 AS BIGINT) AS ub,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS "error",
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view"
+FROM events GROUP BY 1 ORDER BY ub""",
+    "q39_json_extract": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sk,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS nk
+FROM events GROUP BY 1 ORDER BY 1""",
+    "q41_full_outer": """
+SELECT CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL AND o.o_orderkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cust_only,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_order_only
+FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey""",
+    "q42_scalar_fns": """
+SELECT o_orderkey,
+       UPPER(SUBSTR(o_orderpriority, 1, 3)) AS pri3,
+       CAST(LENGTH(o_orderstatus) AS INT) AS st_len,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+       ROUND(sqrt(abs(o_totalprice)), 2) AS rt
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
 }
