@@ -2,12 +2,14 @@
 
 from big_data_hadoop_spark.streaming.pipelines import (
     read_events_stream,
+    streaming_sessionize,
     streaming_token_counts,
     streaming_windowed_event_agg,
 )
 
 __all__ = [
     "read_events_stream",
+    "streaming_sessionize",
     "streaming_token_counts",
     "streaming_windowed_event_agg",
 ]

@@ -67,3 +67,93 @@ def streaming_token_counts(lines: DataFrame) -> DataFrame:
     WordCount as an unbounded computation). Complete-mode sink expected."""
     t = tokens(lines, keep_cols=())
     return t.groupBy("category", "token").agg(F.count("*").alias("cnt"))
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("end_us", T.LongType(), False),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+    ]
+)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization of the event
+    stream via ``applyInPandasWithState`` (the batch twin is
+    ``probes.q29_sessionization``).
+
+    Per user, events separated by more than ``gap_seconds`` start a new
+    session; a closed session is emitted once with its event count and
+    span. State is one 4-long tuple per active user — bounded by the live
+    user population, not event volume — and is dropped on event-time
+    timeout once the watermark passes the gap.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            sid, n, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[user_id, sid, n, start_us, last_us]],
+                columns=[f.name for f in SESSION_OUTPUT_SCHEMA],
+            )
+            return
+        ts_us = np.sort(
+            np.concatenate(
+                [p["ts"].astype("datetime64[us]").astype("int64") for p in pdfs]
+            )
+        )
+        if state.exists:
+            sid, n, start_us, last_us = state.get
+        else:
+            sid, n, start_us, last_us = 0, 0, int(ts_us[0]), int(ts_us[0])
+        closed = []
+        for t in ts_us:
+            t = int(t)
+            if n and t - last_us > gap_us:
+                closed.append([user_id, sid, n, start_us, last_us])
+                sid, n, start_us = sid + 1, 0, t
+            n += 1
+            last_us = t
+        state.update((sid, n, start_us, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [list(r) for r in closed],
+                columns=[f.name for f in SESSION_OUTPUT_SCHEMA],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

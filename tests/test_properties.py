@@ -109,3 +109,21 @@ def test_categories_disjoint_cover(spark, lines):
     for r in rows:
         by_tok.setdefault(r.token, set()).add(r.category)
     assert all(len(cats) == 1 for cats in by_tok.values())
+
+
+@given(lines=lines_strategy)
+@_SETTINGS
+def test_salted_counts_equal_plain(spark, lines):
+    """Two-level salted aggregation is a pure physical rewrite: results
+    identical to the plain groupBy for any input."""
+    from big_data_hadoop_spark.operators.counts import salted_token_counts
+
+    df = _df(spark, lines)
+    plain = {
+        (r.category, r.token): r.cnt for r in token_counts(df).collect()
+    }
+    salted = {
+        (r.category, r.token): r.cnt
+        for r in salted_token_counts(df, salt_buckets=4).collect()
+    }
+    assert plain == salted

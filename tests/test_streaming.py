@@ -62,3 +62,48 @@ def test_streaming_token_counts_runs(spark, golden_lines, tmp_path):
     }
     assert got[("word", "the")] == 3
     assert got[("number", "20")] == 2
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Closed sessions emitted by the stateful operator must agree with the
+    batch sessionization (q29): for each user the number of closed
+    streaming sessions is the batch count or one less (the final session
+    stays open unless the event-time timeout has fired)."""
+    import shutil
+
+    from big_data_hadoop_spark.probes import q29_sessionization
+    from big_data_hadoop_spark.streaming import (
+        read_events_stream,
+        streaming_sessionize,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
+    stream = read_events_stream(spark, str(src))
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows, "no closed sessions emitted"
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    batch = {
+        r.user_id: r.n_sessions
+        for r in q29_sessionization(spark, SF_SMOKE).collect()
+    }
+    for uid, sess in by_user.items():
+        ids = sorted(s.session_id for s in sess)
+        assert ids == list(range(len(ids))), f"non-dense session ids for {uid}"
+        assert all(s.n_events >= 1 and s.end_us >= s.start_us for s in sess)
+        assert len(sess) in (batch[uid] - 1, batch[uid]), (
+            uid, len(sess), batch[uid]
+        )
