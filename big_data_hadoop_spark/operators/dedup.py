@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_hadoop_spark.functions.text import split_tokens
 
@@ -113,21 +114,74 @@ def shingles(
     return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
+def _verified_jaccard(
+    cand: DataFrame, sh: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for a candidate pair set: ``(id_a, id_b, jac)``.
+
+    Fans each candidate pair out to the left document's shingles, then
+    equi-joins on ``(id_b, shingle)`` to count the intersection — cost is
+    O(|candidates| x shingles per doc), never corpus-quadratic. ``jac`` is
+    an exact integer division — bit-identical across engines."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    method: str = "inverted",
 ) -> DataFrame:
     """Exact Jaccard-similar pairs: ``(id_a, id_b, jac)`` with ``id_a <
-    id_b`` and ``jac >= threshold``.
+    id_b`` and ``jac >= threshold``. Both methods are exact — identical
+    output, different physical plans:
 
-    Inverted-index join: documents meet only on shared shingles, the
-    intersection size is a count over the join, and set sizes come from a
-    broadcastable per-document aggregate. ``jac`` is an exact integer
-    division — bit-identical across engines, no rounding needed.
+    - ``inverted`` (default): one self-join of the full inverted shingle
+      index, intersection counted directly on the join. Fewest stages —
+      wins when shingles are mostly rare (typical n>=3 word shingles).
+    - ``prefix``: PPJoin-style prefix filtering (Xiao et al., WWW'08 —
+      public algorithm). Shingles are ordered rarest-first by global
+      document frequency (ties broken by value — a total order) and each
+      document contributes only its prefix of length
+      ``|s| - ceil(t*|s|) + 1`` to the candidate join; a size filter
+      (``t*|A| <= |B| <= |A|/t``) prunes further, then candidates are
+      verified by ``_verified_jaccard``. Any pair with Jaccard >= t must
+      share a prefix shingle, so there are no false negatives. This is
+      the skew defense: frequent (stopword-like) shingles — the
+      join-explosion drivers at corpus scale — sort to the end of the
+      order and rarely enter a prefix. Costs two extra small shuffles
+      (frequency + rank), so it loses at low skew and wins when the
+      inverted join's hot shingle groups dominate.
     """
+    if method == "prefix":
+        return _ppjoin_jaccard_pairs(df, n, threshold, text_col, id_col)
+    if method != "inverted":
+        raise ValueError(f"unknown method {method!r}")
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
@@ -143,8 +197,14 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     ja = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
         .withColumn(
             "jac",
             F.col("inter").cast("double")
@@ -152,6 +212,46 @@ def ngram_jaccard_pairs(
         )
     )
     return ja.filter(F.col("jac") >= threshold).select("id_a", "id_b", "jac")
+
+
+def _ppjoin_jaccard_pairs(
+    df: DataFrame,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("shingle"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(id_col, "shingle", "sz")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz"))),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        _verified_jaccard(cand, sh, id_col)
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
 
 
 def minhash_signatures(
@@ -250,38 +350,13 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # Exact-Jaccard verification restricted to the candidate set: fan each
-    # candidate pair out to the left document's shingles, then equi-join on
-    # (id_b, shingle) to count the intersection. Only candidate pairs ever
-    # reach the groupBy, so verification cost is O(|candidates| x shingles
-    # per doc) — NOT the corpus-wide quadratic join (that formulation is
-    # ngram_jaccard_pairs, the standalone verifier).
+    # Exact-Jaccard verification restricted to the LSH candidate set.
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    return (
+        _verified_jaccard(cand, sh, id_col)
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
     )
-    ja = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jac",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-    )
-    return ja.filter(F.col("jac") >= threshold).select("id_a", "id_b", "jac")
 
 
 def simhash(

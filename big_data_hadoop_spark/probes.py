@@ -607,6 +607,15 @@ def q42_scalar_fns(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q43_ppjoin_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-filtered (PPJoin) exact Jaccard — same contract and oracle
+    as q18, different physical plan (the skewed-corpus scale path)."""
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, method="prefix").orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -654,6 +663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_lsh_ann": q40_lsh_ann,
     "q41_full_outer": q41_full_outer,
     "q42_scalar_fns": q42_scalar_fns,
+    "q43_ppjoin_jaccard": q43_ppjoin_jaccard,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -924,4 +934,7 @@ SELECT o_orderkey,
        concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
        ROUND(sqrt(abs(o_totalprice)), 2) AS rt
 FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "q43_ppjoin_jaccard": f"""
+WITH {_SHINGLES_CTE}
+SELECT id_a, id_b, jac FROM jacc WHERE jac >= 0.5 ORDER BY id_a, id_b""",
 }
