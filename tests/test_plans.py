@@ -1,0 +1,53 @@
+"""Physical-plan audits: the scale-critical plan shapes, pinned by test.
+
+These are the properties that decide whether a probe survives a 100x
+scale-up — if a refactor regresses pushdown, broadcast selection, or
+top-K form, this file fails even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from big_data_hadoop_spark.plans import (
+    has_broadcast_join,
+    has_cartesian_product,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+)
+from big_data_hadoop_spark.probes import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_and_projection_reach_scan(spark):
+    df = QUERIES["q07_filter_project"](spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f and "GreaterThan" in f for f in pf), pf
+    assert any("l_returnflag" in f and "EqualTo" in f for f in pf), pf
+    (schema,) = read_schemas(df)
+    # only the 4 referenced columns leave the file — not the full lineitem
+    assert schema.count(":") == 4, schema
+
+
+def test_tokenization_scans_only_text(spark):
+    (schema,) = read_schemas(QUERIES["q03_pairs_m1"](spark, SF_SMOKE))
+    assert schema == "struct<text:string>", schema
+
+
+def test_dimension_joins_broadcast(spark):
+    assert has_broadcast_join(QUERIES["q09_join_agg"](spark, SF_SMOKE))
+    assert has_broadcast_join(QUERIES["q10_multijoin_date"](spark, SF_SMOKE))
+
+
+def test_date_filter_pushed_below_join(spark):
+    pf = pushed_filters(QUERIES["q10_multijoin_date"](spark, SF_SMOKE))
+    assert any("o_orderdate" in f and "GreaterThanOrEqual" in f for f in pf), pf
+
+
+def test_topk_plans_as_take_ordered(spark):
+    assert has_take_ordered(QUERIES["q01_word_counts"](spark, SF_SMOKE))
+    assert has_take_ordered(QUERIES["q06_top1000_words"](spark, SF_SMOKE))
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name, q in QUERIES.items():
+        assert not has_cartesian_product(q(spark, SF_SMOKE)), name
