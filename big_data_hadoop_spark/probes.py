@@ -616,6 +616,16 @@ def q43_ppjoin_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q44_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate nearest neighbors: KMeans cells + n-probe search
+    with exact cosine re-rank (iterative training — not SQL-expressible:
+    rows-only check)."""
+    emb = load_table(spark, sf, "embeddings")
+    return sim.ivf_topk(
+        emb, query_ids=list(range(10)), k=5, n_cells=16, n_probe=4
+    ).orderBy("query_id", "neighbor_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -664,6 +674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_full_outer": q41_full_outer,
     "q42_scalar_fns": q42_scalar_fns,
     "q43_ppjoin_jaccard": q43_ppjoin_jaccard,
+    "q44_ivf_ann": q44_ivf_ann,
 }
 
 _EN = ts.STOPWORDS["en"]

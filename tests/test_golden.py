@@ -146,3 +146,36 @@ def test_stripe_entries_canonical(spark, golden_lines):
     st = stripe_entries(stripes(golden_lines.filter("doc_id = 4"), m=1))
     row = {r.token: list(r.stripe) for r in st.collect()}["am"]
     assert row == ["good:1", "i:1"]
+
+
+def test_ivf_recall_against_exact(spark):
+    """IVF with 16 cells / 4 probes must recover most exact top-5
+    neighbors on the smoke embeddings (recall is the tunable; determinism
+    is the contract)."""
+    from big_data_hadoop_spark.operators.similarity import cosine_topk, ivf_topk
+    from tests.conftest import SF_SMOKE
+    from big_data_hadoop_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, qids, k=5, dim=64).collect()
+    }
+    approx1 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qids, k=5, n_cells=16, n_probe=4).collect()
+    }
+    approx2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qids, k=5, n_cells=16, n_probe=4).collect()
+    }
+    assert approx1 == approx2, "IVF search must be deterministic"
+    recall = len(approx1 & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    # full probe of every cell degrades to exact
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qids, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact
