@@ -13,6 +13,12 @@ from pyspark.sql import functions as F
 
 from big_data_hadoop_spark.functions.text import categorize, split_tokens
 
+#: BPE-ish subword-run pattern (GPT-2-style approximation): a token is an
+#: optionally space-prefixed letter run, digit run, or punctuation run.
+#: Restricted to portable explicit classes so Java (Spark) and RE2
+#: (DuckDB) count identical matches.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately small and hard-coded: the heuristic must be
 #: reproducible in ANSI SQL for the oracle.
@@ -47,6 +53,9 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.size(F.filter(cats, lambda c: c == "word")).cast("long").alias("n_words"),
         F.size(F.filter(cats, lambda c: c == "number")).cast("long").alias("n_numbers"),
         (
