@@ -611,7 +611,7 @@ def q43_ppjoin_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Prefix-filtered (PPJoin) exact Jaccard — same contract and oracle
     as q18, different physical plan (the skewed-corpus scale path)."""
     docs = load_table(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, method="prefix").orderBy(
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8, method="prefix").orderBy(
         "id_a", "id_b"
     )
 
@@ -949,5 +949,5 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
     "q43_ppjoin_jaccard": f"""
 WITH {_SHINGLES_CTE}
-SELECT id_a, id_b, jac FROM jacc WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+SELECT id_a, id_b, jac FROM jacc WHERE jac >= 0.8 ORDER BY id_a, id_b""",
 }
