@@ -626,6 +626,27 @@ def q44_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
+def q45_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session-window aggregation (F.session_window, 30-min gap):
+    per-session event counts and value sums. Oracle reproduces the
+    sessions with the classic gap-and-islands SQL."""
+    ev = load_table(spark, sf, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(sw.alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n",
+            "sv",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -675,6 +696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_scalar_fns": q42_scalar_fns,
     "q43_ppjoin_jaccard": q43_ppjoin_jaccard,
     "q44_ivf_ann": q44_ivf_ann,
+    "q45_session_windows": q45_session_windows,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -950,4 +972,22 @@ FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
     "q43_ppjoin_jaccard": f"""
 WITH {_SHINGLES_CTE}
 SELECT id_a, id_b, jac FROM jacc WHERE jac >= 0.8 ORDER BY id_a, id_b""",
+    "q45_session_windows": """
+WITH o AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, value,
+         CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT user_id, ts, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
 }
