@@ -103,3 +103,25 @@ def write_partitioned_by_category(
     ``category=word/``.
     """
     df.write.mode(mode).partitionBy("category").option("sep", "\t").csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key: str,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage for co-located joins.
+
+    Writing both sides of a recurring join bucketed (same key, same bucket
+    count) lets Spark plan the join with NO exchange — at 100 TB that
+    converts every repeated fact-to-fact join from a full shuffle of both
+    inputs into a local zip of matching buckets. ``sort_col`` additionally
+    pre-sorts within buckets so sort-merge join skips its sort.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -51,3 +51,42 @@ def test_topk_plans_as_take_ordered(spark):
 def test_no_cartesian_products_anywhere(spark):
     for name, q in QUERIES.items():
         assert not has_cartesian_product(q(spark, SF_SMOKE)), name
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Both join sides bucketed on the key: the sort-merge join must plan
+    with ZERO shuffle exchanges — the 100 TB repeated-join shape."""
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.sources.io import load_table, write_bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'"
+    )
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        write_bucketed(orders, "bktdb.orders_b", 8, "o_orderkey")
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bktdb.lineitem_b",
+            8,
+            "o_orderkey",
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bktdb.lineitem_b").join(
+                spark.table("bktdb.orders_b"), "o_orderkey"
+            )
+            plan = formatted_plan(j)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            # sanity: the same join over raw parquet DOES shuffle
+            raw = li.withColumnRenamed("l_orderkey", "o_orderkey").join(
+                orders, "o_orderkey"
+            )
+            assert "Exchange" in formatted_plan(raw)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
