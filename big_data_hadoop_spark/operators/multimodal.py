@@ -115,3 +115,77 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_extract, schema=META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize pipeline slot via ``mapInPandas`` (partition-preserving; the
+    blobs never shuffle). The codec is stubbed: "resizing" scales the
+    fake-decoded dims to fit ``max_dim`` and truncates the payload
+    proportionally — a real implementation swaps in PIL/libvips here,
+    keeping the identical schema and Arrow batch shape."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "width": [],
+                "height": [],
+                "payload": [],
+            }
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else b""
+                w, h = decode_stub(raw)
+                scale = min(1.0, max_dim / max(w, h, 1))
+                out["width"].append(int(w * scale) or 1)
+                out["height"].append(int(h * scale) or 1)
+                keep = max(1, int(len(raw) * scale)) if raw else 0
+                out["payload"].append(raw[:keep])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling slot: one payload row fans out to ``n_frames``
+    evenly-spaced "frames" (1-to-N ``mapInPandas`` — output batches need
+    not align with input rows). The stub slices the payload into chunks;
+    a real implementation swaps in ffmpeg keyframe extraction with the
+    same output schema."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p) if p is not None else b""
+                if not raw:
+                    continue
+                step = max(1, len(raw) // n_frames)
+                for i in range(min(n_frames, len(raw))):
+                    rows.append((mid, i, raw[i * step : i * step + step]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in FRAMES_SCHEMA]
+                )
+
+    return df.mapInPandas(_sample, schema=FRAMES_SCHEMA)

@@ -179,3 +179,30 @@ def test_ivf_recall_against_exact(spark):
         for r in ivf_topk(emb, qids, k=5, n_cells=8, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize and frame-sample plumbing: schemas, fan-out shape, and
+    payload-boundary behavior (the codec itself is a documented stub)."""
+    from big_data_hadoop_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+        sample_frames,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents")).limit(20)
+    resized = resize_media(media, max_dim=16).collect()
+    assert len(resized) == 20
+    assert all(1 <= r.width <= 16 and 1 <= r.height <= 16 for r in resized)
+    assert all(len(r.payload) >= 1 for r in resized)
+
+    frames = sample_frames(media, n_frames=4)
+    assert [f.name for f in frames.schema.fields] == ["media_id", "frame_no", "frame"]
+    per_media = {
+        r.media_id: r.n for r in frames.groupBy("media_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert len(per_media) == 20
+    assert all(1 <= n <= 4 for n in per_media.values())
