@@ -397,3 +397,61 @@ def simhash(
     return (
         hashed.groupBy(id_col).agg(*votes).select(F.col(id_col), fp.alias("simhash"))
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: ``(id_a, id_b, hamming)`` with Hamming
+    distance <= ``max_hamming`` between 64-bit fingerprints.
+
+    Pigeonhole banding: the fingerprint splits into 4 x 16-bit chunks; two
+    fingerprints differing in <= 3 bits must agree on at least one whole
+    chunk (3 differing bits can dirty at most 3 of 4 chunks), so
+    candidates come from an equi-join on ``(chunk_idx, chunk_value)`` —
+    never an all-pairs scan — and are verified exactly with
+    ``bit_count(xor)``. Exact for ``max_hamming <= 3``; raise the chunk
+    count for larger radii (need ``chunks > max_hamming``).
+    """
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
+    fp = simhash(df, text_col=text_col, id_col=id_col)
+    chunked = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -41,6 +41,7 @@ from big_data_hadoop_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from big_data_hadoop_spark.operators.multimodal import binary_meta, documents_as_media
 from big_data_hadoop_spark.sources.io import load_table
@@ -647,6 +648,28 @@ def q45_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q46_stripes_m3(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-3 stripes (W4; HadoopWordStripes2.java:50-112): symmetric
+    neighbors at distance <= 3, rolled to canonical sorted entries."""
+    docs = load_table(spark, sf, "documents")
+    nb = neighbor_counts(docs, m=3, lowercase=True)
+    st = nb.groupBy("token").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("neighbor", "cnt"))),
+            lambda e: F.concat_ws(":", e["neighbor"], e["cnt"]),
+        ).alias("stripe"),
+        F.sum("cnt").alias("mass"),
+    )
+    return st.orderBy(F.desc("mass"), "token").limit(100)
+
+
+def q47_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs via 4x16-bit pigeonhole banding +
+    bit_count verification (xxhash64-based — rows-only check)."""
+    docs = load_table(spark, sf, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -697,6 +720,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_ppjoin_jaccard": q43_ppjoin_jaccard,
     "q44_ivf_ann": q44_ivf_ann,
     "q45_session_windows": q45_session_windows,
+    "q46_stripes_m3": q46_stripes_m3,
+    "q47_simhash_neardup": q47_simhash_neardup,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -972,6 +997,17 @@ FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
     "q43_ppjoin_jaccard": f"""
 WITH {_SHINGLES_CTE}
 SELECT id_a, id_b, jac FROM jacc WHERE jac >= 0.8 ORDER BY id_a, id_b""",
+    "q46_stripes_m3": f"""
+WITH {_TOKS_CTE},
+nb AS (
+  SELECT t1.token, t2.token AS neighbor, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND abs(t2.pos - t1.pos) BETWEEN 1 AND 3
+   AND t1.category = t2.category
+  WHERE t1.category IS NOT NULL GROUP BY 1, 2)
+SELECT token, list(neighbor || ':' || cnt ORDER BY neighbor) AS stripe,
+       CAST(SUM(cnt) AS BIGINT) AS mass
+FROM nb GROUP BY token ORDER BY mass DESC, token LIMIT 100""",
     "q45_session_windows": """
 WITH o AS (
   SELECT user_id, ts::TIMESTAMP AS ts, value,

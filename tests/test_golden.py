@@ -206,3 +206,25 @@ def test_multimodal_resize_and_frames(spark):
     }
     assert len(per_media) == 20
     assert all(1 <= n <= 4 for n in per_media.values())
+
+
+def test_simhash_neardup_matches_bruteforce(spark):
+    """Banded simhash pairing must equal the brute-force Hamming scan."""
+    from big_data_hadoop_spark.operators.dedup import simhash, simhash_neardup_pairs
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(fps)
+    expect = {
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expect
