@@ -1,0 +1,73 @@
+"""End-to-end CLI parity: a reference user's workflow — text files in,
+category-partitioned TSV out — through the real entry points.
+
+The fixture line is the worked example embedded in the reference
+(``HadoopWordPairs.java:64-65``): distance-1 same-category pairs of
+``"I am in A group of 3 20 year adults with Weight 2.5.5"`` are
+``(am:in),(group:of),(3:20),(year:adults),(adults:with)``.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+from big_data_hadoop_spark.cli import main
+
+REFERENCE_LINE = "I am in A group of 3 20 year adults with Weight 2.5.5"
+
+
+def _read_partition(out_dir: str, category: str) -> dict[str, list[str]]:
+    rows: dict[str, list[str]] = {}
+    for part in Path(out_dir, f"category={category}").glob("part-*.csv"):
+        with open(part, newline="") as fh:
+            for row in csv.reader(fh, delimiter="\t"):
+                rows[row[0]] = row[1:]
+    return rows
+
+
+def test_cli_wordcount_partitioned_output(spark, tmp_path):
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "doc.txt").write_text(REFERENCE_LINE + "\n")
+    out = str(tmp_path / "wc_out")
+    main(["wordcount", str(src), out])
+    words = _read_partition(out, "word")
+    numbers = _read_partition(out, "number")
+    # case-sensitive mode: "I", "A", "Weight" dropped; "2.5.5" matches no category
+    assert words["am"] == ["1"] and words["adults"] == ["1"]
+    assert "I" not in words and "Weight" not in words
+    assert numbers["3"] == ["1"] and numbers["20"] == ["1"]
+    assert "2.5.5" not in numbers
+
+
+def test_cli_wordpairs_reference_example(spark, tmp_path):
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "doc.txt").write_text(REFERENCE_LINE + "\n")
+    out = str(tmp_path / "wp_out")
+    main(["wordpairs", str(src), out, "-m", "1"])
+    words = _read_partition(out, "word")
+    numbers = _read_partition(out, "number")
+    assert set(words) == {"am:in", "group:of", "year:adults", "adults:with"}
+    assert set(numbers) == {"3:20"}
+
+
+def test_cli_topk_single_file(spark, tmp_path):
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "doc.txt").write_text("b a a B 7 7 7\n")
+    out_w = str(tmp_path / "top_words")
+    out_n = str(tmp_path / "top_numbers")
+    main(["topk", str(src), out_w, out_n, "-k", "2"])
+    word_files = list(Path(out_w).glob("part-*.csv"))
+    assert len(word_files) == 1, "topk must write a single file"
+    rows = [r.split("\t") for r in word_files[0].read_text().splitlines()]
+    # lowercased: a=2, b=2 -> tie broken by token asc
+    assert rows == [["a", "2"], ["b", "2"]]
+    num_rows = [
+        r.split("\t")
+        for f in Path(out_n).glob("part-*.csv")
+        for r in f.read_text().splitlines()
+    ]
+    assert num_rows == [["7", "3"]]
