@@ -670,6 +670,32 @@ def q47_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
+_SQL_Q3 = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS odate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1997-01-01'
+  AND l_shipdate > DATE '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10"""
+
+
+def q48_sql_text(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-text surface: the engine's second entry point — literal
+    ``spark.sql`` over registered views (TPC-H Q3 shape: revenue of
+    unshipped BUILDING orders). Proves the full Catalyst SQL front door,
+    not just the DataFrame builder."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q3)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -722,6 +748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_session_windows": q45_session_windows,
     "q46_stripes_m3": q46_stripes_m3,
     "q47_simhash_neardup": q47_simhash_neardup,
+    "q48_sql_text": q48_sql_text,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -1008,6 +1035,20 @@ nb AS (
 SELECT token, list(neighbor || ':' || cnt ORDER BY neighbor) AS stripe,
        CAST(SUM(cnt) AS BIGINT) AS mass
 FROM nb GROUP BY token ORDER BY mass DESC, token LIMIT 100""",
+    "q48_sql_text": """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1997-01-01'
+  AND l_shipdate > DATE '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
     "q45_session_windows": """
 WITH o AS (
   SELECT user_id, ts::TIMESTAMP AS ts, value,
