@@ -696,6 +696,24 @@ def q48_sql_text(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_SQL_Q3)
 
 
+def q49_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event lands in 2
+    windows); oracle derives the same windows arithmetically."""
+    ev = load_table(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sv",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -749,6 +767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_stripes_m3": q46_stripes_m3,
     "q47_simhash_neardup": q47_simhash_neardup,
     "q48_sql_text": q48_sql_text,
+    "q49_sliding_windows": q49_sliding_windows,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -1049,6 +1068,18 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10""",
+    "q49_sliding_windows": """
+WITH w AS (
+  SELECT event_type, value,
+         to_timestamp(CAST(floor(epoch(ts::TIMESTAMP) / 1800) AS BIGINT) * 1800
+                      - s.k * 1800) AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS k) s
+  WHERE epoch(ts::TIMESTAMP)
+        < CAST(floor(epoch(ts::TIMESTAMP) / 1800) AS BIGINT) * 1800
+          - s.k * 1800 + 3600)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "q45_session_windows": """
 WITH o AS (
   SELECT user_id, ts::TIMESTAMP AS ts, value,
