@@ -116,3 +116,49 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         )
     )
     return df.select(F.col(id_col), fp.alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
+    SIGMOD'03 — the MOSS algorithm, public): hash every character k-gram
+    of the lowercased text, slide a window of ``w`` hashes, keep each
+    window's minimum; the distinct selected hashes are the document's
+    fingerprints, robust to local edits and whitespace shifts.
+
+    All native expressions, same zip_with-fold shape as ``dedup.shingles``:
+    k-grams come from ``k - 1`` shifted-concat folds over the character
+    array, window minima from ``w - 1`` shifted-``least`` folds over the
+    hash array (``least`` ignores the null padding; the trailing
+    ``w - 1`` partial windows are sliced off to match the reference
+    algorithm's full-window selection). Output: ``(id_col, fp)`` exploded,
+    distinct per document.
+    """
+    chars = F.filter(
+        F.split(F.lower(F.col(text_col)), ""), lambda c: c != ""
+    )
+    gram = chars
+    for d in range(1, k):
+        shifted = F.slice(
+            chars, d + 1, F.greatest(F.size(chars) - d, F.lit(0))
+        )
+        gram = F.zip_with(gram, shifted, lambda x, y: F.concat(x, y))
+    hashes = F.transform(
+        F.filter(gram, lambda g: g.isNotNull()), lambda g: F.xxhash64(g)
+    )
+    mins = hashes
+    for d in range(1, w):
+        shifted_h = F.slice(
+            hashes, d + 1, F.greatest(F.size(hashes) - d, F.lit(0))
+        )
+        mins = F.zip_with(mins, shifted_h, lambda x, y: F.least(x, y))
+    full = F.slice(
+        mins, 1, F.greatest(F.size(hashes) - w + 1, F.lit(0))
+    )
+    fps = F.array_distinct(full)
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))

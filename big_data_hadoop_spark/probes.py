@@ -714,6 +714,19 @@ def q49_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q50_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (MOSS; xxhash64-based —
+    rows-only check). Aggregated to per-doc fingerprint counts so the
+    output is compact and order-stable."""
+    docs = load_table(spark, sf, "documents")
+    fp = ts.winnow_fingerprints(docs, k=5, w=4)
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.count("*").alias("n_fp"), F.min("fp").alias("min_fp"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -768,6 +781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_simhash_neardup": q47_simhash_neardup,
     "q48_sql_text": q48_sql_text,
     "q49_sliding_windows": q49_sliding_windows,
+    "q50_winnow_fingerprints": q50_winnow_fingerprints,
 }
 
 _EN = ts.STOPWORDS["en"]

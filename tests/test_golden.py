@@ -228,3 +228,26 @@ def test_simhash_neardup_matches_bruteforce(spark):
         for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
     }
     assert got == expect
+
+
+def test_winnow_matches_python_reference(spark):
+    """Winnowing must equal a direct Python implementation of the MOSS
+    algorithm (Spark supplies xxhash64; windowing redone in Python)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.textstats import winnow_fingerprints
+
+    line = "The quick brown fox jumps over the lazy dog"
+    k, w = 5, 4
+    text = line.lower()
+    grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+    hdf = spark.createDataFrame([(g,) for g in grams], "g string").select(
+        F.xxhash64("g").alias("h")
+    )
+    hashes = [r.h for r in hdf.collect()]
+    expect = {
+        min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)
+    }
+    df = spark.createDataFrame([(0, line)], "doc_id long, text string")
+    got = {r.fp for r in winnow_fingerprints(df, k=k, w=w).collect()}
+    assert got == expect
