@@ -131,34 +131,36 @@ def winnow_fingerprints(
     window's minimum; the distinct selected hashes are the document's
     fingerprints, robust to local edits and whitespace shifts.
 
-    All native expressions, same zip_with-fold shape as ``dedup.shingles``:
-    k-grams come from ``k - 1`` shifted-concat folds over the character
-    array, window minima from ``w - 1`` shifted-``least`` folds over the
-    hash array (``least`` ignores the null padding; the trailing
-    ``w - 1`` partial windows are sliced off to match the reference
-    algorithm's full-window selection). Output: ``(id_col, fp)`` exploded,
-    distinct per document.
+    All native expressions: k-grams are direct ``substring`` slices over
+    an index sequence (one O(k) copy per position — a char-array
+    concat-fold formulation measured ~4x slower), window minima come from
+    ``w - 1`` shifted-``least`` zip_with folds over the hash array
+    (``least`` ignores the null padding; the trailing ``w - 1`` partial
+    windows are sliced off to match the reference algorithm's full-window
+    selection). Output: ``(id_col, fp)`` exploded, distinct per document.
     """
-    chars = F.filter(
-        F.split(F.lower(F.col(text_col)), ""), lambda c: c != ""
-    )
-    gram = chars
-    for d in range(1, k):
-        shifted = F.slice(
-            chars, d + 1, F.greatest(F.size(chars) - d, F.lit(0))
-        )
-        gram = F.zip_with(gram, shifted, lambda x, y: F.concat(x, y))
-    hashes = F.transform(
-        F.filter(gram, lambda g: g.isNotNull()), lambda g: F.xxhash64(g)
-    )
-    mins = hashes
+    # Stage the lowered text as a materialized column FIRST: an
+    # expression captured inside a HOF lambda is re-evaluated per element
+    # (see dedup.minhash_signatures), so substring over a raw
+    # ``lower(text)`` subtree would re-lower the whole string at every
+    # position — O(n^2) per document. An attribute reference is O(1).
+    staged = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
+    lowered = F.col("_lt")
+    n_grams = F.length(lowered) - k + 1
+    hash_expr = F.when(n_grams >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(lowered, i, F.lit(k))),
+    )).otherwise(F.expr("cast(array() as array<bigint>)"))
+    # Stage the hash array as a column as well: the minima fold below
+    # references it w + 1 times (fold base, each shifted slice, the final
+    # size), and every reference to a non-attribute subtree re-runs the
+    # whole k-gram hashing pass.
+    hashed = staged.select(F.col(id_col), hash_expr.alias("_hs"))
+    hs = F.col("_hs")
+    mins = hs
     for d in range(1, w):
-        shifted_h = F.slice(
-            hashes, d + 1, F.greatest(F.size(hashes) - d, F.lit(0))
-        )
+        shifted_h = F.slice(hs, d + 1, F.greatest(F.size(hs) - d, F.lit(0)))
         mins = F.zip_with(mins, shifted_h, lambda x, y: F.least(x, y))
-    full = F.slice(
-        mins, 1, F.greatest(F.size(hashes) - w + 1, F.lit(0))
-    )
+    full = F.slice(mins, 1, F.greatest(F.size(hs) - w + 1, F.lit(0)))
     fps = F.array_distinct(full)
-    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
