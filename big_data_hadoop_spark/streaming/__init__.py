@@ -5,6 +5,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
     streaming_sessionize,
     streaming_token_counts,
     streaming_windowed_event_agg,
+    write_stream_parquet,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_sessionize",
     "streaming_token_counts",
     "streaming_windowed_event_agg",
+    "write_stream_parquet",
 ]

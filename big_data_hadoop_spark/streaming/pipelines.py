@@ -157,3 +157,25 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Append-mode parquet sink with checkpointing — the durable end of a
+    readStream -> transform -> writeStream pipeline. ``available_now``
+    drains the current source contents and stops (batch-style backfill);
+    leave False for a continuously running query. Returns the started
+    ``StreamingQuery``."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -107,3 +107,31 @@ def test_streaming_sessionize(spark, tmp_path):
         assert len(sess) in (batch[uid] - 1, batch[uid]), (
             uid, len(sess), batch[uid]
         )
+
+
+def test_streaming_parquet_sink(spark, tmp_path):
+    """Full readStream -> stateful transform -> writeStream(parquet)
+    pipeline: drained output must be readable and non-empty."""
+    import shutil
+
+    from big_data_hadoop_spark.streaming import (
+        read_events_stream,
+        streaming_sessionize,
+        write_stream_parquet,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
+    out = str(tmp_path / "sessions_out")
+    q = write_stream_parquet(
+        streaming_sessionize(read_events_stream(spark, str(src))),
+        out,
+        str(tmp_path / "ckpt_sink"),
+    )
+    q.awaitTermination(180)
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {
+        "user_id", "session_id", "n_events", "start_us", "end_us"
+    }
