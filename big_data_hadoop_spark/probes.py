@@ -37,6 +37,7 @@ from big_data_hadoop_spark.operators import textstats as ts
 from big_data_hadoop_spark.operators.cooccur import neighbor_counts, pair_counts
 from big_data_hadoop_spark.operators.counts import token_counts, top_k
 from big_data_hadoop_spark.operators.dedup import (
+    exact_dedup,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -727,6 +728,13 @@ def q50_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q51_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup FILTER itself (keep-first semi-join): surviving documents
+    after exact dedup on normalized text."""
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -782,6 +790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_sql_text": q48_sql_text,
     "q49_sliding_windows": q49_sliding_windows,
     "q50_winnow_fingerprints": q50_winnow_fingerprints,
+    "q51_exact_dedup_result": q51_exact_dedup_result,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -1094,6 +1103,16 @@ WITH w AS (
 SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
 FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q51_exact_dedup_result": """
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents)
+  GROUP BY nt)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN keep USING (doc_id)
+ORDER BY d.doc_id""",
     "q45_session_windows": """
 WITH o AS (
   SELECT user_id, ts::TIMESTAMP AS ts, value,
