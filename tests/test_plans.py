@@ -90,3 +90,20 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_category_partitioned_output_prunes(spark, tmp_path, golden_lines):
+    """Reading one category back from the partitioned sink must plan a
+    partition-pruned scan (PartitionFilters), not a full-directory read —
+    the property that makes category-split output useful at scale."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.counts import token_counts
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    out = str(tmp_path / "counts_parquet")
+    token_counts(golden_lines).write.partitionBy("category").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("category") == "word")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    assert "category" in plan.split("PartitionFilters", 1)[1][:200], plan
