@@ -735,6 +735,18 @@ def q51_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup(docs).select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def q52_bag_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL keep
+    duplicate multiplicity, unlike q14/q35's distinct forms)."""
+    cust = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    inter = cust.intersectAll(supp).groupBy().agg(F.count("*").alias("n"))
+    exc = cust.exceptAll(supp).groupBy().agg(F.count("*").alias("n"))
+    return inter.select(F.lit("intersect_all").alias("op"), "n").unionAll(
+        exc.select(F.lit("except_all").alias("op"), "n")
+    ).orderBy("op")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -791,6 +803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_sliding_windows": q49_sliding_windows,
     "q50_winnow_fingerprints": q50_winnow_fingerprints,
     "q51_exact_dedup_result": q51_exact_dedup_result,
+    "q52_bag_setops": q52_bag_setops,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -1113,6 +1126,13 @@ WITH keep AS (
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN keep USING (doc_id)
 ORDER BY d.doc_id""",
+    "q52_bag_setops": """
+SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+ORDER BY op""",
     "q45_session_windows": """
 WITH o AS (
   SELECT user_id, ts::TIMESTAMP AS ts, value,
