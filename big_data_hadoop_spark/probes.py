@@ -747,6 +747,41 @@ def q52_bag_setops(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("op")
 
 
+def q53_array_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Complex-type results: per-region key-sorted nation-name arrays
+    (arrays hash canonically; maps would not — SURVEY §2.8 probe rules)."""
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    j = R.equi_join(
+        nation, region, F.col("n_regionkey") == F.col("r_regionkey"),
+        broadcast_right=True,
+    )
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q54_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic surface: add/trunc/diff (absent in the reference —
+    SURVEY §2.6; engine exposes the Spark builtins)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.dayofweek(d).cast("long").alias("dow"),
+    ).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -804,6 +839,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_winnow_fingerprints": q50_winnow_fingerprints,
     "q51_exact_dedup_result": q51_exact_dedup_result,
     "q52_bag_setops": q52_bag_setops,
+    "q53_array_agg": q53_array_agg,
+    "q54_date_arith": q54_date_arith,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -1133,6 +1170,21 @@ UNION ALL
 SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
   SELECT c_nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
 ORDER BY op""",
+    "q53_array_agg": """
+SELECT r_name, list(n_name ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1""",
+    "q54_date_arith": """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+         AS plus30,
+       strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+         AS month_start,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS days_since,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
     "q45_session_windows": """
 WITH o AS (
   SELECT user_id, ts::TIMESTAMP AS ts, value,
