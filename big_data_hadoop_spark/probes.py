@@ -782,6 +782,40 @@ def q54_date_arith(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q55_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with the GROUPING() marker (distinct from
+    q32 ROLLUP / q33 CUBE: an arbitrary set list)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")
+
+
+def q56_stats_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance per group (rounded — cross-engine formula order)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_q"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_q"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias(
+                "corr_qp"
+            ),  # +0.0 folds IEEE -0.0 to 0.0 on both engines
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "cov_qp"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -841,6 +875,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_bag_setops": q52_bag_setops,
     "q53_array_agg": q53_array_agg,
     "q54_date_arith": q54_date_arith,
+    "q55_grouping_sets": q55_grouping_sets,
+    "q56_stats_aggs": q56_stats_aggs,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -1185,6 +1221,21 @@ SELECT o_orderkey,
             AS BIGINT) AS days_since,
        CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow
 FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "q55_grouping_sets": """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY rf, ls""",
+    "q56_stats_aggs": """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 2) AS sd_q,
+       ROUND(var_samp(l_quantity), 2) AS var_q,
+       ROUND(corr(l_quantity, l_extendedprice), 2) + 0.0 AS corr_qp,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q45_session_windows": """
 WITH o AS (
   SELECT user_id, ts::TIMESTAMP AS ts, value,
