@@ -816,6 +816,53 @@ def q56_stats_aggs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q57_regression_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-regression aggregates per group (regr_slope/intercept/r2
+    of extendedprice on quantity)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias(
+                "slope"
+            ),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("icept"),
+            (F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4) + F.lit(0.0))
+            .alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q58_ewm(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted mean of value per user over the event
+    stream — a sequential recurrence no built-in aggregate expresses, so
+    this is the batch ``applyInPandas`` (grouped-map Pandas UDF) slot.
+    Arrow-batched, one group per user, state bounded by group size.
+    Rows-only check (recurrence not expressible in ANSI SQL)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf, "events")
+
+    def ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "ewm_value": pdf["value"].ewm(alpha=0.3, adjust=False).mean(),
+            }
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewm, schema="event_id long, ewm_value double")
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -877,6 +924,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_date_arith": q54_date_arith,
     "q55_grouping_sets": q55_grouping_sets,
     "q56_stats_aggs": q56_stats_aggs,
+    "q57_regression_aggs": q57_regression_aggs,
+    "q58_ewm": q58_ewm,
 }
 
 _EN = ts.STOPWORDS["en"]
@@ -1235,6 +1284,12 @@ SELECT l_returnflag,
        ROUND(var_samp(l_quantity), 2) AS var_q,
        ROUND(corr(l_quantity, l_extendedprice), 2) + 0.0 AS corr_qp,
        ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q57_regression_aggs": """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 4) + 0.0 AS r2
 FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q45_session_windows": """
 WITH o AS (

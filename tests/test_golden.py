@@ -251,3 +251,25 @@ def test_winnow_matches_python_reference(spark):
     df = spark.createDataFrame([(0, line)], "doc_id long, text string")
     got = {r.fp for r in winnow_fingerprints(df, k=k, w=w).collect()}
     assert got == expect
+
+
+def test_ewm_matches_pandas(spark):
+    """The applyInPandas EWM must equal pandas ewm computed directly on
+    the collected group (same alpha, same ordering)."""
+    import pandas as pd
+
+    from big_data_hadoop_spark.probes import q58_ewm
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {r.event_id: r.ewm_value for r in q58_ewm(spark, SF_SMOKE).collect()}
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        expect = grp["value"].ewm(alpha=0.3, adjust=False).mean()
+        for eid, val in zip(grp["event_id"], expect):
+            assert got[eid] == val, (uid, eid)
