@@ -25,3 +25,44 @@ def test_rows_only_probe_runs(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+# Driver-contract invariants (learned in round 1, CORRECTNESS_r01):
+#  - the external canonicalizer sorts/hashes raw pandas cells, so any
+#    array/map/struct output column crashes it (q05/q46 were red);
+#  - the driver verifies at most 50 registry entries, so every
+#    oracle-checked probe must appear before any rows-only probe and
+#    within the first 50 positions.
+DRIVER_ENTRY_CAP = 50
+
+_SCALAR_KINDS = (
+    "string", "boolean", "byte", "short", "int", "bigint", "long",
+    "float", "double", "decimal", "date", "timestamp", "binary",
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_probe_output_columns_are_scalar(spark, name):
+    df = QUERIES[name](spark, SF_ORACLE)
+    for field, dtype in df.dtypes:
+        assert dtype.startswith(_SCALAR_KINDS), (
+            f"{name}.{field} has non-scalar type {dtype}; the external "
+            "canonicalizer cannot hash it — serialize to a string"
+        )
+
+
+def test_oracle_checked_probes_fit_driver_cap():
+    order = list(QUERIES)
+    for key in ORACLES:
+        assert key in QUERIES, f"oracle {key} has no probe"
+        pos = order.index(key)
+        assert pos < DRIVER_ENTRY_CAP, (
+            f"{key} at registry position {pos} — past the driver's "
+            f"{DRIVER_ENTRY_CAP}-entry verification cap"
+        )
+    # Rows-only probes must all sit after every oracle-checked probe.
+    last_oracle = max(order.index(k) for k in ORACLES)
+    for key in set(QUERIES) - set(ORACLES):
+        assert order.index(key) > last_oracle, (
+            f"rows-only probe {key} precedes an oracle-checked probe"
+        )
