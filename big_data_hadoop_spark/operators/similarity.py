@@ -291,6 +291,22 @@ def lsh_bucketed_topk(
     )
 
 
+def _bounded_training_sample(e: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """At most ~``cap`` rows for iterative model fits, deterministically.
+
+    A modulus filter on ``xxhash64(id)`` rather than ``sample()``: the
+    kept set depends only on the data (not on partitioning or a per-run
+    RNG stream), so fits are reproducible across cluster layouts. The
+    ``count()`` is a metadata-cheap aggregate over one id column — a scan
+    of a short column, not of the vectors.
+    """
+    n = e.select(F.col(id_col)).count()
+    if n <= cap:
+        return e
+    modulus = -(-n // cap)  # ceil → keep ~cap rows
+    return e.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0)
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -300,17 +316,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_cap: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into ``n_cells`` cells; each query searches only its ``n_probe``
     nearest cells with an exact cosine re-rank inside.
 
-    The 100 TB shape: training runs on a sample (KMeans state = n_cells
-    centroids, tiny), assignment is one narrow pass, and the search is an
-    equi-join on the cell id — the corpus shuffles once by a short key,
-    exactly like the hyperplane-LSH path but with data-adaptive cells
-    (better recall on clustered embeddings). Recall is tuned by
-    ``n_probe``/``n_cells``; ``n_probe = n_cells`` degrades to exact.
+    The 100 TB shape: training runs on a bounded sample of at most
+    ``train_cap`` rows (KMeans state = n_cells centroids, tiny) — the
+    iterative fit never touches the full corpus. Assignment is one narrow
+    pass, and the search is an equi-join on the cell id — the corpus
+    shuffles once by a short key, exactly like the hyperplane-LSH path but
+    with data-adaptive cells (better recall on clustered embeddings).
+    Recall is tuned by ``n_probe``/``n_cells``; ``n_probe = n_cells``
+    degrades to exact.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -320,7 +339,7 @@ def ivf_topk(
     )
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell"
-    ).fit(e)
+    ).fit(_bounded_training_sample(e, id_col, train_cap))
     assigned = with_norm(model.transform(e), vec_col=vec_col).select(
         F.col(id_col), "cell", "emb_d", "nrm"
     )

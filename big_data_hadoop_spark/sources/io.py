@@ -62,10 +62,15 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Directory/file of text → ``(doc_id, line_no, text)``.
 
-    ``doc_id`` is a dense rank over file names (stable across runs for a
-    fixed file set); ``line_no`` is the 0-based line index within the file.
-    The per-file window is acceptable because a single text file is one
-    input split's worth of lines; huge corpora should land in Parquet
+    ``doc_id`` is ``xxhash64(file name)`` — stable across runs for a fixed
+    file set and computed with NO shuffle (the previous dense-rank design
+    pulled every line through one unpartitioned global sort; a hash needs
+    nothing). Downstream consumers (pairs/stripes windows) only need
+    per-file uniqueness, which 64 bits gives with negligible collision
+    odds over any real file count. ``line_no`` is the 0-based line index
+    within the file; its window is PARTITIONED by file, so state is one
+    file's lines — acceptable because a single text file is one input
+    split's worth of lines; huge corpora should land in Parquet
     ``documents`` form instead (one row per document, no window needed).
     """
     raw = spark.read.text(path).select(
@@ -74,10 +79,9 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
         F.monotonically_increasing_id().alias("_order"),
     )
     by_file = Window.partitionBy("file").orderBy("_order")
-    files = Window.orderBy("file")
     return (
         raw.withColumn("line_no", F.row_number().over(by_file) - F.lit(1))
-        .withColumn("doc_id", F.dense_rank().over(files).cast("long") - F.lit(1))
+        .withColumn("doc_id", F.xxhash64("file"))
         .select("doc_id", F.col("line_no").cast("long").alias("line_no"), "text")
     )
 
