@@ -45,5 +45,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; keys without an entry get the
-    weaker rows-only check (xxhash64-based ops: q20_simhash)."""
+    weaker rows-only check (xxhash64-based ops: q51_simhash)."""
     return dict(ORACLES)

@@ -258,11 +258,11 @@ def test_ewm_matches_pandas(spark):
     the collected group (same alpha, same ordering)."""
     import pandas as pd
 
-    from big_data_hadoop_spark.probes import q58_ewm
+    from big_data_hadoop_spark.probes import q56_ewm
     from big_data_hadoop_spark.sources.io import load_table
     from tests.conftest import SF_SMOKE
 
-    got = {r.event_id: r.ewm_value for r in q58_ewm(spark, SF_SMOKE).collect()}
+    got = {r.event_id: r.ewm_value for r in q56_ewm(spark, SF_SMOKE).collect()}
     ev = (
         load_table(spark, SF_SMOKE, "events")
         .select("user_id", "event_id", "ts", "value")

@@ -66,3 +66,9 @@ def test_oracle_checked_probes_fit_driver_cap():
         assert order.index(key) > last_oracle, (
             f"rows-only probe {key} precedes an oracle-checked probe"
         )
+    # The driver's iteration order is unknown (r1 could not distinguish
+    # insertion from name-sorted — they coincided). Keep them coinciding
+    # so the cap lands on the rows-only tail under either order.
+    assert order == sorted(order), (
+        "registry insertion order must equal name-sorted order"
+    )
