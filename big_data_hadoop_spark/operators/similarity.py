@@ -84,16 +84,40 @@ def _flat(
     sf0.1 (2k vectors, 2M pairs) this is ~10x faster than an array
     higher-order-function fold and ~20x faster than per-pair
     ``element_at`` chains.
+
+    The cast to ``array<double>`` is materialized in its OWN projection:
+    inlining it under each ``element_at`` re-casts the whole array once
+    per output column (dim x the work — measured 4x slower end-to-end).
+    CollapseProject keeps the two projections separate because the cast
+    is non-cheap and referenced ``dim`` times.
+
+    Each element is wrapped in ``coalesce(..., 0.0)`` to make the column
+    NON-NULLABLE. Without it, a downstream ``sim >= threshold`` predicate
+    makes Catalyst infer ``isnotnull`` on all ``dim`` columns and push a
+    giant conjunction below this projection — re-inlining the cast into
+    every conjunct, overflowing Janino's 64KB method limit (interpreted
+    fallback, logged ``ERROR CodeGenerator``). Embeddings are fixed-dim
+    and null-free, so the fallback value is never observed.
     """
-    emb = _as_double(F.col(vec_col))
-    flat = df.select(
+    cast_once = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_ed")
+    )
+    flat = cast_once.select(
         F.col(id_col),
-        *[F.element_at(emb, i).alias(f"{prefix}{i}") for i in range(1, dim + 1)],
+        *[
+            F.coalesce(F.element_at(F.col("_ed"), i), F.lit(0.0)).alias(
+                f"{prefix}{i}"
+            )
+            for i in range(1, dim + 1)
+        ],
     )
     acc = F.lit(0.0)
     for i in range(1, dim + 1):
         acc = acc + F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}")
-    return flat.withColumn("nrm", F.sqrt(acc))
+    # coalesce: Spark declares SQRT nullable unconditionally, and a
+    # nullable nrm under a join predicate re-triggers the inferred-filter
+    # explosion described above. sqrt(sum of squares) is never null here.
+    return flat.withColumn("nrm", F.coalesce(F.sqrt(acc), F.lit(0.0)))
 
 
 def _flat_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
@@ -135,11 +159,23 @@ def cosine_neardup_pairs(
             .withColumnRenamed(id_col, "vec_b")
             .repartition(nparts, "vec_b")
         )
-        sim = _flat_dot("_a", "_b", dim) / (fa["nrm"] * fb["nrm"])
+        # Selection uses the MULTIPLIED form dot >= t*|a|*|b| (norms are
+        # positive), not sim >= t: the division is nullable (x/0 -> NULL
+        # in non-ANSI mode), and a predicate over it makes Catalyst infer
+        # an isnotnull(<full unrolled chain>) filter pushed to the scan —
+        # re-inlining the cast per term and overflowing Janino's 64KB
+        # limit. All multiplied-form operands are non-nullable, so no
+        # constraint is inferred. The oracle mirrors the same form so the
+        # selected set stays bit-identical.
+        dotc = _flat_dot("_a", "_b", dim)
+        sim = dotc / (fa["nrm"] * fb["nrm"])
         return (
-            fa.join(fb, F.col("vec_a") < F.col("vec_b"))
+            fa.join(
+                fb,
+                (F.col("vec_a") < F.col("vec_b"))
+                & (dotc >= F.lit(threshold) * fa["nrm"] * fb["nrm"]),
+            )
             .select("vec_a", "vec_b", sim.alias("sim"))
-            .filter(F.col("sim") >= threshold)
         )
     e = with_norm(
         df.select(F.col(id_col), F.col(vec_col)), vec_col=vec_col
@@ -317,10 +353,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     train_cap: int = 100_000,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into ``n_cells`` cells; each query searches only its ``n_probe``
     nearest cells with an exact cosine re-rank inside.
+
+    ``max_iter`` defaults to 8: a coarse quantizer does not need full
+    convergence (recall is governed by ``n_probe``), and every KMeans
+    iteration is a full pass over the training sample plus a driver
+    round-trip — at bench scale iteration overhead WAS the probe's cost
+    (maxIter=20: 4.1s fit; 8: 1.3s; assignment itself 0.1s).
 
     The 100 TB shape: training runs on a bounded sample of at most
     ``train_cap`` rows (KMeans state = n_cells centroids, tiny) — the
@@ -338,7 +381,8 @@ def ivf_topk(
         "_v", array_to_vector(_as_double(F.col(vec_col)))
     )
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell"
+        k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell",
+        maxIter=max_iter,
     ).fit(_bounded_training_sample(e, id_col, train_cap))
     assigned = with_norm(model.transform(e), vec_col=vec_col).select(
         F.col(id_col), "cell", "emb_d", "nrm"
