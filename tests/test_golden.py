@@ -208,6 +208,32 @@ def test_multimodal_resize_and_frames(spark):
     assert all(1 <= n <= 4 for n in per_media.values())
 
 
+def test_minhash_permutations_are_independent(spark):
+    """Regression for the monotone-permutation bug: without the mod-p
+    reduction, every permutation ``a*h+b`` is increasing in ``h``, so all
+    128 signature slots pick the SAME min shingle and two documents'
+    signatures agree on either every slot or none. For a pair with
+    Jaccard ~0.5, independent permutations must agree on SOME but not all
+    slots (~64 of 128; binomial tails put 20..108 at >1-1e-13)."""
+    from big_data_hadoop_spark.operators.dedup import minhash_signatures, shingles
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat meanwhile crows watch silently"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    sh = {
+        i: {r.shingle for r in shingles(df).filter(f"doc_id = {i}").collect()}
+        for i in (0, 1)
+    }
+    jac = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+    assert 0.2 < jac < 0.8, jac  # fixture sanity: a genuinely partial overlap
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(df).collect()}
+    agree = sum(x == y for x, y in zip(sigs[0], sigs[1]))
+    assert 20 <= agree <= 108, (
+        f"{agree}/128 slots agree — all-or-nothing agreement means the "
+        "permutations are monotone transforms of one another"
+    )
+
+
 def test_simhash_neardup_matches_bruteforce(spark):
     """Banded simhash pairing must equal the brute-force Hamming scan."""
     from big_data_hadoop_spark.operators.dedup import simhash, simhash_neardup_pairs
