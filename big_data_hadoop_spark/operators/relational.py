@@ -47,6 +47,43 @@ def equi_join(
     return left.join(right, on, how)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with static key salting for extreme skew: ``skewed``
+    rows get a random salt in ``[0, salt_buckets)``, ``other`` is
+    replicated once per salt value, and the join key becomes
+    ``(*on, salt)`` — a single hot key now lands on ``salt_buckets``
+    reducers instead of one.
+
+    This is the STATIC defense for when AQE's runtime skew splitting
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default in the
+    session factory) is not enough — e.g. a hot key inside one shuffle
+    block, or a build side AQE won't split. Cost model: the ``other``
+    side is scanned once but shuffled ``salt_buckets`` times over — use
+    it when ``other`` is small relative to the skewed fact side but too
+    big to broadcast outright. A pure physical rewrite: results equal
+    the plain join (pinned by ``tests/test_properties.py``).
+
+    ``how`` may be ``inner`` or ``left`` (outer semantics on the
+    replicated side would produce one null-extended row per salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' only")
+    salt = (F.rand(seed=seed) * salt_buckets).cast("int")
+    s = skewed.withColumn("_salt", salt)
+    o = other.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return s.join(o, [*on, "_salt"], how).drop("_salt")
+
+
 def semi_join(
     left: DataFrame, right: DataFrame, on: Column | str | Sequence[str]
 ) -> DataFrame:

@@ -53,6 +53,22 @@ def test_no_cartesian_products_anywhere(spark):
         assert not has_cartesian_product(q(spark, SF_SMOKE)), name
 
 
+def test_no_row_wise_python_anywhere(spark):
+    """Engine-wide invariant: no probe may plan a row-at-a-time Python
+    UDF (BatchEvalPython). Python appears only as Arrow-batched grouped
+    map (FlatMapGroupsInPandas) and only in the one declared exhibit."""
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    for name, q in QUERIES.items():
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
+        if "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan:
+            assert name == "q56_ewm", (
+                f"{name} plans a Python stage but is not the declared "
+                "applyInPandas exhibit"
+            )
+
+
 def test_bucketed_join_needs_no_exchange(spark, tmp_path):
     """Both join sides bucketed on the key: the sort-merge join must plan
     with ZERO shuffle exchanges — the 100 TB repeated-join shape."""

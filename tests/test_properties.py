@@ -127,3 +127,43 @@ def test_salted_counts_equal_plain(spark, lines):
         for r in salted_token_counts(df, salt_buckets=4).collect()
     }
     assert plain == salted
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Static key salting is a pure physical rewrite: inner and left
+    results equal the plain join, including unmatched-left rows and
+    duplicate-key multiplicity."""
+    from big_data_hadoop_spark.operators.relational import salted_join
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # skew fixture: many rows per customer + customers with no orders
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r)
+            for r in orders.join(
+                cust, orders.o_custkey == cust.c_custkey, how
+            )
+            .drop("c_custkey")
+            .collect()
+        )
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(
+                orders.withColumnRenamed("o_custkey", "c_custkey"),
+                cust,
+                on=["c_custkey"],
+                salt_buckets=4,
+                how=how,
+            )
+            .withColumnRenamed("c_custkey", "o_custkey")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+            .collect()
+        )
+        assert plain == salted, how
