@@ -75,6 +75,14 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left' only")
+    # ADVICE r2: an existing _salt column would be silently clobbered on
+    # one side and ambiguous on the other — refuse loudly instead.
+    for side, cols in (("skewed", skewed.columns), ("other", other.columns)):
+        if "_salt" in cols:
+            raise ValueError(
+                f"salted_join reserves the column name '_salt', but the "
+                f"{side} input already has one — rename it first"
+            )
     salt = (F.rand(seed=seed) * salt_buckets).cast("int")
     s = skewed.withColumn("_salt", salt)
     o = other.withColumn(

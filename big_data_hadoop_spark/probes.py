@@ -45,7 +45,7 @@ from big_data_hadoop_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from big_data_hadoop_spark.operators.multimodal import binary_meta, documents_as_media
-from big_data_hadoop_spark.sources.io import load_table
+from big_data_hadoop_spark.sources.io import load_table, parquet_row_count
 
 EMBED_DIM = 64
 
@@ -662,10 +662,16 @@ def q43_ppjoin_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def q53_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate nearest neighbors: KMeans cells + n-probe search
     with exact cosine re-rank (iterative training — not SQL-expressible:
-    rows-only check)."""
+    rows-only check). Corpus size comes from parquet footer metadata, so
+    the training-sample modulus costs no extra Spark job."""
     emb = load_table(spark, sf, "embeddings")
     return sim.ivf_topk(
-        emb, query_ids=list(range(10)), k=5, n_cells=16, n_probe=4
+        emb,
+        query_ids=list(range(10)),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        n_rows=parquet_row_count(sf, "embeddings"),
     ).orderBy("query_id", "neighbor_id")
 
 
@@ -1126,7 +1132,9 @@ WITH {_EMB_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_dot_sql('a', 'b')} / (a.nrm * b.nrm) AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_dot_sql('a', 'b')} >= 0.4 * a.nrm * b.nrm
+WHERE len(list_filter(a.embedding, x -> x <> 0)) > 0
+  AND len(list_filter(b.embedding, x -> x <> 0)) > 0
+  AND {_dot_sql('a', 'b')} >= 0.4 * a.nrm * b.nrm
 ORDER BY vec_a, vec_b""",
     "q22_cosine_topk": f"""
 WITH {_EMB_CTE},

@@ -59,6 +59,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     return [load_table(spark, sf_dir, n) for n in (names or TABLES)]
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — a driver-side
+    footer read, NOT a Spark job. Lets size-dependent knobs (e.g. the IVF
+    training-sample modulus) be derived without an extra cluster pass
+    over the data (VERDICT r2 #6). Handles both a single ``.parquet``
+    file and a directory of part files."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Directory/file of text → ``(doc_id, line_no, text)``.
 

@@ -35,17 +35,22 @@ def test_rows_only_probe_runs(spark, name):
 #    within the first 50 positions.
 DRIVER_ENTRY_CAP = 50
 
-_SCALAR_KINDS = (
+# Exact base-type match (ADVICE r2): a startswith check would also accept
+# e.g. "interval day" via the "int" prefix — a non-hashable type this
+# invariant exists to reject. decimal(p,s) is handled by stripping the
+# parenthesized precision.
+_SCALAR_KINDS = {
     "string", "boolean", "byte", "short", "int", "bigint", "long",
-    "float", "double", "decimal", "date", "timestamp", "binary",
-)
+    "float", "double", "decimal", "date", "timestamp", "timestamp_ntz",
+    "binary",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_probe_output_columns_are_scalar(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
     for field, dtype in df.dtypes:
-        assert dtype.startswith(_SCALAR_KINDS), (
+        assert dtype.split("(")[0] in _SCALAR_KINDS, (
             f"{name}.{field} has non-scalar type {dtype}; the external "
             "canonicalizer cannot hash it — serialize to a string"
         )

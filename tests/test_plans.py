@@ -144,6 +144,22 @@ def test_ivf_training_sample_is_bounded(spark):
     assert 0 < n <= 1_000, n  # ~cap in expectation, hard-bounded well below 10k
     # under the cap the corpus passes through untouched (no filter job)
     assert _bounded_training_sample(e, "vec_id", cap=20_000) is e
+    # with n_rows supplied (parquet footer metadata) NO count() job runs:
+    # a deliberately false n_rows < cap must short-circuit to identity,
+    # which is only possible if the eager count was skipped (VERDICT r2 #6)
+    assert _bounded_training_sample(e, "vec_id", cap=500, n_rows=50) is e
+    capped = _bounded_training_sample(e, "vec_id", cap=500, n_rows=10_000)
+    assert 0 < capped.count() <= 1_000
+
+
+def test_parquet_row_count_matches_scan(spark):
+    """The footer-metadata row count (used to derive the IVF sampling
+    modulus without a cluster job) must equal what a full scan reports."""
+    from big_data_hadoop_spark.sources.io import load_table, parquet_row_count
+
+    n_meta = parquet_row_count(SF_SMOKE, "embeddings")
+    n_scan = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert n_meta == n_scan and n_meta > 0
 
 
 def test_category_partitioned_output_prunes(spark, tmp_path, golden_lines):
@@ -161,3 +177,21 @@ def test_category_partitioned_output_prunes(spark, tmp_path, golden_lines):
     plan = formatted_plan(back)
     assert "PartitionFilters" in plan
     assert "category" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_hyperplane_cast_materialized_once(spark):
+    """VERDICT r2 #1: the ``array<double>`` cast in hyperplane signatures
+    must run in ONE projection, not be re-inlined under every plane's dot
+    (the HOF-recompute family — num_planes x the cast work per row)."""
+    import re
+
+    from big_data_hadoop_spark.operators.similarity import (
+        hyperplane_signatures,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = hyperplane_signatures(emb, dim=64, num_planes=8)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    casts = re.findall(r"cast\(embedding", opt)
+    assert len(casts) == 1, f"expected one materialized cast, saw {len(casts)}"

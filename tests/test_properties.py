@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from big_data_hadoop_spark.operators.cooccur import (
     neighbor_counts,
@@ -167,3 +168,18 @@ def test_salted_join_equals_plain_join(spark):
             .collect()
         )
         assert plain == salted, how
+
+
+def test_salted_join_rejects_existing_salt_column(spark):
+    """ADVICE r2: a pre-existing _salt column would be silently clobbered
+    (skewed side) or ambiguous (other side) — both must raise."""
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.operators.relational import salted_join
+
+    clean = spark.range(5).withColumnRenamed("id", "k")
+    tainted = clean.withColumn("_salt", F.lit(0))
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(tainted, clean, on=["k"])
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(clean, tainted, on=["k"])

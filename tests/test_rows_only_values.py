@@ -1,23 +1,24 @@
 """Independent VALUE verification for the rows-only probes (VERDICT r1 #8).
 
-q20/q40/q44/q47/q50/q58 have no ANSI-SQL oracle (xxhash64 / seeded plane
-literals / iterative KMeans / recurrences), so the external driver only
-row-counts them. These tests re-derive the expected VALUES with pure
-Python/pandas references so "ran" becomes "right":
+q51-q56 (q51_simhash, q52_lsh_ann, q53_ivf_ann, q54_simhash_neardup,
+q55_winnow_fingerprints, q56_ewm) have no ANSI-SQL oracle (xxhash64 /
+seeded plane literals / iterative KMeans / recurrences), so the external
+driver only row-counts them. These tests re-derive the expected VALUES
+with pure Python/pandas references so "ran" becomes "right":
 
-- simhash: bit votes recomputed in Python from per-token xxhash64
+- simhash (q51): bit votes recomputed in Python from per-token xxhash64
   (Spark supplies only the hash primitive — the vote/assembly logic,
   the part that could silently be wrong, is recomputed independently).
   Complements ``test_golden.test_simhash_neardup_matches_bruteforce``,
-  which checks the q47 banding against brute-force Hamming but trusts
+  which checks the q54 banding against brute-force Hamming but trusts
   the fingerprints themselves.
-- LSH ANN (q40): the sin-seeded planes are deterministic, so the WHOLE
+- LSH ANN (q52): the sin-seeded planes are deterministic, so the WHOLE
   expected result — buckets, candidate sets, cosine re-rank, top-k —
   is recomputed in Python and compared pair-for-pair.
-- IVF ANN (q44): with ``n_probe == n_cells`` the search degrades to
+- IVF ANN (q53): with ``n_probe == n_cells`` the search degrades to
   exact by construction — it must equal the brute-force top-k; at the
   registered ``n_probe=4`` setting, recall against exact has a floor.
-(q50 winnowing and q58 EWM references live in test_golden.py.)
+(q55 winnowing and q56 EWM references live in test_golden.py.)
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ from pyspark.sql import functions as F
 from big_data_hadoop_spark.operators.dedup import simhash
 from big_data_hadoop_spark.operators import similarity as sim
 from big_data_hadoop_spark.sources.io import load_table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 EMBED_DIM = 64
 
@@ -93,7 +94,7 @@ def _exact_topk(
 
 
 def test_lsh_ann_matches_python_reference(spark):
-    """q40 end-to-end: buckets from the seeded planes, bucket-restricted
+    """q52 end-to-end: buckets from the seeded planes, bucket-restricted
     candidates, cosine re-rank, top-5 — all recomputed in Python."""
     vecs = _embeddings(spark)
     queries, k, num_planes, seed = list(range(10)), 5, 8, 42
@@ -148,7 +149,7 @@ def test_ivf_with_full_probe_is_exact(spark):
 
 
 def test_ivf_registered_setting_recall_floor(spark):
-    """The q44 configuration (16 cells, 4 probes) must keep recall vs the
+    """The q53 configuration (16 cells, 4 probes) must keep recall vs the
     exact top-k above a floor (0.64 observed at this SF; floor 0.4)."""
     vecs = _embeddings(spark)
     queries, k = list(range(10)), 5
@@ -162,3 +163,17 @@ def test_ivf_registered_setting_recall_floor(spark):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.4, (hits, total)
+
+
+def test_embedding_corpus_well_formed(spark):
+    """ADVICE r2: _flat's coalesce(element_at(...), 0.0) zero-fills
+    malformed vectors silently — so malformed vectors must fail LOUDLY
+    here instead. Every embedding must be exactly EMBED_DIM doubles with
+    no null elements, at both test scales."""
+    for sf in (SF_SMOKE, SF_ORACLE):
+        emb = load_table(spark, sf, "embeddings")
+        bad = emb.filter(
+            (F.size("embedding") != EMBED_DIM)
+            | F.exists("embedding", lambda x: x.isNull())
+        ).count()
+        assert bad == 0, f"{bad} malformed embeddings at {sf}"
