@@ -151,6 +151,73 @@ def asof_lookup(
     return df.withColumn(out_col, F.max(value_when).over(w))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Two-table as-of join (the merge-as-of ``asof_lookup`` documents):
+    for each ``left`` row, append ``value_cols`` from the ``right`` row
+    with the same ``partition_col`` and the greatest ``right.ts_col <=
+    left.ts_col`` — the classic events-to-slowly-changing-metadata join
+    (DuckDB/pandas ``ASOF JOIN`` semantics; Spark has no native operator).
+
+    Implementation is a union-with-tag, NOT a join: right rows carry
+    their values in a struct, the union is sorted per partition on
+    ``(ts, side)`` with right-before-left at equal timestamps (<=
+    semantics), and one ``last(payload, ignorenulls=True)`` running
+    window propagates the most recent right payload onto every left row.
+    Right-side NULL values survive (the struct itself is non-null per
+    right row, so ``ignorenulls`` never skips a matched row).
+
+    The 100 TB shape: ONE shuffle of each input on ``partition_col`` and
+    one per-partition sort — the same cost as a co-partitioned join, with
+    no range-condition explosion and no skew from popular join keys
+    (a sort-merge band join would re-scan right per left row). Ties among
+    right rows with equal ``(partition, ts)`` resolve to the greatest
+    payload struct (field-wise comparison) — deterministic.
+
+    ``how``: ``left`` keeps unmatched left rows (null values), ``inner``
+    drops them. Both schemas must share ``partition_col`` and ``ts_col``
+    names; ``value_cols`` must not collide with left columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("asof_join supports how='inner' or 'left' only")
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    tag, payload = "_asof_side", "_asof_payload"
+    for c in (tag, payload):
+        if c in left.columns or c in right.columns:
+            raise ValueError(f"asof_join reserves the column name '{c}'")
+
+    r = right.select(
+        F.col(partition_col),
+        F.col(ts_col),
+        F.struct(*[F.col(c) for c in value_cols]).alias(payload),
+        F.lit(0).alias(tag),
+    )
+    l = left.withColumn(tag, F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.asc(ts_col), F.asc(tag), F.asc(payload))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+    out = filled.filter(F.col(tag) == 1)
+    if how == "inner":
+        out = out.filter(F.col(payload).isNotNull())
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"{payload}.{c}").alias(c) for c in value_cols],
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,
