@@ -299,3 +299,62 @@ def test_ewm_matches_pandas(spark):
         expect = grp["value"].ewm(alpha=0.3, adjust=False).mean()
         for eid, val in zip(grp["event_id"], expect):
             assert got[eid] == val, (uid, eid)
+
+
+def test_ppjoin_positional_filter_exact_and_pruning(spark):
+    """VERDICT r2 #4: the positional filter must not change results
+    (methods stay output-identical on real data at sf0.01) while
+    shrinking the candidate set on a high-overlap corpus."""
+    from big_data_hadoop_spark.operators.dedup import (
+        _ppjoin_candidates,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    t = 0.8
+    inv = {
+        (r.id_a, r.id_b, round(r.jac, 12))
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+    }
+    pre = {
+        (r.id_a, r.id_b, round(r.jac, 12))
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=t, method="prefix"
+        ).collect()
+    }
+    assert inv == pre
+
+    # Pruning fixture: each doc pair shares exactly ONE word, and that
+    # word (df=2) sorts to the END of the rarest-first order, landing at
+    # the edge of each prefix. There the achievable-overlap bound is
+    # 1 + (sz - rk) = ceil(t*sz), which is < ceil(t/(1+t)*2sz) for every
+    # t < 1 — so the positional filter must reject what prefix+size
+    # filtering alone admits (the pairs are false candidates: true
+    # Jaccard is 1/17 < t, so output equality is preserved trivially,
+    # asserted via the inverted method below).
+    t_lo = 0.1
+    rows = []
+    for p in range(6):
+        for s in range(2):
+            words = [f"u{p}_{s}_{k}" for k in range(8)] + [f"shared{p}"]
+            rows.append((p * 2 + s, " ".join(words)))
+    hi = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(hi, n=1)
+    n_with = _ppjoin_candidates(sh, t_lo, "doc_id", positional=True).count()
+    n_without = _ppjoin_candidates(sh, t_lo, "doc_id", positional=False).count()
+    assert n_without == 6, n_without  # one candidate per partner pair
+    assert n_with == 0, n_with  # all pruned by the positional bound
+    got = {
+        (r.id_a, r.id_b, round(r.jac, 12))
+        for r in ngram_jaccard_pairs(
+            hi, n=1, threshold=t_lo, method="prefix"
+        ).collect()
+    }
+    exp = {
+        (r.id_a, r.id_b, round(r.jac, 12))
+        for r in ngram_jaccard_pairs(hi, n=1, threshold=t_lo).collect()
+    }
+    assert got == exp == set()
