@@ -135,3 +135,86 @@ def test_streaming_parquet_sink(spark, tmp_path):
     assert set(back.columns) == {
         "user_id", "session_id", "n_events", "start_us", "end_us"
     }
+
+
+def test_streaming_sessionize_equals_batch_when_drained(spark, tmp_path):
+    """VERDICT r2 #5: full stream/batch equivalence. Two far-future
+    sentinel batches (a dummy user) push the watermark past every real
+    session's event-time timeout, so ALL real sessions close — the
+    complete streaming output must then equal a batch gap-and-islands
+    sessionization of the same parquet, session by session."""
+    import shutil
+    import time
+
+    import duckdb
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.sources.io import load_table
+    from big_data_hadoop_spark.streaming import streaming_sessionize
+    from big_data_hadoop_spark.streaming.pipelines import EVENTS_STREAM_SCHEMA
+
+    gap_s = 1800
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
+    # sentinel events in NANOS (the stream schema's raw ts unit)
+    max_ns = duckdb.sql(
+        f"SELECT max(epoch_ns(ts)) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    for i, days in enumerate((30, 60), start=1):
+        spark.createDataFrame(
+            [(-(10 + i), max_ns + days * 86_400 * 10**9, -1, "sentinel", 0.0, "{}")],
+            EVENTS_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        part = next((tmp_path / f"s{i}").glob("part-*.parquet"))
+        shutil.copy(part, src / f"part-{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        streaming_sessionize(stream, gap_seconds=gap_s)
+        .writeStream.format("memory")
+        .queryName("sessions_eq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_eq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_id, r.n_events, r.start_us, r.end_us)
+        for r in spark.sql(
+            "SELECT * FROM sessions_eq WHERE user_id >= 0"
+        ).collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    micros = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag(micros).over(w)
+    ns = F.when(
+        prev.isNull() | ((micros - prev) > gap_s * 1_000_000), 1
+    ).otherwise(0)
+    sid = (
+        F.sum(ns).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    ).cast("long")
+    expect = {
+        tuple(r)
+        for r in ev.select(
+            "user_id", micros.alias("us"), sid.alias("session_id")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .collect()
+    }
+    assert len(got) > 0 and got == expect
