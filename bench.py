@@ -24,10 +24,99 @@ from big_data_hadoop_spark.probes import QUERIES  # noqa: E402
 from big_data_hadoop_spark.session import get_spark  # noqa: E402
 
 
+def skew_exhibit(spark) -> None:
+    """Non-registry exhibit (VERDICT r2 #7): plain vs salted token counts
+    on a deliberately Zipf-skewed corpus (``BENCH_SKEW=1``). Records the
+    MEASURED cost of the static skew defense so BASELINE.md can cite
+    numbers instead of asserting them. The corpus is deterministic:
+    each line is 20 tokens whose ranks follow an inverse-power law
+    (s=1.5 → the hottest token is ~30% of all tokens), built JVM-side
+    and materialized once so both variants read identical parquet."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.counts import (
+        salted_token_counts,
+        token_counts,
+    )
+
+    n_lines = int(os.environ.get("BENCH_SKEW_LINES", "200000"))
+    tmp = tempfile.mkdtemp(prefix="bench_skew_")
+    path = os.path.join(tmp, "corpus")
+    try:
+        # Zipf(s=1.5) by inverse-CDF over a per-slot hash: rank =
+        # floor((1-u)^(-1/(s-1))) capped at 100k distinct tokens.
+        corpus = (
+            spark.range(n_lines)
+            .select(F.col("id").alias("doc_id"))
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit("w"),
+                            F.least(
+                                F.floor(
+                                    F.pow(
+                                        F.lit(1.0)
+                                        - F.pmod(
+                                            F.xxhash64(
+                                                F.col("doc_id") * 20 + F.lit(k)
+                                            ),
+                                            F.lit(1_000_000),
+                                        ).cast("double")
+                                        / 1_000_000.0,
+                                        F.lit(-2.0),
+                                    )
+                                ),
+                                F.lit(100_000),
+                            ).cast("string"),
+                        )
+                        for k in range(20)
+                    ],
+                ).alias("text"),
+            )
+        )
+        corpus.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        token_counts(df).collect()  # warm-up
+        timings: dict[str, float] = {}
+        for name, fn in (
+            ("plain_token_counts", token_counts),
+            ("salted_token_counts", salted_token_counts),
+        ):
+            t0 = time.monotonic()
+            fn(df).collect()
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "skew exhibit: Zipf(1.5) corpus, plain vs "
+                    "salted token counts",
+                    "value": timings["salted_token_counts"],
+                    "unit": "sec",
+                    "queries": timings,
+                    "n_lines": n_lines,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
+
+    if os.environ.get("BENCH_SKEW") == "1":
+        skew_exhibit(spark)
+        spark.stop()
+        return
 
     # Warm-up (JVM/codegen/session) — excluded from timings.
     QUERIES["q01_word_counts"](spark, sf_dir).collect()
