@@ -292,51 +292,34 @@ def hyperplane_signatures(
     (sin-based, seeded) materialized as plan literals — every executor sees
     identical planes without any broadcast variable.
 
-    Layout mirrors ``_flat``: the ``array<double>`` cast runs in its OWN
-    projection, the vector is flattened to ``dim`` scalar columns, and each
-    plane dot is an unrolled multiply-add chain over those columns with the
-    same left-fold order (``0.0 + e1*c1 + e2*c2 + ...``) as the HOF form it
-    replaces — so signatures are bit-identical. The earlier HOF form inlined
-    the cast under every plane's fold, re-casting the whole array once per
-    plane per row (``num_planes``x the cast work). Each plane dot lives in
-    its own intermediate projection column so whole-stage codegen splits
-    cleanly instead of fusing ``num_planes * dim`` terms into one method.
+    The ``array<double>`` cast is materialized in its OWN projection and
+    the ``num_planes`` HOF dot folds run over the materialized column —
+    one cast per row, not one per plane (the last instance of the
+    HOF-recompute family; pinned by a plan test). Deliberately NOT the
+    fully-unrolled flat-column form used for pairwise scoring: unrolling
+    ``num_planes * dim`` literal multiply-adds was measured to bloat the
+    plan to ~1.4 MB task binaries and add ~6 s of one-off Catalyst +
+    Janino compile time at bench scale for zero runtime win (the fold
+    work is O(planes*dim) either way and signatures are computed once
+    per row, below any join).
     """
-    planes = [
-        [math.sin(seed + p * 1009 + i * 9176) for i in range(dim)]
-        for p in range(num_planes)
-    ]
+    planes = []
+    for p in range(num_planes):
+        coeffs = [
+            math.sin(seed + p * 1009 + i * 9176) for i in range(dim)
+        ]
+        planes.append(F.array(*[F.lit(c) for c in coeffs]))
     cast_once = df.select(
         F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("_ed")
     )
-    flat = cast_once.select(
-        F.col(id_col),
-        F.col(vec_col),
-        *[
-            F.coalesce(F.element_at(F.col("_ed"), i), F.lit(0.0)).alias(
-                f"_e{i}"
-            )
-            for i in range(1, dim + 1)
-        ],
-    )
-
-    def plane_dot(coeffs: list[float]) -> Column:
-        acc = F.lit(0.0)
-        for i, c in enumerate(coeffs, start=1):
-            acc = acc + F.col(f"_e{i}") * F.lit(c)
-        return acc
-
-    dots = flat.select(
-        F.col(id_col),
-        F.col(vec_col),
-        *[plane_dot(coeffs).alias(f"_d{p}") for p, coeffs in enumerate(planes)],
-    )
-    sig = F.lit(0)
-    for p in range(num_planes):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"_d{p}") >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
-        )
-    return dots.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    bits = [
+        F.when(dot(F.col("_ed"), plane) >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
+        for p, plane in enumerate(planes)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return cast_once.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
 
 def lsh_bucketed_topk(
@@ -355,23 +338,24 @@ def lsh_bucketed_topk(
     join. Recall is tunable via ``num_planes`` (fewer planes → bigger
     buckets → higher recall, more compute).
 
-    The re-rank uses the same flat-column codegen'd dot as ``cosine_topk``
-    (``_flat``/``_flat_dot``): identical left-fold order to the HOF form,
-    so similarities stay bit-identical, without per-candidate array
-    materialization.
+    The re-rank keeps the HOF dot over the materialized ``emb_d`` column
+    rather than the flat-column form: within-bucket candidate counts are
+    small (that is the operator's point), so per-candidate array zipping
+    is cheap, while the flat form's 2x64 unrolled columns through the
+    join were measured to cost ~6 s of one-off plan-compile time at
+    bench scale.
     """
     sigs = hyperplane_signatures(
         df, dim=dim, num_planes=num_planes, id_col=id_col, vec_col=vec_col
     )
-    e = _flat(sigs, id_col, vec_col, dim, "_a", extra=("bucket",))
-    q = (
-        _flat(sigs, id_col, vec_col, dim, "_b", extra=("bucket",))
-        .filter(F.col(id_col).isin(query_ids))
-        .withColumnRenamed(id_col, "query_id")
-        .withColumnRenamed("bucket", "q_bucket")
-        .withColumnRenamed("nrm", "q_nrm")
+    e = with_norm(sigs, vec_col=vec_col).select(F.col(id_col), "bucket", "emb_d", "nrm")
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
-    sim = _flat_dot("_b", "_a", dim) / (F.col("q_nrm") * F.col("nrm"))
+    sim = dot(F.col("q_emb"), F.col("emb_d")) / (F.col("q_nrm") * F.col("nrm"))
     scored = e.join(
         F.broadcast(q),
         (F.col("q_bucket") == F.col("bucket"))
