@@ -105,6 +105,35 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines source — the de-facto interchange format for LLM
+    training corpora (one JSON document per line).
+
+    Pass ``schema`` (DDL string) whenever it is known: without it Spark
+    runs a full inference pass over the data BEFORE the real read — a
+    second scan that is wasteful at 100 TB and can widen types on dirty
+    corpora. Corrupt lines land in ``_corrupt_record`` (PERMISSIVE mode)
+    instead of failing the job, so dirty-data triage is a filter, not a
+    rerun; a non-null ``_corrupt_record`` means the line did not parse.
+    Spark disallows queries touching ONLY ``_corrupt_record``
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — ``cache()``
+    the returned frame or include data columns when triaging.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema + ", _corrupt_record string")
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one JSON object per row, newline-delimited)."""
+    df.write.mode(mode).json(path)
+
+
 def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """``key \\t value`` text output (TextOutputFormat parity, S3)."""
     df.write.mode(mode).option("sep", "\t").csv(path)

@@ -159,6 +159,31 @@ def streaming_sessionize(
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("content_sha",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the unbounded twin of the batch
+    ``operators.dedup.exact_dedup``: the first ARRIVAL of each content
+    digest passes, later duplicates are dropped. (Arrival order, not
+    event time: like batch ``dropDuplicates``, the surviving
+    representative is arbitrary-but-one per key; the batch operator's
+    keep-lowest-id rule needs a full group view a stream never has.)
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``key_cols`` and
+    EVICTS each key once the watermark passes its event time — bounded
+    state (keys seen within the watermark horizon), the correct trade
+    for an unbounded corpus: exact within the horizon, at-most-once per
+    horizon across it. A plain ``dropDuplicates`` on a stream would grow
+    state forever.
+    """
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

@@ -1,0 +1,35 @@
+"""JSONL source/sink — the LLM-corpus interchange format: round-trip
+fidelity, schema-pinned reads (no inference scan), and PERMISSIVE
+corrupt-line capture."""
+
+from __future__ import annotations
+
+from big_data_hadoop_spark.sources.io import load_table, read_jsonl, write_jsonl
+from tests.conftest import SF_SMOKE
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema="doc_id long, text string").cache()
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    got = {(r.doc_id, r.text) for r in back.select("doc_id", "text").collect()}
+    exp = {(r.doc_id, r.text) for r in docs.collect()}
+    assert got == exp
+
+
+def test_jsonl_corrupt_lines_are_captured_not_fatal(spark, tmp_path):
+    src = tmp_path / "dirty"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    df = read_jsonl(spark, str(src), schema="doc_id long, text string").cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0]._corrupt_record

@@ -1,0 +1,116 @@
+"""Training-data curation pipeline: the composed funnel must equal a
+DuckDB re-implementation built from the SAME SQL building blocks the
+individual probe oracles use (q24 quality, q25 lang-id, q17 exact
+dedup), and the hash-based near-dup stage must satisfy subset and
+determinism properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.textstats import STOPWORDS
+from big_data_hadoop_spark.pipeline import curate_training_data
+from big_data_hadoop_spark.sources.io import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import assert_frames_match
+
+MIN_TOKENS, MIN_ALPHA = 5, 0.3
+
+
+def _stop_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains([{lst}], x))) AS BIGINT)"
+    )
+
+
+_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, text,
+         {_stop_sql(STOPWORDS['en'])} AS s_en,
+         {_stop_sql(STOPWORDS['de'])} AS s_de,
+         {_stop_sql(STOPWORDS['fr'])} AS s_fr,
+         {_stop_sql(STOPWORDS['es'])} AS s_es
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {MIN_TOKENS}
+    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1) >= {MIN_ALPHA}
+),
+l AS (
+  SELECT doc_id, text FROM g
+  WHERE CASE WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es) THEN 'de'
+             WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'und' END = 'en'
+),
+d AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM l
+),
+k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h)
+SELECT d.doc_id, d.text
+FROM d JOIN k ON d.h = k.h AND d.doc_id = k.keep_id
+ORDER BY d.doc_id
+"""
+
+
+def test_curation_funnel_matches_duckdb(spark, duck):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = (
+        curate_training_data(
+            docs, min_tokens=MIN_TOKENS, min_alpha_ratio=MIN_ALPHA,
+            langs=("en",),
+        )
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = duck.execute(_ORACLE).fetchdf()
+    assert len(got) > 0  # non-vacuous: the funnel keeps something
+    assert_frames_match(got, exp, "curation_funnel")
+    # ... and drops something (each gate is live on this corpus)
+    assert len(got) < docs.count()
+
+
+def test_curation_neardup_stage_properties(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = curate_training_data(docs)
+    near = curate_training_data(docs, neardup_threshold=0.9)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    near_ids = {r.doc_id for r in near.select("doc_id").collect()}
+    # subset of the exact-dedup output, deterministic, keep-first:
+    assert near_ids <= base_ids
+    near_ids2 = {
+        r.doc_id
+        for r in curate_training_data(docs, neardup_threshold=0.9)
+        .select("doc_id")
+        .collect()
+    }
+    assert near_ids == near_ids2
+    # every dropped doc has a surviving near-dup partner with a lower id
+    from big_data_hadoop_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(base, threshold=0.9).collect()
+    ]
+    dropped = base_ids - near_ids
+    assert dropped == {b for _, b in pairs}
+    for a, b in pairs:
+        assert a < b
+
+
+def test_curation_gates_fuse_into_scan_filter(spark):
+    """The two gates must plan as ONE Filter directly over the scan —
+    no join, no shuffle, no Python stage before dedup's semi-join."""
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = formatted_plan(curate_training_data(docs))
+    assert "BatchEvalPython" not in plan
+    # exactly one join — the dedup semi-join; the gates add none
+    joins = [l for l in plan.splitlines() if "Join" in l and "(" in l and "+-" in l]
+    assert len(joins) == 1 and "LeftSemi" in joins[0], joins

@@ -218,3 +218,43 @@ def test_streaming_sessionize_equals_batch_when_drained(spark, tmp_path):
         .collect()
     }
     assert len(got) > 0 and got == expect
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup must keep exactly one row per content key
+    (the batch dropDuplicates cardinality) with watermark-bounded state."""
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", f"sha{i % 7}") for i in range(30)
+    ]
+    src = str(tmp_path / "dd_src")
+    df = spark.createDataFrame(
+        rows, "row_id long, ts_s string, content_sha string"
+    ).selectExpr("row_id", "CAST(ts_s AS TIMESTAMP) AS ts", "content_sha")
+    df.write.parquet(src)
+
+    from big_data_hadoop_spark.streaming import streaming_exact_dedup
+
+    stream = spark.readStream.schema(
+        "row_id long, ts timestamp, content_sha string"
+    ).parquet(src)
+    q = (
+        streaming_exact_dedup(stream, key_cols=("content_sha",))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_stream").collect()
+    assert len(got) == df.dropDuplicates(["content_sha"]).count() == 7
+    # each kept row is a genuine member of its key group (first ARRIVAL
+    # wins — arrival order within a batch is partition order, so the
+    # representative is arbitrary-but-one, same as batch dropDuplicates)
+    members = {(r.content_sha, r.row_id) for r in df.collect()}
+    kept_keys = set()
+    for r in got:
+        assert (r.content_sha, r.row_id) in members
+        kept_keys.add(r.content_sha)
+    assert kept_keys == {f"sha{i}" for i in range(7)}
