@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_hadoop_spark.functions.text import split_tokens
 from big_data_hadoop_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
@@ -85,3 +86,67 @@ def curate_training_data(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return deduped.join(drop, id_col, "left_anti")
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic corpus sample of at most ``budget_tokens``
+    whitespace tokens: documents are taken in ``(xxhash64(id) mod
+    n_buckets, xxhash64(id))`` order (a data-defined pseudorandom
+    permutation — independent of partitioning and stable across
+    runs/cluster layouts) until the running token total would exceed the
+    budget. A document is kept iff the tokens BEFORE it fit the budget,
+    so the result can overshoot by at most one document — the standard
+    greedy prefix rule.
+
+    Scale shape — a distributed prefix sum, NOT a global sort: a total
+    order needs a global cumulative sum, and the naive single window
+    (``Window.orderBy(...)`` with no partition) funnels the corpus
+    through ONE task. Instead:
+
+    1. each doc hashes to one of ``n_buckets`` ordered buckets;
+    2. per-bucket token totals (``n_buckets`` longs) come to the driver
+       — the only driver-side data, O(buckets) not O(rows);
+    3. each bucket's running offset is attached as a broadcast-joined
+       literal table, and a window PARTITIONED BY bucket (bounded state,
+       parallel across buckets) adds the within-bucket prefix.
+
+    Hash order means the sample is an unbiased (hash-random) subset, and
+    the same budget over the same corpus always picks the same docs.
+    """
+    h = F.xxhash64(F.col(id_col))
+    bucket = F.pmod(h, F.lit(n_buckets)).cast("int")
+    toks = split_tokens(F.col(text_col), lowercase=True)
+    base = docs.withColumn("_tok_n", F.size(toks).cast("long")).withColumn(
+        "_bkt", bucket
+    )
+
+    totals = {
+        r._bkt: r.total
+        for r in base.groupBy("_bkt").agg(F.sum("_tok_n").alias("total")).collect()
+    }
+    offsets, running = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, running))
+        running += totals.get(b, 0)
+    offset_df = docs.sparkSession.createDataFrame(
+        offsets, "_bkt int, _offset long"
+    )
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("_tok_n").over(w), F.lit(0)) + F.col("_offset")
+    return (
+        base.join(F.broadcast(offset_df), "_bkt")
+        .withColumn("_before", before)
+        .filter(F.col("_before") < F.lit(budget_tokens))
+        .drop("_tok_n", "_bkt", "_offset", "_before")
+    )

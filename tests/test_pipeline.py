@@ -114,3 +114,54 @@ def test_curation_gates_fuse_into_scan_filter(spark):
     # exactly one join — the dedup semi-join; the gates add none
     joins = [l for l in plan.splitlines() if "Join" in l and "(" in l and "+-" in l]
     assert len(joins) == 1 and "LeftSemi" in joins[0], joins
+
+
+def test_token_budget_sample_matches_python_reference(spark):
+    """The distributed prefix-sum sampler must pick EXACTLY the docs a
+    sequential greedy walk picks in the same (bucket, hash) order, and
+    obey the budget up to the one-document overshoot rule."""
+    from big_data_hadoop_spark.pipeline import sample_to_token_budget
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_buckets, budget = 8, 5_000
+    rows = docs.select(
+        "doc_id",
+        F.xxhash64("doc_id").alias("h"),
+        F.size(F.split(F.lower("text"), " ", -1)).cast("long").alias("n"),
+    ).collect()
+    order = sorted(rows, key=lambda r: (r.h % n_buckets, r.h, r.doc_id))
+    expect, running = set(), 0
+    for r in order:
+        if running < budget:
+            expect.add(r.doc_id)
+        running += r.n
+    got = {
+        r.doc_id
+        for r in sample_to_token_budget(
+            docs, budget, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == expect
+    n_by_id = {r.doc_id: r.n for r in rows}
+    taken = sum(n_by_id[i] for i in got)
+    assert taken >= min(budget, sum(n_by_id.values()))
+    assert taken - max(n_by_id[i] for i in got) < budget
+    # determinism across invocations
+    got2 = {
+        r.doc_id
+        for r in sample_to_token_budget(
+            docs, budget, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_token_budget_sample_no_global_sort(spark):
+    """The plan must contain no single-partition exchange: the prefix
+    sum is bucketed (parallel windows), never a global orderBy."""
+    from big_data_hadoop_spark.pipeline import sample_to_token_budget
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = formatted_plan(sample_to_token_budget(docs, 1_000))
+    assert "SinglePartition" not in plan, plan
