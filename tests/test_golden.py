@@ -280,8 +280,10 @@ def test_winnow_matches_python_reference(spark):
 
 
 def test_ewm_matches_pandas(spark):
-    """The applyInPandas EWM must equal pandas ewm computed directly on
-    the collected group (same alpha, same ordering)."""
+    """The mapInPandas EWM must equal pandas ewm computed directly on
+    the collected group (same alpha, same ordering), AND equal the
+    grouped-map applyInPandas form it replaced (one Arrow round-trip per
+    partition vs per group — same recurrence, ~3x faster at sf0.1)."""
     import pandas as pd
 
     from big_data_hadoop_spark.probes import q56_ewm
@@ -299,6 +301,25 @@ def test_ewm_matches_pandas(spark):
         expect = grp["value"].ewm(alpha=0.3, adjust=False).mean()
         for eid, val in zip(grp["event_id"], expect):
             assert got[eid] == val, (uid, eid)
+
+    def grouped_map(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "ewm_value": pdf["value"].ewm(alpha=0.3, adjust=False).mean(),
+            }
+        )
+
+    via_apply = {
+        r.event_id: r.ewm_value
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(grouped_map, schema="event_id long, ewm_value double")
+        .collect()
+    }
+    assert via_apply == got
 
 
 def test_ppjoin_positional_filter_exact_and_pruning(spark):

@@ -55,17 +55,21 @@ def test_no_cartesian_products_anywhere(spark):
 
 def test_no_row_wise_python_anywhere(spark):
     """Engine-wide invariant: no probe may plan a row-at-a-time Python
-    UDF (BatchEvalPython). Python appears only as Arrow-batched grouped
-    map (FlatMapGroupsInPandas) and only in the one declared exhibit."""
+    UDF (BatchEvalPython). Python appears only Arrow-batched (the q56
+    MapInPandas recurrence) and only in the one declared exhibit."""
     from big_data_hadoop_spark.plans.audit import formatted_plan
 
     for name, q in QUERIES.items():
         plan = formatted_plan(q(spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, name
-        if "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan:
+        if (
+            "FlatMapGroupsInPandas" in plan
+            or "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+        ):
             assert name == "q56_ewm", (
                 f"{name} plans a Python stage but is not the declared "
-                "applyInPandas exhibit"
+                "Arrow-batched exhibit"
             )
 
 
