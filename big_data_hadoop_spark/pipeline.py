@@ -88,6 +88,84 @@ def curate_training_data(
     return deduped.join(drop, id_col, "left_anti")
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into token-window chunks: ``(id_col,
+    chunk_no, chunk_text, n_chunk_tokens)`` — the standard long-document
+    preparation step (context-length packing, embedding inputs).
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + max_tokens)`` of
+    the whitespace token stream, ``stride = max_tokens - overlap``; the
+    last chunk may be short; a document shorter than ``max_tokens``
+    yields exactly one chunk. Empty-token positions count (the engine's
+    position-preserving tokenization), so chunk boundaries are stable
+    under the same contract as pairs/stripes.
+
+    Pure narrow ops — ``sequence`` over chunk starts, ``posexplode``,
+    ``slice`` + ``concat_ws`` — no shuffle, no UDF; fans out rows like
+    any explode, so downstream aggregations see one row per chunk.
+    ANSI-SQL-expressible (DuckDB oracle in ``tests/test_pipeline.py``).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = split_tokens(F.col(text_col), lowercase=False)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * F.lit(stride), F.lit(stride))
+    exploded = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.posexplode(starts)
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("chunk_no"),
+        F.slice(F.col("_toks"), F.col("col") + 1, max_tokens).alias("_chunk"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_no",
+        F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+        F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+#: Redaction patterns: deliberately explicit character classes portable
+#: between Java regex (Spark) and RE2-ish engines (DuckDB) — no \b, no
+#: lookarounds. Order is part of the contract: emails redact before
+#: bare domains would otherwise split them.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace emails, URLs, and phone-like digit runs with typed
+    placeholder tags — the minimum scrub a public-corpus pipeline runs
+    before training. A chained ``regexp_replace`` projection: one narrow
+    pass, no UDF, no shuffle; patterns are engine-portable and applied
+    in ``PII_PATTERNS`` order (DuckDB oracle in
+    ``tests/test_pipeline.py``).
+
+    This is pattern-scrubbing, not NER: names/addresses need a model
+    pass, which would slot in as a ``mapInPandas`` stage like the
+    multimodal decoders."""
+    out = F.col(text_col)
+    for _name, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return docs.withColumn(out_col or text_col, out)
+
+
 def sample_to_token_budget(
     docs: DataFrame,
     budget_tokens: int,

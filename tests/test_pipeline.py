@@ -165,3 +165,85 @@ def test_token_budget_sample_no_global_sort(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     plan = formatted_plan(sample_to_token_budget(docs, 1_000))
     assert "SinglePartition" not in plan, plan
+
+
+def test_chunk_documents_matches_duckdb(spark, duck):
+    from big_data_hadoop_spark.pipeline import chunk_documents
+
+    max_t, ov = 40, 8
+    stride = max_t - ov
+    got = (
+        chunk_documents(
+            load_table(spark, SF_ORACLE, "documents"), max_t, overlap=ov
+        )
+        .orderBy("doc_id", "chunk_no")
+        .toPandas()
+    )
+    oracle = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil((len(toks) - {ov})::DOUBLE / {stride}) AS INT), 1)
+           AS n_chunks
+  FROM t),
+e AS (
+  SELECT doc_id, toks, g.k AS chunk_no
+  FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k) g)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       array_to_string(toks[chunk_no * {stride} + 1 :
+                            chunk_no * {stride} + {max_t}], ' ') AS chunk_text,
+       CAST(len(toks[chunk_no * {stride} + 1 :
+                     chunk_no * {stride} + {max_t}]) AS BIGINT)
+         AS n_chunk_tokens
+FROM e ORDER BY doc_id, chunk_no
+"""
+    exp = duck.execute(oracle).fetchdf()
+    assert len(got) > load_table(spark, SF_ORACLE, "documents").count()
+    assert_frames_match(got, exp, "chunking")
+    # every chunk obeys the window contract
+    assert (got["n_chunk_tokens"] <= max_t).all()
+    assert (got["n_chunk_tokens"] > 0).all()
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from big_data_hadoop_spark.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "just three tokens"), (2, "a")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, 10, overlap=2).collect()
+    assert {(r.doc_id, r.chunk_no, r.chunk_text) for r in rows} == {
+        (1, 0, "just three tokens"),
+        (2, 0, "a"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, 10, overlap=10)
+
+
+def test_redact_pii_matches_duckdb(spark, duck):
+    from big_data_hadoop_spark.pipeline import PII_PATTERNS, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or visit https://a.b/c?d=1"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "no pii here at all"),
+        (4, "two mails: a@b.io c@d.org and http://x.y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = redact_pii(df).orderBy("doc_id").toPandas()
+    sql = "SELECT doc_id, text FROM df_v"
+    expr = "text"
+    for _n, pat, tag in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    duck.register("df_v", df.toPandas())
+    exp = duck.execute(
+        f"SELECT doc_id, {expr} AS text FROM df_v ORDER BY doc_id"
+    ).fetchdf()
+    assert_frames_match(got, exp, "redact_pii")
+    texts = dict(zip(got["doc_id"], got["text"]))
+    assert texts[1] == "mail me at <EMAIL> or visit <URL>"
+    assert texts[2] == "call <PHONE> now"
+    assert texts[3] == "no pii here at all"
+    assert texts[4] == "two mails: <EMAIL> <EMAIL> and <URL>"
