@@ -429,14 +429,36 @@ def ivf_topk(
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
 
     e = df.select(F.col(id_col), F.col(vec_col)).withColumn(
         "_v", array_to_vector(_as_double(F.col(vec_col)))
     )
+    train = _bounded_training_sample(e, id_col, train_cap, n_rows=n_rows)
+    # KMeans.fit aborts on an empty dataset and on k > n. Clamp k to the
+    # rows actually available: with n_rows known this is arithmetic
+    # (n_rows <= cap means the sample IS the corpus; n_rows > cap means
+    # the sample is ~cap >> n_cells); without it, a LIMIT-k count that
+    # short-circuits after n_cells rows — not a corpus scan.
+    if n_rows is not None:
+        available = n_cells if n_rows > train_cap else min(n_rows, n_cells)
+    else:
+        available = train.limit(n_cells).count()
+    if available == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", df.schema[id_col].dataType),
+                    T.StructField("neighbor_id", df.schema[id_col].dataType),
+                    T.StructField("sim", T.DoubleType()),
+                ]
+            ),
+        )
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell",
-        maxIter=max_iter,
-    ).fit(_bounded_training_sample(e, id_col, train_cap, n_rows=n_rows))
+        k=min(n_cells, available), seed=seed, featuresCol="_v",
+        predictionCol="cell", maxIter=max_iter,
+    ).fit(train)
     assigned = with_norm(model.transform(e), vec_col=vec_col).select(
         F.col(id_col), "cell", "emb_d", "nrm"
     )

@@ -1,0 +1,76 @@
+"""Empty- and degenerate-input hardening: every major operator must
+return an empty (or tiny-but-correct) result on a 0-row frame, never
+throw. At pipeline scale an empty partition/source is routine (a filter
+that matched nothing, a new date partition), and IVF's KMeans fit was
+observed to abort on both the empty and the fewer-rows-than-cells
+cases before the clamp."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string"
+    )
+
+
+def test_text_operators_empty(spark, empty_docs):
+    from big_data_hadoop_spark.operators import dedup, textstats
+    from big_data_hadoop_spark.operators.counts import token_counts
+    from big_data_hadoop_spark.pipeline import (
+        chunk_documents,
+        curate_training_data,
+        redact_pii,
+        sample_to_token_budget,
+    )
+
+    assert token_counts(empty_docs).count() == 0
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, method="prefix").count() == 0
+    assert dedup.simhash_neardup_pairs(empty_docs).count() == 0
+    assert textstats.winnow_fingerprints(empty_docs).count() == 0
+    assert curate_training_data(empty_docs).count() == 0
+    assert sample_to_token_budget(empty_docs, 100).count() == 0
+    assert chunk_documents(empty_docs, 10).count() == 0
+    assert redact_pii(empty_docs).count() == 0
+
+
+def test_similarity_operators_empty(spark, empty_emb):
+    from big_data_hadoop_spark.operators import similarity as sim
+
+    assert sim.cosine_neardup_pairs(empty_emb, dim=64).count() == 0
+    assert sim.cosine_topk(empty_emb, [1, 2], dim=64).count() == 0
+    assert sim.lsh_bucketed_topk(empty_emb, [1, 2], dim=64).count() == 0
+    out = sim.ivf_topk(empty_emb, [1, 2])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "sim",
+    ]
+
+
+def test_ivf_fewer_rows_than_cells(spark):
+    """k must clamp to the corpus size: 3 vectors, 16 requested cells."""
+    from big_data_hadoop_spark.operators import similarity as sim
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i + 1)] * 8 + [0.0] * 0, "x") for i in range(3)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    rows = sim.ivf_topk(tiny, [0], k=5, n_cells=16, n_probe=16).collect()
+    # full probe of every (clamped) cell == exact: both other vectors found
+    assert {r.neighbor_id for r in rows} == {1, 2}
+    # the n_rows fast path clamps identically
+    rows2 = sim.ivf_topk(
+        tiny, [0], k=5, n_cells=16, n_probe=16, n_rows=3
+    ).collect()
+    assert {r.neighbor_id for r in rows2} == {1, 2}
