@@ -88,6 +88,67 @@ def curate_training_data(
     return deduped.join(drop, id_col, "left_anti")
 
 
+def sample_fraction(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic hash-Bernoulli sample: keep a row iff
+    ``pmod(xxhash64(id, seed), 1e6) < fraction * 1e6``. Unlike
+    ``DataFrame.sample`` the kept set depends only on (id, seed) — the
+    same rows survive across runs, partitionings, and cluster layouts,
+    and different ``seed`` values give independent samples (the property
+    train/validation splits need)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    den = 1_000_000
+    cut = int(fraction * den)
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(den)) < cut
+    )
+
+
+def mix_corpora(
+    sources: list[tuple[str, DataFrame, float]],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted corpus mixture: each ``(name, df, fraction)`` source is
+    deterministically downsampled (``sample_fraction``) and the samples
+    are unioned with a ``source_col`` provenance tag — the standard
+    mixture-weights step of training-data assembly (e.g. 100% curated
+    web + 30% of a code corpus).
+
+    Per-source seeds derive from ``seed`` and the source NAME, so adding
+    or reordering sources never changes which rows another source keeps.
+    A narrow filter per source plus a union — no shuffle, no driver data.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    parts = []
+    for name, df, fraction in sources:
+        tagged = sample_fraction(
+            df,
+            fraction,
+            id_col=id_col,
+            seed=seed ^ (hash_name(name) & 0x7FFFFFFF),
+        ).withColumn(source_col, F.lit(name))
+        parts.append(tagged)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def hash_name(name: str) -> int:
+    """Stable (non-process-salted) string hash for seed derivation."""
+    import zlib
+
+    return zlib.crc32(name.encode("utf-8"))
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int,

@@ -247,3 +247,52 @@ def test_redact_pii_matches_duckdb(spark, duck):
     assert texts[2] == "call <PHONE> now"
     assert texts[3] == "no pii here at all"
     assert texts[4] == "two mails: <EMAIL> <EMAIL> and <URL>"
+
+
+def test_sample_fraction_and_mix_corpora(spark):
+    from big_data_hadoop_spark.pipeline import mix_corpora, sample_fraction
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n = docs.count()
+    half = sample_fraction(docs, 0.5, seed=7)
+    n_half = half.count()
+    # deterministic, approximately the fraction, independent across seeds
+    assert n_half == sample_fraction(docs, 0.5, seed=7).count()
+    assert 0.4 * n < n_half < 0.6 * n
+    other = {r.doc_id for r in sample_fraction(docs, 0.5, seed=8).collect()}
+    ours = {r.doc_id for r in half.collect()}
+    overlap = len(ours & other) / max(len(ours), 1)
+    assert 0.3 < overlap < 0.7  # independent samples, not aligned
+    # membership is exactly the hash rule (Spark supplies the hash,
+    # Python applies the threshold — same split as the simhash tests)
+    from pyspark.sql import functions as F
+
+    hashes = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(1_000_000)).alias("h")
+        ).collect()
+    }
+    assert ours == {d for d, h in hashes.items() if h < 500_000}
+    # edge fractions
+    assert sample_fraction(docs, 0.0).count() == 0
+    assert sample_fraction(docs, 1.0).count() == n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_fraction(docs, 1.5)
+
+    mixed = mix_corpora(
+        [("full", docs, 1.0), ("half", docs, 0.5)], seed=7
+    )
+    by_src = {
+        r.source: r.n
+        for r in mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_src["full"] == n
+    assert 0.4 * n < by_src["half"] < 0.6 * n
+    # reordering sources must not change any source's kept set
+    reordered = mix_corpora([("half", docs, 0.5), ("full", docs, 1.0)], seed=7)
+    a = {r.doc_id for r in mixed.filter("source = 'half'").collect()}
+    b = {r.doc_id for r in reordered.filter("source = 'half'").collect()}
+    assert a == b
