@@ -12,6 +12,8 @@ from __future__ import annotations
 import re
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from big_data_hadoop_spark.operators.relational import asof_join
@@ -72,3 +74,70 @@ def test_asof_join_guards(spark):
         asof_join(df, df, "k", "ts", ["v"], how="full")
     with pytest.raises(ValueError, match="collide"):
         asof_join(df, df, "k", "ts", ["v"])
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """Property: on random keyed event/update streams the engine's
+    as-of join equals pandas merge_asof (an independent widely-used
+    reference), for both inner and left semantics."""
+    import pandas as pd
+
+    n_left = data.draw(st.integers(1, 25), label="n_left")
+    n_right = data.draw(st.integers(0, 15), label="n_right")
+    keys = st.integers(0, 3)
+    tss = st.integers(0, 50)
+    left_rows = data.draw(
+        st.lists(st.tuples(keys, tss), min_size=n_left, max_size=n_left),
+        label="left",
+    )
+    right_rows = data.draw(
+        st.lists(st.tuples(keys, tss), min_size=n_right, max_size=n_right),
+        label="right",
+    )
+    # unique (key, ts) on the right: with duplicates the engine picks the
+    # greatest payload while merge_asof picks the last input row — both
+    # "arbitrary but deterministic"; exclude that freedom from the test
+    right_rows = list({(k, t): None for (k, t) in right_rows})
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "event_id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in right_rows],
+        "k long, ts long, v long",
+    )
+    how = data.draw(st.sampled_from(["left", "inner"]), label="how")
+    got = {
+        (r.event_id, r.v)
+        for r in asof_join(left, right, "k", "ts", ["v"], how=how).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        columns=["event_id", "k", "ts"],
+    ).sort_values(["ts", "event_id"], kind="stable")
+    rp = (
+        pd.DataFrame(
+            [(k, t, k * 1000 + t) for (k, t) in right_rows],
+            columns=["k", "ts", "v"],
+        )
+        .astype({"k": "int64", "ts": "int64", "v": "int64"})
+        .sort_values(["ts", "k"], kind="stable")
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward", allow_exact_matches=True
+    )
+    expect = set()
+    for _, row in merged.iterrows():
+        if pd.isna(row["v"]):
+            if how == "left":
+                expect.add((int(row["event_id"]), None))
+        else:
+            expect.add((int(row["event_id"]), int(row["v"])))
+    assert got == expect
