@@ -1,0 +1,84 @@
+"""Sketch-based approximate aggregates — the 100 TB path beside the
+exact probes (q34 grouped COUNT(DISTINCT), q37 exact percentiles).
+
+Exact distinct-counting shuffles every distinct value; exact
+percentiles sort. The sketches below are one-pass, mergeable,
+fixed-size state (HyperLogLog++ registers, Greenwald-Khanna quantile
+summaries) — partials combine map-side like any algebraic aggregate, so
+the shuffle carries kilobytes per group regardless of input size. The
+pairing mirrors the dedup/similarity design: an exact verifier exists
+for every approximate operator, and tests bound the sketch error
+against the exact answer on real data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.tokenize import tokens
+
+
+def approx_distinct_tokens(
+    df: DataFrame, rsd: float = 0.05, text_col: str = "text"
+) -> DataFrame:
+    """``(category, n_distinct_approx)`` via HyperLogLog++
+    (``approx_count_distinct``). ``rsd`` is the target relative standard
+    deviation; state is ~1.04/rsd² registers per group, independent of
+    corpus size. Exact twin: ``countDistinct`` over the same tokens
+    (the error-bound test runs both)."""
+    t = tokens(df, text_col=text_col, lowercase=True, keep_cols=())
+    return t.groupBy("category").agg(
+        F.approx_count_distinct("token", rsd).alias("n_distinct_approx")
+    )
+
+
+def exact_distinct_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The exact verifier for ``approx_distinct_tokens``."""
+    t = tokens(df, text_col=text_col, lowercase=True, keep_cols=())
+    return t.groupBy("category").agg(
+        F.countDistinct("token").alias("n_distinct")
+    )
+
+
+def approx_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One-row frame of Greenwald-Khanna approximate percentiles of
+    ``value_col``. ``accuracy`` bounds the rank error at
+    ``n / accuracy``; the summary size is O(accuracy·log n), mergeable
+    across partitions — no sort, no shuffle of values."""
+    cols = [
+        F.percentile_approx(value_col, p, accuracy).alias(
+            f"p{int(p * 100):02d}"
+        )
+        for p in probabilities
+    ]
+    return df.agg(*cols)
+
+
+def heavy_hitter_tokens(
+    df: DataFrame, min_share: float = 0.01, text_col: str = "text"
+) -> DataFrame:
+    """Tokens whose frequency share is at least ``min_share``, found by
+    a single exact pass (count + total + filter). Deliberately NOT a
+    sketch: token counting already partial-aggregates map-side, so the
+    shuffle carries one row per DISTINCT token — the sketch would save
+    nothing until the distinct-token count itself is huge, at which
+    point ``DataFrame.stat.freqItems`` (lossy counting) is the drop-in.
+    Output: ``(category, token, cnt, share)`` sorted by share desc."""
+    t = tokens(df, text_col=text_col, lowercase=True, keep_cols=())
+    counts = t.groupBy("category", "token").agg(F.count("*").alias("cnt"))
+    totals = t.groupBy("category").agg(F.count("*").alias("total"))
+    return (
+        counts.join(F.broadcast(totals), "category")
+        .withColumn("share", F.col("cnt") / F.col("total"))
+        .filter(F.col("share") >= min_share)
+        .select("category", "token", "cnt", "share")
+        .orderBy(F.desc("share"), "category", "token")
+    )

@@ -1,0 +1,85 @@
+"""Sketch aggregates: every approximate operator is bounded against its
+exact verifier on real data (the same pairing discipline as LSH vs
+brute-force)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.sketches import (
+    approx_distinct_tokens,
+    approx_percentiles,
+    exact_distinct_tokens,
+    heavy_hitter_tokens,
+)
+from big_data_hadoop_spark.sources.io import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_approx_distinct_within_rsd_bound(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    rsd = 0.05
+    approx = {
+        r.category: r.n_distinct_approx
+        for r in approx_distinct_tokens(docs, rsd=rsd).collect()
+    }
+    exact = {
+        r.category: r.n_distinct
+        for r in exact_distinct_tokens(docs).collect()
+    }
+    assert set(approx) == set(exact) and exact
+    for cat, n in exact.items():
+        # 4 standard deviations: P(outside) ~ 6e-5, and the estimate is
+        # deterministic for fixed input, so this cannot flake
+        assert abs(approx[cat] - n) <= max(4 * rsd * n, 4), (cat, approx[cat], n)
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    accuracy = 10_000
+    (row,) = approx_percentiles(
+        li, "l_extendedprice", (0.5, 0.9, 0.99), accuracy
+    ).collect()
+    vals = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    for p, got in (("p50", row.p50), ("p90", row.p90), ("p99", row.p99)):
+        prob = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[p]
+        # GK guarantee: the returned value's rank is within n/accuracy
+        # of the target rank
+        import bisect
+
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got)
+        target = prob * n
+        tol = n / accuracy + 1
+        assert lo - tol <= target <= hi + tol, (p, got, lo, hi, target)
+
+
+def test_heavy_hitters_match_duckdb(spark, duck):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    got = heavy_hitter_tokens(docs, min_share=0.01).toPandas()
+    oracle = """
+WITH t AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+c AS (
+  SELECT CASE WHEN regexp_full_match(tok, '[a-z-_]+') THEN 'word'
+              WHEN regexp_full_match(tok, '[-+]?[0-9]+[.]{0,1}[0-9]*')
+                THEN 'number' END AS category,
+         tok AS token
+  FROM t),
+f AS (SELECT category, token FROM c WHERE category IS NOT NULL),
+counts AS (SELECT category, token, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+totals AS (SELECT category, COUNT(*) AS total FROM f GROUP BY 1)
+SELECT counts.category, token, CAST(cnt AS BIGINT) AS cnt,
+       cnt / total AS share
+FROM counts JOIN totals USING (category)
+WHERE cnt / total >= 0.01
+ORDER BY share DESC, category, token
+"""
+    from tests.oracle_utils import assert_frames_match
+
+    exp = duck.execute(oracle).fetchdf()
+    assert len(got) > 0
+    assert_frames_match(got, exp, "heavy_hitters")
