@@ -98,6 +98,67 @@ def cmd_topk(args: argparse.Namespace) -> None:
         write_single_text_file(ranked.select("token", "cnt"), out)
 
 
+def _read_docs(spark, path: str):
+    """Documents input for pipeline commands: a parquet table with
+    (doc_id, text) or a JSONL file/directory of the same shape —
+    detected from the actual part-file extensions, not the path name."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import read_jsonl
+
+    def is_parquet(p: str) -> bool:
+        if os.path.isdir(p):
+            return any(
+                f.endswith(".parquet")
+                for _root, _dirs, files in os.walk(p)
+                for f in files
+            )
+        return p.endswith(".parquet")
+
+    if is_parquet(path):
+        return spark.read.parquet(path).select("doc_id", "text")
+    return read_jsonl(
+        spark, path, schema="doc_id long, text string"
+    ).select("doc_id", "text")
+
+
+def cmd_curate(args: argparse.Namespace) -> None:
+    from big_data_hadoop_spark.pipeline import curate_training_data
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("curate")
+    docs = _read_docs(spark, args.input)
+    out = curate_training_data(
+        docs,
+        min_tokens=args.min_tokens,
+        min_alpha_ratio=args.min_alpha_ratio,
+        langs=tuple(args.langs.split(",")),
+        neardup_threshold=args.neardup_threshold,
+    )
+    write_jsonl(out, args.output)
+
+
+def cmd_chunk(args: argparse.Namespace) -> None:
+    from big_data_hadoop_spark.pipeline import chunk_documents
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("chunk")
+    docs = _read_docs(spark, args.input)
+    write_jsonl(
+        chunk_documents(docs, args.max_tokens, overlap=args.overlap),
+        args.output,
+    )
+
+
+def cmd_sample(args: argparse.Namespace) -> None:
+    from big_data_hadoop_spark.pipeline import sample_to_token_budget
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("sample")
+    docs = _read_docs(spark, args.input)
+    write_jsonl(sample_to_token_budget(docs, args.budget), args.output)
+
+
 def cmd_probe(args: argparse.Namespace) -> None:
     from big_data_hadoop_spark.probes import QUERIES
 
@@ -140,6 +201,32 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--rows", type=int, default=20)
     pr.add_argument("--explain", action="store_true")
 
+    cu = sub.add_parser(
+        "curate", help="training-data curation funnel -> JSONL"
+    )
+    cu.add_argument("input", help="parquet table or JSONL dir of (doc_id, text)")
+    cu.add_argument("output", help="JSONL output dir")
+    cu.add_argument("--min-tokens", type=int, default=5)
+    cu.add_argument("--min-alpha-ratio", type=float, default=0.3)
+    cu.add_argument("--langs", default="en", help="comma-separated language codes")
+    cu.add_argument(
+        "--neardup-threshold", type=float, default=None,
+        help="enable MinHash-LSH near-dedup at this Jaccard threshold",
+    )
+
+    ch = sub.add_parser("chunk", help="token-window chunking -> JSONL")
+    ch.add_argument("input")
+    ch.add_argument("output")
+    ch.add_argument("--max-tokens", type=int, default=512)
+    ch.add_argument("--overlap", type=int, default=0)
+
+    sa = sub.add_parser(
+        "sample", help="deterministic token-budget sample -> JSONL"
+    )
+    sa.add_argument("input")
+    sa.add_argument("output")
+    sa.add_argument("--budget", type=int, required=True, help="token budget")
+
     args = p.parse_args(argv)
     t0 = time.monotonic()
     {
@@ -148,6 +235,9 @@ def main(argv: list[str] | None = None) -> None:
         "wordstripes": cmd_wordstripes,
         "topk": cmd_topk,
         "probe": cmd_probe,
+        "curate": cmd_curate,
+        "chunk": cmd_chunk,
+        "sample": cmd_sample,
     }[args.command](args)
     print(f"[{args.command}] completed in {time.monotonic() - t0:.2f}s")
 

@@ -71,3 +71,31 @@ def test_cli_topk_single_file(spark, tmp_path):
         for r in f.read_text().splitlines()
     ]
     assert num_rows == [["7", "3"]]
+
+
+def test_cli_curate_chunk_sample_end_to_end(spark, tmp_path):
+    """Pipeline subcommands: parquet docs -> curate -> chunk -> sample,
+    all via the CLI with JSONL outputs readable and sane."""
+    from big_data_hadoop_spark.cli import main
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "docs_parquet")
+    load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").write.parquet(src)
+
+    cur_out = str(tmp_path / "curated")
+    main(["curate", src, cur_out, "--min-tokens", "5"])
+    curated = spark.read.json(cur_out)
+    n_cur = curated.count()
+    assert 0 < n_cur <= 500
+
+    ch_out = str(tmp_path / "chunks")
+    main(["chunk", cur_out, ch_out, "--max-tokens", "32", "--overlap", "4"])
+    chunks = spark.read.json(ch_out)
+    assert chunks.count() >= n_cur
+    assert set(chunks.columns) >= {"doc_id", "chunk_no", "chunk_text"}
+
+    sa_out = str(tmp_path / "sampled")
+    main(["sample", cur_out, sa_out, "--budget", "2000"])
+    sampled = spark.read.json(sa_out)
+    assert 0 < sampled.count() <= n_cur
