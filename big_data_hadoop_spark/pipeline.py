@@ -42,6 +42,30 @@ def _lang_pred(toks: Column) -> Column:
     )
 
 
+def curation_gate(
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+) -> Column:
+    """The fused quality+language gate PREDICATE (q24/q25 expressions):
+    a stateless boolean column, shared verbatim by the batch funnel and
+    the streaming twin (``streaming.streaming_curate``) so both paths
+    admit exactly the same documents."""
+    text = F.col(text_col)
+    toks = split_tokens(text, lowercase=True)
+    n_tokens = F.size(toks).cast("long")
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("long")
+    alpha_ratio = alpha.cast("double") / F.greatest(
+        F.length(text).cast("long"), F.lit(1).cast("long")
+    )
+    return (
+        (n_tokens >= F.lit(min_tokens))
+        & (alpha_ratio >= F.lit(min_alpha_ratio))
+        & _lang_pred(toks).isin(list(langs))
+    )
+
+
 def curate_training_data(
     docs: DataFrame,
     text_col: str = "text",
@@ -66,17 +90,8 @@ def curate_training_data(
     deliberately identical to the standalone probes so the whole funnel
     (minus the hash-based near-dup stage) has an exact DuckDB oracle.
     """
-    text = F.col(text_col)
-    toks = split_tokens(text, lowercase=True)
-    n_tokens = F.size(toks).cast("long")
-    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("long")
-    alpha_ratio = alpha.cast("double") / F.greatest(
-        F.length(text).cast("long"), F.lit(1).cast("long")
-    )
     gated = docs.filter(
-        (n_tokens >= F.lit(min_tokens))
-        & (alpha_ratio >= F.lit(min_alpha_ratio))
-        & _lang_pred(toks).isin(list(langs))
+        curation_gate(text_col, min_tokens, min_alpha_ratio, langs)
     )
     deduped = exact_dedup(gated, text_col=text_col, id_col=id_col)
     if neardup_threshold is None:

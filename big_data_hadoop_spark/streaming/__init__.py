@@ -3,6 +3,7 @@
 from big_data_hadoop_spark.streaming.pipelines import (
     read_events_stream,
     streaming_exact_dedup,
+    streaming_curate,
     streaming_sessionize,
     streaming_token_counts,
     streaming_windowed_event_agg,
@@ -12,6 +13,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
 __all__ = [
     "read_events_stream",
     "streaming_exact_dedup",
+    "streaming_curate",
     "streaming_sessionize",
     "streaming_token_counts",
     "streaming_windowed_event_agg",

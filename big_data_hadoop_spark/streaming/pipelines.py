@@ -184,6 +184,34 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_curate(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch curation funnel (minus near-dedup):
+    the SAME fused quality+language gate predicate
+    (``pipeline.curation_gate`` — stateless, so it streams as-is),
+    followed by watermark-bounded exact dedup keyed on the md5 of
+    normalized text (the batch funnel's dedup key). An arriving
+    document passes iff it clears the gates and no document with the
+    same normalized content arrived within the watermark horizon.
+    """
+    from big_data_hadoop_spark.operators.dedup import normalized_text
+    from big_data_hadoop_spark.pipeline import curation_gate
+
+    gated = docs.filter(
+        curation_gate(text_col, min_tokens, min_alpha_ratio, langs)
+    ).withColumn("_content_h", F.md5(normalized_text(F.col(text_col))))
+    return streaming_exact_dedup(
+        gated, key_cols=("_content_h",), ts_col=ts_col, watermark=watermark
+    ).drop("_content_h")
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

@@ -258,3 +258,58 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         assert (r.content_sha, r.row_id) in members
         kept_keys.add(r.content_sha)
     assert kept_keys == {f"sha{i}" for i in range(7)}
+
+
+def test_streaming_curate_matches_batch_gates(spark, tmp_path):
+    """The streaming funnel must admit exactly the batch gate's document
+    set (same predicate object), deduped to batch-dedup cardinality."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.dedup import exact_dedup
+    from big_data_hadoop_spark.pipeline import curation_gate
+    from big_data_hadoop_spark.sources.io import load_table
+    from big_data_hadoop_spark.streaming import streaming_curate
+
+    # docs with a synthetic arrival timestamp (offset away from epoch 0:
+    # Structured Streaming's initial watermark IS epoch 0, so a row at
+    # exactly that instant is judged late and dropped) and injected dups
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                (F.col("doc_id") + F.lit(1_700_000_000)) * 1_000_000
+            ),
+        )
+    )
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = docs.unionByName(dup)
+    src = str(tmp_path / "curate_src")
+    both.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        streaming_curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM curated_stream").collect()
+
+    batch_gated = both.filter(curation_gate())
+    batch_dedup_n = exact_dedup(batch_gated).count()
+    assert len(got) == batch_dedup_n > 0
+    # every emitted doc passes the batch gate (same predicate, and the
+    # duplicate-injected corpus proves the dedup stage is live)
+    gated_ids = {r.doc_id for r in batch_gated.collect()}
+    assert {r.doc_id for r in got} <= gated_ids
+    assert len(got) < batch_gated.count()
