@@ -244,6 +244,62 @@ def range_join_count(
     return joined.groupBy(*group_cols).agg(F.count("*").alias("n_within"))
 
 
+def bucketized_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """UNKEYED interval join at scale: pair every left row whose
+    ``left_ts`` falls in ``(right_lo, right_hi]`` — with no shared equi
+    key, Spark plans the naive form as a broadcast-nested-loop (or
+    cartesian) join, a scan of every right interval per left row.
+
+    Bucketization turns it into an equi-join (SURVEY §4): the numeric
+    line is cut into ``bucket_width`` buckets; each left row belongs to
+    exactly ONE bucket, each right interval is exploded to the buckets
+    it overlaps (``ceil(span / width) + 1`` rows), and the join runs on
+    the bucket id with the exact band predicate as a post-join filter.
+    Because a left timestamp has exactly one bucket, every qualifying
+    pair meets exactly once — no dedup pass. Choose ``bucket_width``
+    near the typical interval span: replication factor is
+    ``span / width + 1`` while bucket population shrinks linearly in
+    ``width`` — the classic time/space knob.
+
+    Exact: the band predicate re-checks every candidate, so the output
+    equals the naive join (property-tested). Column names of the two
+    inputs must be disjoint. Timestamp/bound columns must be numeric
+    (cast timestamps to ``unix_micros`` first).
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"column names must be disjoint: {sorted(clash)}")
+    if "_bkt" in left.columns or "_bkt" in right.columns:
+        raise ValueError("bucketized_range_join reserves the column '_bkt'")
+    l = left.withColumn(
+        "_bkt", F.floor(F.col(left_ts) / F.lit(bucket_width)).cast("long")
+    )
+    r = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        l.join(r, "_bkt")
+        .filter(
+            (F.col(left_ts) > F.col(right_lo))
+            & (F.col(left_ts) <= F.col(right_hi))
+        )
+        .drop("_bkt")
+    )
+
+
 def intersect(left: DataFrame, right: DataFrame) -> DataFrame:
     """Set intersection (distinct)."""
     return left.intersect(right)
