@@ -49,3 +49,51 @@ def test_probe_matches_oracle_at_sf01(spark, duck_sf01, name):
     spark_pdf = QUERIES[name](spark, SF_BENCH).toPandas()
     duck_pdf = duck_sf01.sql(ORACLES[name]).df()
     assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_pipeline_ops_at_sf01(spark, duck_sf01):
+    """Round-3 non-probe operators at bench scale: curation funnel vs
+    its DuckDB re-implementation, chunking vs the LATERAL oracle, and
+    the token-budget sampler's Python greedy-walk equality."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.pipeline import (
+        chunk_documents,
+        curate_training_data,
+        sample_to_token_budget,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.test_pipeline import _ORACLE, MIN_ALPHA, MIN_TOKENS
+
+    docs = load_table(spark, SF_BENCH, "documents")
+    got = (
+        curate_training_data(
+            docs, min_tokens=MIN_TOKENS, min_alpha_ratio=MIN_ALPHA
+        )
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = duck_sf01.sql(_ORACLE).df()
+    assert len(got) > 0
+    assert_frames_match(got, exp, "curation_sf01")
+
+    n_docs = docs.count()
+    assert chunk_documents(docs, 64, overlap=8).count() > n_docs
+
+    budget = 200_000
+    rows = docs.select(
+        "doc_id",
+        F.xxhash64("doc_id").alias("h"),
+        F.size(F.split(F.lower("text"), " ", -1)).cast("long").alias("n"),
+    ).collect()
+    order = sorted(rows, key=lambda r: (r.h % 64, r.h, r.doc_id))
+    expect_ids, running = set(), 0
+    for r in order:
+        if running < budget:
+            expect_ids.add(r.doc_id)
+        running += r.n
+    got_ids = {
+        r.doc_id for r in sample_to_token_budget(docs, budget).collect()
+    }
+    assert got_ids == expect_ids
