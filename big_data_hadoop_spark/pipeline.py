@@ -273,6 +273,28 @@ def sample_to_token_budget(
     Hash order means the sample is an unbiased (hash-random) subset, and
     the same budget over the same corpus always picks the same docs.
     """
+    pref = _global_token_prefix(docs, text_col, id_col, n_buckets)
+    return pref.filter(F.col("_before") < F.lit(budget_tokens)).drop(
+        "_tok_n", "_bkt", "_before"
+    )
+
+
+def _global_token_prefix(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """``docs`` plus ``_tok_n`` (whitespace token count), ``_bkt``, and
+    ``_before`` — the EXACT number of tokens strictly before this row in
+    the global ``(xxhash64(id) mod n_buckets, xxhash64(id), id)`` order.
+
+    The distributed prefix-sum core shared by ``sample_to_token_budget``
+    and ``pack_sequences``: per-bucket totals (``n_buckets`` longs) come
+    to the driver, running offsets go back as a broadcast literal table,
+    and a per-bucket window adds the within-bucket prefix in parallel —
+    no single-partition exchange anywhere (plan-test pinned).
+    """
     h = F.xxhash64(F.col(id_col))
     bucket = F.pmod(h, F.lit(n_buckets)).cast("int")
     toks = split_tokens(F.col(text_col), lowercase=True)
@@ -298,9 +320,46 @@ def sample_to_token_budget(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum("_tok_n").over(w), F.lit(0)) + F.col("_offset")
+    return base.join(F.broadcast(offset_df), "_bkt").withColumn(
+        "_before", before
+    ).drop("_offset")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign each document to a training pack: ``docs`` columns plus
+    ``pack_id`` and ``pack_offset`` (the document's token offset inside
+    its pack) — the context-window packing step that follows chunking
+    in training-data prep.
+
+    Contiguous-fill packing: documents in the deterministic global hash
+    order fill pack 0 until ``context_tokens``, then pack 1, and so on —
+    ``pack_id = floor(tokens_before / context_tokens)``. A document
+    straddling a boundary belongs to the pack where it STARTS (standard
+    greedy packing; the trainer truncates or pads the overflow). Every
+    pack except the last holds at least ``context_tokens`` minus one
+    document of slack, and reconstruction is exact: sorting a pack's
+    members by ``pack_offset`` replays the fill order.
+
+    Built on the same distributed prefix sum as
+    ``sample_to_token_budget`` — no global sort, no single-partition
+    exchange, deterministic across cluster layouts.
+    """
+    if context_tokens <= 0:
+        raise ValueError("context_tokens must be positive")
+    pref = _global_token_prefix(docs, text_col, id_col, n_buckets)
     return (
-        base.join(F.broadcast(offset_df), "_bkt")
-        .withColumn("_before", before)
-        .filter(F.col("_before") < F.lit(budget_tokens))
-        .drop("_tok_n", "_bkt", "_offset", "_before")
+        pref.withColumn(
+            "pack_id", F.floor(F.col("_before") / F.lit(context_tokens))
+        )
+        .withColumn(
+            "pack_offset",
+            F.col("_before") - F.col("pack_id") * F.lit(context_tokens),
+        )
+        .drop("_tok_n", "_bkt", "_before")
     )

@@ -296,3 +296,44 @@ def test_sample_fraction_and_mix_corpora(spark):
     a = {r.doc_id for r in mixed.filter("source = 'half'").collect()}
     b = {r.doc_id for r in reordered.filter("source = 'half'").collect()}
     assert a == b
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Packing must equal a sequential greedy fill in the same global
+    hash order: same pack ids, same in-pack offsets."""
+    from big_data_hadoop_spark.pipeline import pack_sequences
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    ctx, n_buckets = 1_000, 64
+    rows = docs.select(
+        "doc_id",
+        F.xxhash64("doc_id").alias("h"),
+        F.size(F.split(F.lower("text"), " ", -1)).cast("long").alias("n"),
+    ).collect()
+    order = sorted(rows, key=lambda r: (r.h % n_buckets, r.h, r.doc_id))
+    expect, running = {}, 0
+    for r in order:
+        expect[r.doc_id] = (running // ctx, running - (running // ctx) * ctx)
+        running += r.n
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(docs, ctx, n_buckets=n_buckets).collect()
+    }
+    assert got == expect
+    # structural invariants: dense-ish pack ids, offsets inside context
+    pack_ids = {p for p, _ in got.values()}
+    assert pack_ids == set(range(max(pack_ids) + 1))
+    assert all(0 <= off < ctx for _, off in got.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="context_tokens"):
+        pack_sequences(docs, 0)
+
+
+def test_prefix_sum_ops_no_global_sort(spark):
+    from big_data_hadoop_spark.pipeline import pack_sequences
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = formatted_plan(pack_sequences(docs, 1_000))
+    assert "SinglePartition" not in plan, plan
