@@ -214,11 +214,15 @@ def chunk_documents(
 
 #: Redaction patterns: deliberately explicit character classes portable
 #: between Java regex (Spark) and RE2-ish engines (DuckDB) — no \b, no
-#: lookarounds. Order is part of the contract: emails redact before
-#: bare domains would otherwise split them.
+#: lookarounds, and no shorthand classes whose membership differs by
+#: dialect: Java's \s includes vertical tab (\x0b), RE2's does not, so
+#: a URL followed by \x0b redacted differently until the class was
+#: spelled out (found by tests/test_crossengine_fuzz.py). Order is part
+#: of the contract: emails redact before bare domains would otherwise
+#: split them.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", "https?://[^ \\t\\n\\x0b\\f\\r]+", "<URL>"),
     ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
 )
 

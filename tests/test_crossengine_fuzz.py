@@ -1,0 +1,105 @@
+"""Cross-engine fuzzing: the gate and redaction expressions claim to be
+engine-portable (Java regex in Spark vs RE2-ish in DuckDB). Random
+adversarial text — unicode, control chars, regex metacharacters, long
+whitespace runs — must produce IDENTICAL results in both engines. This
+is the same discipline as the probe oracles, but over generated inputs
+instead of the fixed corpus, where regex-dialect divergences (\\s
+membership, case folding, greediness) actually live."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data_hadoop_spark.operators.textstats import STOPWORDS
+from big_data_hadoop_spark.pipeline import PII_PATTERNS, curation_gate, redact_pii
+
+# Alphabet tuned to stress the patterns: letters (both cases), digits,
+# the email/url/phone special chars, whitespace variants, regex
+# metacharacters, a couple of non-ASCII letters.
+_ALPHA = (
+    "abcdefXYZ0189 ._%+-@:/()"
+    "\t\n\r\x0b\f"  # \x0b: Java-\s vs RE2-\s divergence, caught here once
+    "éß漢"
+    "<>[]{}|\\^$*?!#~the a of und"
+)
+
+texts = st.lists(
+    st.text(alphabet=_ALPHA, min_size=0, max_size=40),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _duck_with(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    return con
+
+
+def _stop_sql(words):
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains([{lst}], x))) AS BIGINT)"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts)
+def test_curation_gate_agrees_with_duckdb_on_random_text(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id for r in df.filter(curation_gate()).collect()}
+    con = _duck_with(rows)
+    sql = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, text,
+         {_stop_sql(STOPWORDS['en'])} AS s_en,
+         {_stop_sql(STOPWORDS['de'])} AS s_de,
+         {_stop_sql(STOPWORDS['fr'])} AS s_fr,
+         {_stop_sql(STOPWORDS['es'])} AS s_es
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 5
+    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1) >= 0.3
+)
+WHERE CASE WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+           WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es) THEN 'de'
+           WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+           WHEN s_es > 0 THEN 'es'
+           ELSE 'und' END = 'en'
+"""
+    exp = {r[0] for r in con.execute(sql).fetchall()}
+    con.close()
+    assert got == exp, (got ^ exp, [texts[i] for i in (got ^ exp)])
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts)
+def test_redact_pii_agrees_with_duckdb_on_random_text(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    con = _duck_with(rows)
+    expr = "text"
+    for _n, pat, tag in PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '{tag}', 'g')"
+    exp = dict(
+        con.execute(f"SELECT doc_id, {expr} FROM documents").fetchall()
+    )
+    con.close()
+    diff = {i: (got[i], exp[i]) for i in got if got[i] != exp[i]}
+    assert not diff, diff
