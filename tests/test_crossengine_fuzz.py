@@ -103,3 +103,43 @@ def test_redact_pii_agrees_with_duckdb_on_random_text(spark, texts):
     con.close()
     diff = {i: (got[i], exp[i]) for i in got if got[i] != exp[i]}
     assert not diff, diff
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts)
+def test_token_counts_agree_with_duckdb_on_random_text(spark, texts):
+    """The reference-parity tokenization (space split with empties,
+    full-match category regexes, lowercase fold) — the expressions every
+    q01-q06 oracle builds on — fuzzed cross-engine."""
+    from big_data_hadoop_spark.functions.text import (
+        NUMBER_PATTERN,
+        WORD_PATTERN,
+    )
+    from big_data_hadoop_spark.operators.counts import token_counts
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.category, r.token): r.cnt
+        for r in token_counts(df, lowercase=True).collect()
+    }
+    con = _duck_with(rows)
+    sql = f"""
+WITH u AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+c AS (
+  SELECT w,
+         CASE WHEN regexp_full_match(w, '{WORD_PATTERN}') THEN 'word'
+              WHEN regexp_full_match(w, '{NUMBER_PATTERN}') THEN 'number'
+         END AS category
+  FROM u)
+SELECT category, w, CAST(COUNT(*) AS BIGINT)
+FROM c WHERE category IS NOT NULL GROUP BY 1, 2
+"""
+    exp = {(c, w): n for c, w, n in con.execute(sql).fetchall()}
+    con.close()
+    assert got == exp, dict(set(got.items()) ^ set(exp.items()))
