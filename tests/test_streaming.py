@@ -313,3 +313,37 @@ def test_streaming_curate_matches_batch_gates(spark, tmp_path):
     gated_ids = {r.doc_id for r in batch_gated.collect()}
     assert {r.doc_id for r in got} <= gated_ids
     assert len(got) < batch_gated.count()
+
+
+def test_stateless_pipeline_ops_stream_unchanged(spark, tmp_path):
+    """chunk_documents and redact_pii are narrow/stateless, so the SAME
+    functions apply to a readStream frame with no changes — drained
+    output must equal the batch result exactly."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.pipeline import chunk_documents, redact_pii
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    q = (
+        chunk_documents(redact_pii(stream), 32, overlap=4)
+        .writeStream.format("memory")
+        .queryName("chunks_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_no, r.chunk_text)
+        for r in spark.sql("SELECT * FROM chunks_stream").collect()
+    }
+    expect = {
+        (r.doc_id, r.chunk_no, r.chunk_text)
+        for r in chunk_documents(redact_pii(docs), 32, overlap=4).collect()
+    }
+    assert got == expect and len(got) > 0
