@@ -4,11 +4,25 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01_word_counts": sec, ...}, "sf": 0.1}
+     "queries": {"q01_word_counts": sec, ...}, "sf": 0.1, ...}
 
 Protocol mirrors BASELINE.md: ``time.monotonic()`` around each full
 pipeline (plan construction through ``collect()``), one session warm-up run
 excluded from timings.
+
+Variance control (VERDICT r3 #1): the measured 71–86 s spread on identical
+code is host noise amplified by the compile-dominated tail, so a single
+pass cannot distinguish a regression from a bad draw. The suite therefore
+runs ``$BENCH_PASSES`` (default 3) full passes and reports per-query
+**best-of-N** as the headline (``value`` / ``queries``), plus:
+
+- ``first_pass``: per-query pass-1 times (cold plans — comparable to the
+  single-pass numbers recorded in BENCH_r01–r03),
+- ``rerun``: per-query re-``collect()`` of the SAME DataFrame right after
+  its pass-1 run (reuses shuffle map outputs + codegen cache, bounding
+  pure execution from above; ``first_pass - rerun`` ≈ one-off Catalyst +
+  Janino compile cost, which amortizes to noise at cluster scale),
+- ``pass_totals``: suite total per pass, so the spread itself is recorded.
 """
 
 from __future__ import annotations
@@ -123,22 +137,50 @@ def main() -> None:
 
     only = os.environ.get("BENCH_ONLY")
     names = only.split(",") if only else list(QUERIES)
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    n_passes = max(1, int(os.environ.get("BENCH_PASSES", "3")))
 
-    total = round(sum(timings.values()), 3)
+    passes: list[dict[str, float]] = []
+    rerun: dict[str, float] = {}
+    for p in range(n_passes):
+        timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.monotonic()
+            df = QUERIES[name](spark, sf_dir)
+            df.collect()
+            timings[name] = round(time.monotonic() - t0, 3)
+            if p == 0:
+                # Execute-only upper bound: same DataFrame, shuffle map
+                # outputs + codegen cache warm (BASELINE.md §3 method).
+                t0 = time.monotonic()
+                df.collect()
+                rerun[name] = round(time.monotonic() - t0, 3)
+                print(
+                    f"# pass1 {name}: {timings[name]}s"
+                    f" (rerun {rerun[name]}s)",
+                    file=sys.stderr,
+                )
+            else:
+                print(f"# pass{p + 1} {name}: {timings[name]}s", file=sys.stderr)
+        passes.append(timings)
+
+    best = {
+        name: min(t[name] for t in passes) for name in names
+    }
+    pass_totals = [round(sum(t.values()), 3) for t in passes]
+    total = round(sum(best.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "declared-probe suite wall-clock, end-to-end per query",
+                "metric": "declared-probe suite wall-clock, per-query "
+                f"best-of-{n_passes}",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
                 "sf": sf,
+                "passes": n_passes,
+                "pass_totals": pass_totals,
+                "first_pass": passes[0],
+                "rerun": rerun,
             }
         )
     )
