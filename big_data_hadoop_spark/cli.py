@@ -117,9 +117,26 @@ def _read_docs(spark, path: str):
 
     if is_parquet(path):
         return spark.read.parquet(path).select("doc_id", "text")
-    return read_jsonl(
-        spark, path, schema="doc_id long, text string"
-    ).select("doc_id", "text")
+    raw = read_jsonl(spark, path, schema="doc_id long, text string")
+    # PERMISSIVE mode turns unparseable lines into all-null rows; without
+    # this filter they would flow silently into curate/chunk/sample
+    # (ADVICE r3). Dropping them is a narrow filter fused into the scan —
+    # the count is one extra aggregate over the same scan, paid only on
+    # the JSONL ingest path, and only to warn. The aggregate must also
+    # reference a data column: a plan touching ONLY ``_corrupt_record``
+    # is disallowed (see ``read_jsonl``'s docstring).
+    n_bad = raw.agg(
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n"),
+        F.count("doc_id"),
+    ).collect()[0]["n"]
+    if n_bad:
+        print(
+            f"warning: {n_bad} unparseable JSONL line(s) dropped",
+            file=sys.stderr,
+        )
+    return raw.filter(F.col("_corrupt_record").isNull()).select(
+        "doc_id", "text"
+    )
 
 
 def cmd_curate(args: argparse.Namespace) -> None:

@@ -345,9 +345,22 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                         rate, ch, bits, nf, off, size = parse_wav_header(raw)
                         block = max(1, ch * (bits // 8))
                         span = nf // n_frames
-                        for i in range(min(n_frames, nf)):
-                            lo = off + i * span * block
-                            hi = lo + max(1, span) * block
+                        k = min(n_frames, nf)
+                        for i in range(k):
+                            if span == 0:
+                                # Fewer frames than requested: one block
+                                # each, all distinct (ADVICE r3).
+                                lo = off + i * block
+                                hi = lo + block
+                            else:
+                                lo = off + i * span * block
+                                # Last span absorbs nf % n_frames so the
+                                # slices tile the whole data chunk.
+                                hi = (
+                                    off + size
+                                    if i == k - 1
+                                    else lo + span * block
+                                )
                             rows.append((mid, i, raw[lo : min(hi, off + size)]))
                         continue
                     except ValueError:

@@ -194,7 +194,12 @@ def asof_join(
         if c in left.columns or c in right.columns:
             raise ValueError(f"asof_join reserves the column name '{c}'")
 
-    r = right.select(
+    # NULL join keys never match (join/DuckDB ASOF semantics). Window
+    # partitioning would otherwise group all NULL keys together and let
+    # left rows inherit NULL-key right payloads, so drop those right rows;
+    # NULL-key left rows then sit in a right-free partition → null payload
+    # (kept by 'left', dropped by 'inner').
+    r = right.filter(F.col(partition_col).isNotNull()).select(
         F.col(partition_col),
         F.col(ts_col),
         F.struct(*[F.col(c) for c in value_cols]).alias(payload),

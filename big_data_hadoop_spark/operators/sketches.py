@@ -55,7 +55,9 @@ def approx_percentiles(
     across partitions — no sort, no shuffle of values."""
     cols = [
         F.percentile_approx(value_col, p, accuracy).alias(
-            f"p{int(p * 100):02d}"
+            # round, not int(): 0.29*100 is 28.999… under binary floats
+            # and int() would truncate the label to p28 (ADVICE r3).
+            f"p{round(p * 100):02d}"
         )
         for p in probabilities
     ]

@@ -141,3 +141,22 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
         else:
             expect.add((int(row["event_id"]), int(row["v"])))
     assert got == expect
+
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_asof_join_null_partition_keys_never_match(spark, how):
+    """NULL join keys never match (join/DuckDB ASOF semantics, ADVICE
+    r3): a NULL-key left row must NOT inherit the payload of a NULL-key
+    right row, even when that right row precedes it in time."""
+    left = spark.createDataFrame(
+        [(0, None, 10), (1, 5, 10), (2, None, 30)],
+        "event_id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(None, 1, 111), (5, 2, 555)], "k long, ts long, v long"
+    )
+    out = asof_join(left, right, "k", "ts", ["v"], how=how)
+    got = {(r.event_id, r.v) for r in out.collect()}
+    if how == "left":
+        assert got == {(0, None), (1, 555), (2, None)}
+    else:
+        assert got == {(1, 555)}

@@ -99,3 +99,21 @@ def test_cli_curate_chunk_sample_end_to_end(spark, tmp_path):
     main(["sample", cur_out, sa_out, "--budget", "2000"])
     sampled = spark.read.json(sa_out)
     assert 0 < sampled.count() <= n_cur
+
+def test_read_docs_drops_corrupt_jsonl_lines(spark, tmp_path, capsys):
+    """ADVICE r3: PERMISSIVE JSONL parsing must not leak unparseable
+    lines into the pipeline as all-null rows — they are dropped with a
+    warning on stderr."""
+    from big_data_hadoop_spark.cli import _read_docs
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta"}\n'
+        "{this is not json\n"
+        '{"doc_id": 2, "text": "gamma"}\n'
+    )
+    docs = _read_docs(spark, str(p))
+    rows = {(r.doc_id, r.text) for r in docs.collect()}
+    assert rows == {(1, "alpha beta"), (2, "gamma")}
+    assert docs.columns == ["doc_id", "text"]
+    assert "unparseable JSONL" in capsys.readouterr().err

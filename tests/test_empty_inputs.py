@@ -74,3 +74,22 @@ def test_ivf_fewer_rows_than_cells(spark):
         tiny, [0], k=5, n_cells=16, n_probe=16, n_rows=3
     ).collect()
     assert {r.neighbor_id for r in rows2} == {1, 2}
+
+def test_ivf_n_cells_near_train_cap_sampled_path(spark):
+    """ADVICE r3: with n_rows > train_cap the hash-modulus sample keeps a
+    BINOMIAL (~n/modulus) number of rows; when n_cells is near train_cap
+    the arithmetic 'available = n_cells' guess can exceed the actual
+    sample and abort KMeans. The guard must fall back to a LIMIT-count
+    and clamp k. Here: 60 rows, cap 50 -> modulus 2 keeps ~30 rows, yet
+    n_cells=40 is requested; the fit must clamp, not abort."""
+    from big_data_hadoop_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 13) % 7 + 1), float(i % 5)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sim.ivf_topk(
+        df, [0], k=3, n_cells=40, n_probe=40,
+        train_cap=50, n_rows=60,
+    ).collect()
+    assert 0 < len(rows) <= 3

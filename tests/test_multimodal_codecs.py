@@ -130,3 +130,42 @@ def test_sample_frames_wav_block_aligned(spark):
         assert len(f.frame) > 0 and len(f.frame) % block == 0
     # the slices together cover the whole data chunk exactly once
     assert sum(len(f.frame) for f in frames) == 1000 * block
+
+def test_sample_frames_short_wav_distinct_blocks(spark):
+    # Fewer frames than requested (nf=3 < n_frames=4): span == 0 — each
+    # emitted frame must be a DISTINCT single block, not n copies of the
+    # first one (ADVICE r3).
+    wav = _pcm_wav(rate=8000, n_frames=3, ch=1, bits=16)
+    block = 1 * 2
+    media = spark.createDataFrame(
+        [(9, "audio/wav", bytearray(wav))],
+        "media_id long, media_type string, payload binary",
+    )
+    frames = sorted(
+        sample_frames(media, n_frames=4).collect(), key=lambda r: r.frame_no
+    )
+    assert [f.frame_no for f in frames] == [0, 1, 2]
+    assert all(len(f.frame) == block for f in frames)
+    assert len({bytes(f.frame) for f in frames}) == 3  # all distinct
+    # and together they are exactly the data chunk, in order
+    _, _, _, _, off, size = parse_wav_header(wav)
+    assert b"".join(bytes(f.frame) for f in frames) == wav[off : off + size]
+
+
+def test_sample_frames_remainder_tiles_data_chunk(spark):
+    # nf=10, n_frames=4: span=2, remainder 2 — the last slice must absorb
+    # the trailing samples so the slices tile the data chunk (ADVICE r3).
+    wav = _pcm_wav(rate=8000, n_frames=10, ch=2, bits=16)
+    block = 2 * 2
+    media = spark.createDataFrame(
+        [(11, "audio/wav", bytearray(wav))],
+        "media_id long, media_type string, payload binary",
+    )
+    frames = sorted(
+        sample_frames(media, n_frames=4).collect(), key=lambda r: r.frame_no
+    )
+    assert [len(f.frame) for f in frames] == [
+        2 * block, 2 * block, 2 * block, 4 * block,
+    ]
+    _, _, _, _, off, size = parse_wav_header(wav)
+    assert b"".join(bytes(f.frame) for f in frames) == wav[off : off + size]

@@ -83,3 +83,10 @@ ORDER BY share DESC, category, token
     exp = duck.execute(oracle).fetchdf()
     assert len(got) > 0
     assert_frames_match(got, exp, "heavy_hitters")
+
+def test_approx_percentiles_custom_probability_labels(spark):
+    """ADVICE r3: int(p*100) truncates under binary floats (0.29*100 ->
+    28.999... -> 'p28'). Labels must round instead."""
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    cols = approx_percentiles(df, "x", (0.29, 0.07, 0.875)).columns
+    assert cols == ["p29", "p07", "p88"]
