@@ -168,23 +168,52 @@ def main() -> None:
     }
     pass_totals = [round(sum(t.values()), 3) for t in passes]
     total = round(sum(best.values()), 3)
-    print(
-        json.dumps(
+
+    # Full diagnostics (per-pass, first-pass, execute-only rerun) go to a
+    # side file + stderr: the driver captures only the LAST ~2000 chars of
+    # output and parses the final JSON line from it, so the stdout line
+    # must stay small (BENCH_r04 lesson: an oversized line parses as null).
+    detail = {
+        "passes": n_passes,
+        "pass_totals": pass_totals,
+        "first_pass": passes[0],
+        "rerun": rerun,
+        "best": best,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"# bench_detail.json not written: {e}", file=sys.stderr)
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
+    spark.stop()  # stop BEFORE the final line so no JVM noise follows it
+
+    line = json.dumps(
+        {
+            "metric": f"probe suite sec, per-query best-of-{n_passes}",
+            "value": total,
+            "unit": "sec",
+            "queries": best,
+            "sf": sf,
+            "passes": n_passes,
+            "pass_totals": pass_totals,
+        }
+    )
+    if len(line) > 1900:  # stay inside the driver's tail-capture window
+        line = json.dumps(
             {
-                "metric": "declared-probe suite wall-clock, per-query "
-                f"best-of-{n_passes}",
+                "metric": f"probe suite sec, per-query best-of-{n_passes}",
                 "value": total,
                 "unit": "sec",
                 "queries": best,
                 "sf": sf,
-                "passes": n_passes,
-                "pass_totals": pass_totals,
-                "first_pass": passes[0],
-                "rerun": rerun,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
-    spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

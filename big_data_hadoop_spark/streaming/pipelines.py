@@ -20,23 +20,31 @@ from pyspark.sql import types as T
 
 from big_data_hadoop_spark.operators.tokenize import tokens
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos (parquet NANOS)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, **options: str
+) -> DataFrame:
     """File-source stream over an events parquet directory; ts normalized
-    to a µs timestamp exactly as the batch reader does."""
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    to a µs TIMESTAMP exactly as the batch reader sees it.
+
+    Streams need an explicit schema, but pinning one is brittle — the
+    generated testdata has shipped ``ts`` both as int64 epoch-nanos and as
+    parquet ``timestamp[us]`` (TIMESTAMP_NTZ). Deriving the schema from a
+    batch read (a footer-only metadata scan, no data pages touched) keeps
+    the stream byte-identical with batch semantics across either layout.
+
+    ``options`` are forwarded to the stream reader (e.g.
+    ``maxFilesPerTrigger="1"`` for deterministic micro-batch replay).
+    """
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(path)
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # epoch nanos
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP_NTZ → TIMESTAMP is a no-op relabel under the UTC session TZ
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_windowed_event_agg(

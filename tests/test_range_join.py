@@ -15,17 +15,19 @@ from tests.oracle_utils import assert_frames_match
 
 def _sides(spark):
     ev = load_table(spark, SF_ORACLE, "events")
+    # testdata ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     left = ev.select(
         F.col("event_id").alias("l_event"),
-        F.unix_micros("ts").alias("l_us"),
+        us.alias("l_us"),
     )
     # intervals: 10 minutes after each signup event
     right = (
         ev.filter(F.col("event_type") == "signup")
         .select(
             F.col("event_id").alias("r_event"),
-            F.unix_micros("ts").alias("lo_us"),
-            (F.unix_micros("ts") + 600_000_000).alias("hi_us"),
+            us.alias("lo_us"),
+            (us + 600_000_000).alias("hi_us"),
         )
     )
     return left, right

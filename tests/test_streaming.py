@@ -145,38 +145,41 @@ def test_streaming_sessionize_equals_batch_when_drained(spark, tmp_path):
     sessionization of the same parquet, session by session."""
     import shutil
     import time
+    from datetime import datetime, timedelta, timezone
 
     import duckdb
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from big_data_hadoop_spark.sources.io import load_table
-    from big_data_hadoop_spark.streaming import streaming_sessionize
-    from big_data_hadoop_spark.streaming.pipelines import EVENTS_STREAM_SCHEMA
+    from big_data_hadoop_spark.streaming import (
+        read_events_stream,
+        streaming_sessionize,
+    )
 
     gap_s = 1800
     src = tmp_path / "events_src"
     src.mkdir()
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
-    # sentinel events in NANOS (the stream schema's raw ts unit)
-    max_ns = duckdb.sql(
-        f"SELECT max(epoch_ns(ts)) FROM '{SF_SMOKE}/events.parquet'"
+    # sentinel events written in the SAME layout as the real file (footer
+    # schema), far enough in the future to close every real session
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    max_us = duckdb.sql(
+        f"SELECT max(epoch_us(ts)) FROM '{SF_SMOKE}/events.parquet'"
     ).fetchone()[0]
+    max_dt = datetime.fromtimestamp(max_us / 1e6, tz=timezone.utc).replace(
+        tzinfo=None
+    )
     for i, days in enumerate((30, 60), start=1):
         spark.createDataFrame(
-            [(-(10 + i), max_ns + days * 86_400 * 10**9, -1, "sentinel", 0.0, "{}")],
-            EVENTS_STREAM_SCHEMA,
+            [(-(10 + i), max_dt + timedelta(days=days), -1, "sentinel", 0.0, "{}")],
+            schema,
         ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
         part = next((tmp_path / f"s{i}").glob("part-*.parquet"))
         shutil.copy(part, src / f"part-{i}.parquet")
         time.sleep(1.1)  # distinct mtimes -> deterministic batch order
 
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-    )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, str(src), maxFilesPerTrigger="1")
     q = (
         streaming_sessionize(stream, gap_seconds=gap_s)
         .writeStream.format("memory")
@@ -195,7 +198,7 @@ def test_streaming_sessionize_equals_batch_when_drained(spark, tmp_path):
     }
 
     ev = load_table(spark, SF_SMOKE, "events")
-    micros = F.unix_micros(F.col("ts"))
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts")
     prev = F.lag(micros).over(w)
     ns = F.when(
