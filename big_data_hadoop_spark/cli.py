@@ -23,6 +23,7 @@ import argparse
 import sys
 import time
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 
@@ -120,23 +121,37 @@ def _read_docs(spark, path: str):
     raw = read_jsonl(spark, path, schema="doc_id long, text string")
     # PERMISSIVE mode turns unparseable lines into all-null rows; without
     # this filter they would flow silently into curate/chunk/sample
-    # (ADVICE r3). Dropping them is a narrow filter fused into the scan —
-    # the count is one extra aggregate over the same scan, paid only on
-    # the JSONL ingest path, and only to warn. The aggregate must also
-    # reference a data column: a plan touching ONLY ``_corrupt_record``
-    # is disallowed (see ``read_jsonl``'s docstring).
-    n_bad = raw.agg(
-        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n"),
-        F.count("doc_id"),
-    ).collect()[0]["n"]
-    if n_bad:
-        print(
-            f"warning: {n_bad} unparseable JSONL line(s) dropped",
-            file=sys.stderr,
-        )
+    # (ADVICE r3). Dropping them is a narrow filter fused into the scan.
+    # The triage count rides the command's own action as an observed
+    # metric (ADVICE r4: an eager count here doubled the ingest scan and
+    # broke laziness); ``_warn_dropped_lines`` reads it post-action.
+    obs = Observation("jsonl_triage")
+    raw = raw.observe(
+        obs,
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_bad"
+        ),
+    )
+    _PENDING_TRIAGE.append(obs)
     return raw.filter(F.col("_corrupt_record").isNull()).select(
         "doc_id", "text"
     )
+
+
+_PENDING_TRIAGE: list = []
+
+
+def _warn_dropped_lines() -> None:
+    """Emit the JSONL-triage warning after the pipeline's action ran.
+    ``Observation.get`` would block forever if no action consumed the
+    observed plan, so this must only be called post-write."""
+    while _PENDING_TRIAGE:
+        n_bad = _PENDING_TRIAGE.pop().get["n_bad"]
+        if n_bad:
+            print(
+                f"warning: {n_bad} unparseable JSONL line(s) dropped",
+                file=sys.stderr,
+            )
 
 
 def cmd_curate(args: argparse.Namespace) -> None:
@@ -153,6 +168,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         neardup_threshold=args.neardup_threshold,
     )
     write_jsonl(out, args.output)
+    _warn_dropped_lines()
 
 
 def cmd_chunk(args: argparse.Namespace) -> None:
@@ -165,6 +181,7 @@ def cmd_chunk(args: argparse.Namespace) -> None:
         chunk_documents(docs, args.max_tokens, overlap=args.overlap),
         args.output,
     )
+    _warn_dropped_lines()
 
 
 def cmd_sample(args: argparse.Namespace) -> None:
@@ -174,6 +191,7 @@ def cmd_sample(args: argparse.Namespace) -> None:
     spark = _spark("sample")
     docs = _read_docs(spark, args.input)
     write_jsonl(sample_to_token_budget(docs, args.budget), args.output)
+    _warn_dropped_lines()
 
 
 def cmd_probe(args: argparse.Namespace) -> None:

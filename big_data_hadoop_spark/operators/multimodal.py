@@ -354,10 +354,12 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                                 hi = lo + block
                             else:
                                 lo = off + i * span * block
-                                # Last span absorbs nf % n_frames so the
-                                # slices tile the whole data chunk.
+                                # Last span absorbs nf % n_frames; cap at
+                                # whole frames (nf*block), not the raw
+                                # chunk size — a truncated data chunk can
+                                # end mid-sample (ADVICE r4).
                                 hi = (
-                                    off + size
+                                    off + nf * block
                                     if i == k - 1
                                     else lo + span * block
                                 )

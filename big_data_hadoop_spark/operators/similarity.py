@@ -459,11 +459,12 @@ def ivf_build(
     # short-circuits after n_cells rows — not a corpus scan.
     if n_rows is not None and n_rows <= train_cap:
         available = min(n_rows, n_cells)  # sample IS the corpus
-    elif n_rows is not None and n_cells * 4 <= train_cap:
-        # Sampled path: the kept-row count is binomial with mean ~cap;
-        # at >=4x headroom a dip below n_cells is beyond-astronomically
-        # unlikely, so skip the job. With n_cells NEAR cap that argument
-        # fails (ADVICE r3) — fall through to the cheap LIMIT-count.
+    elif n_rows is not None and n_cells * 4 <= train_cap and train_cap >= 1000:
+        # Sampled path: the kept-row count is binomial with mean ~cap.
+        # The skip needs BOTH relative headroom (>=4x) and an absolute
+        # margin (cap >= 1000): at small caps the binomial spread is wide
+        # enough that the sample can dip below n_cells with non-negligible
+        # probability (ADVICE r4) — fall through to the cheap LIMIT-count.
         available = n_cells
     else:
         available = train.limit(n_cells).count()

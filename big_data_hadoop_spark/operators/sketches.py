@@ -53,13 +53,20 @@ def approx_percentiles(
     ``value_col``. ``accuracy`` bounds the rank error at
     ``n / accuracy``; the summary size is O(accuracy·log n), mergeable
     across partitions — no sort, no shuffle of values."""
-    cols = [
-        F.percentile_approx(value_col, p, accuracy).alias(
-            # round, not int(): 0.29*100 is 28.999… under binary floats
-            # and int() would truncate the label to p28 (ADVICE r3).
-            f"p{round(p * 100):02d}"
+    # Half-up labeling, not round(): banker's rounding maps 0.125 to
+    # 'p12', and int() alone truncates 0.29*100 = 28.999… to p28
+    # (ADVICE r3/r4). Nearby probabilities can still collide on a label
+    # (0.290 vs 0.294) — that would silently yield ambiguous duplicate
+    # column names, so refuse instead.
+    labels = [f"p{int(p * 100 + 0.5):02d}" for p in probabilities]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"percentile labels collide: {labels}; space the "
+            "probabilities at least 0.01 apart"
         )
-        for p in probabilities
+    cols = [
+        F.percentile_approx(value_col, p, accuracy).alias(lab)
+        for p, lab in zip(probabilities, labels)
     ]
     return df.agg(*cols)
 

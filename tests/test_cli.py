@@ -103,8 +103,10 @@ def test_cli_curate_chunk_sample_end_to_end(spark, tmp_path):
 def test_read_docs_drops_corrupt_jsonl_lines(spark, tmp_path, capsys):
     """ADVICE r3: PERMISSIVE JSONL parsing must not leak unparseable
     lines into the pipeline as all-null rows — they are dropped with a
-    warning on stderr."""
-    from big_data_hadoop_spark.cli import _read_docs
+    warning on stderr. The triage count is an observed metric on the
+    pipeline's own action (ADVICE r4: no extra eager scan), emitted by
+    ``_warn_dropped_lines`` after that action runs."""
+    from big_data_hadoop_spark.cli import _read_docs, _warn_dropped_lines
 
     p = tmp_path / "docs.jsonl"
     p.write_text(
@@ -116,4 +118,5 @@ def test_read_docs_drops_corrupt_jsonl_lines(spark, tmp_path, capsys):
     rows = {(r.doc_id, r.text) for r in docs.collect()}
     assert rows == {(1, "alpha beta"), (2, "gamma")}
     assert docs.columns == ["doc_id", "text"]
+    _warn_dropped_lines()
     assert "unparseable JSONL" in capsys.readouterr().err

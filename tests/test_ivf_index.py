@@ -78,3 +78,11 @@ def test_empty_corpus_build_search(spark):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "sim",
     ]
+
+
+def test_small_train_cap_takes_counted_path(corpus):
+    # ADVICE r4: with a small cap (100) the 4x-headroom argument alone
+    # is not enough — the build must fall through to the LIMIT-count so
+    # KMeans k can never exceed the actual sample size.
+    index = sim.ivf_build(corpus, n_cells=6, train_cap=100, n_rows=1000)
+    assert 1 <= len(index.centroids) <= 6

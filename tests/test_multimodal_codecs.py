@@ -169,3 +169,27 @@ def test_sample_frames_remainder_tiles_data_chunk(spark):
     ]
     _, _, _, _, off, size = parse_wav_header(wav)
     assert b"".join(bytes(f.frame) for f in frames) == wav[off : off + size]
+
+
+def test_sample_frames_truncated_wav_stays_block_aligned(spark):
+    # Data chunk cut mid-sample (header claims more than the payload
+    # holds, so parse_wav_header clamps size to a non-block-multiple):
+    # the last slice must stop at the last WHOLE frame, never emit a
+    # partial sample (ADVICE r4).
+    wav = _pcm_wav(rate=8000, n_frames=10, ch=2, bits=16)[:-3]
+    block = 2 * 2
+    _, _, _, nf, off, size = parse_wav_header(wav)
+    assert size % block != 0  # premise: truncation landed mid-sample
+    media = spark.createDataFrame(
+        [(13, "audio/wav", bytearray(wav))],
+        "media_id long, media_type string, payload binary",
+    )
+    frames = sorted(
+        sample_frames(media, n_frames=4).collect(), key=lambda r: r.frame_no
+    )
+    assert frames and all(len(f.frame) % block == 0 for f in frames)
+    # slices tile exactly the whole-frame prefix of the data chunk
+    assert (
+        b"".join(bytes(f.frame) for f in frames)
+        == wav[off : off + nf * block]
+    )

@@ -90,3 +90,15 @@ def test_approx_percentiles_custom_probability_labels(spark):
     df = spark.range(10).select(F.col("id").cast("double").alias("x"))
     cols = approx_percentiles(df, "x", (0.29, 0.07, 0.875)).columns
     assert cols == ["p29", "p07", "p88"]
+
+
+def test_approx_percentiles_half_up_labels_and_collision(spark):
+    """ADVICE r4: round() banker's-rounds 0.125 to 'p12'; labels must
+    round half-up, and colliding labels must raise instead of yielding
+    ambiguous duplicate column names."""
+    import pytest
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    assert approx_percentiles(df, "x", (0.125,)).columns == ["p13"]
+    with pytest.raises(ValueError, match="collide"):
+        approx_percentiles(df, "x", (0.290, 0.294))
