@@ -4,6 +4,8 @@ from big_data_hadoop_spark.streaming.pipelines import (
     read_events_stream,
     streaming_exact_dedup,
     streaming_curate,
+    streaming_neighbor_counts,
+    streaming_pair_counts,
     streaming_sessionize,
     streaming_token_counts,
     streaming_windowed_event_agg,
@@ -14,6 +16,8 @@ __all__ = [
     "read_events_stream",
     "streaming_exact_dedup",
     "streaming_curate",
+    "streaming_neighbor_counts",
+    "streaming_pair_counts",
     "streaming_sessionize",
     "streaming_token_counts",
     "streaming_windowed_event_agg",
