@@ -164,3 +164,75 @@ def winnow_fingerprints(
     full = F.slice(mins, 1, F.greatest(F.size(hs) - w + 1, F.lit(0)))
     fps = F.array_distinct(full)
     return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate document pairs from winnowed fingerprints (VERDICT
+    r3 #4 — completes the MOSS use case: SimHash has its Hamming-pair
+    operator, MinHash its LSH join; this is the winnowing family's pair
+    operator).
+
+    ``(id_a, id_b, n_shared, overlap_ratio)`` with ``id_a < id_b`` and
+    ``overlap_ratio >= threshold``, where ``n_shared`` counts shared
+    distinct fingerprints and ``overlap_ratio = n_shared /
+    min(|fp_a|, |fp_b|)`` — MOSS reports containment of the smaller
+    document, so a file pasted whole into a larger one still scores 1.0.
+
+    Plan shape: an inverted-index equi-join on the fingerprint value
+    (never all-pairs), followed by a pair-count aggregation and two size
+    joins — the same skeleton as ``dedup.ngram_jaccard_pairs``. Skew
+    valve for corpus scale: ``max_doc_freq`` drops fingerprints appearing
+    in more than that many documents before the self-join (boilerplate
+    headers/footers are exactly the hashes whose posting lists explode
+    the join; dropping them can only lower recall for pairs whose whole
+    overlap is boilerplate). Default keeps every fingerprint — exact.
+    """
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    # winnow_fingerprints is distinct per document, so count(*) = |fp set|
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("sz"))
+    idx = fps
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("fp")
+        )
+        idx = fps.join(hot, "fp", "left_anti")
+    shared = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "overlap_ratio",
+            F.col("n_shared").cast("double") / F.least("sz_a", "sz_b"),
+        )
+        .filter(F.col("overlap_ratio") >= threshold)
+        .select("id_a", "id_b", "n_shared", "overlap_ratio")
+    )

@@ -779,6 +779,16 @@ def q55_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q57_winnow_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnow near-duplicate pairs (MOSS overlap join over q55's
+    fingerprints; xxhash64-based — rows-only check, value-verified
+    against a pure-Python recomputation in pytest)."""
+    docs = load_table(spark, sf, "documents")
+    return ts.winnow_neardup_pairs(docs, k=5, w=4, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -961,7 +971,7 @@ def q50_word_counts_cased(spark: SparkSession, sf: str) -> DataFrame:
 # the entries past 50 got no rows at all). Probes are NUMBERED so that the
 # 50 oracle-checked ones are q01-q50 and the rows-only ones (no ANSI-SQL
 # oracle — xxhash64/seeded/iterative/recurrence constructs, independently
-# value-checked by pytest instead) are q51-q56: insertion order and
+# value-checked by pytest instead) are q51-q57: insertion order and
 # name-sorted order agree, so the cap lands on the rows-only tail under
 # EITHER driver iteration order. test_oracle.py pins this invariant.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1016,7 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_sql_text": q48_sql_text,
     "q49_sliding_windows": q49_sliding_windows,
     "q50_word_counts_cased": q50_word_counts_cased,
-    # --- rows-only tail (q51-q56; pytest value-checks, see
+    # --- rows-only tail (q51-q57; pytest value-checks, see
     # tests/test_rows_only_values.py and test_golden.py) ---
     "q51_simhash": q51_simhash,
     "q52_lsh_ann": q52_lsh_ann,
@@ -1024,6 +1034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_simhash_neardup": q54_simhash_neardup,
     "q55_winnow_fingerprints": q55_winnow_fingerprints,
     "q56_ewm": q56_ewm,
+    "q57_winnow_neardup": q57_winnow_neardup,
 }
 
 _EN = ts.STOPWORDS["en"]
