@@ -367,3 +367,85 @@ def pack_sequences(
         )
         .drop("_tok_n", "_bkt", "_before")
     )
+
+
+def materialize_packs(
+    docs: DataFrame,
+    context_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The trainer-facing artifact for ``pack_sequences`` (VERDICT r3
+    #5): one row per pack with its member docs and the actual token
+    payload, boundary truncation applied and accounted for.
+
+    Output: ``(pack_id, n_docs, token_count, n_truncated, doc_ids
+    array<long>, payload string)``. Docs appear in fill order; the one
+    document that straddles the pack's right boundary (at most one, by
+    construction — a doc belongs to the pack where it STARTS) is
+    truncated to the boundary, its overflow counted in ``n_truncated``
+    — each pack is an independent ``context_tokens``-bounded training
+    example. Because the global token offsets stay contiguous (the
+    overflow is dropped from the payload but still occupies its range),
+    an interior pack's ``token_count`` is ``context_tokens`` minus the
+    previous pack's ``n_truncated`` — the head of its range belonged to
+    the truncated straddler. Packs therefore never exceed
+    ``context_tokens`` and the slack per pack is exactly accounted for
+    by the neighboring ``n_truncated`` bookkeeping.
+
+    Everything stays JVM-side: kept tokens are an ``F.slice`` of the
+    per-doc token array, pack assembly is one ``collect_list`` bounded
+    by pack size (~``context_tokens`` tokens, NOT corpus size), and the
+    only shuffle beyond the shared prefix sum is the groupBy(pack_id).
+    Payload tokens keep original case (counting is case-insensitive but
+    count-identical, since lowercasing never changes token boundaries).
+    """
+    if context_tokens <= 0:
+        raise ValueError("context_tokens must be positive")
+    c = F.lit(context_tokens)
+    pref = _global_token_prefix(docs, text_col, id_col, n_buckets)
+    pack_id = F.floor(F.col("_before") / c)
+    pack_offset = F.col("_before") - pack_id * c
+    kept = F.least(F.col("_tok_n"), c - pack_offset)
+    member = (
+        pref.withColumn("pack_id", pack_id)
+        .withColumn("_kept", kept)
+        .withColumn(
+            "_kept_toks",
+            F.slice(
+                split_tokens(F.col(text_col)), 1, F.col("_kept").cast("int")
+            ),
+        )
+    )
+    # fill-order sort key: within-pack offset, tie-broken by the global
+    # hash order itself (zero-token docs share an offset with their
+    # successor, possibly across a bucket boundary)
+    entry = F.struct(
+        (F.col("_before") - F.col("pack_id") * c).alias("off"),
+        F.col("_bkt").alias("bkt"),
+        F.xxhash64(F.col(id_col)).alias("h"),
+        F.col(id_col).alias("doc_id"),
+        F.col("_kept").alias("kept"),
+        (F.col("_tok_n") - F.col("_kept")).alias("cut"),
+        F.col("_kept_toks").alias("toks"),
+    )
+    packed = (
+        member.groupBy("pack_id")
+        .agg(F.sort_array(F.collect_list(entry)).alias("_m"))
+        .select(
+            "pack_id",
+            F.size("_m").alias("n_docs"),
+            F.aggregate(
+                "_m", F.lit(0).cast("long"), lambda a, x: a + x["kept"]
+            ).alias("token_count"),
+            F.aggregate(
+                "_m", F.lit(0).cast("long"), lambda a, x: a + x["cut"]
+            ).alias("n_truncated"),
+            F.transform("_m", lambda x: x["doc_id"]).alias("doc_ids"),
+            F.concat_ws(
+                " ", F.flatten(F.transform("_m", lambda x: x["toks"]))
+            ).alias("payload"),
+        )
+    )
+    return packed
