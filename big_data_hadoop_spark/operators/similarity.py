@@ -146,13 +146,19 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """All pairs ``(vec_a, vec_b, sim)`` with ``vec_a < vec_b`` and cosine
     ``sim >= threshold``. Brute force — the exact baseline/verifier.
 
     With ``dim`` given, vectors are flattened to scalar columns below the
     join (see ``_flat``); the fold order (``0.0 + t1 + t2 + ...``) is
-    identical in both paths, so results are bit-identical."""
+    identical in both paths, so results are bit-identical.
+
+    ``n_parts`` sizes the codegen-boundary exchange below (VERDICT r3
+    #6); it defaults to the local ``defaultParallelism``, which is right
+    for the single-node verifier role — cluster callers should pass
+    their target parallelism explicitly."""
     if dim is not None:
         # Zero-norm guard (ADVICE r2): the multiplied-form predicate below
         # admits zero-norm vectors (0 >= 0) whose sim is NULL in Spark
@@ -175,7 +181,7 @@ def cosine_neardup_pairs(
         # next to the O(N^2) join it feeds.
         # Fixed partition count: an AQE-coalescible exchange would shrink
         # the tiny flat side to 1 partition and serialize the O(N^2) join.
-        nparts = df.sparkSession.sparkContext.defaultParallelism
+        nparts = n_parts or df.sparkSession.sparkContext.defaultParallelism
         fa = (
             _flat(df, id_col, vec_col, dim, "_a")
             .withColumnRenamed(id_col, "vec_a")

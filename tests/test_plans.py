@@ -199,3 +199,27 @@ def test_hyperplane_cast_materialized_once(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     casts = re.findall(r"cast\(embedding", opt)
     assert len(casts) == 1, f"expected one materialized cast, saw {len(casts)}"
+
+
+def test_cosine_neardup_n_parts_sizes_exchange_only(spark):
+    """VERDICT r3 #6: n_parts must size the codegen-boundary exchanges
+    without changing the exchange COUNT (same plan shape, different
+    partition number)."""
+    from big_data_hadoop_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.probes import EMBED_DIM
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    default_plan = formatted_plan(
+        cosine_neardup_pairs(emb, threshold=0.4, dim=EMBED_DIM)
+    )
+    sized_plan = formatted_plan(
+        cosine_neardup_pairs(emb, threshold=0.4, dim=EMBED_DIM, n_parts=5)
+    )
+    assert default_plan.count("Exchange") == sized_plan.count("Exchange")
+    assert "hashpartitioning" in sized_plan
+    assert ", 5)" in sized_plan, sized_plan  # hashpartitioning(vec_a, 5)
