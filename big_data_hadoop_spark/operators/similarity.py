@@ -496,38 +496,34 @@ def ivf_build(
     return IVFIndex(centroids, assigned, id_col)
 
 
-def ivf_search(
-    index: IVFIndex,
-    query_ids: list[int],
-    k: int = 5,
-    n_probe: int = 4,
-) -> DataFrame:
-    """Search a built :class:`IVFIndex`: each query (a corpus id) ranks
-    the driver-side centroids, keeps its ``n_probe`` nearest cells, and
-    exact-cosine re-ranks inside them via an equi-join on the cell id —
-    the corpus meets candidates on a short key, never all-pairs. Recall
-    is tuned by ``n_probe``/``n_cells``; ``n_probe = n_cells`` degrades
-    to exact. NO KMeans fit happens here — repeated searches reuse the
-    index as-is.
-    """
+def _ivf_empty_result(index: IVFIndex, id_type) -> DataFrame:
     from pyspark.sql import types as T
 
-    assigned, id_col = index.assigned, index.id_col
-    if not index.centroids:
-        id_type = assigned.schema[id_col].dataType
-        return assigned.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("query_id", id_type),
-                    T.StructField("neighbor_id", id_type),
-                    T.StructField("sim", T.DoubleType()),
-                ]
-            ),
-        )
+    return index.assigned.sparkSession.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("neighbor_id", index.assigned.schema[index.id_col].dataType),
+                T.StructField("sim", T.DoubleType()),
+            ]
+        ),
+    )
 
-    # Driver-side centroids (n_cells x dim — tiny) become a literal cell
-    # table; each query ranks cells by distance and keeps n_probe.
+
+def _ivf_search_core(
+    index: IVFIndex,
+    q: DataFrame,
+    k: int,
+    n_probe: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared IVF search: ``q`` is ``(query_id, q_emb, q_nrm)``. Each
+    query ranks the driver-side centroids (a literal cell table — tiny),
+    keeps its ``n_probe`` nearest cells, and exact-cosine re-ranks inside
+    them via a broadcast equi-join on the cell id — the corpus meets
+    candidates on a short key, never all-pairs."""
+    assigned, id_col = index.assigned, index.id_col
     centers = [
         F.struct(
             F.lit(i).alias("cell"),
@@ -536,11 +532,6 @@ def ivf_search(
         for i, c in enumerate(index.centroids)
     ]
     cells = F.explode(F.array(*centers)).alias("c")
-    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("emb_d").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
     dist2 = F.aggregate(
         F.zip_with(F.col("q_emb"), F.col("c.ctr"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -557,17 +548,67 @@ def ivf_search(
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "q_emb", "q_nrm", F.col("cell").alias("q_cell"))
     )
+    cond = F.col("cell") == F.col("q_cell")
+    if exclude_self:
+        cond = cond & (F.col("query_id") != F.col(id_col))
     sim = dot(F.col("q_emb"), F.col("emb_d")) / (F.col("q_nrm") * F.col("nrm"))
-    scored = assigned.join(
-        F.broadcast(probed),
-        (F.col("cell") == F.col("q_cell")) & (F.col("query_id") != F.col(id_col)),
-    ).select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    scored = assigned.join(F.broadcast(probed), cond).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def ivf_search(
+    index: IVFIndex,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a built :class:`IVFIndex` with CORPUS ids as queries (each
+    query excludes itself from its neighbors). Recall is tuned by
+    ``n_probe``/``n_cells``; ``n_probe = n_cells`` degrades to exact. NO
+    KMeans fit happens here — repeated searches reuse the index as-is.
+    """
+    assigned, id_col = index.assigned, index.id_col
+    if not index.centroids:
+        return _ivf_empty_result(index, assigned.schema[id_col].dataType)
+    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return _ivf_search_core(index, q, k, n_probe, exclude_self=True)
+
+
+def ivf_search_vectors(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a built :class:`IVFIndex` with EXTERNAL query vectors — the
+    serving shape: queries arrive as ``(id, embedding)`` rows that are
+    NOT part of the indexed corpus (no self-exclusion), e.g. a batch of
+    fresh documents to link against the training set. Same plan as
+    :func:`ivf_search`: centroid ranking on the driver-side literal
+    table, broadcast of the probed queries, cell equi-join, exact cosine
+    re-rank — the corpus is scanned once per batch regardless of query
+    count."""
+    if not index.centroids:
+        return _ivf_empty_result(index, queries.schema[id_col].dataType)
+    q = with_norm(queries, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return _ivf_search_core(index, q, k, n_probe, exclude_self=False)
 
 
 def ivf_topk(

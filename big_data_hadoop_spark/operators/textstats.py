@@ -196,6 +196,15 @@ def winnow_neardup_pairs(
     overlap is boilerplate). Default keeps every fingerprint — exact.
     """
     fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    # Pin ONE hash-exchange on fp that every consumer shares: without it
+    # Catalyst recomputes the (expensive) per-character rolling-hash
+    # lineage once per appearance — join left, join right (a broadcast at
+    # small scale, so no exchange reuse), and each size aggregate — 4x
+    # the hashing work (measured 14.6s -> 8.9s at sf0.1). Both self-join
+    # sides and the downstream aggregates now hang off the identical
+    # exchange subtree, which Spark executes once (ReusedExchange), and
+    # shuffling by fp is the 100 TB-correct join layout anyway.
+    fps = fps.repartition("fp")
     # winnow_fingerprints is distinct per document, so count(*) = |fp set|
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("sz"))
     idx = fps

@@ -8,6 +8,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
     streaming_pair_counts,
     streaming_sessionize,
     streaming_token_counts,
+    streaming_topk_words,
     streaming_windowed_event_agg,
     write_stream_parquet,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_pair_counts",
     "streaming_sessionize",
     "streaming_token_counts",
+    "streaming_topk_words",
     "streaming_windowed_event_agg",
     "write_stream_parquet",
 ]

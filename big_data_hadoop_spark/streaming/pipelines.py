@@ -77,6 +77,27 @@ def streaming_token_counts(lines: DataFrame) -> DataFrame:
     return t.groupBy("category", "token").agg(F.count("*").alias("cnt"))
 
 
+def streaming_topk_words(
+    lines: DataFrame,
+    k: int = 1000,
+    lowercase: bool = True,
+    category: str | None = "word",
+) -> DataFrame:
+    """The reference's ``SparkWordCount`` top-K (T1) as an unbounded
+    query. Sorting with a limit is legal on a streaming aggregation in
+    complete output mode, and each micro-batch re-plans the same
+    ``TakeOrderedAndProject`` the batch twin uses — per-partition top-K
+    merged on one reducer, K rows total, never a full sort. Deterministic
+    tie-break (``cnt DESC, token ASC``) matches batch ``top_k`` so the
+    drained stream equals the batch result exactly.
+    """
+    from big_data_hadoop_spark.operators.counts import token_counts, top_k
+
+    return top_k(
+        token_counts(lines, lowercase=lowercase, category=category), k=k
+    )
+
+
 def streaming_pair_counts(
     lines: DataFrame, m: int = 1, lowercase: bool = False
 ) -> DataFrame:

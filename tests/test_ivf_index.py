@@ -86,3 +86,53 @@ def test_small_train_cap_takes_counted_path(corpus):
     # KMeans k can never exceed the actual sample size.
     index = sim.ivf_build(corpus, n_cells=6, train_cap=100, n_rows=1000)
     assert 1 <= len(index.centroids) <= 6
+
+
+def test_search_vectors_external_queries(spark, corpus):
+    """ivf_search_vectors must serve EXTERNAL vectors: full probe equals
+    a numpy brute-force top-k over the corpus (no self-exclusion), and a
+    partial probe returns k well-formed, descending results per query."""
+    import numpy as np
+
+    index = sim.ivf_build(corpus, n_cells=6)
+    qrows = [
+        (100, [10.0, 5.0, 0.3, 0.1, 0.0, 0.2]),   # near group 0
+        (101, [0.1, 0.0, 10.2, 4.9, 0.0, 0.1]),   # near group 1
+        (102, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),    # equidistant-ish
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>"
+    )
+    got = sim.ivf_search_vectors(index, queries, k=3, n_probe=6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.sim))
+
+    corpus_rows = corpus.collect()
+    for qid, qv in qrows:
+        qv = np.array(qv)
+        sims = sorted(
+            (
+                (
+                    float(
+                        np.dot(qv, np.array(r.embedding))
+                        / (np.linalg.norm(qv) * np.linalg.norm(r.embedding))
+                    ),
+                    r.vec_id,
+                )
+                for r in corpus_rows
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        expect = [(vid, round(s, 9)) for s, vid in sims]
+        assert [
+            (nid, round(s, 9)) for nid, s in by_q[qid]
+        ] == expect, qid
+
+    partial = sim.ivf_search_vectors(index, queries, k=3, n_probe=2).collect()
+    per_q = {}
+    for r in partial:
+        per_q.setdefault(r.query_id, []).append(r.sim)
+    for qid, sims in per_q.items():
+        assert 1 <= len(sims) <= 3
+        assert sims == sorted(sims, reverse=True)

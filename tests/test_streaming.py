@@ -437,3 +437,40 @@ def test_streaming_neighbor_counts_equals_batch_when_drained(
         for r in stripes(golden_lines, m=1, keep_empty=False).collect()
     }
     assert rolled == batch
+
+
+def test_streaming_topk_equals_batch_when_drained(spark, golden_lines, tmp_path):
+    """SparkWordCount's top-K as a stream: drained complete-mode output
+    must equal batch top_k exactly, including the deterministic
+    (cnt DESC, token ASC) tie-break across micro-batch boundaries."""
+    from big_data_hadoop_spark.operators.counts import token_counts, top_k
+    from big_data_hadoop_spark.streaming import streaming_topk_words
+
+    src = str(tmp_path / "lines_topk")
+    golden_lines.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_topk_words(stream, k=5)
+        .writeStream.format("memory")
+        .queryName("topk_words")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_topk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM topk_words ORDER BY cnt DESC, token ASC"
+        ).collect()
+    ]
+    expect = [
+        tuple(r)
+        for r in top_k(
+            token_counts(golden_lines, lowercase=True, category="word"), k=5
+        ).collect()
+    ]
+    assert got == expect and len(got) == 5
