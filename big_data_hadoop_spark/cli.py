@@ -194,6 +194,18 @@ def cmd_sample(args: argparse.Namespace) -> None:
     _warn_dropped_lines()
 
 
+def cmd_pack(args: argparse.Namespace) -> None:
+    from big_data_hadoop_spark.pipeline import materialize_packs
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("pack")
+    docs = _read_docs(spark, args.input)
+    write_jsonl(
+        materialize_packs(docs, args.context_tokens), args.output
+    )
+    _warn_dropped_lines()
+
+
 def cmd_probe(args: argparse.Namespace) -> None:
     from big_data_hadoop_spark.probes import QUERIES
 
@@ -262,6 +274,16 @@ def main(argv: list[str] | None = None) -> None:
     sa.add_argument("output")
     sa.add_argument("--budget", type=int, required=True, help="token budget")
 
+    pk = sub.add_parser(
+        "pack", help="materialize context-window training packs -> JSONL"
+    )
+    pk.add_argument("input")
+    pk.add_argument("output")
+    pk.add_argument(
+        "--context-tokens", type=int, default=2048,
+        help="pack size in whitespace tokens",
+    )
+
     args = p.parse_args(argv)
     t0 = time.monotonic()
     {
@@ -273,6 +295,7 @@ def main(argv: list[str] | None = None) -> None:
         "curate": cmd_curate,
         "chunk": cmd_chunk,
         "sample": cmd_sample,
+        "pack": cmd_pack,
     }[args.command](args)
     print(f"[{args.command}] completed in {time.monotonic() - t0:.2f}s")
 

@@ -100,6 +100,16 @@ def test_cli_curate_chunk_sample_end_to_end(spark, tmp_path):
     sampled = spark.read.json(sa_out)
     assert 0 < sampled.count() <= n_cur
 
+    pk_out = str(tmp_path / "packs")
+    main(["pack", cur_out, pk_out, "--context-tokens", "256"])
+    packs = spark.read.json(pk_out)
+    assert packs.count() > 0
+    assert set(packs.columns) >= {
+        "pack_id", "n_docs", "token_count", "n_truncated", "doc_ids",
+        "payload",
+    }
+    assert packs.filter("token_count > 256").count() == 0
+
 def test_read_docs_drops_corrupt_jsonl_lines(spark, tmp_path, capsys):
     """ADVICE r3: PERMISSIVE JSONL parsing must not leak unparseable
     lines into the pipeline as all-null rows — they are dropped with a
