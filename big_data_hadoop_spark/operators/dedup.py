@@ -485,3 +485,107 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS:
+    ``(member_id, cluster_id)`` where ``cluster_id`` is the minimum id in
+    the pair-graph's connected component — the step between any pair
+    operator (``minhash_lsh_pairs``, ``simhash_neardup_pairs``,
+    ``ngram_jaccard_pairs``, ``winnow_neardup_pairs``) and the dedup
+    ACTION (keep one canonical doc per cluster). Pairwise keep-first
+    (drop every ``id_b``) over-deletes on chains: for pairs (1,2),(2,3)
+    it drops 2 AND 3 even though 3 may only resemble 2; clustering keeps
+    exactly one representative per component.
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round, a node takes the minimum label in its neighborhood;
+    fixpoint in O(graph diameter) rounds — near-dup components are
+    shallow (stars/short chains), so convergence is typically 2-4
+    rounds. Each round is one join + one aggregation (all keyed
+    shuffles, no driver-side graph); iterates like KMeans does, with a
+    per-round ``persist`` to cut lineage growth and a LIMIT-1 changed
+    check. For planet-scale graphs with deep chains, the two-phase
+    small-star/large-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public) drops rounds
+    to O(log n); not needed at near-dup diameters.
+
+    Only ids that appear in ``pairs`` are emitted — singletons are their
+    own cluster implicitly.
+    """
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("min_nl"))
+        )
+        new_labels = (
+            labels.join(
+                neigh.select(F.col("src").alias("id"), "min_nl"), "id", "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("min_nl", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_by_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The cluster-resolved dedup ACTION: keep every doc that is either
+    untouched by ``pairs`` or its component's canonical representative
+    (minimum id). One anti-join against the non-representative members —
+    the exact cluster-safe analog of the keep-first rule."""
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

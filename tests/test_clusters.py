@@ -1,0 +1,87 @@
+"""Duplicate-cluster resolution: min-label propagation must equal a
+Python union-find on adversarial graph shapes and on real minhash pairs
+at sf0.01, and the cluster-resolved dedup action must keep exactly one
+representative per component (unlike pairwise keep-first, which
+over-deletes on chains)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.dedup import (
+    dedup_by_clusters,
+    duplicate_clusters,
+    minhash_lsh_pairs,
+)
+from big_data_hadoop_spark.sources.io import load_table
+from tests.conftest import SF_ORACLE
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id per component
+    comp: dict[int, list[int]] = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    return {m: min(ms + [root]) for root, ms in comp.items() for m in ms}
+
+
+def _clusters_of(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r.member_id: r.cluster_id for r in duplicate_clusters(df).collect()
+    }
+
+
+def test_matches_union_find_on_adversarial_shapes(spark):
+    # chain (diameter > 1), star, triangle+bridge, two disjoint comps,
+    # and a component whose min id arrives via the far end of the chain
+    pairs = [
+        (2, 3), (3, 4), (4, 5), (5, 6),          # chain, min=2
+        (10, 11), (10, 12), (10, 13),            # star, min=10
+        (20, 21), (21, 22), (20, 22), (22, 23),  # triangle + bridge
+        (30, 31),                                 # tiny comp
+        (42, 41), (41, 40), (40, 1),              # min joins at the end
+    ]
+    assert _clusters_of(spark, pairs) == _union_find(pairs)
+
+
+def test_matches_union_find_on_minhash_pairs_sf001(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairs_df = minhash_lsh_pairs(docs, threshold=0.7)
+    pairs = [(r.id_a, r.id_b) for r in pairs_df.collect()]
+    assert pairs, "fixture corpus must contain near-dups"
+    got = {
+        r.member_id: r.cluster_id
+        for r in duplicate_clusters(pairs_df).collect()
+    }
+    assert got == _union_find(pairs)
+
+
+def test_dedup_by_clusters_keeps_one_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # chain 1-2-3 and pair 5-6; 4 and 7 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = {r.doc_id for r in dedup_by_clusters(docs, pairs).collect()}
+    assert kept == {1, 4, 5, 7}
+    # pairwise keep-first would also have dropped 3's whole chain the
+    # same way here, but on (2,3) alone it would drop 3 even if 3 only
+    # resembles 2 — the cluster rule keeps exactly min per component
+    singles = duplicate_clusters(pairs)
+    assert {r.cluster_id for r in singles.collect()} == {1, 5}
