@@ -634,3 +634,38 @@ def ivf_topk(
         train_cap=train_cap, max_iter=max_iter, n_rows=n_rows,
     )
     return ivf_search(index, query_ids, k=k, n_probe=n_probe)
+
+
+def cosine_topk_vectors(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k corpus neighbors for EXTERNAL query vectors — the
+    brute-force twin of :func:`ivf_search_vectors` (and the exact
+    verifier for it): queries arrive as ``(id, embedding)`` rows not
+    part of the corpus, so there is no self-exclusion. The query batch
+    is broadcast; the corpus streams through one scan; a rank window per
+    query keeps k rows, tie-broken on neighbor id."""
+    e = with_norm(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col=vec_col
+    ).select(F.col(id_col), "emb_d", "nrm")
+    q = with_norm(queries, vec_col=query_vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("emb_d")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = e.join(F.broadcast(q)).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

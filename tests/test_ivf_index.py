@@ -136,3 +136,23 @@ def test_search_vectors_external_queries(spark, corpus):
     for qid, sims in per_q.items():
         assert 1 <= len(sims) <= 3
         assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_topk_vectors_is_exact_reference_for_ivf(spark, corpus):
+    """cosine_topk_vectors (brute force, external queries) must equal
+    ivf_search_vectors at full probe — the same exact-verifier contract
+    corpus-id search has with cosine_topk."""
+    queries = spark.createDataFrame(
+        [(200, [9.8, 5.2, 0.0, 0.4, 0.1, 0.0]), (201, [0.2, 0.1, 0.0, 0.3, 10.1, 5.0])],
+        "query_id long, embedding array<double>",
+    )
+    brute = {
+        (r.query_id, r.neighbor_id, round(r.sim, 9))
+        for r in sim.cosine_topk_vectors(corpus, queries, k=4).collect()
+    }
+    index = sim.ivf_build(corpus, n_cells=6)
+    full_probe = {
+        (r.query_id, r.neighbor_id, round(r.sim, 9))
+        for r in sim.ivf_search_vectors(index, queries, k=4, n_probe=6).collect()
+    }
+    assert brute == full_probe and len(brute) == 8
