@@ -146,7 +146,19 @@ def _warn_dropped_lines() -> None:
     ``Observation.get`` would block forever if no action consumed the
     observed plan, so this must only be called post-write."""
     while _PENDING_TRIAGE:
-        n_bad = _PENDING_TRIAGE.pop().get["n_bad"]
+        obs = _PENDING_TRIAGE.pop()
+        try:
+            n_bad = obs.get["n_bad"]
+        except Exception:
+            # A pipeline stage that re-executes the observed subtree in a
+            # degenerate way can leave the metric unreadable; the corrupt
+            # rows are still FILTERED either way — only the count is lost.
+            print(
+                "warning: unparseable JSONL line count unavailable "
+                "(lines were still dropped)",
+                file=sys.stderr,
+            )
+            continue
         if n_bad:
             print(
                 f"warning: {n_bad} unparseable JSONL line(s) dropped",
@@ -166,6 +178,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         min_alpha_ratio=args.min_alpha_ratio,
         langs=tuple(args.langs.split(",")),
         neardup_threshold=args.neardup_threshold,
+        neardup_mode=args.neardup_mode,
     )
     write_jsonl(out, args.output)
     _warn_dropped_lines()
@@ -259,6 +272,12 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument(
         "--neardup-threshold", type=float, default=None,
         help="enable MinHash-LSH near-dedup at this Jaccard threshold",
+    )
+    cu.add_argument(
+        "--neardup-mode", choices=("pairwise", "cluster"),
+        default="pairwise",
+        help="pair resolution: drop id_b per pair, or keep one doc per "
+        "connected component",
     )
 
     ch = sub.add_parser("chunk", help="token-window chunking -> JSONL")

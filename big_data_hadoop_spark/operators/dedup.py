@@ -518,10 +518,25 @@ def duplicate_clusters(
     Only ids that appear in ``pairs`` are emitted — singletons are their
     own cluster implicitly.
     """
-    spark = pairs.sparkSession
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Symmetrize with ONE explode pass, not union-of-swapped-self: the
+    # union form duplicates the whole upstream lineage inside a single
+    # query (two scans, and a second copy of any observe/CollectMetrics
+    # node upstream — which corrupts Observation metrics on the ingest
+    # path, seen via the CLI's JSONL triage).
     edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )

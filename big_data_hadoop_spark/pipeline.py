@@ -74,6 +74,7 @@ def curate_training_data(
     min_alpha_ratio: float = 0.3,
     langs: tuple[str, ...] = ("en",),
     neardup_threshold: float | None = None,
+    neardup_mode: str = "pairwise",
 ) -> DataFrame:
     """Curated corpus: rows of ``docs`` (original schema) that pass every
     stage.
@@ -83,8 +84,13 @@ def curate_training_data(
     - language gate: q25 stopword-vote prediction in ``langs``;
     - exact dedup: keep-first on the md5 of normalized text (q17);
     - near-dedup (only when ``neardup_threshold`` is set): MinHash-LSH
-      pairs at that Jaccard threshold; the HIGHER id of each verified
-      pair is dropped (keep-first, matching exact dedup's tie rule).
+      pairs at that Jaccard threshold, resolved per ``neardup_mode``:
+      ``"pairwise"`` (default) drops the HIGHER id of each verified pair
+      — lazy, one anti-join, but over-deletes on chains ((1,2),(2,3)
+      drops both 2 and 3); ``"cluster"`` resolves the pair graph into
+      connected components (``dedup.duplicate_clusters``) and keeps the
+      minimum id per component — exact keep-one semantics, at the cost
+      of the iterative label-propagation (runs Spark jobs when called).
 
     The gates are one fused filter over the scan; their predicates are
     deliberately identical to the standalone probes so the whole funnel
@@ -99,6 +105,12 @@ def curate_training_data(
     pairs = minhash_lsh_pairs(
         deduped, threshold=neardup_threshold, text_col=text_col, id_col=id_col
     )
+    if neardup_mode == "cluster":
+        from big_data_hadoop_spark.operators.dedup import dedup_by_clusters
+
+        return dedup_by_clusters(deduped, pairs, id_col=id_col)
+    if neardup_mode != "pairwise":
+        raise ValueError(f"unknown neardup_mode {neardup_mode!r}")
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return deduped.join(drop, id_col, "left_anti")
 

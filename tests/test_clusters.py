@@ -85,3 +85,41 @@ def test_dedup_by_clusters_keeps_one_per_component(spark):
     # resembles 2 — the cluster rule keeps exactly min per component
     singles = duplicate_clusters(pairs)
     assert {r.cluster_id for r in singles.collect()} == {1, 5}
+
+
+def test_curate_cluster_mode_keeps_component_minimum(spark):
+    """Funnel integration: cluster mode must keep exactly the minimum id
+    per near-dup component of the pairwise survivors, and at least as
+    many docs as pairwise mode (which over-deletes on chains)."""
+    from big_data_hadoop_spark.pipeline import curate_training_data
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairwise = {
+        r.doc_id
+        for r in curate_training_data(docs, neardup_threshold=0.7)
+        .select("doc_id")
+        .collect()
+    }
+    clustered = {
+        r.doc_id
+        for r in curate_training_data(
+            docs, neardup_threshold=0.7, neardup_mode="cluster"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    base = {
+        r.doc_id
+        for r in curate_training_data(docs).select("doc_id").collect()
+    }
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            curate_training_data(docs), threshold=0.7
+        ).collect()
+    ]
+    expect = base - {
+        m for m, c in _union_find(pairs).items() if m != c
+    }
+    assert clustered == expect
+    assert pairwise <= clustered
