@@ -793,6 +793,27 @@ def q57_winnow_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q58_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pair graph resolved into duplicate clusters (min-label
+    propagation over q19's MinHash-LSH pairs; xxhash64-based + iterative
+    — rows-only check, value-verified against Python union-find in
+    pytest). One row per non-singleton cluster with its canonical id,
+    member count, and key-sorted member list."""
+    from big_data_hadoop_spark.operators.dedup import duplicate_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    cl = duplicate_clusters(pairs)
+    return (
+        cl.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list("member_id")).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -975,7 +996,7 @@ def q50_word_counts_cased(spark: SparkSession, sf: str) -> DataFrame:
 # the entries past 50 got no rows at all). Probes are NUMBERED so that the
 # 50 oracle-checked ones are q01-q50 and the rows-only ones (no ANSI-SQL
 # oracle — xxhash64/seeded/iterative/recurrence constructs, independently
-# value-checked by pytest instead) are q51-q57: insertion order and
+# value-checked by pytest instead) are q51-q58: insertion order and
 # name-sorted order agree, so the cap lands on the rows-only tail under
 # EITHER driver iteration order. test_oracle.py pins this invariant.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1030,7 +1051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_sql_text": q48_sql_text,
     "q49_sliding_windows": q49_sliding_windows,
     "q50_word_counts_cased": q50_word_counts_cased,
-    # --- rows-only tail (q51-q57; pytest value-checks, see
+    # --- rows-only tail (q51-q58; pytest value-checks, see
     # tests/test_rows_only_values.py and test_golden.py) ---
     "q51_simhash": q51_simhash,
     "q52_lsh_ann": q52_lsh_ann,
@@ -1039,6 +1060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_winnow_fingerprints": q55_winnow_fingerprints,
     "q56_ewm": q56_ewm,
     "q57_winnow_neardup": q57_winnow_neardup,
+    "q58_dedup_clusters": q58_dedup_clusters,
 }
 
 _EN = ts.STOPWORDS["en"]

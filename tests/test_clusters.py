@@ -123,3 +123,26 @@ def test_curate_cluster_mode_keeps_component_minimum(spark):
     }
     assert clustered == expect
     assert pairwise <= clustered
+
+
+def test_q58_probe_matches_union_find(spark):
+    """The q58 registry probe's clusters must be exactly the union-find
+    components of the same pair relation."""
+    from big_data_hadoop_spark.probes import QUERIES
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    ]
+    uf = _union_find(pairs)
+    comps: dict[int, set[int]] = {}
+    for m, c in uf.items():
+        comps.setdefault(c, set()).add(m)
+    got = {
+        r.cluster_id: (r.n_members, tuple(r.members))
+        for r in QUERIES["q58_dedup_clusters"](spark, SF_ORACLE).collect()
+    }
+    assert got == {
+        c: (len(ms), tuple(sorted(ms))) for c, ms in comps.items()
+    }

@@ -1,6 +1,6 @@
 """Independent VALUE verification for the rows-only probes (VERDICT r1 #8).
 
-q51-q57 (q51_simhash, q52_lsh_ann, q53_ivf_ann, q54_simhash_neardup,
+q51-q58 (q51_simhash, q52_lsh_ann, q53_ivf_ann, q54_simhash_neardup,
 q55_winnow_fingerprints, q56_ewm) have no ANSI-SQL oracle (xxhash64 /
 seeded plane literals / iterative KMeans / recurrences), so the external
 driver only row-counts them. These tests re-derive the expected VALUES
@@ -19,7 +19,8 @@ with pure Python/pandas references so "ran" becomes "right":
   exact by construction — it must equal the brute-force top-k; at the
   registered ``n_probe=4`` setting, recall against exact has a floor.
 (q55 winnowing and q56 EWM references live in test_golden.py; q57 winnow
-near-dup pairs in test_winnow_pairs.py.)
+near-dup pairs in test_winnow_pairs.py; q58 cluster resolution in
+test_clusters.py.)
 """
 
 from __future__ import annotations
