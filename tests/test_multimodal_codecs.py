@@ -193,3 +193,63 @@ def test_sample_frames_truncated_wav_stays_block_aligned(spark):
         b"".join(bytes(f.frame) for f in frames)
         == wav[off : off + nf * block]
     )
+
+
+def test_audio_features_match_numpy_reference(spark):
+    """extract_audio_features must equal a direct numpy recomputation on
+    the generated PCM (16-bit stereo + 8-bit mono), including the 8-bit
+    offset-binary handling, and yield all-null features for non-WAV."""
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    wav16 = _pcm_wav(rate=8000, n_frames=1000, ch=2, bits=16)
+    # 8-bit unsigned mono wav
+    data8 = bytes((i * 13) % 256 for i in range(500))
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    body8 = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", len(data8)) + data8
+    )
+    wav8 = b"RIFF" + struct.pack("<I", len(body8)) + body8
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(wav16)),
+            (2, "audio/wav", bytearray(wav8)),
+            (3, "image/jpeg", bytearray(b"\xff\xd8\xff not audio")),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {r.media_id: r for r in extract_audio_features(media).collect()}
+
+    def expect_feats(raw, bits, ch, rate):
+        _, _, _, nf, off, size = parse_wav_header(raw)
+        block = ch * (bits // 8)
+        dt = {8: np.uint8, 16: np.int16}[bits]
+        x = np.frombuffer(raw[off : off + nf * block], dtype=dt).astype(float)
+        full = 2.0 ** (bits - 1)
+        if bits == 8:
+            x = x - 128.0
+        x = x / full
+        signs = np.signbit(x)
+        return (
+            nf / rate,
+            float(np.sqrt(np.mean(x * x))),
+            float(np.max(np.abs(x))),
+            float(np.mean(signs[1:] != signs[:-1])),
+            float(np.mean(np.abs(x) >= (full - 1.0) / full)),
+        )
+
+    for mid, raw, bits, ch, rate in ((1, wav16, 16, 2, 8000), (2, wav8, 8, 1, 4000)):
+        dur, rms, peak, zcr, clipped = expect_feats(raw, bits, ch, rate)
+        r = got[mid]
+        assert abs(r.duration_s - dur) < 1e-12
+        assert abs(r.rms - rms) < 1e-12
+        assert abs(r.peak - peak) < 1e-12
+        assert abs(r.zero_crossing_rate - zcr) < 1e-12
+        assert abs(r.clipped_ratio - clipped) < 1e-12
+    assert got[3].duration_s is None and got[3].rms is None
