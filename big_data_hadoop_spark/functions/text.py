@@ -31,13 +31,23 @@ NUMBER = "number"
 
 
 def is_word(token: Column) -> Column:
-    """True iff ``token`` fully matches the word pattern."""
-    return token.rlike(f"^{WORD_PATTERN}$")
+    """True iff ``token`` fully matches the word pattern.
+
+    Anchored ``\\A...\\z``, not ``^...$``: Java's ``$`` matches BEFORE a
+    trailing line terminator, so ``"abc\\n"`` would count as a word in
+    Spark but not in RE2-based engines (DuckDB) — a cross-engine
+    divergence found by the hypothesis fuzz. The reference can never
+    observe the difference (``TextInputFormat`` strips line terminators,
+    so its tokens cannot contain ``\\n``), so the strict absolute-end
+    interpretation is reference-faithful AND engine-portable.
+    """
+    return token.rlike(f"\\A{WORD_PATTERN}\\z")
 
 
 def is_number(token: Column) -> Column:
-    """True iff ``token`` fully matches the number pattern."""
-    return token.rlike(f"^{NUMBER_PATTERN}$")
+    """True iff ``token`` fully matches the number pattern (same
+    absolute-end anchoring rationale as :func:`is_word`)."""
+    return token.rlike(f"\\A{NUMBER_PATTERN}\\z")
 
 
 def categorize(token: Column) -> Column:

@@ -808,7 +808,11 @@ def q58_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         cl.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_members"),
-            F.sort_array(F.collect_list("member_id")).alias("members"),
+            # scalar-columns contract (§2.8): comma-joined, key-sorted —
+            # the driver's canonicalizer cannot hash list cells
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("member_id"))
+            ).alias("members"),
         )
         .orderBy("cluster_id")
     )

@@ -140,9 +140,10 @@ def test_q58_probe_matches_union_find(spark):
     for m, c in uf.items():
         comps.setdefault(c, set()).add(m)
     got = {
-        r.cluster_id: (r.n_members, tuple(r.members))
+        r.cluster_id: (r.n_members, r.members)
         for r in QUERIES["q58_dedup_clusters"](spark, SF_ORACLE).collect()
     }
     assert got == {
-        c: (len(ms), tuple(sorted(ms))) for c, ms in comps.items()
+        c: (len(ms), ",".join(str(m) for m in sorted(ms)))
+        for c, ms in comps.items()
     }

@@ -97,3 +97,60 @@ def test_pipeline_ops_at_sf01(spark, duck_sf01):
         r.doc_id for r in sample_to_token_budget(docs, budget).collect()
     }
     assert got_ids == expect_ids
+
+
+def test_round5_ops_at_sf01(spark):
+    """Round-5 operators at bench scale: winnow near-dup pairs vs a
+    pandas recomputation from the fingerprint relation, pack
+    materialization vs the sequential greedy fill, and cluster
+    resolution vs union-find over the same pair relation."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    from big_data_hadoop_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_neardup_pairs,
+    )
+    from big_data_hadoop_spark.pipeline import materialize_packs
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.test_clusters import _union_find
+
+    docs = load_table(spark, SF_BENCH, "documents")
+
+    # winnow pairs (probe setting k=12, w=8)
+    fps = winnow_fingerprints(docs, k=12, w=8).toPandas()
+    fp_sets = {int(d): set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    expect = {}
+    ids = sorted(fp_sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if fp_sets[a] and fp_sets[b]:
+                sh = len(fp_sets[a] & fp_sets[b])
+                if sh / min(len(fp_sets[a]), len(fp_sets[b])) >= 0.5:
+                    expect[(a, b)] = sh
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_neardup_pairs(docs, k=12, w=8, threshold=0.5).collect()
+    }
+    assert got == expect
+
+    # pack materialization: greedy-fill totals and reconstruction bounds
+    ctx = 2048
+    packs = materialize_packs(docs, ctx).collect()
+    assert packs and all(p.token_count <= ctx for p in packs)
+    n_docs = docs.count()
+    assert sum(p.n_docs for p in packs) == n_docs
+    for p in packs:
+        assert len(p.payload.split(" ")) == p.token_count or p.token_count == 0
+
+    # clusters vs union-find
+    pairs_df = minhash_lsh_pairs(docs, threshold=0.7)
+    pairs = [(r.id_a, r.id_b) for r in pairs_df.collect()]
+    got_cl = {
+        r.member_id: r.cluster_id
+        for r in duplicate_clusters(pairs_df).collect()
+    }
+    assert got_cl == _union_find(pairs)
