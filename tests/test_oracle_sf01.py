@@ -120,17 +120,25 @@ def test_round5_ops_at_sf01(spark):
 
     docs = load_table(spark, SF_BENCH, "documents")
 
-    # winnow pairs (probe setting k=12, w=8)
+    # winnow pairs (probe setting k=12, w=8) — Python inverted index,
+    # not the O(n^2) doc loop (too slow at 5k docs)
     fps = winnow_fingerprints(docs, k=12, w=8).toPandas()
     fp_sets = {int(d): set(g["fp"]) for d, g in fps.groupby("doc_id")}
-    expect = {}
-    ids = sorted(fp_sets)
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            if fp_sets[a] and fp_sets[b]:
-                sh = len(fp_sets[a] & fp_sets[b])
-                if sh / min(len(fp_sets[a]), len(fp_sets[b])) >= 0.5:
-                    expect[(a, b)] = sh
+    postings: dict[int, list[int]] = {}
+    for d, s in fp_sets.items():
+        for fp in s:
+            postings.setdefault(fp, []).append(d)
+    shared: dict[tuple[int, int], int] = {}
+    for ids_with_fp in postings.values():
+        ids_with_fp.sort()
+        for i, a in enumerate(ids_with_fp):
+            for b in ids_with_fp[i + 1 :]:
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    expect = {
+        p: sh
+        for p, sh in shared.items()
+        if sh / min(len(fp_sets[p[0]]), len(fp_sets[p[1]])) >= 0.5
+    }
     got = {
         (r.id_a, r.id_b): r.n_shared
         for r in winnow_neardup_pairs(docs, k=12, w=8, threshold=0.5).collect()
