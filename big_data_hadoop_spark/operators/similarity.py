@@ -669,3 +669,32 @@ def cosine_topk_vectors(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def ivf_save(index: IVFIndex, table: str, buckets: int = 16) -> None:
+    """Persist a built :class:`IVFIndex` entirely to storage: the cell
+    assignment as a parquet table bucketed by ``cell`` (exchange-free
+    candidate joins on reload) and the centroids + id column name as a
+    one-row metadata table ``<table>_meta`` — nothing lives only in
+    driver memory, so a separate serving job can :func:`ivf_load` the
+    index without refitting (the fit-once / serve-from-storage shape)."""
+    from big_data_hadoop_spark.sources.io import write_bucketed
+
+    spark = index.assigned.sparkSession
+    write_bucketed(index.assigned, table, buckets, key="cell")
+    meta = spark.createDataFrame(
+        [(index.id_col, [[float(x) for x in c] for c in index.centroids])],
+        "id_col string, centroids array<array<double>>",
+    )
+    meta.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table}_meta"
+    )
+
+
+def ivf_load(spark, table: str) -> IVFIndex:
+    """Reload an :func:`ivf_save`-persisted index. The assignment comes
+    back as the bucketed table (so cell equi-joins stay exchange-free);
+    centroids are a one-row metadata read."""
+    row = spark.table(f"{table}_meta").collect()[0]
+    centroids = [[float(x) for x in c] for c in row.centroids]
+    return IVFIndex(centroids, spark.table(table), row.id_col)

@@ -156,3 +156,30 @@ def test_cosine_topk_vectors_is_exact_reference_for_ivf(spark, corpus):
         for r in sim.ivf_search_vectors(index, queries, k=4, n_probe=6).collect()
     }
     assert brute == full_probe and len(brute) == 8
+
+
+def test_save_load_roundtrip_serves_identically(spark, corpus):
+    """ivf_save -> ivf_load in a 'different job' must serve exactly the
+    in-memory index's results with zero refits."""
+    index = sim.ivf_build(corpus, n_cells=6)
+    queries = spark.createDataFrame(
+        [(300, [10.2, 4.8, 0.1, 0.0, 0.3, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    want = {
+        (r.query_id, r.neighbor_id, round(r.sim, 12))
+        for r in sim.ivf_search_vectors(index, queries, k=4, n_probe=3).collect()
+    }
+    fits_before = sim.IVF_FIT_COUNT
+    sim.ivf_save(index, "ivf_rt", buckets=4)
+    loaded = sim.ivf_load(spark, "ivf_rt")
+    got = {
+        (r.query_id, r.neighbor_id, round(r.sim, 12))
+        for r in sim.ivf_search_vectors(loaded, queries, k=4, n_probe=3).collect()
+    }
+    assert got == want and got
+    assert loaded.centroids == index.centroids
+    assert loaded.id_col == index.id_col
+    assert sim.IVF_FIT_COUNT == fits_before  # no refit anywhere
+    spark.sql("DROP TABLE IF EXISTS ivf_rt")
+    spark.sql("DROP TABLE IF EXISTS ivf_rt_meta")
