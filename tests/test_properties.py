@@ -183,3 +183,49 @@ def test_salted_join_rejects_existing_salt_column(spark):
         salted_join(tainted, clean, on=["k"])
     with _pytest.raises(ValueError, match="_salt"):
         salted_join(clean, tainted, on=["k"])
+
+
+pack_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(TOKENS), min_size=0, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(lines=pack_corpus_strategy, ctx=st.integers(min_value=1, max_value=40))
+@_SETTINGS
+def test_materialize_packs_equals_python_greedy(spark, lines, ctx):
+    """Random corpora × random context sizes: the materialized packs must
+    equal the sequential Python greedy fill — membership, payload bytes,
+    truncation bookkeeping — including docs longer than the window and
+    whole pack ranges swallowed by overflow."""
+    from big_data_hadoop_spark.pipeline import materialize_packs
+
+    n_buckets = 8
+    df = _df(spark, lines)
+    rows = df.select(
+        "doc_id", "text", F.xxhash64("doc_id").alias("h")
+    ).collect()
+    order = sorted(rows, key=lambda r: (r.h % n_buckets, r.h, r.doc_id))
+    expect: dict[int, dict] = {}
+    running = 0
+    for r in order:
+        toks = r.text.split(" ")
+        pid, off = running // ctx, running % ctx
+        kept = min(len(toks), ctx - off)
+        p = expect.setdefault(pid, {"ids": [], "toks": [], "cut": 0})
+        p["ids"].append(r.doc_id)
+        p["toks"].extend(toks[:kept])
+        p["cut"] += len(toks) - kept
+        running += len(toks)
+    got = {
+        r.pack_id: r
+        for r in materialize_packs(df, ctx, n_buckets=n_buckets).collect()
+    }
+    assert set(got) == set(expect)
+    for pid, e in expect.items():
+        g = got[pid]
+        assert list(g.doc_ids) == e["ids"]
+        assert g.payload == " ".join(e["toks"])
+        assert g.n_truncated == e["cut"]
+        assert g.token_count == len(e["toks"])
