@@ -474,3 +474,49 @@ def test_streaming_topk_equals_batch_when_drained(spark, golden_lines, tmp_path)
         ).collect()
     ]
     assert got == expect and len(got) == 5
+
+
+def test_streaming_media_meta_equals_batch_when_drained(spark, tmp_path):
+    """The multimodal operators are stateless mapInPandas passes, so they
+    must stream unchanged: drained metadata + audio features over a media
+    stream equal the batch run on the same files."""
+    import struct as _struct
+
+    from big_data_hadoop_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_media_meta,
+    )
+
+    data = _struct.pack("<100h", *(((i * 53) % 32768 - 16384) for i in range(100)))
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    rows = [
+        (1, "audio/wav", bytearray(wav)),
+        (2, "image/jpeg", bytearray(b"\xff\xd8\xffnotreally")),
+        (3, "text/plain", bytearray(b"hello media")),
+    ]
+    src = str(tmp_path / "media_src")
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+    for name, op in (("meta_s", extract_media_meta), ("audio_s", extract_audio_features)):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        expect = {tuple(r) for r in op(batch).collect()}
+        assert got == expect and got, name
