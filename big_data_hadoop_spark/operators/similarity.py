@@ -479,6 +479,21 @@ def ivf_build(
             F.col(id_col), F.lit(0).alias("cell"), "emb_d", "nrm"
         )
         return IVFIndex([], assigned, id_col)
+    if available == 1:
+        # This Spark's KMeans rejects k=1 — and with one training row
+        # there is nothing to fit anyway: one cell whose centroid IS the
+        # sampled vector.
+        (row,) = train.limit(1).select("_v").collect()
+        assigned = with_norm(e, vec_col=vec_col).select(
+            F.col(id_col), F.lit(0).alias("cell"), "emb_d", "nrm"
+        )
+        centroids = [[float(x) for x in row._v.toArray()]]
+        if table is not None:
+            from big_data_hadoop_spark.sources.io import write_bucketed
+
+            write_bucketed(assigned, table, buckets, key="cell")
+            assigned = df.sparkSession.table(table)
+        return IVFIndex(centroids, assigned, id_col)
     model = KMeans(
         k=min(n_cells, available), seed=seed, featuresCol="_v",
         predictionCol="cell", maxIter=max_iter,

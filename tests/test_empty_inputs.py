@@ -93,3 +93,52 @@ def test_ivf_n_cells_near_train_cap_sampled_path(spark):
         train_cap=50, n_rows=60,
     ).collect()
     assert 0 < len(rows) <= 3
+
+
+def test_round5_operators_empty(spark, empty_docs, empty_emb):
+    from big_data_hadoop_spark.operators import similarity as sim
+    from big_data_hadoop_spark.operators.dedup import (
+        dedup_by_clusters,
+        duplicate_clusters,
+    )
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from big_data_hadoop_spark.operators.textstats import winnow_neardup_pairs
+    from big_data_hadoop_spark.pipeline import materialize_packs
+
+    assert winnow_neardup_pairs(empty_docs).count() == 0
+    assert materialize_packs(empty_docs, 128).count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(empty_pairs).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    # empty pair graph: the dedup action keeps everything
+    assert dedup_by_clusters(docs, empty_pairs).count() == 2
+
+    empty_media = spark.createDataFrame(
+        [], "media_id long, media_type string, payload binary"
+    )
+    assert extract_audio_features(empty_media).count() == 0
+
+    empty_queries = spark.createDataFrame(
+        [], "query_id long, embedding array<double>"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "x")], "vec_id long, embedding array<double>, label string"
+    )
+    assert sim.cosine_topk_vectors(emb, empty_queries).count() == 0
+    idx = sim.ivf_build(emb, n_cells=2)
+    assert sim.ivf_search_vectors(idx, empty_queries).count() == 0
+    # empty CORPUS with external queries: empty result, stable schema
+    eidx = sim.ivf_build(empty_emb)
+    q1 = spark.createDataFrame(
+        [(9, [0.1, 0.2])], "query_id long, embedding array<double>"
+    )
+    out = sim.ivf_search_vectors(eidx, q1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "sim",
+    ]
