@@ -229,3 +229,60 @@ def test_materialize_packs_equals_python_greedy(spark, lines, ctx):
         assert g.payload == " ".join(e["toks"])
         assert g.n_truncated == e["cut"]
         assert g.token_count == len(e["toks"])
+
+
+winnow_corpus_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=winnow_corpus_strategy)
+@_SETTINGS
+def test_winnow_pairs_equal_python_reference(spark, texts):
+    """Random tiny-alphabet corpora (dense gram collisions): the pair
+    operator must equal a Python winnow + overlap recomputation (Spark
+    supplies only xxhash64 for the gram hashes)."""
+    from big_data_hadoop_spark.operators.textstats import winnow_neardup_pairs
+
+    k, w, thr = 3, 2, 0.3
+    df = _df(spark, texts)
+    grams = sorted(
+        {
+            t[i : i + k]
+            for t in (x.lower() for x in texts)
+            for i in range(len(t) - k + 1)
+        }
+    )
+    gram_hash = {}
+    if grams:
+        gram_hash = {
+            r.g: r.h
+            for r in spark.createDataFrame([(g,) for g in grams], "g string")
+            .select("g", F.xxhash64("g").alias("h"))
+            .collect()
+        }
+    fp_sets = {}
+    for i, t in enumerate(texts):
+        t = t.lower()
+        hs = [gram_hash[t[j : j + k]] for j in range(len(t) - k + 1)]
+        fp_sets[i] = (
+            {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+            if len(hs) >= w
+            else set()
+        )
+    expect = {}
+    ids = sorted(fp_sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            if fp_sets[a] and fp_sets[b]:
+                sh = len(fp_sets[a] & fp_sets[b])
+                ratio = sh / min(len(fp_sets[a]), len(fp_sets[b]))
+                if ratio >= thr:
+                    expect[(a, b)] = sh
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_neardup_pairs(df, k=k, w=w, threshold=thr).collect()
+    }
+    assert got == expect
