@@ -78,6 +78,40 @@ def exact_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
+def exact_dedup_against(
+    df: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``df`` whose normalized-text md5
+    is NOT in ``seen_digests`` (a one-column ``h`` frame, e.g. the stored
+    digest table of previously published corpus snapshots), then
+    keep-first WITHIN the batch. The cross-run shape of
+    ``streaming_exact_dedup`` for batch ingestion: each run ships only
+    32-byte digests of history, never past documents, and the anti-join
+    keys are digests — broadcastable while history is small, a plain
+    shuffle join at scale.
+
+    Emit the new snapshot's digests with :func:`content_digests` and
+    union them into the stored table for the next run."""
+    fresh = df.withColumn(
+        "_h", F.md5(normalized_text(F.col(text_col)))
+    ).join(seen_digests.select(F.col("h").alias("_h")), "_h", "left_anti")
+    out = exact_dedup(fresh, text_col=text_col, id_col=id_col)
+    return out.drop("_h")
+
+
+def content_digests(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distinct normalized-text md5 digests of a corpus — the 32-byte/row
+    history representation ``exact_dedup_against`` consumes."""
+    return df.select(
+        F.md5(normalized_text(F.col(text_col))).alias("h")
+    ).distinct()
+
+
 def shingles(
     df: DataFrame,
     n: int = 3,

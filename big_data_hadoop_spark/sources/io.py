@@ -144,9 +144,22 @@ def read_jsonl(
     ).json(path)
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """JSON-lines sink (one JSON object per row, newline-delimited)."""
-    df.write.mode(mode).json(path)
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """JSON-lines sink (one JSON object per row, newline-delimited).
+
+    ``partition_by`` writes hive-layout subdirectories (``col=value/``) —
+    at corpus scale the curated output is normally partitioned by a
+    low-cardinality column (language, source, date) so downstream reads
+    partition-prune instead of scanning everything."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
 
 
 def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -59,3 +59,72 @@ def test_read_text_lines_multi_split_file(spark, tmp_path):
     assert all(
         r.text == f"line {i} pad pad pad pad" for i, r in enumerate(rows)
     )
+
+
+def test_write_jsonl_partitioned_prunes(spark, tmp_path):
+    """Partitioned JSONL layout: hive dirs exist and a partition filter
+    reads only its directory (partition pruning, not data filtering)."""
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hallo", "de"), (2, "hello", "en"), (3, "hi", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "part_jsonl")
+    write_jsonl(df, out, partition_by=("lang",))
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en"]
+    back = spark.read.json(out)
+    en = back.filter("lang = 'en'")
+    assert en.count() == 2
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    assert "PartitionFilters: [isnotnull(lang" in formatted_plan(en)
+
+
+def test_exact_dedup_against_matches_duckdb(spark, duck, tmp_path):
+    """Incremental dedup: new batch anti-joined against stored digests,
+    then keep-first within the batch — equal to the DuckDB two-stage
+    form; history representation round-trips via content_digests."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.dedup import (
+        content_digests,
+        exact_dedup_against,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "seen before"), (2, "also  SEEN before")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Seen   before"),       # dup of history (normalized)
+            (11, "brand new"),
+            (12, "brand  NEW"),          # in-batch dup of 11
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = content_digests(old)
+    got = {
+        r.doc_id for r in exact_dedup_against(new, seen).collect()
+    }
+    assert got == {11, 13}
+    # oracle: same semantics in SQL
+    norm = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    con = duck
+    con.register("old_df", old.toPandas())
+    con.register("new_df", new.toPandas())
+    oracle = f"""
+WITH seen AS (SELECT DISTINCT {norm} AS h FROM old_df),
+cand AS (SELECT doc_id, text, {norm} AS h FROM new_df
+         WHERE {norm} NOT IN (SELECT h FROM seen)),
+k AS (SELECT h, MIN(doc_id) AS keep_id FROM cand GROUP BY h)
+SELECT c.doc_id FROM cand c JOIN k ON c.h = k.h AND c.doc_id = k.keep_id
+ORDER BY c.doc_id
+"""
+    assert [r[0] for r in con.execute(oracle).fetchall()] == sorted(got)
