@@ -437,3 +437,15 @@ def test_materialize_packs_giant_and_empty_docs(spark):
         assert g.n_truncated == e["cut"]
         assert g.payload == " ".join(e["toks"])
         assert g.token_count == len(e["toks"])
+
+
+def test_materialize_packs_no_global_sort(spark):
+    """The pack materialization must inherit the prefix sum's bucketed
+    parallelism: no single-partition exchange anywhere in the plan."""
+    from big_data_hadoop_spark.pipeline import materialize_packs
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = formatted_plan(materialize_packs(docs, 1_000))
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
