@@ -20,7 +20,13 @@ Four tiers, all over a ``documents(doc_id, text, ...)``-shaped table:
   bits (Hamming). Bit-vote aggregation is done with 64 conditional sums —
   all JVM-side.
 
-Embedding-cosine near-dup lives in ``similarity.py``.
+Downstream of any pair operator, ``duplicate_clusters`` resolves the
+pair graph into connected components (min-label propagation) and
+``dedup_by_clusters`` keeps one canonical doc per component — the
+cluster-safe dedup ACTION. Across runs, ``exact_dedup_against`` +
+``content_digests`` give incremental ingestion dedup on 32-byte history
+digests. Embedding-cosine near-dup lives in ``similarity.py``; winnow
+(MOSS) fingerprint pairs in ``textstats.py``.
 """
 
 from __future__ import annotations

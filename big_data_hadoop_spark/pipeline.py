@@ -16,6 +16,12 @@ Scale shape: the two gates fuse into one scan-side filter (no joins,
 no shuffle); exact dedup shuffles 16-byte md5 digests (never document
 bodies); the near-dup stage is the bucketed LSH join. Nothing in the
 funnel materializes the corpus more than the dedup semi-join requires.
+
+Downstream trainer-prep also lives here: deterministic hash sampling and
+corpus mixing, the token-budget sampler and sequence packing (both on
+one shared distributed prefix sum — no global sort), pack
+materialization (``materialize_packs`` — the trainer-facing payload),
+document chunking, and PII redaction.
 """
 
 from __future__ import annotations
