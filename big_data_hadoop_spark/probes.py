@@ -818,6 +818,27 @@ def q58_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q59_pack_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized training packs (xxhash64 fill order — rows-only
+    check; greedy-fill equality incl. payload bytes is pinned in
+    pytest). Payload dropped here: per-pack bookkeeping plus a payload
+    digest keeps the probe output compact and scalar."""
+    from big_data_hadoop_spark.pipeline import materialize_packs
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        materialize_packs(docs, 2048)
+        .select(
+            "pack_id",
+            "n_docs",
+            "token_count",
+            "n_truncated",
+            F.md5("payload").alias("payload_md5"),
+        )
+        .orderBy("pack_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1000,7 +1021,7 @@ def q50_word_counts_cased(spark: SparkSession, sf: str) -> DataFrame:
 # the entries past 50 got no rows at all). Probes are NUMBERED so that the
 # 50 oracle-checked ones are q01-q50 and the rows-only ones (no ANSI-SQL
 # oracle — xxhash64/seeded/iterative/recurrence constructs, independently
-# value-checked by pytest instead) are q51-q58: insertion order and
+# value-checked by pytest instead) are q51-q59: insertion order and
 # name-sorted order agree, so the cap lands on the rows-only tail under
 # EITHER driver iteration order. test_oracle.py pins this invariant.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1055,7 +1076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_sql_text": q48_sql_text,
     "q49_sliding_windows": q49_sliding_windows,
     "q50_word_counts_cased": q50_word_counts_cased,
-    # --- rows-only tail (q51-q58; pytest value-checks, see
+    # --- rows-only tail (q51-q59; pytest value-checks, see
     # tests/test_rows_only_values.py and test_golden.py) ---
     "q51_simhash": q51_simhash,
     "q52_lsh_ann": q52_lsh_ann,
@@ -1065,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_ewm": q56_ewm,
     "q57_winnow_neardup": q57_winnow_neardup,
     "q58_dedup_clusters": q58_dedup_clusters,
+    "q59_pack_stats": q59_pack_stats,
 }
 
 _EN = ts.STOPWORDS["en"]

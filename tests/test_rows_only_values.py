@@ -1,6 +1,6 @@
 """Independent VALUE verification for the rows-only probes (VERDICT r1 #8).
 
-q51-q58 (q51_simhash, q52_lsh_ann, q53_ivf_ann, q54_simhash_neardup,
+q51-q59 (q51_simhash, q52_lsh_ann, q53_ivf_ann, q54_simhash_neardup,
 q55_winnow_fingerprints, q56_ewm) have no ANSI-SQL oracle (xxhash64 /
 seeded plane literals / iterative KMeans / recurrences), so the external
 driver only row-counts them. These tests re-derive the expected VALUES
@@ -20,7 +20,7 @@ with pure Python/pandas references so "ran" becomes "right":
   registered ``n_probe=4`` setting, recall against exact has a floor.
 (q55 winnowing and q56 EWM references live in test_golden.py; q57 winnow
 near-dup pairs in test_winnow_pairs.py; q58 cluster resolution in
-test_clusters.py.)
+test_clusters.py; q59 pack stats in test_pipeline.py.)
 """
 
 from __future__ import annotations
