@@ -143,3 +143,50 @@ FROM c WHERE category IS NOT NULL GROUP BY 1, 2
     exp = {(c, w): n for c, w, n in con.execute(sql).fetchall()}
     con.close()
     assert got == exp, dict(set(got.items()) ^ set(exp.items()))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=texts,
+    max_t=st.integers(min_value=2, max_value=20),
+    ov_frac=st.integers(min_value=0, max_value=3),
+)
+def test_chunking_agrees_with_duckdb_on_random_text(spark, texts, max_t, ov_frac):
+    """Chunking window arithmetic (ceil division, stride slicing, short
+    docs) against the DuckDB LATERAL oracle over adversarial text and
+    random window/overlap parameters."""
+    from big_data_hadoop_spark.pipeline import chunk_documents
+
+    ov = (max_t - 1) * ov_frac // 4  # 0 .. ~3/4 of the window, ov < max_t
+    stride = max_t - ov
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_no, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(df, max_t, overlap=ov).collect()
+    )
+    con = _duck_with(rows)
+    oracle = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil((len(toks) - {ov})::DOUBLE / {stride}) AS INT), 1)
+           AS n_chunks
+  FROM t),
+e AS (
+  SELECT doc_id, toks, g.k AS chunk_no
+  FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k) g)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       array_to_string(toks[chunk_no * {stride} + 1 :
+                            chunk_no * {stride} + {max_t}], ' ') AS chunk_text,
+       CAST(len(toks[chunk_no * {stride} + 1 :
+                     chunk_no * {stride} + {max_t}]) AS BIGINT)
+         AS n_chunk_tokens
+FROM e ORDER BY doc_id, chunk_no
+"""
+    expect = [tuple(r) for r in con.execute(oracle).fetchall()]
+    assert got == expect
