@@ -15,9 +15,13 @@ from big_data_hadoop_spark.functions.text import categorize, split_tokens
 
 #: BPE-ish subword-run pattern (GPT-2-style approximation): a token is an
 #: optionally space-prefixed letter run, digit run, or punctuation run.
-#: Restricted to portable explicit classes so Java (Spark) and RE2
-#: (DuckDB) count identical matches.
-BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+#: The whitespace exclusion is an EXPLICIT class, not ``\s``: Java's
+#: ``\s`` includes ``\x0b`` (vertical tab) while RE2's does not, so the
+#: shorthand counts differently across engines on a ``\x0b`` input
+#: (hypothesis-found). The explicit class spells out exactly Java's
+#: ``\s`` membership, so Spark results are unchanged and the DuckDB
+#: oracle (same class) now counts identically.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\x0b\f\r]+"
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately small and hard-coded: the heuristic must be

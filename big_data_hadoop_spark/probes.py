@@ -1236,7 +1236,8 @@ WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
            FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+       CAST(len(regexp_extract_all(text,
+            ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]+'))
             AS BIGINT) AS n_bpe_tokens,
        CAST(len(list_filter(toks, x -> regexp_full_match(x, '{WORD_PATTERN}')))
             AS BIGINT) AS n_words,

@@ -190,3 +190,59 @@ FROM e ORDER BY doc_id, chunk_no
 """
     expect = [tuple(r) for r in con.execute(oracle).fetchall()]
     assert got == expect
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts)
+def test_token_stats_and_fingerprint_agree_with_duckdb(spark, texts):
+    """token_stats (incl. the BPE-ish regex count, the anchored category
+    regexes, and the avg-token-length identity) and the sorted-distinct
+    fingerprint, over adversarial text — regex dialect and unicode
+    case-fold divergences live exactly here."""
+    from big_data_hadoop_spark.functions.text import (
+        NUMBER_PATTERN,
+        WORD_PATTERN,
+    )
+    from big_data_hadoop_spark.operators.textstats import (
+        fingerprint,
+        token_stats,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_stats = {
+        r.doc_id: (r.n_tokens, r.n_bpe_tokens, r.n_words, r.n_numbers,
+                   round(r.avg_token_len, 9))
+        for r in token_stats(df).collect()
+    }
+    got_fp = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    con = _duck_with(rows)
+    stats_sql = f"""
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]+'))
+            AS BIGINT) AS n_bpe,
+       CAST(len(list_filter(toks, x -> regexp_full_match(x, '{WORD_PATTERN}')))
+            AS BIGINT) AS n_words,
+       CAST(len(list_filter(toks, x -> NOT regexp_full_match(x, '{WORD_PATTERN}')
+            AND regexp_full_match(x, '{NUMBER_PATTERN}'))) AS BIGINT) AS n_numbers,
+       (length(text) - len(toks) + 1)::DOUBLE / len(toks) AS avg_len
+FROM t"""
+    expect_stats = {
+        r[0]: (r[1], r[2], r[3], r[4], round(r[5], 9))
+        for r in con.execute(stats_sql).fetchall()
+    }
+    assert got_stats == expect_stats
+    fp_sql = """
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(text), ' '))), ' ')) AS fp
+FROM documents"""
+    expect_fp = {r[0]: r[1] for r in con.execute(fp_sql).fetchall()}
+    assert got_fp == expect_fp
