@@ -253,3 +253,37 @@ def test_audio_features_match_numpy_reference(spark):
         assert abs(r.zero_crossing_rate - zcr) < 1e-12
         assert abs(r.clipped_ratio - clipped) < 1e-12
     assert got[3].duration_s is None and got[3].rms is None
+
+
+def test_image_features_match_numpy_reference(spark):
+    """extract_image_features must equal a direct numpy recomputation on
+    the real decoded BMP pixels; non-decodable payloads yield all-null
+    features (never fabricated values)."""
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.multimodal import (
+        decode_bmp,
+        extract_image_features,
+    )
+
+    arr, payload = _gradient_bmp(9, 6)
+    media = spark.createDataFrame(
+        [
+            (1, "image/bmp", bytearray(payload)),
+            (2, "image/png", bytearray(b"\x89PNG fake")),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {r.media_id: r for r in extract_image_features(media).collect()}
+    px = decode_bmp(payload).astype(float)
+    assert np.array_equal(px, arr.astype(float))
+    means = px.reshape(-1, 3).mean(axis=0)
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    r = got[1]
+    assert (r.width, r.height) == (9, 6)
+    for gotv, expv in [
+        (r.mean_r, means[0]), (r.mean_g, means[1]), (r.mean_b, means[2]),
+        (r.luma_mean, luma.mean()), (r.luma_std, luma.std()),
+    ]:
+        assert abs(gotv - expv) < 1e-9
+    assert got[2].mean_r is None and got[2].width is None
