@@ -520,3 +520,58 @@ def test_streaming_media_meta_equals_batch_when_drained(spark, tmp_path):
         got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
         expect = {tuple(r) for r in op(batch).collect()}
         assert got == expect and got, name
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: a second availableNow run over the SAME
+    checkpoint must resume the dedup state — a key that passed in run 1
+    is suppressed when it reappears in new files during run 2, and
+    nothing from run 1 is re-emitted."""
+    from big_data_hadoop_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "dd_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dd_restart_ckpt")
+    out = "dd_restart"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "row_id long, ts timestamp, content_sha string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("part-*.parquet"))
+        import shutil
+
+        shutil.copy(part, src / f"{name}.parquet")
+
+    sink = str(tmp_path / "dd_restart_out")
+
+    def run_once():
+        from big_data_hadoop_spark.streaming import write_stream_parquet
+
+        stream = spark.readStream.schema(
+            "row_id long, ts timestamp, content_sha string"
+        ).parquet(str(src))
+        q = write_stream_parquet(
+            streaming_exact_dedup(stream, watermark="2 hours"), sink, ckpt
+        )
+        q.awaitTermination(120)
+        return {
+            (r.row_id, r.content_sha)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    write_batch("b1", [(1, t0, "A"), (2, t0, "B"), (3, t0, "A")])
+    first = run_once()
+    assert {s for _, s in first} == {"A", "B"} and len(first) == 2
+
+    # run 2: same checkpoint, new file with an old key (A) + a new key (C)
+    write_batch("b2", [(10, t0, "A"), (11, t0, "C")])
+    second = run_once()
+    # run 2 appends ONLY what run 1 hadn't admitted: C passes, the
+    # re-arrived A is suppressed by the RECOVERED state, run-1 rows are
+    # not re-emitted
+    assert second - first == {(11, "C")}, second
+    assert first <= second and len(second) == 3
