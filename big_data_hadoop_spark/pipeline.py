@@ -467,3 +467,57 @@ def materialize_packs(
         )
     )
     return packed
+
+
+def find_contaminated(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Train/eval contamination detection: training documents sharing at
+    least one word ``n``-gram with any benchmark text — the
+    decontamination step every serious pretraining pipeline runs before
+    training (the 13-gram setting follows the published GPT-3 appendix-C
+    procedure; public).
+
+    ``(doc_id, bench_id, n_shared_ngrams)`` per contaminated (doc,
+    benchmark) pair. Plan shape: both sides shingle into word n-grams
+    (narrow array projections), then meet on a shingle equi-join — the
+    benchmark side is tiny (eval sets are thousands of rows), so
+    Catalyst broadcasts it and the corpus is scanned ONCE with no
+    shuffle of document text; the join key is the n-gram string. Drop
+    the flagged docs with an anti-join on ``doc_id``
+    (:func:`decontaminate`).
+    """
+    from big_data_hadoop_spark.operators.dedup import shingles
+
+    doc_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = shingles(
+        benchmarks, n=n, text_col=bench_text_col, id_col=bench_id_col
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """The decontamination ACTION: ``docs`` minus every document flagged
+    by :func:`find_contaminated` — one anti-join on ``doc_id``."""
+    hits = find_contaminated(
+        docs, benchmarks, n, text_col, id_col, bench_text_col, bench_id_col
+    ).select(id_col).distinct()
+    return docs.join(hits, id_col, "left_anti")

@@ -449,3 +449,72 @@ def test_materialize_packs_no_global_sort(spark):
     plan = formatted_plan(materialize_packs(docs, 1_000))
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_find_contaminated_matches_duckdb(spark, duck):
+    """Decontamination: shared word n-grams between docs and a benchmark
+    set, against a DuckDB n-gram join oracle; the action drops exactly
+    the flagged docs."""
+    from big_data_hadoop_spark.pipeline import decontaminate, find_contaminated
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n = 5
+    # benchmarks: substrings lifted from two real docs (guaranteed hits)
+    # plus an unrelated prompt (guaranteed miss)
+    two = {r.doc_id: r.text for r in docs.filter("doc_id IN (7, 42)").collect()}
+    bench_rows = [
+        (100, " ".join(two[7].split(" ")[2:2 + n + 3])),
+        (101, " ".join(two[42].split(" ")[1:1 + n])),
+        (102, "completely unrelated benchmark prompt nothing shared here"),
+    ]
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared_ngrams
+        for r in find_contaminated(docs, bench, n=n).collect()
+    }
+    assert any(b == 100 for _, b in got) and any(b == 101 for _, b in got)
+    assert not any(b == 102 for _, b in got)
+
+    duck.register("bench_df", bench.toPandas())
+    oracle = f"""
+WITH dsh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           array_to_string(toks[g.k + 1 : g.k + {n}], ' ') AS sh
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(0, len(toks) - {n})) AS k) g
+  )
+),
+bsh AS (
+  SELECT DISTINCT bench_id, sh FROM (
+    SELECT bench_id,
+           array_to_string(toks[g.k + 1 : g.k + {n}], ' ') AS sh
+    FROM (SELECT bench_id, string_split(lower(text), ' ') AS toks FROM bench_df),
+         LATERAL (SELECT unnest(generate_series(0, len(toks) - {n})) AS k) g
+  )
+)
+SELECT doc_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM dsh JOIN bsh USING (sh)
+GROUP BY doc_id, bench_id
+"""
+    expect = {(r[0], r[1]): r[2] for r in duck.execute(oracle).fetchall()}
+    assert got == expect
+
+    kept = {r.doc_id for r in decontaminate(docs, bench, n=n).collect()}
+    flagged = {d for d, _ in got}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - flagged
+
+
+def test_find_contaminated_broadcasts_bench_side(spark):
+    from big_data_hadoop_spark.pipeline import find_contaminated
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    bench = spark.createDataFrame(
+        [(1, "some benchmark text for plan inspection only")],
+        "bench_id long, text string",
+    )
+    plan = formatted_plan(find_contaminated(docs, bench))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
