@@ -521,3 +521,52 @@ def decontaminate(
         docs, benchmarks, n, text_col, id_col, bench_text_col, bench_id_col
     ).select(id_col).distinct()
     return docs.join(hits, id_col, "left_anti")
+
+
+def sample_by_temperature(
+    docs: DataFrame,
+    tau: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source rebalancing: keep each source with a
+    probability that flattens the source distribution toward
+    ``p_s^(1/tau)`` (the multilingual-sampling rule from the mBERT/XLM-R
+    line of work; public). ``tau = 1`` keeps everything; larger ``tau``
+    upweights small sources RELATIVELY by downsampling large ones —
+    concretely, source ``s`` keeps ``(p_s^(1/tau - 1)) / max_s'(...)``
+    of its rows, so the largest source's keep rate normalizes to the
+    biggest achievable without upsampling (deterministic subsampling
+    can only remove rows; true upsampling is a trainer-side repeat).
+
+    Driver work is one tiny aggregate (per-source counts — O(#sources)
+    rows); each row's fate then depends only on ``(id, seed)`` via the
+    same hash-Bernoulli rule as :func:`sample_fraction`, so the selection
+    is deterministic across runs and layouts and composes with
+    :func:`mix_corpora` provenance."""
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return docs
+    total = sum(counts.values())
+    exponent = 1.0 / tau - 1.0
+    raw = {s: (n / total) ** exponent for s, n in counts.items()}
+    cap = max(raw.values())
+    keep = {s: r / cap for s, r in raw.items()}  # largest source -> 1.0 @ tau>=1
+    den = 1_000_000
+    frac = F.create_map(
+        *[
+            x
+            for s, f in keep.items()
+            for x in (F.lit(s), F.lit(int(min(f, 1.0) * den)))
+        ]
+    )
+    return docs.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(den))
+        < frac[F.col(source_col)]
+    )

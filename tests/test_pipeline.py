@@ -518,3 +518,54 @@ def test_find_contaminated_broadcasts_bench_side(spark):
     plan = formatted_plan(find_contaminated(docs, bench))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_sample_by_temperature_flattens_distribution(spark):
+    """tau=1 keeps everything; tau>1 downsamples large sources toward
+    the flattened p^(1/tau) distribution; selection is deterministic and
+    per-row membership matches the hash rule recomputed in Python."""
+    from big_data_hadoop_spark.pipeline import sample_by_temperature
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(90)]
+        + [(i + 2000, "small") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    assert sample_by_temperature(docs, tau=1.0).count() == 1000
+
+    out = sample_by_temperature(docs, tau=3.0, seed=7)
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # smallest source keeps everything (rate 1.0 after normalization)
+    assert by_src["small"] == 10
+    # ratios flatten: big/small raw is 90x, post-sampling must be far less
+    assert by_src["big"] / max(by_src["small"], 1) < 30
+    # deterministic across invocations
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id for r in sample_by_temperature(docs, tau=3.0, seed=7).collect()
+    }
+    assert ids1 == ids2
+    # exact membership: recompute keep fractions in Python and apply the
+    # same hash rule via an independent Spark expression
+    counts = {"big": 900, "mid": 90, "small": 10}
+    total = sum(counts.values())
+    expo = 1.0 / 3.0 - 1.0
+    raw = {s: (n / total) ** expo for s, n in counts.items()}
+    cap = max(raw.values())
+    den = 1_000_000
+    cuts = {s: int(min(r / cap, 1.0) * den) for s, r in raw.items()}
+    expect = set()
+    h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(7)), F.lit(den))
+    for s, cut in cuts.items():
+        expect |= {
+            r.doc_id
+            for r in docs.filter(F.col("source") == s)
+            .filter(h < F.lit(cut))
+            .collect()
+        }
+    assert ids1 == expect
