@@ -125,7 +125,10 @@ def _read_docs(spark, path: str):
     # The triage count rides the command's own action as an observed
     # metric (ADVICE r4: an eager count here doubled the ingest scan and
     # broke laziness); ``_warn_dropped_lines`` reads it post-action.
-    obs = Observation("jsonl_triage")
+    # unique name per ingest: two _read_docs frames meeting in ONE query
+    # (e.g. decontaminate's docs + benchmarks) must not collide
+    # (DUPLICATED_METRICS_NAME)
+    obs = Observation(f"jsonl_triage_{len(_PENDING_TRIAGE)}")
     raw = raw.observe(
         obs,
         F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
@@ -219,6 +222,21 @@ def cmd_pack(args: argparse.Namespace) -> None:
     _warn_dropped_lines()
 
 
+def cmd_decontaminate(args: argparse.Namespace) -> None:
+    from big_data_hadoop_spark.pipeline import decontaminate
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("decontaminate")
+    docs = _read_docs(spark, args.input)
+    bench = _read_docs(spark, args.benchmarks).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    write_jsonl(
+        decontaminate(docs, bench, n=args.ngram), args.output
+    )
+    _warn_dropped_lines()
+
+
 def cmd_probe(args: argparse.Namespace) -> None:
     from big_data_hadoop_spark.probes import QUERIES
 
@@ -303,6 +321,15 @@ def main(argv: list[str] | None = None) -> None:
         help="pack size in whitespace tokens",
     )
 
+    dc = sub.add_parser(
+        "decontaminate",
+        help="drop docs sharing n-grams with a benchmark set -> JSONL",
+    )
+    dc.add_argument("input", help="training docs (parquet or JSONL)")
+    dc.add_argument("benchmarks", help="benchmark docs (parquet or JSONL)")
+    dc.add_argument("output")
+    dc.add_argument("--ngram", type=int, default=13)
+
     args = p.parse_args(argv)
     t0 = time.monotonic()
     {
@@ -315,6 +342,7 @@ def main(argv: list[str] | None = None) -> None:
         "chunk": cmd_chunk,
         "sample": cmd_sample,
         "pack": cmd_pack,
+        "decontaminate": cmd_decontaminate,
     }[args.command](args)
     print(f"[{args.command}] completed in {time.monotonic() - t0:.2f}s")
 

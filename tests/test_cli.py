@@ -130,3 +130,22 @@ def test_read_docs_drops_corrupt_jsonl_lines(spark, tmp_path, capsys):
     assert docs.columns == ["doc_id", "text"]
     _warn_dropped_lines()
     assert "unparseable JSONL" in capsys.readouterr().err
+
+
+def test_cli_decontaminate(spark, tmp_path):
+    """decontaminate subcommand: docs sharing an n-gram with the bench
+    set are dropped; two JSONL ingests in one query must not collide on
+    the triage metric name."""
+    from big_data_hadoop_spark.cli import main
+
+    docs = tmp_path / "docs.jsonl"
+    docs.write_text(
+        '{"doc_id": 1, "text": "alpha beta gamma delta epsilon"}\n'
+        '{"doc_id": 2, "text": "totally different content here now"}\n'
+    )
+    bench = tmp_path / "bench.jsonl"
+    bench.write_text('{"doc_id": 9, "text": "beta gamma delta"}\n')
+    out = str(tmp_path / "clean")
+    main(["decontaminate", str(docs), str(bench), out, "--ngram", "3"])
+    kept = {r.doc_id for r in spark.read.json(out).collect()}
+    assert kept == {2}
