@@ -839,6 +839,18 @@ def q59_pack_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q60_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (rows-only check;
+    the full contract is value-verified against a pure-Python
+    replication in tests/test_repetition.py — no registry oracle slot,
+    the driver cap is 50). Deterministic native expressions: duplicate
+    line fractions plus top/duplicated n-gram char fractions."""
+    from big_data_hadoop_spark.operators.repetition import repetition_signals
+
+    docs = load_table(spark, sf, "documents")
+    return repetition_signals(docs).orderBy("doc_id")
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1076,8 +1088,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_sql_text": q48_sql_text,
     "q49_sliding_windows": q49_sliding_windows,
     "q50_word_counts_cased": q50_word_counts_cased,
-    # --- rows-only tail (q51-q59; pytest value-checks, see
-    # tests/test_rows_only_values.py and test_golden.py) ---
+    # --- rows-only tail (q51-q60; pytest value-checks, see
+    # tests/test_rows_only_values.py, test_repetition.py and
+    # test_golden.py) ---
     "q51_simhash": q51_simhash,
     "q52_lsh_ann": q52_lsh_ann,
     "q53_ivf_ann": q53_ivf_ann,
@@ -1087,6 +1100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_winnow_neardup": q57_winnow_neardup,
     "q58_dedup_clusters": q58_dedup_clusters,
     "q59_pack_stats": q59_pack_stats,
+    "q60_repetition": q60_repetition,
 }
 
 _EN = ts.STOPWORDS["en"]
