@@ -851,6 +851,19 @@ def q60_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_signals(docs).orderBy("doc_id")
 
 
+def q61_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al.-style window-hash
+    formulation; xxhash64 content identity — rows-only check,
+    value-verified span-for-span against a pure-Python replication in
+    tests/test_substring.py). k=25: long enough to skip common English
+    phrases, short enough that the synthetic corpus's repeated
+    boilerplate surfaces (~160 spans at sf0.01)."""
+    from big_data_hadoop_spark.operators.substring import duplicate_spans
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return duplicate_spans(docs, k=25).orderBy("doc_id", "span_start")
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1101,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_dedup_clusters": q58_dedup_clusters,
     "q59_pack_stats": q59_pack_stats,
     "q60_repetition": q60_repetition,
+    "q61_duplicate_spans": q61_duplicate_spans,
 }
 
 _EN = ts.STOPWORDS["en"]
