@@ -549,11 +549,19 @@ def duplicate_clusters(
     shallow (stars/short chains), so convergence is typically 2-4
     rounds. Each round is one join + one aggregation (all keyed
     shuffles, no driver-side graph); iterates like KMeans does, with a
-    per-round ``persist`` to cut lineage growth and a LIMIT-1 changed
-    check. For planet-scale graphs with deep chains, the two-phase
-    small-star/large-star formulation (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14 — public) drops rounds
-    to O(log n); not needed at near-dup diameters.
+    LIMIT-1 changed check. Each round's frames are EAGER LOCAL
+    CHECKPOINTS, not persists: persist caches rows but round i's
+    LOGICAL plan still nests round i-1's, so analyzer/optimizer time
+    grows with every round (a 300-pair chain graph needing 8 rounds:
+    217s under persist, ~8s checkpointed — and with an expression-heavy
+    pairs input like the flat-dot semantic-dedup join, round plans grow
+    past what explainString can even allocate). Checkpointing collapses
+    each round to a leaf. On a cluster deployment prefer a reliable
+    checkpoint dir if executor loss matters (local checkpoints die with
+    their executor). For planet-scale graphs with deep chains, the
+    two-phase small-star/large-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public)
+    drops rounds to O(log n); not needed at near-dup diameters.
 
     Only ids that appear in ``pairs`` are emitted — singletons are their
     own cluster implicitly.
@@ -578,15 +586,14 @@ def duplicate_clusters(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -598,30 +605,46 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("nl").alias("min_nl"))
         )
+        # Pointer jumping: besides the neighborhood minimum, each node
+        # also adopts its LABEL'S label from the previous round
+        # (label(label(x)) <= label(x) since labels only decrease, so
+        # the jump never regresses). Pure neighbor propagation needs
+        # O(diameter) rounds — a 300-node chain needs 301, silently
+        # exceeding any sane max_iter; with the jump it converges in 11
+        # (O(log diameter)), so max_iter=20 covers diameters past 2^20.
+        # Both lookups join the same checkpointed leaf — one extra
+        # equi-join, still one materializing job per round. The changed
+        # flag rides the checkpointed frame, so the fixpoint check is a
+        # LIMIT-1 scan of already-stored partitions (the old persist
+        # design re-joined old and new labels — a second full round's
+        # work per round).
+        lab = F.least(
+            F.col("label"),
+            F.coalesce("min_nl", F.col("label")),
+            F.coalesce("jl", F.col("label")),
+        )
         new_labels = (
             labels.join(
                 neigh.select(F.col("src").alias("id"), "min_nl"), "id", "left"
             )
+            .join(
+                labels.select(
+                    F.col("id").alias("_jid"), F.col("label").alias("jl")
+                ),
+                F.col("label") == F.col("_jid"),
+                "left",
+            )
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce("min_nl", F.col("label"))
-                ).alias("label"),
+                lab.alias("label"),
+                (lab < F.col("label")).alias("chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(
         F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
     )

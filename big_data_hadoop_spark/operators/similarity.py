@@ -713,3 +713,141 @@ def ivf_load(spark, table: str) -> IVFIndex:
     row = spark.table(f"{table}_meta").collect()[0]
     centroids = [[float(x) for x in c] for c in row.centroids]
     return IVFIndex(centroids, spark.table(table), row.id_col)
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    eps: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+    n_rows: int | None = None,
+    index: IVFIndex | None = None,
+    dim: int | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public): cluster the embedding space with the IVF
+    coarse quantizer, then compare pairs ONLY within a cell — the
+    quadratic is bounded per cell instead of corpus-wide, which is the
+    whole scale argument of the method. Pairs straddling a cell boundary
+    are missed by construction (the paper's documented approximation;
+    ``cosine_neardup_pairs`` is the exact verifier at oracle scale).
+
+    Output ``(id_a, id_b, sim)`` with ``id_a < id_b`` and cosine ``sim
+    >= eps``. Zero-norm vectors have no cosine direction and are
+    excluded. Pass a prebuilt/loaded ``index`` (:func:`ivf_build` /
+    :func:`ivf_load`) to reuse a fit across calls; otherwise one bounded
+    KMeans fit runs here.
+
+    Plan shape: the cell self-join is an equi-join on ``cell`` (hot
+    cells are the skew lever — raise ``n_cells`` to shrink them), and
+    nothing all-pairs exists anywhere. Pass ``dim`` on any serious
+    corpus: scoring then runs over flat scalar columns with the
+    multiplied-form threshold (``_flat``'s codegen'd multiply-add chain
+    — the within-cell pair volume is quadratic per cell, so the ~10x
+    flat-vs-HOF scoring gap dominates end-to-end; measured 110s -> 3s
+    at sf0.1, n_cells=8). Without ``dim`` the fold-based array path is
+    used (correct, oracle-scale only).
+    """
+    if index is None:
+        index = ivf_build(
+            df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+            seed=seed, train_cap=train_cap, n_rows=n_rows,
+        )
+    cells = index.assigned.select(F.col(index.id_col), "cell")
+    if dim is not None:
+        # Same guard/boundary reasoning as cosine_neardup_pairs: the
+        # raw-array exists-filter excludes zero-norm vectors at the scan
+        # (a nrm > 0 conjunct would re-inline the sqrt chain), and the
+        # fixed-count repartition is the codegen boundary that keeps the
+        # fused scan+flatten+join under Janino's method limit.
+        nz = df.filter(
+            F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
+        )
+        nparts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+        fa = (
+            _flat(nz, id_col, vec_col, dim, "_a")
+            .join(cells, id_col)
+            .withColumnRenamed(id_col, "id_a")
+            .repartition(nparts, "cell")
+        )
+        # The right side renames BOTH its id and cell columns: the two
+        # flat frames share lineage, so a `fa["cell"] == fb["cell"]`
+        # predicate resolves to one attribute and collapses to literal
+        # true — silently turning the within-cell join into all-pairs
+        # (observed: 290s at sf0.1 plus a "trivially true equals
+        # predicate" warning). Distinct names force distinct attributes.
+        fb = (
+            _flat(nz, id_col, vec_col, dim, "_b")
+            .join(cells, id_col)
+            .withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("cell", "cell_b")
+            .withColumnRenamed("nrm", "nrm_b")
+            .repartition(nparts, "cell_b")
+        )
+        dotc = _flat_dot("_a", "_b", dim)
+        sim = dotc / (F.col("nrm") * F.col("nrm_b"))
+        return (
+            fa.join(
+                fb,
+                (F.col("cell") == F.col("cell_b"))
+                & (F.col("id_a") < F.col("id_b"))
+                & (dotc >= F.lit(eps) * F.col("nrm") * F.col("nrm_b")),
+            )
+            .select("id_a", "id_b", sim.alias("sim"))
+        )
+    a = index.assigned.filter(F.col("nrm") > 0)
+    left = a.select(
+        F.col(index.id_col).alias("id_a"), "cell",
+        F.col("emb_d").alias("_ea"), F.col("nrm").alias("_na"),
+    )
+    right = a.select(
+        F.col(index.id_col).alias("id_b"), "cell",
+        F.col("emb_d").alias("_eb"), F.col("nrm").alias("_nb"),
+    )
+    sim = dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= eps)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+    n_rows: int | None = None,
+    index: IVFIndex | None = None,
+    dim: int | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The SemDeDup ACTION: rows of ``df`` surviving semantic dedup —
+    each within-cell near-duplicate component keeps exactly its minimum
+    id (``dedup.dedup_by_clusters``; the paper keeps the member farthest
+    from the cluster centroid — an arbitrary-but-fixed choice there, and
+    min-id is this engine's established deterministic canonical rule,
+    shared with every other dedup family). Cluster-resolved, so chains
+    (a~b, b~c) keep one representative instead of pairwise keep-first
+    over-deleting."""
+    from big_data_hadoop_spark.operators.dedup import dedup_by_clusters
+
+    pairs = semantic_neardup_pairs(
+        df, eps=eps, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        seed=seed, train_cap=train_cap, n_rows=n_rows, index=index,
+        dim=dim, n_parts=n_parts,
+    )
+    # duplicate_clusters checkpoints its edge frame eagerly, so the flat
+    # path's dim-term join tree is analyzed exactly once — without that,
+    # round plans nest it repeatedly and the driver OOMs just
+    # stringifying them (observed at sf0.1 before the checkpointing).
+    return dedup_by_clusters(df, pairs, id_col=id_col)

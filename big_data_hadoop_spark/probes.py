@@ -864,6 +864,23 @@ def q61_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_spans(docs, k=25).orderBy("doc_id", "span_start")
 
 
+def q62_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors (seeded KMeans cells +
+    within-cell cosine + cluster resolution — rows-only check,
+    value-verified against numpy/union-find recomputation in
+    tests/test_semantic_dedup.py). eps=0.4 sits inside the synthetic
+    embeddings' sim range (max ~0.51), so the threshold actually
+    bites (~30 within-cell pairs at sf0.01)."""
+    from big_data_hadoop_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        semantic_dedup(emb, eps=0.4, n_cells=8, dim=EMBED_DIM)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1115,6 +1132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_pack_stats": q59_pack_stats,
     "q60_repetition": q60_repetition,
     "q61_duplicate_spans": q61_duplicate_spans,
+    "q62_semantic_dedup": q62_semantic_dedup,
 }
 
 _EN = ts.STOPWORDS["en"]
