@@ -249,3 +249,62 @@ def winnow_neardup_pairs(
         .filter(F.col("overlap_ratio") >= threshold)
         .select("id_a", "id_b", "n_shared", "overlap_ratio")
     )
+
+
+def hashed_linear_scores(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "score",
+) -> DataFrame:
+    """fastText-style linear quality scorer over hashed bag-of-tokens
+    features: ``sigmoid(mean_token_weight + bias)``.
+
+    The classic shape of the public fastText supervised classifier
+    (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification") serving a binary quality head: each token maps to a
+    bucket by the hashing trick (``xxhash64(token) mod dim``, ``dim =
+    len(weights)``), the document representation is the MEAN of its
+    tokens' bucket weights, and the score is the sigmoid of the affine
+    output. Training happens elsewhere (any fastText-style trainer whose
+    vocabulary is hashed into ``dim`` buckets); this operator is the
+    batch scoring pass curation pipelines run over every document — the
+    engine ships the distributed half, the learned weights are an input.
+
+    Tokens are the engine's single-space split, lowercased, empties
+    dropped (matching ``quality_scores``). Empty documents score
+    ``sigmoid(bias)``.
+
+    Scale shape: the weight vector rides in on a broadcast single-row
+    cross join (one array column, never shuffled, shared JVM-side by
+    every task), and scoring is one narrow fold per row — no explode, no
+    join on tokens, no shuffle of any kind. A 100 TB corpus scores in
+    exactly one scan. ``dim`` up to a few hundred thousand doubles is a
+    few MB of broadcast — the standard hashing-trick budget.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    dim = len(weights)
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [([float(x) for x in weights],)], "_w array<double>"
+    )
+    staged = df.join(F.broadcast(wdf)).select(
+        F.col(id_col),
+        F.filter(_toks(text_col), lambda t: t != F.lit("")).alias("_tk"),
+        F.col("_w"),
+    )
+    bucket = lambda t: (F.pmod(F.xxhash64(t), F.lit(dim)) + 1).cast("int")  # noqa: E731
+    total = F.aggregate(
+        F.col("_tk"),
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(F.col("_w"), bucket(t)),
+    )
+    mean = total / F.greatest(F.size("_tk"), F.lit(1)).cast("double")
+    z = mean + F.lit(float(bias))
+    return staged.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+    )

@@ -881,6 +881,19 @@ def q62_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q63_hashed_scorer(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashed linear quality scores (xxhash64 bucketing —
+    rows-only check, value-verified against a pure-Python replication in
+    tests/test_hashed_scorer.py). Weights are a fixed Knuth-hash ramp
+    (deterministic, no RNG) standing in for a trained quality head; the
+    probe exercises the broadcast + per-row-fold scoring path."""
+    from big_data_hadoop_spark.operators.textstats import hashed_linear_scores
+
+    weights = [((i * 2654435761) % 1000) / 1000 - 0.5 for i in range(1024)]
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return hashed_linear_scores(docs, weights, bias=0.1).orderBy("doc_id")
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1133,6 +1146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_repetition": q60_repetition,
     "q61_duplicate_spans": q61_duplicate_spans,
     "q62_semantic_dedup": q62_semantic_dedup,
+    "q63_hashed_scorer": q63_hashed_scorer,
 }
 
 _EN = ts.STOPWORDS["en"]
