@@ -667,3 +667,130 @@ def dedup_by_clusters(
         F.col("member_id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def _bloom_probes(n_bits: int, n_hashes: int, i: int) -> tuple[str, str]:
+    """SQL fragments (word index 0-based, bit mask) of probe ``i`` over a
+    staged ``_h`` digest column."""
+    pos = f"pmod(xxhash64(_h, {i}), {n_bits}L)"
+    return (
+        f"cast({pos} div 64 as int)",
+        f"shiftleft(1L, cast(pmod({pos}, 64) as int))",
+    )
+
+
+def build_digest_bloom(
+    seen_digests: DataFrame, n_bits: int = 1 << 23, n_hashes: int = 5
+) -> list[int]:
+    """Bloom filter over a digest history (``h`` frame from
+    :func:`content_digests`), as a dense ``n_bits / 64``-long word list.
+
+    All-JVM build: each digest explodes to ``n_hashes`` (word, bit) probe
+    pairs, one ``bit_or`` aggregation keyed by word folds them — a
+    mergeable map-side-combining agg whose output is at most ``n_bits /
+    64`` rows regardless of history size — and only the NONZERO words
+    come back to the driver. No Python touches per-digest data.
+
+    Size the filter by the standard budget (~10 bits per distinct digest
+    for ~1% false positives; false positives cost only verification work
+    here, never correctness). The returned words are plain ints — persist
+    them wherever run state lives and hand them back to
+    :func:`bloom_dedup_against` to skip the rebuild."""
+    if n_bits <= 0 or n_bits % 64:
+        raise ValueError(f"n_bits must be a positive multiple of 64: {n_bits}")
+    probes = [
+        _bloom_probes(n_bits, n_hashes, i) for i in range(n_hashes)
+    ]
+    rows = (
+        seen_digests.select(F.col("h").alias("_h"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.expr(w).alias("w"), F.expr(m).alias("m")
+                        )
+                        for w, m in probes
+                    ]
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or("p.m").alias("word"))
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_dedup_against(
+    df: DataFrame,
+    seen_digests: DataFrame,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+    bloom: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup with a Bloom prefilter: EXACTLY
+    :func:`exact_dedup_against`'s result (pinned by equality tests), but
+    the history is consulted through a broadcast bit array instead of a
+    two-sided digest shuffle.
+
+    Why this exists at 100 TB: ``exact_dedup_against`` shuffles BOTH the
+    batch and the whole digest history by digest on every ingest run.
+    Here the history collapses to ``n_bits / 8`` bytes broadcast once
+    (~10 bits per historical digest); Bloom NEGATIVES — the dominant
+    outcome for genuinely new content — are decided in the scan with
+    zero movement of either side. Only Bloom POSITIVES (true duplicates
+    plus the ~1% false-positive tail) are verified: the history is
+    scanned once against the broadcast candidate-digest set (a left-semi
+    probe, no history shuffle), and the confirmed hits anti-join back.
+    No false negatives exist, so the verified result is exact, not
+    approximate. The incremental-batch regime is the design point — the
+    candidate digest set must fit a broadcast; for a first full-corpus
+    pass use :func:`exact_dedup` instead.
+
+    ``bloom`` accepts a previously :func:`build_digest_bloom`-built word
+    list (its length fixes ``n_bits``) so steady-state runs skip the
+    build entirely; otherwise one build aggregation runs here, eagerly.
+    Within-batch keep-first then applies, as in
+    ``exact_dedup_against``."""
+    if bloom is not None:
+        if not bloom or len(bloom) % 1:
+            raise ValueError("bloom must be a non-empty word list")
+        n_bits = len(bloom) * 64
+        words = bloom
+    else:
+        words = build_digest_bloom(seen_digests, n_bits, n_hashes)
+    spark = df.sparkSession
+    wdf = spark.createDataFrame([(words,)], "_bw array<long>")
+    maybe = F.expr(
+        " AND ".join(
+            "((element_at(_bw, {w} + 1) & {m}) != 0)".format(
+                w=w, m=m
+            )
+            for w, m in (
+                _bloom_probes(n_bits, n_hashes, i) for i in range(n_hashes)
+            )
+        )
+    )
+    staged = df.withColumn(
+        "_h", F.md5(normalized_text(F.col(text_col)))
+    ).join(F.broadcast(wdf))
+    cand_digests = (
+        staged.filter(maybe).select(F.col("_h").alias("h")).distinct()
+    )
+    truly_seen = (
+        seen_digests.join(F.broadcast(cand_digests), "h", "left_semi")
+        .select(F.col("h").alias("_h"))
+    )
+    # One anti-join filters the WHOLE batch: definite-new digests cannot
+    # appear in truly_seen (no false negatives), so batch \ truly_seen
+    # is exactly the fresh set — no union of branches, single output
+    # scan shape.
+    fresh = staged.join(F.broadcast(truly_seen), "_h", "left_anti")
+    out = exact_dedup(fresh.drop("_bw"), text_col=text_col, id_col=id_col)
+    return out.drop("_h")

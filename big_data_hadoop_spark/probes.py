@@ -894,6 +894,29 @@ def q63_hashed_scorer(spark: SparkSession, sf: str) -> DataFrame:
     return hashed_linear_scores(docs, weights, bias=0.1).orderBy("doc_id")
 
 
+def q64_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (xxhash64 probe positions —
+    rows-only check; the binding contract is EQUALITY with
+    exact_dedup_against, pinned in tests/test_bloom_dedup.py even under
+    a deliberately saturated filter). History = docs with doc_id % 3 ==
+    0; the batch replants 20 of them as cross-run duplicates."""
+    from big_data_hadoop_spark.operators.dedup import (
+        bloom_dedup_against,
+        content_digests,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    prior = docs.filter("doc_id % 3 = 0")
+    new = docs.filter("doc_id % 3 != 0").unionByName(
+        prior.orderBy("doc_id").limit(20)
+    )
+    return (
+        bloom_dedup_against(new, content_digests(prior), n_bits=1 << 16)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1147,6 +1170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_duplicate_spans": q61_duplicate_spans,
     "q62_semantic_dedup": q62_semantic_dedup,
     "q63_hashed_scorer": q63_hashed_scorer,
+    "q64_bloom_dedup": q64_bloom_dedup,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -1,0 +1,106 @@
+"""Verification for Bloom-prefiltered incremental dedup
+(``dedup.build_digest_bloom`` / ``bloom_dedup_against``).
+
+The binding contract is EQUALITY with ``exact_dedup_against`` (whose own
+semantics are DuckDB-oracled via the q17 family): the Bloom path is an
+execution strategy, not a different operator. Equality must hold even
+when the filter is deliberately undersized so false positives are
+guaranteed — correctness may never depend on the false-positive rate.
+Plus a pure-Python replication of the bit array itself on top of Spark's
+xxhash64 primitive.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.dedup import (
+    bloom_dedup_against,
+    build_digest_bloom,
+    content_digests,
+    exact_dedup_against,
+)
+from big_data_hadoop_spark.sources.io import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    prior = docs.filter("doc_id % 3 = 0")
+    # plant cross-run duplicates: 20 prior docs reappear in the new batch
+    new = docs.filter("doc_id % 3 != 0").unionByName(prior.limit(20))
+    return prior, new.cache()
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_matches_exact_dedup_against(spark, split_corpus):
+    prior, new = split_corpus
+    seen = content_digests(prior)
+    expect = _ids(exact_dedup_against(new, seen))
+    got = _ids(bloom_dedup_against(new, seen, n_bits=1 << 16))
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_exact_even_when_saturated(spark, split_corpus):
+    """64-bit filter + 2 hashes over ~170 digests: essentially every
+    probe is a false positive; the verification pass must still recover
+    the exact result."""
+    prior, new = split_corpus
+    seen = content_digests(prior)
+    expect = _ids(exact_dedup_against(new, seen))
+    got = _ids(bloom_dedup_against(new, seen, n_bits=64, n_hashes=2))
+    assert got == expect
+
+
+def test_prebuilt_bloom_reuse(spark, split_corpus):
+    prior, new = split_corpus
+    seen = content_digests(prior)
+    words = build_digest_bloom(seen, n_bits=1 << 16)
+    assert len(words) == (1 << 16) // 64
+    got = _ids(bloom_dedup_against(new, seen, bloom=words))
+    assert got == _ids(exact_dedup_against(new, seen))
+
+
+def test_bloom_bits_match_python(spark, split_corpus):
+    """Rebuild the word list in pure Python from Spark-supplied xxhash64
+    values — build aggregation and probe formulas must agree."""
+    prior, _ = split_corpus
+    seen = content_digests(prior)
+    n_bits, n_hashes = 1 << 10, 3
+    words = build_digest_bloom(seen, n_bits=n_bits, n_hashes=n_hashes)
+    hashes = seen.select(
+        *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+    ).collect()
+    expect = [0] * (n_bits // 64)
+    for r in hashes:
+        for i in range(n_hashes):
+            pos = r[f"h{i}"] % n_bits
+            expect[pos // 64] |= 1 << (pos % 64)
+    # Spark longs are signed; normalize both to unsigned for comparison
+    norm = lambda ws: [w & (2**64 - 1) for w in ws]  # noqa: E731
+    assert norm(words) == norm(expect)
+
+
+def test_empty_history_passes_batch_through(spark, split_corpus):
+    _, new = split_corpus
+    empty = new.sparkSession.createDataFrame([], "h string")
+    got = _ids(bloom_dedup_against(new, empty, n_bits=1 << 10))
+    expect = _ids(exact_dedup_against(new, empty))
+    assert got == expect
+
+
+def test_invalid_sizes_rejected(spark, split_corpus):
+    prior, new = split_corpus
+    seen = content_digests(prior)
+    with pytest.raises(ValueError):
+        build_digest_bloom(seen, n_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_dedup_against(new, seen, bloom=[])
