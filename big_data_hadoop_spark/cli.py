@@ -182,6 +182,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
         langs=tuple(args.langs.split(",")),
         neardup_threshold=args.neardup_threshold,
         neardup_mode=args.neardup_mode,
+        max_dup_line_frac=args.max_dup_line_frac,
+        strip_dup_spans_k=args.strip_dup_spans,
     )
     write_jsonl(out, args.output)
     _warn_dropped_lines()
@@ -296,6 +298,16 @@ def main(argv: list[str] | None = None) -> None:
         default="pairwise",
         help="pair resolution: drop id_b per pair, or keep one doc per "
         "connected component",
+    )
+    cu.add_argument(
+        "--max-dup-line-frac", type=float, default=None,
+        help="Gopher-style repetition gate: drop docs whose duplicate-"
+        "line fraction exceeds this",
+    )
+    cu.add_argument(
+        "--strip-dup-spans", type=int, default=None, metavar="K",
+        help="excise corpus-wide duplicated character spans (window "
+        "length K) before gating",
     )
 
     ch = sub.add_parser("chunk", help="token-window chunking -> JSONL")

@@ -52,13 +52,29 @@ from pyspark.sql import functions as F
 
 from big_data_hadoop_spark.functions.text import split_tokens
 
-__all__ = ["repetition_signals"]
+__all__ = ["dup_line_frac_col", "repetition_signals"]
 
 
 def _char_sum(arr: Column) -> Column:
     return F.aggregate(
         arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
     )
+
+
+def dup_line_frac_col(text_col: str = "text") -> Column:
+    """``dup_line_frac`` as a STANDALONE per-row Column (same contract as
+    the ``repetition_signals`` output column, pinned by test): the
+    fraction of non-empty lines that repeat an earlier line. Stateless
+    and shuffle-free, so it composes into fused gate predicates — batch
+    scan filters and streaming filters alike (``pipeline.curation_gate``
+    uses it for the Gopher-style repetition gate)."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n", -1), lambda l: l != F.lit("")
+    )
+    n = F.size(lines).cast("long")
+    return (n - F.size(F.array_distinct(lines)).cast("long")).cast(
+        "double"
+    ) / F.greatest(n, F.lit(1).cast("long"))
 
 
 def repetition_signals(

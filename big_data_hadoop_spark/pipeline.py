@@ -53,11 +53,14 @@ def curation_gate(
     min_tokens: int = 5,
     min_alpha_ratio: float = 0.3,
     langs: tuple[str, ...] = ("en",),
+    max_dup_line_frac: float | None = None,
 ) -> Column:
     """The fused quality+language gate PREDICATE (q24/q25 expressions):
     a stateless boolean column, shared verbatim by the batch funnel and
     the streaming twin (``streaming.streaming_curate``) so both paths
-    admit exactly the same documents."""
+    admit exactly the same documents. ``max_dup_line_frac`` adds the
+    Gopher-style repetition gate (q60's ``dup_line_frac`` — also
+    per-row, so it fuses into the same scan filter and streams as-is)."""
     text = F.col(text_col)
     toks = split_tokens(text, lowercase=True)
     n_tokens = F.size(toks).cast("long")
@@ -65,11 +68,16 @@ def curation_gate(
     alpha_ratio = alpha.cast("double") / F.greatest(
         F.length(text).cast("long"), F.lit(1).cast("long")
     )
-    return (
+    gate = (
         (n_tokens >= F.lit(min_tokens))
         & (alpha_ratio >= F.lit(min_alpha_ratio))
         & _lang_pred(toks).isin(list(langs))
     )
+    if max_dup_line_frac is not None:
+        from big_data_hadoop_spark.operators.repetition import dup_line_frac_col
+
+        gate = gate & (dup_line_frac_col(text_col) <= F.lit(max_dup_line_frac))
+    return gate
 
 
 def curate_training_data(
@@ -81,12 +89,23 @@ def curate_training_data(
     langs: tuple[str, ...] = ("en",),
     neardup_threshold: float | None = None,
     neardup_mode: str = "pairwise",
+    max_dup_line_frac: float | None = None,
+    strip_dup_spans_k: int | None = None,
 ) -> DataFrame:
     """Curated corpus: rows of ``docs`` (original schema) that pass every
     stage.
 
+    - duplicated-span removal (only when ``strip_dup_spans_k`` is set):
+      corpus-global exact substring dedup FIRST — excising repeated
+      regions (``substring.remove_duplicate_spans`` at that window
+      length) changes the text every later gate and digest sees, so it
+      must precede them. The one stage here that shuffles before the
+      gates (its window-hash pass), hence opt-in;
     - quality gate: ``>= min_tokens`` whitespace tokens AND alphabetic
       character ratio ``>= min_alpha_ratio`` (q24 expressions);
+    - repetition gate (only when ``max_dup_line_frac`` is set): q60's
+      Gopher-style duplicate-line fraction at most the threshold —
+      per-row, fused into the same scan filter;
     - language gate: q25 stopword-vote prediction in ``langs``;
     - exact dedup: keep-first on the md5 of normalized text (q17);
     - near-dedup (only when ``neardup_threshold`` is set): MinHash-LSH
@@ -102,8 +121,19 @@ def curate_training_data(
     deliberately identical to the standalone probes so the whole funnel
     (minus the hash-based near-dup stage) has an exact DuckDB oracle.
     """
+    if strip_dup_spans_k is not None:
+        from big_data_hadoop_spark.operators.substring import (
+            remove_duplicate_spans,
+        )
+
+        docs = remove_duplicate_spans(
+            docs, k=strip_dup_spans_k, text_col=text_col, id_col=id_col
+        )
     gated = docs.filter(
-        curation_gate(text_col, min_tokens, min_alpha_ratio, langs)
+        curation_gate(
+            text_col, min_tokens, min_alpha_ratio, langs,
+            max_dup_line_frac=max_dup_line_frac,
+        )
     )
     deduped = exact_dedup(gated, text_col=text_col, id_col=id_col)
     if neardup_threshold is None:

@@ -261,10 +261,12 @@ def streaming_curate(
     min_alpha_ratio: float = 0.3,
     langs: tuple[str, ...] = ("en",),
     watermark: str = "1 hour",
+    max_dup_line_frac: float | None = None,
 ) -> DataFrame:
     """Streaming twin of the batch curation funnel (minus near-dedup):
     the SAME fused quality+language gate predicate
-    (``pipeline.curation_gate`` — stateless, so it streams as-is),
+    (``pipeline.curation_gate`` — stateless, so it streams as-is,
+    including the optional ``max_dup_line_frac`` repetition gate),
     followed by watermark-bounded exact dedup keyed on the md5 of
     normalized text (the batch funnel's dedup key). An arriving
     document passes iff it clears the gates and no document with the
@@ -274,7 +276,10 @@ def streaming_curate(
     from big_data_hadoop_spark.pipeline import curation_gate
 
     gated = docs.filter(
-        curation_gate(text_col, min_tokens, min_alpha_ratio, langs)
+        curation_gate(
+            text_col, min_tokens, min_alpha_ratio, langs,
+            max_dup_line_frac=max_dup_line_frac,
+        )
     ).withColumn("_content_h", F.md5(normalized_text(F.col(text_col))))
     return streaming_exact_dedup(
         gated, key_cols=("_content_h",), ts_col=ts_col, watermark=watermark

@@ -124,3 +124,115 @@ def test_sf0001_documents_match_python(spark):
 def test_row_count_preserved(spark):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     assert repetition_signals(docs).count() == docs.count()
+
+
+def test_gate_column_matches_signals_output(spark):
+    """dup_line_frac_col (the fusable gate form) must equal the
+    repetition_signals output column row-for-row."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.repetition import dup_line_frac_col
+
+    docs = spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")
+    gate = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id", dup_line_frac_col().alias("f")
+        ).collect()
+    }
+    sig = {
+        r["doc_id"]: r["dup_line_frac"]
+        for r in repetition_signals(docs).collect()
+    }
+    assert gate == sig
+
+
+def test_curate_repetition_gate_composes(spark):
+    """curate_training_data(max_dup_line_frac=t) == manual pre-filter +
+    default funnel, and the gate actually drops a repetitive doc."""
+    from big_data_hadoop_spark.operators.repetition import dup_line_frac_col
+    from big_data_hadoop_spark.pipeline import curate_training_data
+
+    base = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    noisy = base.unionByName(
+        spark.createDataFrame(
+            [(990001, "spam line alpha beta gamma delta\n" * 40)],
+            "doc_id long, text string",
+        )
+    )
+    t = 0.5
+    got = sorted(
+        r["doc_id"]
+        for r in curate_training_data(noisy, max_dup_line_frac=t).collect()
+    )
+    expect = sorted(
+        r["doc_id"]
+        for r in curate_training_data(
+            noisy.filter(dup_line_frac_col() <= t)
+        ).collect()
+    )
+    assert got == expect
+    assert 990001 not in got
+
+
+def test_curate_span_strip_composes(spark):
+    """curate_training_data(strip_dup_spans_k=k) == remove spans first,
+    then the default funnel."""
+    from big_data_hadoop_spark.operators.substring import (
+        remove_duplicate_spans,
+    )
+    from big_data_hadoop_spark.pipeline import curate_training_data
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    k = 25
+    got = {
+        r["doc_id"]: r["text"]
+        for r in curate_training_data(docs, strip_dup_spans_k=k).collect()
+    }
+    expect = {
+        r["doc_id"]: r["text"]
+        for r in curate_training_data(
+            remove_duplicate_spans(docs, k=k)
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_streaming_curate_repetition_gate_matches_batch(spark, tmp_path):
+    """The streaming twin with the repetition gate admits exactly the
+    batch gate's documents (drained comparison, gates only — dedup off
+    via unique texts)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.pipeline import curation_gate
+    from big_data_hadoop_spark.streaming.pipelines import streaming_curate
+
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", text)
+        for i, (_, text) in enumerate(EDGE_DOCS)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = streaming_curate(stream, max_dup_line_frac=0.3, min_tokens=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cur_rep_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select * from cur_rep_gate").collect()
+    )
+    expect = sorted(
+        r["doc_id"]
+        for r in static.filter(
+            curation_gate(min_tokens=1, max_dup_line_frac=0.3)
+        ).collect()
+    )
+    assert got == expect
