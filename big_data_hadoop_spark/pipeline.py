@@ -600,3 +600,48 @@ def sample_by_temperature(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(den))
         < frac[F.col(source_col)]
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 1000,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen deterministically — the
+    per-domain / per-source cap of web curation stacks (a handful of
+    giant domains otherwise dominate a crawl) and, equally, an exact
+    per-group quota sampler for building balanced eval sets.
+
+    Selection keeps the ``cap`` smallest ``(xxhash64(id, seed), id)``
+    keys per group: a uniform, reproducible choice that depends only on
+    (id, seed) — stable across runs, partitionings, and cluster layouts,
+    like ``sample_fraction``. Different seeds draw independent subsets.
+
+    100 TB shape: ranking inside a group serializes that group through
+    one task, so the operator first splits on a per-group count — groups
+    already at-or-under the cap (the overwhelming mass of domains) pass
+    through with NO ranking via a broadcastable semi-join on the
+    (one-row-per-group) count frame, and only the offenders pay the
+    window. The count and the window shuffle by the same group key; the
+    offender window is bounded by the offending groups' rows, not the
+    corpus.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    under = counts.filter(F.col("_n") <= cap).select(group_col)
+    over = counts.filter(F.col("_n") > cap).select(group_col)
+    passthrough = df.join(F.broadcast(under), group_col, "left_semi")
+    w = Window.partitionBy(group_col).orderBy(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000_007)),
+        F.col(id_col),
+    )
+    capped = (
+        df.join(F.broadcast(over), group_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return passthrough.unionByName(capped)

@@ -917,6 +917,22 @@ def q64_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q65_per_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap (xxhash64-keyed deterministic selection —
+    rows-only check, value-verified against a Python replication in
+    tests/test_cap_per_group.py). cap=10 bites on every synthetic
+    source; output is the surviving ids plus per-source sizes folded
+    into one frame via a count column."""
+    from big_data_hadoop_spark.pipeline import cap_per_group
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        cap_per_group(docs, group_col="source", cap=10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1171,6 +1187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_semantic_dedup": q62_semantic_dedup,
     "q63_hashed_scorer": q63_hashed_scorer,
     "q64_bloom_dedup": q64_bloom_dedup,
+    "q65_per_source_cap": q65_per_source_cap,
 }
 
 _EN = ts.STOPWORDS["en"]
