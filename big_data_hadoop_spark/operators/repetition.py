@@ -13,10 +13,15 @@ programs); this extends the engine's LLM-curation tier alongside
 Exact semantics (a fixed contract, replicated instruction-for-instruction
 by the pure-Python oracle in ``tests/test_repetition.py``):
 
-* Lines are ``split(text, '\\n')`` with empty lines dropped.
-* ``dup_line_frac`` = (n_lines - n_distinct_lines) / n_lines.
+* Lines are ``split(text, '\\n')`` with empty lines dropped; paragraphs
+  are ``split(text, '\\n\\n')`` with paragraphs dropped when they contain
+  only ASCII whitespace (the explicit class ``[ \\t\\n\\x0b\\f\\r]`` —
+  both Gopher units).
+* ``dup_line_frac`` = (n_lines - n_distinct_lines) / n_lines, and the
+  same formula per paragraph as ``dup_para_frac``.
 * ``dup_line_char_frac`` = characters in repeated line occurrences beyond
-  each line's first / total line characters.
+  each line's first / total line characters; ``dup_para_char_frac``
+  likewise per paragraph.
 * Tokens are the engine's single-space split (``functions.text.
   split_tokens``), lowercased, empties dropped. An n-gram's character
   length is the sum of its token lengths (joining spaces excluded); the
@@ -99,26 +104,47 @@ def repetition_signals(
         split_tokens(F.col(text_col), lowercase=True), lambda t: t != F.lit("")
     )
     lines = F.filter(F.split(F.col(text_col), "\n", -1), lambda l: l != F.lit(""))
+    # "whitespace-only" pins an EXPLICIT ASCII class: SQL trim strips
+    # only spaces and Python str.strip() strips all unicode whitespace —
+    # either shorthand diverges between the engine and its oracle (same
+    # precedent as textstats.BPE_PATTERN).
+    paras = F.filter(
+        F.split(F.col(text_col), "\n\n", -1),
+        lambda p: F.regexp_replace(p, "[ \t\n\x0b\f\r]", "") != F.lit(""),
+    )
 
     # Stage arrays as attributes before any reuse: expressions referenced
     # from several places (or inside HOF lambdas) re-evaluate their whole
     # subtree per reference (see textstats.winnow_fingerprints).
-    staged = df.select(F.col(id_col), toks.alias("_toks"), lines.alias("_lines"))
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        lines.alias("_lines"),
+        paras.alias("_paras"),
+    )
 
-    n_lines = F.size("_lines").cast("long")
-    dist_lines = F.array_distinct(F.col("_lines"))
+    def _unit_fracs(col: str) -> tuple[Column, Column]:
+        n = F.size(col).cast("long")
+        dist = F.array_distinct(F.col(col))
+        frac = (n - F.size(dist).cast("long")).cast("double") / F.greatest(
+            n, F.lit(1).cast("long")
+        )
+        char_frac = (
+            (_char_sum(F.col(col)) - _char_sum(dist)).cast("double")
+            / F.greatest(_char_sum(F.col(col)), F.lit(1).cast("long"))
+        )
+        return frac, char_frac
+
+    line_frac, line_char_frac = _unit_fracs("_lines")
+    para_frac, para_char_frac = _unit_fracs("_paras")
     base = staged.select(
         F.col(id_col),
         F.col("_toks"),
         F.transform("_toks", lambda t: F.length(t).cast("long")).alias("_tlens"),
-        (
-            (n_lines - F.size(dist_lines).cast("long")).cast("double")
-            / F.greatest(n_lines, F.lit(1).cast("long"))
-        ).alias("dup_line_frac"),
-        (
-            (_char_sum(F.col("_lines")) - _char_sum(dist_lines)).cast("double")
-            / F.greatest(_char_sum(F.col("_lines")), F.lit(1).cast("long"))
-        ).alias("dup_line_char_frac"),
+        line_frac.alias("dup_line_frac"),
+        line_char_frac.alias("dup_line_char_frac"),
+        para_frac.alias("dup_para_frac"),
+        para_char_frac.alias("dup_para_char_frac"),
     ).withColumn(
         "_tot",
         F.aggregate("_tlens", F.lit(0).cast("long"), lambda a, x: a + x),
@@ -191,6 +217,8 @@ def repetition_signals(
         F.col(id_col),
         F.col("dup_line_frac"),
         F.col("dup_line_char_frac"),
+        F.col("dup_para_frac"),
+        F.col("dup_para_char_frac"),
     ]
     for n in top_ns:
         out_cols.append(

@@ -22,22 +22,32 @@ TOP_NS = (2, 3, 4)
 DUP_NS = (5, 6, 7, 8, 9, 10)
 
 
+def _unit_fracs(units: list[str]) -> tuple[float, float]:
+    seen: set[str] = set()
+    dups = 0
+    dup_chars = 0
+    tot_chars = sum(len(u) for u in units)
+    for u in units:
+        if u in seen:
+            dups += 1
+            dup_chars += len(u)
+        else:
+            seen.add(u)
+    return dups / max(len(units), 1), dup_chars / max(tot_chars, 1)
+
+
 def py_repetition(text: str) -> dict[str, float]:
     lines = [l for l in text.split("\n") if l != ""]
-    n_lines = len(lines)
-    seen: set[str] = set()
-    dup_lines = 0
-    dup_chars = 0
-    tot_line_chars = sum(len(l) for l in lines)
-    for l in lines:
-        if l in seen:
-            dup_lines += 1
-            dup_chars += len(l)
-        else:
-            seen.add(l)
+    paras = [
+        p for p in text.split("\n\n") if p.strip(" \t\n\x0b\f\r") != ""
+    ]
+    lf, lcf = _unit_fracs(lines)
+    pf, pcf = _unit_fracs(paras)
     out = {
-        "dup_line_frac": dup_lines / max(n_lines, 1),
-        "dup_line_char_frac": dup_chars / max(tot_line_chars, 1),
+        "dup_line_frac": lf,
+        "dup_line_char_frac": lcf,
+        "dup_para_frac": pf,
+        "dup_para_char_frac": pcf,
     }
 
     toks = [t for t in text.lower().split(" ") if t != ""]
@@ -80,6 +90,10 @@ EDGE_DOCS = [
     (10, "p q r s t u v w p q r s t u v w p q r s t u v w"),
     (11, "\n\n\n"),
     (12, "tie atie tie atie btie btie"),
+    (13, "para one here\n\npara two here\n\npara one here\n\nlast"),
+    (14, "same\nsame\n\nsame\nsame\n\nother"),
+    (15, "  \n\n\t\n\nreal paragraph"),
+    (16, "\t\n\n\t\n\nx\n\nx"),
 ]
 
 
