@@ -933,6 +933,33 @@ def q65_per_source_cap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q66_ngram_ppl(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity scores (rows-only check,
+    value-verified against a pure-Python train+score replication in
+    tests/test_ngram_lm.py). The reference slice is the even doc_ids
+    (deterministic, no RNG); every document is scored against it —
+    short docs surface as NULL ppl with n_bigrams=0. ppl is rounded to
+    6 decimals only for display stability; the test tier compares the
+    unrounded doubles."""
+    from big_data_hadoop_spark.operators.ngram_lm import (
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    lm = ngram_lm_train(docs.filter("doc_id % 2 = 0"))
+    return (
+        ngram_lm_score(docs, lm)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_nll", 6).alias("avg_nll"),
+            F.round("ppl", 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1170,9 +1197,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_sql_text": q48_sql_text,
     "q49_sliding_windows": q49_sliding_windows,
     "q50_word_counts_cased": q50_word_counts_cased,
-    # --- rows-only tail (q51-q60; pytest value-checks, see
-    # tests/test_rows_only_values.py, test_repetition.py and
-    # test_golden.py) ---
+    # --- rows-only tail (q51+; pytest value-checks, see
+    # tests/test_rows_only_values.py, test_repetition.py,
+    # test_ngram_lm.py and test_golden.py) ---
     "q51_simhash": q51_simhash,
     "q52_lsh_ann": q52_lsh_ann,
     "q53_ivf_ann": q53_ivf_ann,
@@ -1188,6 +1215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_hashed_scorer": q63_hashed_scorer,
     "q64_bloom_dedup": q64_bloom_dedup,
     "q65_per_source_cap": q65_per_source_cap,
+    "q66_ngram_ppl": q66_ngram_ppl,
 }
 
 _EN = ts.STOPWORDS["en"]
