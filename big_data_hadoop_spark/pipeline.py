@@ -602,6 +602,71 @@ def sample_by_temperature(
     )
 
 
+def split_leakage_safe(
+    df: DataFrame,
+    weights: dict[str, float],
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every document a train/validation/test label such that
+    all members of a duplicate CLUSTER land in the SAME split.
+
+    Hash-splitting individual doc_ids (``sample_fraction`` with
+    disjoint seeds) silently leaks: a document and its near-duplicate
+    can land in train and test, and the eval measures memorization of
+    the duplicate, not generalization (the failure decontamination
+    papers document for benchmark overlap applies intra-corpus too).
+    The fix is to hash a GROUP key instead — here the ``cluster_id``
+    from ``operators.dedup.duplicate_clusters`` (exact, MinHash,
+    SimHash, winnow, or semantic pair sources all resolve through it).
+    Documents in no cluster are their own group, keyed by their id, so
+    the operator degrades to plain hash-splitting when ``clusters`` is
+    None or empty.
+
+    ``weights`` maps split name -> relative weight (normalized; e.g.
+    ``{"train": 0.98, "val": 0.01, "test": 0.01}``). Assignment is
+    ``pmod(xxhash64(key, seed), 1e6)`` against the cumulative weight
+    boundaries — deterministic in (key, seed) alone, stable across
+    runs, partitionings, and cluster layouts, like every sampler here.
+
+    100 TB shape: one left join against the (small relative to corpus)
+    cluster map — broadcast when it fits, shuffle equi-join otherwise —
+    then a narrow per-row CASE. No window, no global sort; adding a
+    split never rehashes rows (boundaries move only for names after the
+    changed one in sorted order, same guarantee hash bucketing gives).
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be >= 0 with a positive sum: {weights}")
+    den = 1_000_000
+    total = float(sum(weights.values()))
+    names = sorted(weights)  # deterministic boundary order
+    key = F.col(id_col)
+    if clusters is not None:
+        cmap = clusters.select(
+            F.col("member_id").alias(id_col), "cluster_id"
+        )
+        df = df.join(cmap, id_col, "left")
+        key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(den))
+    acc = 0.0
+    label = None
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(acc * den)
+        label = F.when(cond, name) if label is None else label.when(cond, name)
+    label = (
+        F.lit(names[-1])
+        if label is None
+        else label.otherwise(names[-1])
+    )
+    out = df.withColumn(split_col, label)
+    return out.drop("cluster_id") if clusters is not None else out
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str = "source",

@@ -960,6 +960,29 @@ def q66_ngram_ppl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q67_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-atomic train/val/test assignment (xxhash64 group-key
+    split — rows-only check; atomicity, determinism, and hash-split
+    degradation are pinned in tests/test_split.py). Groups come from
+    the q19/q58 MinHash-LSH duplicate clusters, so near-duplicate
+    documents can never straddle train and test."""
+    from big_data_hadoop_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    from big_data_hadoop_spark.pipeline import split_leakage_safe
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clusters = duplicate_clusters(minhash_lsh_pairs(docs, threshold=0.7))
+    return (
+        split_leakage_safe(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters=clusters
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1216,6 +1239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_bloom_dedup": q64_bloom_dedup,
     "q65_per_source_cap": q65_per_source_cap,
     "q66_ngram_ppl": q66_ngram_ppl,
+    "q67_leakage_safe_split": q67_leakage_safe_split,
 }
 
 _EN = ts.STOPWORDS["en"]
