@@ -25,8 +25,11 @@ pair graph into connected components (min-label propagation) and
 ``dedup_by_clusters`` keeps one canonical doc per component — the
 cluster-safe dedup ACTION. Across runs, ``exact_dedup_against`` +
 ``content_digests`` give incremental ingestion dedup on 32-byte history
-digests. Embedding-cosine near-dup lives in ``similarity.py``; winnow
-(MOSS) fingerprint pairs in ``textstats.py``.
+digests, and ``minhash_dedup_against`` + ``minhash_signatures`` the
+near-dup analog on stored fixed-size signatures (band join +
+slot-agreement estimate — history documents never ship). Embedding-
+cosine near-dup lives in ``similarity.py``; winnow (MOSS) fingerprint
+pairs in ``textstats.py``.
 """
 
 from __future__ import annotations
@@ -374,6 +377,23 @@ def minhash_signatures(
     )
 
 
+def _banded(sig: DataFrame, bands: int, r: int, id_col: str) -> DataFrame:
+    """Explode ``(id, sig)`` into ``(id, band, bh)`` band-bucket keys:
+    band ``b``'s key is the hash of signature slots ``[b*r, (b+1)*r)``."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -398,18 +418,7 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
     sig = minhash_signatures(df, n=n, num_perm=num_perm, text_col=text_col, id_col=id_col)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _banded(sig, bands, r, id_col)
     cand = (
         banded.alias("a")
         .join(
@@ -430,6 +439,120 @@ def minhash_lsh_pairs(
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
+
+
+def minhash_matches_against(
+    new_sigs: DataFrame,
+    prior_sigs: DataFrame,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-run near-dup matches ``(doc_id, prior_id, jac_est)`` between
+    a new batch's minhash signatures and a STORED history signature table
+    (both ``(id, sig array<bigint>)`` from :func:`minhash_signatures`).
+
+    This is the near-dup analog of ``exact_dedup_against``: each run
+    ships only fixed-size signatures of history (``num_perm`` longs per
+    document — ~1 KB at the 128 default), never past documents, so exact
+    Jaccard verification against history is impossible BY DESIGN;
+    similarity is the standard signature estimate instead — the fraction
+    of agreeing signature slots, an unbiased estimator of Jaccard with
+    stderr ``<= 1/(2*sqrt(num_perm))`` (~0.044 at 128). Candidates come
+    from the same band equi-join as ``minhash_lsh_pairs``; only
+    candidate pairs ever compare full signatures, and that compare is
+    one ``zip_with``/``aggregate`` fold over ``num_perm`` elements.
+
+    100 TB shape: new-batch bands join history bands on ``(band, bh)``
+    short keys (broadcast while history is small, shuffle equi-join at
+    scale — never all-pairs); the signature fetch is two equi-joins on
+    ids. History grows by appending each run's new signatures.
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    nb = _banded(new_sigs, bands, r, id_col)
+    pb = _banded(prior_sigs.select(F.col(id_col), "sig"), bands, r, id_col)
+    cand = (
+        nb.alias("a")
+        .join(
+            pb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"b.{id_col}").alias("prior_id"),
+        )
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig",
+            "prior_sig",
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        cand.join(new_sigs, id_col)
+        .join(
+            prior_sigs.select(
+                F.col(id_col).alias("prior_id"), F.col("sig").alias("prior_sig")
+            ),
+            "prior_id",
+        )
+        .withColumn("jac_est", est)
+        .filter(F.col("jac_est") >= threshold)
+        .select(id_col, "prior_id", "jac_est")
+    )
+
+
+def minhash_dedup_against(
+    df: DataFrame,
+    prior_sigs: DataFrame,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    within_batch: bool = True,
+) -> DataFrame:
+    """Incremental near-dup dedup: rows of ``df`` with no history match
+    at ``threshold`` (``minhash_matches_against``), then — with
+    ``within_batch`` — cluster-resolved near-dedup INSIDE the batch
+    (``minhash_lsh_pairs`` + ``dedup_by_clusters``, exact-verified as
+    always). Mirrors ``exact_dedup_against``'s drop-then-keep-first
+    contract one tier up. Emit the surviving batch's signatures with
+    :func:`minhash_signatures` and append them to the stored table for
+    the next run."""
+    sigs = minhash_signatures(
+        df, n=n, num_perm=num_perm, text_col=text_col, id_col=id_col
+    )
+    hits = minhash_matches_against(
+        sigs,
+        prior_sigs,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        id_col=id_col,
+    ).select(id_col)
+    fresh = df.join(hits, id_col, "left_anti")
+    if not within_batch:
+        return fresh
+    pairs = minhash_lsh_pairs(
+        fresh,
+        n=n,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return dedup_by_clusters(fresh, pairs, id_col=id_col)
 
 
 def simhash(

@@ -983,6 +983,31 @@ def q67_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q68_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-run near-dup dedup against a stored signature table
+    (xxhash64 minhash + band join + signature-estimate — rows-only
+    check; match decisions are pinned pair-for-pair against a Python
+    replication in tests/test_minhash_incremental.py). History = docs
+    with doc_id % 3 == 0 (mirrors q64's exact-tier setup); the batch
+    replants 20 of them under fresh ids, which must all be dropped."""
+    from big_data_hadoop_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    prior = docs.filter("doc_id % 3 = 0")
+    batch = docs.filter("doc_id % 3 != 0").unionByName(
+        prior.orderBy("doc_id")
+        .limit(20)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    out = minhash_dedup_against(
+        batch, minhash_signatures(prior), threshold=0.9
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1240,6 +1265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_per_source_cap": q65_per_source_cap,
     "q66_ngram_ppl": q66_ngram_ppl,
     "q67_leakage_safe_split": q67_leakage_safe_split,
+    "q68_minhash_incremental": q68_minhash_incremental,
 }
 
 _EN = ts.STOPWORDS["en"]

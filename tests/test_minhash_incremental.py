@@ -1,0 +1,128 @@
+"""Cross-run MinHash near-dup dedup (``dedup.minhash_matches_against`` /
+``minhash_dedup_against``): the band/candidate/estimate logic is
+recomputed in pure Python from the COLLECTED signatures (the signature
+primitive itself is pinned by the q19 oracle), so match decisions must
+agree pair-for-pair; plus drop/keep invariants on planted duplicates.
+
+The only divergence surface between engine and replication is band-key
+hashing: the engine buckets on ``xxhash64(slice(sig))``, the replication
+on the raw slot tuple — identical candidate sets unless xxhash64
+collides (negligible, and a collision could only ADD a candidate, never
+lose one).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.dedup import (
+    minhash_dedup_against,
+    minhash_matches_against,
+    minhash_signatures,
+)
+from big_data_hadoop_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+NUM_PERM = 128
+BANDS = 32
+R = NUM_PERM // BANDS
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """History = even doc_ids; batch = odd doc_ids plus 10 replanted
+    history docs (exact cross-run duplicates) re-keyed to fresh ids."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    prior = docs.filter("doc_id % 2 = 0")
+    replant = (
+        prior.orderBy("doc_id")
+        .limit(10)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    batch = docs.filter("doc_id % 2 = 1").unionByName(replant)
+    return prior.cache(), batch.cache()
+
+
+def _py_matches(new_sigs, prior_sigs, threshold):
+    """Replicate band-candidate generation + slot-agreement estimate."""
+    def bandkeys(sig):
+        return [
+            (b, tuple(sig[b * R : (b + 1) * R])) for b in range(BANDS)
+        ]
+
+    buckets: dict = {}
+    for pid, sig in prior_sigs.items():
+        for key in bandkeys(sig):
+            buckets.setdefault(key, []).append(pid)
+    out = set()
+    for nid, sig in new_sigs.items():
+        cands = {p for key in bandkeys(sig) for p in buckets.get(key, [])}
+        for pid in cands:
+            psig = prior_sigs[pid]
+            est = sum(a == b for a, b in zip(sig, psig)) / NUM_PERM
+            if est >= threshold:
+                out.add((nid, pid))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.9])
+def test_matches_equal_python_replication(spark, corpus, threshold):
+    prior, batch = corpus
+    prior_sigs = minhash_signatures(prior, num_perm=NUM_PERM)
+    new_sigs = minhash_signatures(batch, num_perm=NUM_PERM)
+    got = {
+        (r["doc_id"], r["prior_id"])
+        for r in minhash_matches_against(
+            new_sigs, prior_sigs, num_perm=NUM_PERM, bands=BANDS,
+            threshold=threshold,
+        ).collect()
+    }
+    p_sigs = {r["doc_id"]: list(r["sig"]) for r in prior_sigs.collect()}
+    n_sigs = {r["doc_id"]: list(r["sig"]) for r in new_sigs.collect()}
+    assert got == _py_matches(n_sigs, p_sigs, threshold)
+    assert got, "planted duplicates must produce matches"
+
+
+def test_replanted_docs_dropped_fresh_docs_kept(spark, corpus):
+    prior, batch = corpus
+    prior_sigs = minhash_signatures(prior, num_perm=NUM_PERM)
+    out = minhash_dedup_against(
+        batch, prior_sigs, threshold=0.9, within_batch=False
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every replanted doc (id >= 1e6) is an exact copy of history:
+    # signature estimate 1.0 -> always dropped
+    assert not {d for d in kept if d >= 1_000_000}
+    # odd docs are synthetic-distinct from the even history at 0.9
+    n_odd_in = batch.filter("doc_id < 1000000").count()
+    n_odd_kept = len([d for d in kept if d < 1_000_000])
+    assert n_odd_kept > 0.5 * n_odd_in
+
+
+def test_within_batch_clusters_also_resolved(spark, corpus):
+    prior, batch = corpus
+    # plant an intra-batch near-dup pair: two fresh ids, same text
+    dup = batch.filter("doc_id % 2 = 1").orderBy("doc_id").limit(1)
+    twice = dup.select(F.lit(2_000_000).alias("doc_id"), "text").unionByName(
+        dup.select(F.lit(2_000_001).alias("doc_id"), "text")
+    )
+    prior_sigs = minhash_signatures(prior, num_perm=NUM_PERM)
+    out = minhash_dedup_against(
+        batch.unionByName(twice), prior_sigs, threshold=0.9
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # the original odd doc survives history (distinct) but its two batch
+    # copies resolve to ONE canonical member of the {orig, 2M, 2M+1}
+    # cluster (keep-min => the original id)
+    orig = dup.collect()[0]["doc_id"]
+    assert orig in kept
+    assert 2_000_000 not in kept and 2_000_001 not in kept
+
+
+def test_bands_must_divide(spark, corpus):
+    prior, batch = corpus
+    sigs = minhash_signatures(prior, num_perm=NUM_PERM)
+    with pytest.raises(ValueError):
+        minhash_matches_against(sigs, sigs, num_perm=128, bands=33)
