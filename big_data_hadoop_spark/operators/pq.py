@@ -1,0 +1,273 @@
+"""Product quantization (PQ) for embedding search — the compressed tier
+of the similarity stack.
+
+Implements the classic PQ scheme (Jégou, Douze, Schmid 2011, "Product
+Quantization for Nearest Neighbor Search", IEEE TPAMI): split each
+``dim``-dimensional vector into ``m`` subvectors, vector-quantize each
+subspace with its own ``k``-centroid codebook, and represent every
+corpus vector by ``m`` small codes (``m*log2(k)`` bits — 8 bytes per
+vector at the classic m=8/k=256, a ~32x compression of a 64-dim float
+vector). Search uses asymmetric distance computation (ADC): the QUERY
+stays exact; its squared-L2 distance to a corpus vector is approximated
+by summing, per subspace, the precomputed distance from the query's
+subvector to the corpus code's centroid.
+
+The reference repo has no analog; within this engine PQ completes the
+ANN ladder: brute cosine (exact verifier) → hyperplane-LSH / IVF
+(pruned candidate generation) → PQ (compressed storage + cheap scoring
+for corpora whose raw vectors don't fit the cluster's memory budget).
+
+Spark-first shape — every stage is declarative, nothing row-level runs
+in Python:
+
+* **Train** (the only driver-side step): ``m`` independent KMeans fits
+  on a bounded sample (``similarity._bounded_training_sample`` — the
+  iterative fit never touches the full corpus), one per subspace;
+  centroids land in a tiny ``(j, code, centroid)`` codebook frame
+  (``m*k`` rows).
+* **Encode**: explode each vector into its ``m`` subvectors (narrow),
+  broadcast-join the codebook on the subspace id, fold the squared-L2
+  per candidate centroid with a codegen'd ``aggregate``, and take the
+  per-(vector, subspace) argmin as ``min(struct(dist, code))`` — a
+  plain aggregate with map-side partials and a deterministic
+  lowest-code tie-break. A second tiny aggregation reassembles the
+  ``m`` codes into an ordered array. Shuffles carry (id, j, code)-sized
+  rows, never raw vectors.
+* **Search (ADC)**: the lookup table is a LAZY frame — queries
+  cross-joined with the broadcast codebook (``q*m*k`` rows, tiny);
+  corpus codes explode to ``(id, j, code)`` and broadcast-join the LUT
+  on ``(j, code)``; the per-(query, corpus) sum over ``m`` partial
+  distances is one aggregation with map-side combine (the shuffle
+  carries one row per (query, corpus id) pair); top-k is the standard
+  per-query rank window. No driver collect anywhere on the search path.
+
+Codes are deliberately storable: persist ``pq_encode``'s output plus
+``pq_save``'s codebook table and serve ``pq_search`` from storage —
+the same fit-once / search-many contract as ``similarity.IVFIndex``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_hadoop_spark.operators.similarity import (
+    _as_double,
+    _bounded_training_sample,
+)
+
+__all__ = [
+    "PQCodebook",
+    "pq_train",
+    "pq_encode",
+    "pq_search",
+    "pq_save",
+    "pq_load",
+]
+
+#: KMeans fits performed by ``pq_train`` since import (build-once
+#: observability, same contract as ``similarity.IVF_FIT_COUNT``).
+PQ_FIT_COUNT = 0
+
+
+@dataclass
+class PQCodebook:
+    """A trained PQ codebook: ``entries`` is a tiny lazy frame
+    ``(j int, code int, centroid array<double>)`` with ``m*k`` rows."""
+
+    entries: DataFrame
+    dim: int
+    m: int
+    k: int
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // self.m
+
+
+def _sq_l2(a, b) -> F.Column:
+    """Squared L2 between two equal-length double arrays, left-fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int) -> DataFrame:
+    """Explode ``(id, vec)`` into ``(id, j, sub array<double>)`` —
+    narrow, one output row per subspace."""
+    emb = _as_double(F.col(vec_col))
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("j"),
+            F.slice(emb, j * dsub + 1, dsub).alias("sub"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(subs).alias("s")).select(
+        id_col, F.col("s.j").alias("j"), F.col("s.sub").alias("sub")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_cap: int = 100_000,
+    max_iter: int = 8,
+    n_rows: int | None = None,
+) -> PQCodebook:
+    """Fit the ``m`` per-subspace codebooks ONCE on a bounded sample.
+
+    ``m`` KMeans fits run driver-coordinated (pyspark.ml has no
+    multi-model fit), each over the SAME cached bounded sample — the
+    per-fit state is ``k`` centroids of ``dim/m`` doubles. ``k`` is
+    clamped to the sample size like ``ivf_build``; ``max_iter=8`` for
+    the same reason (a quantizer needs coverage, not convergence).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    global PQ_FIT_COUNT
+
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dsub = dim // m
+    e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_ed"))
+    train = _bounded_training_sample(e, id_col, train_cap, n_rows=n_rows).cache()
+    n_train = train.count()  # one job; also materializes the cache
+    if n_train == 0:
+        raise ValueError("pq_train needs a non-empty corpus")
+    rows = []
+    for j in range(m):
+        sub = train.select(
+            array_to_vector(F.slice("_ed", j * dsub + 1, dsub)).alias("_v")
+        )
+        kj = min(k, n_train)
+        if kj == 1:
+            # KMeans rejects k=1; a single-row/-centroid subspace is just
+            # the sampled subvector itself.
+            (row,) = sub.limit(1).collect()
+            centers = [[float(x) for x in row._v.toArray()]]
+        else:
+            model = KMeans(
+                k=kj, seed=seed + j, featuresCol="_v",
+                predictionCol="_c", maxIter=max_iter,
+            ).fit(sub)
+            PQ_FIT_COUNT += 1
+            centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        rows.extend((j, code, c) for code, c in enumerate(centers))
+    train.unpersist()
+    entries = df.sparkSession.createDataFrame(
+        rows, "j int, code int, centroid array<double>"
+    )
+    return PQCodebook(entries=entries, dim=dim, m=m, k=k)
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, codes array<int>)``: per subspace, the code of the nearest
+    centroid (squared L2; ties break to the LOWEST code via the
+    ``min(struct(dist, code))`` aggregate — deterministic)."""
+    subs = _subvectors(df, id_col, vec_col, cb.m, cb.dsub)
+    scored = subs.join(F.broadcast(cb.entries), "j").select(
+        id_col,
+        "j",
+        "code",
+        _sq_l2(F.col("sub"), F.col("centroid")).alias("dist"),
+    )
+    best = scored.groupBy(id_col, "j").agg(
+        F.min(F.struct("dist", "code")).alias("b")
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", F.col("b.code").alias("code")))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    cb: PQCodebook,
+    queries: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: ``(query_id, vec_id, adc_dist, rank)`` — the ``topk``
+    corpus codes per query by approximate squared L2, rank 1 = nearest,
+    ties broken by corpus id ascending (deterministic).
+
+    ``codes`` is ``pq_encode`` output (or its persisted table);
+    ``queries`` a small frame of raw query vectors. The LUT and the
+    exploded-code join are both broadcast-side; see the module
+    docstring for the full shape."""
+    lut = (
+        queries.select(
+            F.col(query_id_col), _as_double(F.col(query_vec_col)).alias("_qd")
+        )
+        .join(F.broadcast(cb.entries))
+        .select(
+            query_id_col,
+            "j",
+            "code",
+            _sq_l2(
+                F.slice("_qd", F.col("j") * cb.dsub + 1, cb.dsub),
+                F.col("centroid"),
+            ).alias("pdist"),
+        )
+    )
+    flat = codes.select(
+        F.col(id_col),
+        F.posexplode("codes").alias("j", "code"),
+    )
+    dists = (
+        flat.join(F.broadcast(lut), ["j", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("pdist").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
+def pq_save(cb: PQCodebook, path: str) -> None:
+    """Persist the codebook frame (parquet); shape/meta ride as columns."""
+    cb.entries.withColumn("dim", F.lit(cb.dim)).withColumn(
+        "m", F.lit(cb.m)
+    ).withColumn("k", F.lit(cb.k)).write.mode("overwrite").parquet(path)
+
+
+def pq_load(spark, path: str) -> PQCodebook:
+    df = spark.read.parquet(path)
+    meta = df.select("dim", "m", "k").first()
+    return PQCodebook(
+        entries=df.select("j", "code", "centroid"),
+        dim=meta["dim"],
+        m=meta["m"],
+        k=meta["k"],
+    )

@@ -14,6 +14,9 @@ Scale design:
 - ``lsh_bucketed_topk`` is the 100 TB path: random-hyperplane signatures
   bucket the corpus so candidates meet on an equi-join of short signature
   keys instead of a cross join; exact cosine re-ranks within buckets.
+- ``operators.pq`` adds the compressed tier (product quantization +
+  asymmetric-distance search) for corpora whose raw vectors exceed the
+  memory budget.
 """
 
 from __future__ import annotations

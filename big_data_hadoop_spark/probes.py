@@ -1008,6 +1008,31 @@ def q68_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q69_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (KMeans codebooks + declarative
+    encode/LUT join — rows-only check; encode codes and ADC sums are
+    pinned against a numpy replication in tests/test_pq.py). 5 corpus
+    vectors as queries, top-10 by approximate squared L2; adc_dist
+    rounded for display stability only."""
+    from big_data_hadoop_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    cb = pq_train(emb, dim=EMBED_DIM, m=8, k=16, seed=7)
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return (
+        pq_search(pq_encode(emb, cb), cb, queries, topk=10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("adc_dist", 6).alias("adc_dist"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1266,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_ngram_ppl": q66_ngram_ppl,
     "q67_leakage_safe_split": q67_leakage_safe_split,
     "q68_minhash_incremental": q68_minhash_incremental,
+    "q69_pq_ann": q69_pq_ann,
 }
 
 _EN = ts.STOPWORDS["en"]

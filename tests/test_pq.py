@@ -1,0 +1,151 @@
+"""Value oracle for ``operators.pq`` (product quantization): encode and
+ADC search are recomputed in numpy FROM THE COLLECTED CODEBOOK (the
+KMeans fit itself is pyspark.ml's — what's under test is the engine's
+declarative encode/argmin/LUT/sum plumbing), plus recall and
+degenerate-shape invariants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators import pq as pqm
+from big_data_hadoop_spark.operators.pq import (
+    PQCodebook,
+    pq_encode,
+    pq_load,
+    pq_save,
+    pq_search,
+    pq_train,
+)
+from big_data_hadoop_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+M = 8
+K = 16
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, SF, "embeddings").select("vec_id", "embedding").cache()
+
+
+@pytest.fixture(scope="module")
+def cb(spark, corpus):
+    return pq_train(corpus, dim=DIM, m=M, k=K, seed=7)
+
+
+def _np_codebook(cb: PQCodebook) -> np.ndarray:
+    """(m, k_actual, dsub) array from the codebook frame."""
+    rows = cb.entries.collect()
+    k_actual = max(r["code"] for r in rows) + 1
+    out = np.zeros((cb.m, k_actual, cb.dsub))
+    for r in rows:
+        out[r["j"], r["code"]] = r["centroid"]
+    return out
+
+
+def _np_encode(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    n, m, dsub = len(vecs), books.shape[0], books.shape[2]
+    codes = np.zeros((n, m), dtype=int)
+    for j in range(m):
+        sub = vecs[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)  # lowest code on ties, like min(struct)
+    return codes
+
+
+def test_encode_matches_numpy(spark, corpus, cb):
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in corpus.collect()}
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(corpus, cb).collect()
+    }
+    books = _np_codebook(cb)
+    ids = sorted(vecs)
+    want = _np_encode(np.stack([vecs[i] for i in ids]), books)
+    assert set(got) == set(ids)
+    for row, i in zip(want, ids):
+        assert got[i] == list(row), i
+
+
+def test_adc_distances_match_numpy(spark, corpus, cb):
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in corpus.collect()}
+    queries = corpus.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = pq_encode(corpus, cb)
+    got = pq_search(codes, cb, queries, topk=10).collect()
+    books = _np_codebook(cb)
+    ids = sorted(vecs)
+    allcodes = _np_encode(np.stack([vecs[i] for i in ids]), books)
+    code_of = dict(zip(ids, allcodes))
+    for r in got:
+        q = vecs[r["query_id"]]
+        want = 0.0
+        for j, c in enumerate(code_of[r["vec_id"]]):
+            sub = q[j * cb.dsub : (j + 1) * cb.dsub]
+            want += ((sub - books[j][c]) ** 2).sum()
+        assert r["adc_dist"] == pytest.approx(want, rel=1e-9)
+    # per query: exactly topk rows, ranks 1..topk, sorted by distance
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        dists = [r["adc_dist"] for r in rows]
+        assert dists == sorted(dists)
+
+
+def test_self_is_near_top(spark, corpus, cb):
+    """ADC recall sanity: a query drawn from the corpus must rank its own
+    code among the closest few (its quantized self has the minimal
+    reachable ADC distance up to code collisions)."""
+    queries = corpus.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = pq_encode(corpus, cb)
+    got = pq_search(codes, cb, queries, topk=5).collect()
+    tops = {}
+    for r in got:
+        tops.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for q, ids in tops.items() if q in ids)
+    assert hits >= 4  # allow one collision-induced miss
+
+
+def test_save_load_roundtrip(spark, corpus, cb, tmp_path):
+    path = str(tmp_path / "pq_codebook")
+    pq_save(cb, path)
+    cb2 = pq_load(spark, path)
+    assert (cb2.dim, cb2.m, cb2.k) == (cb.dim, cb.m, cb.k)
+    a = pq_encode(corpus, cb).orderBy("vec_id").collect()
+    b = pq_encode(corpus, cb2).orderBy("vec_id").collect()
+    assert [list(r["codes"]) for r in a] == [list(r["codes"]) for r in b]
+
+
+def test_train_validation_and_fit_count(spark, corpus):
+    with pytest.raises(ValueError):
+        pq_train(corpus, dim=DIM, m=7)  # 7 does not divide 64
+    with pytest.raises(ValueError):
+        pq_train(corpus, dim=DIM, m=8, k=0)
+    before = pqm.PQ_FIT_COUNT
+    cb = pq_train(corpus, dim=DIM, m=4, k=4, seed=1)
+    assert pqm.PQ_FIT_COUNT == before + 4  # one fit per subspace, never more
+    # encode+search reuse the codebook with ZERO additional fits
+    queries = corpus.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    pq_search(pq_encode(corpus, cb), cb, queries, topk=3).collect()
+    assert pqm.PQ_FIT_COUNT == before + 4
+
+
+def test_tiny_corpus(spark):
+    one = spark.createDataFrame(
+        [(1, [float(i) for i in range(DIM)])], "vec_id long, embedding array<double>"
+    )
+    cb = pq_train(one, dim=DIM, m=4, k=8)
+    codes = pq_encode(one, cb).collect()
+    assert len(codes) == 1 and list(codes[0]["codes"]) == [0, 0, 0, 0]
