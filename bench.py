@@ -208,7 +208,10 @@ def main() -> None:
                 "metric": f"probe suite sec, per-query best-of-{n_passes}",
                 "value": total,
                 "unit": "sec",
-                "queries": best,
+                # 2-decimal per-query values: the registry is large enough
+                # that full floats alone overflow the capture window; the
+                # exact values live in bench_detail.json
+                "queries": {k: round(v, 2) for k, v in best.items()},
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -416,8 +416,28 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
-    r = num_perm // bands
     sig = minhash_signatures(df, n=n, num_perm=num_perm, text_col=text_col, id_col=id_col)
+    return _lsh_pairs_given_sigs(
+        sig, df, n=n, num_perm=num_perm, bands=bands,
+        threshold=threshold, text_col=text_col, id_col=id_col,
+    )
+
+
+def _lsh_pairs_given_sigs(
+    sig: DataFrame,
+    df: DataFrame,
+    n: int,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The band/candidate/verify tail of :func:`minhash_lsh_pairs`, for
+    callers that already hold the signatures (``minhash_dedup_against``
+    reuses the batch signatures instead of re-running the ``num_perm``-
+    aggregate signature computation on the surviving subset)."""
+    r = num_perm // bands
     banded = _banded(sig, bands, r, id_col)
     cand = (
         banded.alias("a")
@@ -543,7 +563,12 @@ def minhash_dedup_against(
     fresh = df.join(hits, id_col, "left_anti")
     if not within_batch:
         return fresh
-    pairs = minhash_lsh_pairs(
+    # Reuse the batch signatures (semi-join down to survivors) — the
+    # num_perm-aggregate signature computation runs ONCE per batch, not
+    # once more for the within-batch pass.
+    fresh_sigs = sigs.join(hits, id_col, "left_anti")
+    pairs = _lsh_pairs_given_sigs(
+        fresh_sigs,
         fresh,
         n=n,
         num_perm=num_perm,

@@ -36,7 +36,11 @@ by the pure-Python oracle in ``tests/test_repetition.py``):
 * ``dup_{n}gram_char_frac`` = summed length of token positions covered by
   at least one n-gram occurring more than once, / total. Overlapping
   duplicate n-grams cover each position once (coverage, not
-  multiplicity) — the Gopher definition.
+  multiplicity) — the Gopher definition. Gram identity on this path is
+  ``xxhash64`` over the token slice (the q61 duplicate-span precedent:
+  64-bit content identity instead of materialized gram strings — a
+  collision, ~#grams²/2⁶⁴, could only mark one extra position
+  duplicated).
 
 Scale shape: line metrics and coverage arithmetic are per-row native
 expressions (zero shuffle); n-gram frequency is ONE ``posexplode`` over
@@ -150,34 +154,45 @@ def repetition_signals(
         F.aggregate("_tlens", F.lit(0).cast("long"), lambda a, x: a + x),
     )
 
-    # One row per (doc, n, gram position): n-grams are substring-free
-    # array_join slices over the staged token attribute. A doc shorter
-    # than n yields a NULL array, which posexplode drops — restored as
-    # zero-fractions by the left join below.
-    with_n = base.select(
-        F.col(id_col),
-        F.col("_toks"),
-        F.explode(F.array(*[F.lit(n) for n in all_ns])).alias("n"),
-    )
-    grams = F.when(
-        F.size("_toks") >= F.col("n"),
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - F.col("n") + 1),
-            lambda i: F.array_join(F.slice("_toks", i, F.col("n")), " "),
-        ),
-    )
-    occ = with_n.select(
-        F.col(id_col), F.col("n"), F.posexplode(grams).alias("pos", "gram")
-    )
+    # One row per (doc, n, gram position). A doc shorter than n yields a
+    # NULL array, which posexplode drops — restored as zero-fractions by
+    # the left join below. The two signal families key their grams
+    # differently, and the difference is the dominant cost at scale:
+    #
+    # * top_ns (small n, argmax): the gram STRING is load-bearing — the
+    #   documented tie-break orders by (count, char length, gram) and
+    #   the char length itself comes off the string — so these rows
+    #   carry materialized array_join slices.
+    # * dup_ns (large n, coverage): the gram is ONLY an identity key, so
+    #   rows carry ``xxhash64`` over the token slice instead (the q61
+    #   duplicate-span precedent: 8-byte content identity, no per-gram
+    #   string build, and the (doc, n, gram) shuffle moves fixed-width
+    #   keys instead of up-to-n-token strings). Measured at sf0.1 this
+    #   halves the probe; at 100 TB it is the difference between
+    #   shuffling hashes and shuffling most of the corpus n times over.
+    def _occ(ns: Sequence[int], gram_expr) -> DataFrame:
+        with_n = base.select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
+        )
+        grams = F.when(
+            F.size("_toks") >= F.col("n"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - F.col("n") + 1),
+                gram_expr,
+            ),
+        )
+        return with_n.select(
+            F.col(id_col), F.col("n"), F.posexplode(grams).alias("pos", "gram")
+        )
 
-    # ONE keyed aggregation carries both signals: the count (for top-gram
-    # argmax) and each gram's 0-based start positions (for coverage —
-    # collect_list drops the NULL emitted for non-repeated grams).
-    cnt = occ.groupBy(id_col, "n", "gram").agg(
-        F.count("*").alias("c"), F.collect_list("pos").alias("poss")
+    occ_top = _occ(
+        top_ns, lambda i: F.array_join(F.slice("_toks", i, F.col("n")), " ")
     )
+    cnt_top = occ_top.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
     gram_chars = (F.length("gram") - F.col("n") + 1).cast("long")
-    agg_n = cnt.groupBy(id_col, "n").agg(
+    agg_top = cnt_top.groupBy(id_col, "n").agg(
         F.max(
             F.struct(
                 F.col("c").alias("c"),
@@ -185,33 +200,42 @@ def repetition_signals(
                 F.col("gram").alias("g"),
             )
         ).alias("m"),
-        F.flatten(
-            F.collect_list(F.when(F.col("c") > 1, F.col("poss")))
-        ).alias("starts"),
     )
-    per_n = agg_n.select(
+    per_top = agg_top.select(
         F.col(id_col),
         "n",
         F.when(F.col("m.c") > 1, F.col("m.c") * F.col("m.gl"))
         .otherwise(F.lit(0).cast("long"))
         .alias("top_chars"),
-        "starts",
+    )
+
+    occ_dup = _occ(dup_ns, lambda i: F.xxhash64(F.slice("_toks", i, F.col("n"))))
+    # collect_list drops the NULL emitted for non-repeated grams.
+    cnt_dup = occ_dup.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("c"), F.collect_list("pos").alias("poss")
+    )
+    agg_dup = cnt_dup.groupBy(id_col, "n").agg(
+        F.flatten(
+            F.collect_list(F.when(F.col("c") > 1, F.col("poss")))
+        ).alias("starts"),
     )
 
     # Pivot n back into columns. Each (doc, n) key holds exactly one row,
     # so max(when(n == k, v)) is a plain conditional projection.
-    pivoted = per_n.groupBy(id_col).agg(
+    piv_top = per_top.groupBy(id_col).agg(
         *[
             F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"_top_{n}")
             for n in top_ns
         ],
+    )
+    piv_dup = agg_dup.groupBy(id_col).agg(
         *[
             F.max(F.when(F.col("n") == n, F.col("starts"))).alias(f"_starts_{n}")
             for n in dup_ns
         ],
     )
 
-    joined = base.join(pivoted, id_col, "left")
+    joined = base.join(piv_top, id_col, "left").join(piv_dup, id_col, "left")
     tot = F.greatest(F.col("_tot"), F.lit(1).cast("long"))
     out_cols = [
         F.col(id_col),
