@@ -14,7 +14,10 @@ Reference parity:
   column, computed once at classification time. This fixes the reference's
   misrouting of letterless word tokens like ``"-"`` (SURVEY Q5).
 
-Plus the testdata table catalog used by every probe.
+Plus the testdata table catalog used by every probe, and the engine
+format matrix beyond parity: JSONL (schema-pinned, PERMISSIVE triage),
+CSV (same discipline), ORC (columnar interchange), and bucketed parquet
+tables for exchange-free recurring joins.
 """
 
 from __future__ import annotations
@@ -183,6 +186,64 @@ def write_partitioned_by_category(
     ``category=word/``.
     """
     df.write.mode(mode).partitionBy("category").option("sep", "\t").csv(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV source with the same discipline as :func:`read_jsonl`: pass a
+    DDL ``schema`` whenever known (schema inference is a second full scan
+    — wasteful at 100 TB and type-unstable on dirty data), and parse in
+    PERMISSIVE mode so malformed lines land in ``_corrupt_record`` as a
+    filterable column instead of failing the job."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema + ", _corrupt_record string")
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    sep: str = ",",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """CSV sink (headered by default; ``partition_by`` gives the same
+    hive-layout pruning as :func:`write_jsonl`)."""
+    w = df.write.mode(mode).option("header", str(header).lower()).option("sep", sep)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar like parquet (self-describing schema, no
+    inference scan; predicate pushdown and column pruning both reach the
+    reader), for interchange with Hive-era warehouses."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC sink (hive-layout partitioning like the other sinks)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def write_bucketed(

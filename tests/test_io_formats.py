@@ -85,6 +85,53 @@ def test_write_jsonl_partitioned_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in formatted_plan(en)
 
 
+def test_csv_roundtrip_and_corrupt_capture(spark, tmp_path):
+    from big_data_hadoop_spark.sources.io import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0), (3, "with,comma", 0.0)],
+        "id long, name string, score double",
+    )
+    out = str(tmp_path / "csv_rt")
+    write_csv(df, out)
+    back = read_csv(
+        spark, out, schema="id long, name string, score double"
+    ).cache()
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    got = {(r.id, r.name, r.score) for r in back.select("id", "name", "score").collect()}
+    assert got == {(1, "alpha", 1.5), (2, "beta", -2.0), (3, "with,comma", 0.0)}
+    # malformed rows land in _corrupt_record, not in a job failure
+    src = tmp_path / "dirty_csv"
+    src.mkdir()
+    (src / "a.csv").write_text("id,name,score\n1,ok,2.5\nnot-a-long,x,y\n")
+    dirty = read_csv(
+        spark, str(src), schema="id long, name string, score double"
+    ).cache()
+    assert dirty.filter("_corrupt_record IS NULL").count() == 1
+    assert dirty.filter("_corrupt_record IS NOT NULL").count() == 1
+
+
+def test_orc_roundtrip_partitioned_and_pushdown(spark, tmp_path):
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.sources.io import load_table, read_orc, write_orc
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "orc_rt")
+    write_orc(docs, out, partition_by=("lang",))
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    got = {(r.doc_id, r.text) for r in back.select("doc_id", "text").collect()}
+    exp = {(r.doc_id, r.text) for r in docs.collect()}
+    assert got == exp
+    # partition pruning + predicate pushdown both reach the ORC scan
+    q = back.filter((back.lang == "en") & (back.doc_id > 10)).select("doc_id")
+    plan = formatted_plan(q)
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,10)]" in plan
+
+
 def test_exact_dedup_against_matches_duckdb(spark, duck, tmp_path):
     """Incremental dedup: new batch anti-joined against stored digests,
     then keep-first within the batch — equal to the DuckDB two-stage
