@@ -76,8 +76,12 @@ def _kept_tokens(text_col: str) -> Column:
     )
 
 
-def _bigram_events(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per bigram event ``(id, w1, w2)``, occurrences preserved.
+def _bigram_events(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """One row per bigram event ``(id, *keep, w1, w2)``, occurrences
+    preserved (``keep`` carries pass-through columns — the streaming
+    twin rides its event-time column through here).
 
     Built entirely from array expressions (two shifted ``slice`` views
     zipped) — a narrow per-row transform; the only shuffles downstream
@@ -90,8 +94,13 @@ def _bigram_events(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.slice(toks, F.lit(2), n_pairs).alias("w2"),
     )
     return (
-        df.select(F.col(id_col), F.explode(pairs).alias("bg"))
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        df.select(F.col(id_col), *[F.col(c) for c in keep], F.explode(pairs).alias("bg"))
+        .select(
+            id_col,
+            *keep,
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
     )
 
 

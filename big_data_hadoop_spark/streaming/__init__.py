@@ -6,6 +6,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
     streaming_curate,
     streaming_neighbor_counts,
     streaming_pair_counts,
+    streaming_ppl_score,
     streaming_sessionize,
     streaming_token_counts,
     streaming_topk_words,
@@ -19,6 +20,7 @@ __all__ = [
     "streaming_curate",
     "streaming_neighbor_counts",
     "streaming_pair_counts",
+    "streaming_ppl_score",
     "streaming_sessionize",
     "streaming_token_counts",
     "streaming_topk_words",

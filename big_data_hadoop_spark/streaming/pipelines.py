@@ -286,6 +286,65 @@ def streaming_curate(
     ).drop("_content_h")
 
 
+def streaming_ppl_score(
+    docs: DataFrame,
+    lm,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Streaming twin of ``operators.ngram_lm.ngram_lm_score``: score an
+    unbounded document stream against a STATIC trained bigram LM.
+
+    The LM count tables join in as stream-static equi-joins (supported
+    natively by Structured Streaming; the static side is planned per
+    micro-batch, broadcast when small); the per-document reduction is a
+    watermarked streaming aggregation keyed ``(ts, doc_id)``. The one
+    divergence from the batch twin, inherent to streams: documents with
+    NO bigram events (< 2 kept tokens) produce no output row — the
+    batch operator can left-join the full corpus back, a stream cannot
+    (that would be a stream-stream self-join keyed on absence). The
+    equivalence test compares against the batch result filtered to
+    ``n_bigrams > 0``.
+
+    The smoothing denominators ``(n_tokens, vocab)`` are read ONCE at
+    plan-construction time (one tiny action over the totals frame —
+    two longs): a stream cannot cross-join a lazy static aggregate,
+    and a production scorer wants the model frozen per run anyway.
+    """
+    totals = lm.totals.collect()[0]
+    n_tok, vocab = float(totals["n_tokens"]), float(totals["vocab"])
+    from big_data_hadoop_spark.operators.ngram_lm import _bigram_events
+
+    ev = _bigram_events(
+        docs.withWatermark(ts_col, watermark), id_col, text_col, keep=(ts_col,)
+    )
+    uni1 = lm.unigrams.select(F.col("token").alias("w1"), F.col("c1").alias("c_w1"))
+    uni2 = lm.unigrams.select(F.col("token").alias("w2"), F.col("c1").alias("c_w2"))
+    scored = (
+        ev.join(lm.bigrams, ["w1", "w2"], "left")
+        .join(uni1, "w1", "left")
+        .join(uni2, "w2", "left")
+    )
+    p_ml = F.when(
+        F.col("c_w1").isNotNull() & F.col("c2").isNotNull(),
+        F.col("c2").cast("double") / F.col("c_w1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (F.coalesce(F.col("c_w2"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.lit(n_tok) + F.lit(vocab)
+    )
+    nll = -F.log(F.lit(float(lam)) * p_ml + F.lit(1.0 - float(lam)) * p_uni)
+    return (
+        scored.groupBy(ts_col, id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.avg(nll).alias("avg_nll"))
+        .select(
+            id_col, "n_bigrams", "avg_nll", F.exp("avg_nll").alias("ppl")
+        )
+    )
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,
