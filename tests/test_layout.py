@@ -1,0 +1,134 @@
+"""Z-order layout (``sources.layout``): z-value bit contract against a
+pure-Python replication, and the actual pruning payoff — per-file
+parquet min-max spans must be narrow on BOTH dimensions simultaneously,
+which a single-column sort cannot achieve."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.sources.io import load_table
+from big_data_hadoop_spark.sources.layout import write_zordered, zorder_value
+
+SF = "/root/testdata/sf0.01"
+BITS = 8
+
+
+def _py_z(vals, mins, maxs, bits):
+    n = len(vals)
+    top = (1 << bits) - 1
+    z = 0
+    for i, (v, mn, mx) in enumerate(zip(vals, mins, maxs)):
+        span = mx - mn
+        if v is None or span <= 0:
+            b = 0
+        else:
+            b = min(max(int(math.floor((float(v) - mn) / span * top)), 0), top)
+        for k in range(bits):
+            z += ((b >> k) & 1) << (k * n + i)
+    return z
+
+
+def test_zvalue_matches_python(spark):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).limit(200)
+    stats = li.agg(
+        F.min(F.col("l_orderkey").cast("double")).alias("_zs_min_l_orderkey"),
+        F.max(F.col("l_orderkey").cast("double")).alias("_zs_max_l_orderkey"),
+        F.min(F.col("l_partkey").cast("double")).alias("_zs_min_l_partkey"),
+        F.max(F.col("l_partkey").cast("double")).alias("_zs_max_l_partkey"),
+    )
+    srow = stats.collect()[0]
+    got = (
+        li.join(F.broadcast(stats))
+        .withColumn("_z", zorder_value(["l_orderkey", "l_partkey"], bits=BITS))
+        .collect()
+    )
+    mins = (srow["_zs_min_l_orderkey"], srow["_zs_min_l_partkey"])
+    maxs = (srow["_zs_max_l_orderkey"], srow["_zs_max_l_partkey"])
+    assert len(got) == 200
+    for r in got:
+        want = _py_z((r["l_orderkey"], r["l_partkey"]), mins, maxs, BITS)
+        assert r["_z"] == want, (r["l_orderkey"], r["l_partkey"])
+
+
+def _file_spans(path, col):
+    """Mean normalized per-file [min, max] span of ``col`` across the
+    parquet files under ``path`` (file-level stats = what a scan's
+    file-skipping sees)."""
+    spans, los, his = [], [], []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        lo = min(
+            md.row_group(g).column(
+                next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(g).column(i).path_in_schema == col
+                )
+            ).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(
+                next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(g).column(i).path_in_schema == col
+                )
+            ).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+        los.append(lo)
+        his.append(hi)
+    total = max(his) - min(los)
+    assert total > 0
+    return sum(spans) / len(spans) / total
+
+
+def test_zorder_narrows_both_dimensions(spark, tmp_path):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    # baseline: single-column sort (perfect on orderkey, blind on partkey)
+    li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(plain)
+    write_zordered(li, zord, ["l_orderkey", "l_partkey"], bits=BITS, n_files=16)
+    # parity first
+    a = spark.read.parquet(zord)
+    assert a.count() == li.count()
+    assert a.agg(F.sum("l_quantity")).collect()[0][0] == pytest.approx(
+        li.agg(F.sum("l_quantity")).collect()[0][0]
+    )
+    # z-layout: BOTH dims substantially narrower than the full range
+    # (a 1/16 z-range's bounding box covers ~1/4 of each dimension,
+    # plus block-straddling at file boundaries); single-sort layout:
+    # the second dim spans ~everything per file.
+    z_ok = _file_spans(zord, "l_orderkey")
+    z_pk = _file_spans(zord, "l_partkey")
+    s_pk = _file_spans(plain, "l_partkey")
+    assert s_pk > 0.8          # blind dimension of the single sort
+    assert z_ok < 0.55
+    assert z_pk < 0.55
+    assert z_pk < s_pk / 1.8
+
+
+def test_zorder_validation(spark):
+    li = load_table(spark, SF, "lineitem")
+    with pytest.raises(ValueError):
+        zorder_value([], bits=8)
+    with pytest.raises(ValueError):
+        zorder_value(["a", "b"], bits=40)  # 80 bits > signed 64
