@@ -1033,6 +1033,26 @@ def q69_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q70_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 lexical top-k (inverted-index join — rows-only check;
+    index stats and scores are pinned against a pure-Python replication
+    in tests/test_bm25.py). 5 corpus documents as verbatim queries,
+    top-10 by score; score rounded for display stability only."""
+    from big_data_hadoop_spark.operators.bm25 import bm25_index, bm25_topk
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    queries = docs.orderBy("doc_id").limit(5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return (
+        bm25_topk(bm25_index(docs), queries, topk=10)
+        .select(
+            "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1292,6 +1312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_leakage_safe_split": q67_leakage_safe_split,
     "q68_minhash_incremental": q68_minhash_incremental,
     "q69_pq_ann": q69_pq_ann,
+    "q70_bm25_topk": q70_bm25_topk,
 }
 
 _EN = ts.STOPWORDS["en"]
