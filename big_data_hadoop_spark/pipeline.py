@@ -602,6 +602,55 @@ def sample_by_temperature(
     )
 
 
+def corpus_profile(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row-per-group corpus health profile — the first thing anyone
+    runs on a new snapshot before pointing the funnel at it: sizes,
+    token/char volumes, length distribution, and the exact-duplicate
+    rate per group.
+
+    Everything is ANSI-SQL-expressible (counts, sums, exact interpolated
+    percentiles, distinct digests), so the whole profile is verified
+    against a DuckDB oracle in tests. ``dup_frac`` uses the engine's
+    exact-dedup key (md5 of normalized text), so the number agrees with
+    what ``exact_dedup`` would actually remove within the group.
+
+    Scale shape: ONE aggregation keyed by ``group_cols`` (map-side
+    partial for everything except the exact percentiles, whose sort is
+    per-group and bounded by group size; substitute
+    ``sketches.approx_percentiles`` for a sort-free single-number
+    profile at extreme group cardinalities).
+    """
+    from big_data_hadoop_spark.operators.dedup import normalized_text
+
+    toks = F.filter(
+        split_tokens(F.col(text_col), lowercase=True), lambda t: t != F.lit("")
+    )
+    staged = df.select(
+        *group_cols,
+        F.size(toks).cast("long").alias("_ntok"),
+        F.length(text_col).cast("long").alias("_nchar"),
+        F.md5(normalized_text(F.col(text_col))).alias("_h"),
+    )
+    n = F.count("*")
+    return staged.groupBy(*group_cols).agg(
+        n.alias("n_docs"),
+        F.countDistinct("_h").alias("n_distinct"),
+        (
+            (n - F.countDistinct("_h")).cast("double")
+            / n.cast("double")
+        ).alias("dup_frac"),
+        F.sum("_ntok").alias("total_tokens"),
+        F.sum("_nchar").alias("total_chars"),
+        F.round(F.avg("_ntok"), 2).alias("avg_tokens"),
+        F.expr("percentile(_ntok, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(_ntok, 0.9)").alias("p90_tokens"),
+    )
+
+
 def split_leakage_safe(
     df: DataFrame,
     weights: dict[str, float],

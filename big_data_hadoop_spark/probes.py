@@ -1053,6 +1053,17 @@ def q70_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q71_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(lang, source) corpus health profile (rows-only registry slot;
+    the FULL frame — counts, dedup-digest dup rate, token/char volumes,
+    exact percentiles — is verified against a DuckDB oracle in
+    tests/test_profile.py)."""
+    from big_data_hadoop_spark.pipeline import corpus_profile
+
+    docs = load_table(spark, sf, "documents")
+    return corpus_profile(docs).orderBy("lang", "source")
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1313,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_minhash_incremental": q68_minhash_incremental,
     "q69_pq_ann": q69_pq_ann,
     "q70_bm25_topk": q70_bm25_topk,
+    "q71_corpus_profile": q71_corpus_profile,
 }
 
 _EN = ts.STOPWORDS["en"]

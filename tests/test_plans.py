@@ -223,3 +223,66 @@ def test_cosine_neardup_n_parts_sizes_exchange_only(spark):
     assert default_plan.count("Exchange") == sized_plan.count("Exchange")
     assert "hashpartitioning" in sized_plan
     assert ", 5)" in sized_plan, sized_plan  # hashpartitioning(vec_a, 5)
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """BM25 scoring: the one-row totals frame joins by broadcast, and
+    no exchange carries raw document text past the postings build."""
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.probes import QUERIES
+
+    plan = formatted_plan(QUERIES["q70_bm25_topk"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codebook_and_lut_broadcast(spark):
+    """PQ encode joins the m*k codebook by broadcast; ADC search joins
+    the query LUT by broadcast — the corpus side never shuffles raw
+    vectors for either."""
+    from big_data_hadoop_spark.operators.pq import pq_encode, pq_search, pq_train
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.probes import EMBED_DIM
+    from big_data_hadoop_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cb = pq_train(emb, dim=EMBED_DIM, m=4, k=4, seed=3)
+    enc_plan = formatted_plan(pq_encode(emb, cb))
+    assert enc_plan.count("BroadcastExchange") >= 1, enc_plan
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    search_plan = formatted_plan(pq_search(pq_encode(emb, cb), cb, queries, topk=3))
+    assert search_plan.count("BroadcastExchange") >= 2, search_plan
+
+
+def test_ngram_lm_totals_broadcast_and_lazy(spark):
+    """LM scoring: the one-row totals frame rides a broadcast join; the
+    count tables join as plain equi-joins (broadcastable via AQE when
+    small, shuffle joins at scale)."""
+    from big_data_hadoop_spark.operators.ngram_lm import ngram_lm_score, ngram_lm_train
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    lm = ngram_lm_train(docs.filter("doc_id % 2 = 0"))
+    plan = formatted_plan(ngram_lm_score(docs, lm))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_split_cluster_map_join_shape(spark):
+    """Leakage-safe split: one join against the cluster map plus a
+    narrow CASE — no window, no global sort in the plan."""
+    from big_data_hadoop_spark.pipeline import split_leakage_safe
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    clusters = spark.createDataFrame(
+        [(1, 0), (2, 0)], "member_id long, cluster_id long"
+    )
+    plan = formatted_plan(
+        split_leakage_safe(docs, {"train": 0.9, "val": 0.1}, clusters=clusters)
+    )
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
