@@ -1064,6 +1064,23 @@ def q71_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_profile(docs).orderBy("lang", "source")
 
 
+def q72_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-BPE tokenization stats (distributed vocab count + driver
+    merge learning + Arrow-batched encode — rows-only check; merge
+    learning is pinned against the Sennrich et al. worked example and
+    encode against golden/roundtrip properties in tests/test_bpe.py).
+    Output keeps scalar columns only (piece arrays stay internal)."""
+    from big_data_hadoop_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    model = bpe_train(docs, n_merges=100)
+    return (
+        bpe_encode(docs, model)
+        .select("doc_id", "n_tokens", "n_pieces")
+        .orderBy("doc_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1325,6 +1342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_pq_ann": q69_pq_ann,
     "q70_bm25_topk": q70_bm25_topk,
     "q71_corpus_profile": q71_corpus_profile,
+    "q72_bpe_tokenize": q72_bpe_tokenize,
 }
 
 _EN = ts.STOPWORDS["en"]
