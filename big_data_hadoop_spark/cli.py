@@ -239,6 +239,58 @@ def cmd_decontaminate(args: argparse.Namespace) -> None:
     _warn_dropped_lines()
 
 
+def cmd_profile(args: argparse.Namespace) -> None:
+    """Corpus health profile to stdout (and optionally JSONL)."""
+    from big_data_hadoop_spark.pipeline import corpus_profile
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("profile")
+    docs = _read_docs(spark, args.input)
+    group_cols = tuple(c for c in args.group_cols.split(",") if c)
+    if group_cols:
+        # group columns live beside (doc_id, text) in the source table
+        import os
+
+        if os.path.isdir(args.input) or args.input.endswith(".parquet"):
+            full = spark.read.parquet(args.input)
+            docs = full.select("doc_id", "text", *group_cols)
+    prof = corpus_profile(docs, group_cols=group_cols).orderBy(
+        *group_cols if group_cols else ["n_docs"]
+    )
+    prof.show(1000, truncate=False)
+    if args.output:
+        write_jsonl(prof, args.output)
+    _warn_dropped_lines()
+
+
+def cmd_split(args: argparse.Namespace) -> None:
+    """Leakage-safe split assignment; output partitioned by split."""
+    from big_data_hadoop_spark.pipeline import split_leakage_safe
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("split")
+    docs = _read_docs(spark, args.input)
+    weights: dict[str, float] = {}
+    for part in args.weights.split(","):
+        name, _, w = part.partition("=")
+        if not w:
+            sys.exit(f"bad --weights entry {part!r}; expected name=weight")
+        weights[name] = float(w)
+    clusters = None
+    if args.neardup_threshold is not None:
+        from big_data_hadoop_spark.operators.dedup import (
+            duplicate_clusters,
+            minhash_lsh_pairs,
+        )
+
+        clusters = duplicate_clusters(
+            minhash_lsh_pairs(docs, threshold=args.neardup_threshold)
+        )
+    out = split_leakage_safe(docs, weights, clusters=clusters, seed=args.seed)
+    write_jsonl(out, args.output, partition_by=("split",))
+    _warn_dropped_lines()
+
+
 def cmd_probe(args: argparse.Namespace) -> None:
     from big_data_hadoop_spark.probes import QUERIES
 
@@ -342,6 +394,33 @@ def main(argv: list[str] | None = None) -> None:
     dc.add_argument("output")
     dc.add_argument("--ngram", type=int, default=13)
 
+    pf = sub.add_parser("profile", help="corpus health profile -> stdout")
+    pf.add_argument("input")
+    pf.add_argument("--output", default=None, help="also write JSONL here")
+    pf.add_argument(
+        "--group-cols", default="",
+        help="comma-separated grouping columns (parquet inputs; empty = "
+        "one global row)",
+    )
+
+    sl = sub.add_parser(
+        "split",
+        help="leakage-safe train/val/test assignment -> JSONL "
+        "partitioned by split",
+    )
+    sl.add_argument("input")
+    sl.add_argument("output")
+    sl.add_argument(
+        "--weights", default="train=0.98,val=0.01,test=0.01",
+        help="comma-separated name=weight entries",
+    )
+    sl.add_argument(
+        "--neardup-threshold", type=float, default=None,
+        help="group near-duplicate clusters atomically at this MinHash "
+        "Jaccard threshold (omit for plain hash splitting)",
+    )
+    sl.add_argument("--seed", type=int, default=0)
+
     args = p.parse_args(argv)
     t0 = time.monotonic()
     {
@@ -355,6 +434,8 @@ def main(argv: list[str] | None = None) -> None:
         "sample": cmd_sample,
         "pack": cmd_pack,
         "decontaminate": cmd_decontaminate,
+        "profile": cmd_profile,
+        "split": cmd_split,
     }[args.command](args)
     print(f"[{args.command}] completed in {time.monotonic() - t0:.2f}s")
 

@@ -149,3 +149,43 @@ def test_cli_decontaminate(spark, tmp_path):
     main(["decontaminate", str(docs), str(bench), out, "--ngram", "3"])
     kept = {r.doc_id for r in spark.read.json(out).collect()}
     assert kept == {2}
+
+
+def test_cli_profile_and_split(spark, tmp_path, capsys):
+    import json
+    import os
+
+    from big_data_hadoop_spark.sources.io import load_table
+
+    src = str(tmp_path / "docs_parquet")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).write.parquet(src)
+
+    prof_out = str(tmp_path / "prof_out")
+    main(["profile", src, "--group-cols", "lang", "--output", prof_out])
+    shown = capsys.readouterr().out
+    assert "n_docs" in shown and "dup_frac" in shown
+    prof_rows = [
+        json.loads(line)
+        for p in Path(prof_out).glob("part-*.json")
+        for line in open(p)
+    ]
+    assert sum(r["n_docs"] for r in prof_rows) == 500
+
+    split_out = str(tmp_path / "split_out")
+    main([
+        "split", src, split_out,
+        "--weights", "train=0.8,val=0.1,test=0.1",
+    ])
+    dirs = sorted(
+        d for d in os.listdir(split_out) if d.startswith("split=")
+    )
+    assert dirs == ["split=test", "split=train", "split=val"]
+    n = sum(
+        1
+        for d in dirs
+        for p in Path(split_out, d).glob("part-*.json")
+        for _ in open(p)
+    )
+    assert n == 500
