@@ -91,3 +91,43 @@ def heavy_hitter_tokens(
         .select("category", "token", "cnt", "share")
         .orderBy(F.desc("share"), "category", "token")
     )
+
+
+def hll_sketches(
+    df: DataFrame,
+    col: str,
+    group_cols: Sequence[str] = (),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group Apache DataSketches HLL sketch of ``col`` as a STORABLE
+    binary column: ``(*group_cols, sketch binary)``.
+
+    This is the cross-run/incremental form of distinct counting
+    (``approx_count_distinct`` gives a number; this gives mergeable
+    STATE): persist each snapshot's sketch table (a few KB per group —
+    2^lg_k registers) and ask :func:`hll_merge_estimate` for the
+    distinct count of ANY union of runs/partitions/days later, without
+    rescanning the data — the same ship-state-not-data contract as
+    ``dedup.content_digests`` and ``minhash_signatures``. Built on
+    Spark's native DataSketches aggregates (``hll_sketch_agg``), so
+    partials combine map-side and the shuffle carries sketches, not
+    values.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_merge_estimate(
+    sketches: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge stored sketch rows (e.g. a union of several runs' sketch
+    tables) per group and estimate: ``(*group_cols, n_distinct_approx)``.
+    Sketch union is exact over the register state, so merging partial
+    sketches gives the SAME estimate as sketching the concatenated data
+    (pinned by test)."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "n_distinct_approx"
+        )
+    )

@@ -102,3 +102,39 @@ def test_approx_percentiles_half_up_labels_and_collision(spark):
     assert approx_percentiles(df, "x", (0.125,)).columns == ["p13"]
     with pytest.raises(ValueError, match="collide"):
         approx_percentiles(df, "x", (0.290, 0.294))
+
+
+def test_hll_sketches_merge_across_runs(spark):
+    """Cross-run contract: union-merging the two halves' stored
+    sketches gives EXACTLY the estimate of sketching all the data at
+    once, and both land within HLL error of the exact distinct count."""
+    from big_data_hadoop_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_sketches,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    toks = docs.selectExpr(
+        "lang", "explode(filter(split(lower(text), ' '), x -> x != '')) AS token"
+    )
+    run_a = toks.filter("pmod(xxhash64(token), 2) = 0")
+    run_b = toks.filter("pmod(xxhash64(token), 2) != 0")
+    merged = hll_merge_estimate(
+        hll_sketches(run_a, "token", ("lang",)).unionByName(
+            hll_sketches(run_b, "token", ("lang",))
+        ),
+        ("lang",),
+    )
+    whole = hll_merge_estimate(hll_sketches(toks, "token", ("lang",)), ("lang",))
+    got_m = {r["lang"]: r["n_distinct_approx"] for r in merged.collect()}
+    got_w = {r["lang"]: r["n_distinct_approx"] for r in whole.collect()}
+    assert got_m == got_w  # register-state union == one-shot sketch
+    exact = {
+        r["lang"]: r["n"]
+        for r in toks.groupBy("lang")
+        .agg(F.countDistinct("token").alias("n"))
+        .collect()
+    }
+    for lang, n in exact.items():
+        assert abs(got_m[lang] - n) / n < 0.05, (lang, got_m[lang], n)
