@@ -162,3 +162,123 @@ def test_round5_ops_at_sf01(spark):
         for r in duplicate_clusters(pairs_df).collect()
     }
     assert got_cl == _union_find(pairs)
+
+
+def test_round6_ops_at_sf01(spark, duck_sf01):
+    """This round's operators at bench scale: LM scoring vs the Python
+    replication, corpus profile vs DuckDB, cluster-atomic splits,
+    cross-run minhash dedup's replant invariant, PQ encode equality,
+    BM25 vs the Python index, and the BPE roundtrip."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.bm25 import bm25_index, bm25_topk
+    from big_data_hadoop_spark.operators.bpe import EOW, bpe_encode, bpe_train
+    from big_data_hadoop_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_dedup_against,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from big_data_hadoop_spark.operators.ngram_lm import (
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+    from big_data_hadoop_spark.operators.pq import pq_encode, pq_train
+    from big_data_hadoop_spark.pipeline import corpus_profile, split_leakage_safe
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.test_ngram_lm import _py_score, _py_train
+    from tests.test_pq import _np_codebook, _np_encode
+    from tests.test_profile import ORACLE as PROFILE_ORACLE
+
+    docs = load_table(spark, SF_BENCH, "documents").select("doc_id", "text").cache()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    # bigram LM
+    lm = ngram_lm_train(docs.filter("doc_id % 2 = 0"))
+    c1, c2, n, v = _py_train([t for d, t in texts.items() if d % 2 == 0])
+    got_lm = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in ngram_lm_score(docs, lm).collect()
+    }
+    for d, t in texts.items():
+        nb, avg, _ = _py_score(t, c1, c2, n, v)
+        assert got_lm[d][0] == nb
+        if avg is not None:
+            assert abs(got_lm[d][1] - avg) < 1e-9 * max(abs(avg), 1)
+
+    # corpus profile vs DuckDB at sf0.1
+    full = load_table(spark, SF_BENCH, "documents")
+    assert_frames_match(
+        corpus_profile(full).orderBy("lang", "source").toPandas(),
+        duck_sf01.sql(PROFILE_ORACLE).df(),
+        "corpus_profile_sf01",
+    )
+
+    # leakage-safe split atomicity over real minhash clusters
+    clusters = duplicate_clusters(minhash_lsh_pairs(docs, threshold=0.7))
+    out = split_leakage_safe(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters=clusters
+    )
+    straddle = (
+        out.join(
+            clusters.select(F.col("member_id").alias("doc_id"), "cluster_id"),
+            "doc_id",
+        )
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert straddle == 0 and out.count() == docs.count()
+
+    # cross-run minhash dedup: replanted docs always dropped
+    prior = docs.filter("doc_id % 3 = 0")
+    batch = docs.filter("doc_id % 3 != 0").unionByName(
+        prior.orderBy("doc_id").limit(50)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    kept = {
+        r["doc_id"]
+        for r in minhash_dedup_against(
+            batch, minhash_signatures(prior), threshold=0.9, within_batch=False
+        ).select("doc_id").collect()
+    }
+    assert not {d for d in kept if d >= 1_000_000}
+
+    # PQ encode equality at scale
+    emb = load_table(spark, SF_BENCH, "embeddings").select("vec_id", "embedding").cache()
+    cb = pq_train(emb, dim=64, m=8, k=16, seed=7)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    ids = sorted(vecs)
+    books = _np_codebook(cb)
+    want_codes = _np_encode(np.stack([vecs[i] for i in ids]), books)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    for row, i in zip(want_codes, ids):
+        assert got_codes[i] == list(row)
+
+    # BM25: exact top-10 equality vs the Python index (self-retrieval
+    # is NOT a usable signal at sf0.1 — the synthetic corpus is
+    # boilerplate-heavy enough that near-duplicate cousins legitimately
+    # outrank the verbatim document)
+    from tests.test_bm25 import _py_bm25
+
+    queries = docs.orderBy("doc_id").limit(10).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    got_bm: dict = {}
+    for r in bm25_topk(bm25_index(docs), queries, topk=10).collect():
+        got_bm.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    want_bm = _py_bm25(
+        texts, {d: texts[d] for d in sorted(texts)[:10]}, topk=10
+    )
+    for q, ranked in want_bm.items():
+        rows = [d for _, d in sorted(got_bm[q])]
+        assert rows == [d for d, _ in ranked], q
+
+    # BPE roundtrip at scale
+    model = bpe_train(docs, n_merges=100)
+    enc = bpe_encode(docs, model).collect()
+    for r in enc:
+        toks = [t for t in texts[r["doc_id"]].lower().split(" ") if t]
+        assert "".join(r["pieces"]).replace(EOW, " ").split() == toks or not toks
