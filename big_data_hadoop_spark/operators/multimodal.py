@@ -172,11 +172,139 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int, int]:
     return rate, ch, bits, n_frames, data[0], data[1]
 
 
+def parse_png_header(payload: bytes) -> tuple[int, int]:
+    """``(width, height)`` from a PNG's IHDR chunk — pure struct read
+    (the PNG spec REQUIRES IHDR to be the first chunk). No codec: pixel
+    DATA still needs zlib+filters, but dimensions are header bytes."""
+    if (
+        payload is None
+        or len(payload) < 24
+        or payload[:8] != b"\x89PNG\r\n\x1a\n"
+        or payload[12:16] != b"IHDR"
+    ):
+        raise ValueError("not a PNG payload")
+    w, h = struct.unpack_from(">II", payload, 16)
+    if w == 0 or h == 0:
+        raise ValueError("degenerate PNG dimensions")
+    return w, h
+
+
+def parse_jpeg_header(payload: bytes) -> tuple[int, int]:
+    """``(width, height)`` from a JPEG's first SOF marker — a pure
+    marker-segment walk (every segment is ``FF xx len16``; SOF0-15
+    except DHT/JPG/DAC carry ``precision u8, height u16, width u16``).
+    Entropy-coded data never needs touching for dimensions."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(payload):
+                break
+            h, w = struct.unpack_from(">HH", payload, pos + 5)
+            if w == 0 or h == 0:
+                raise ValueError("degenerate JPEG dimensions")
+            return w, h
+        if marker == 0xDA:  # start of scan: SOF must precede it
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG without SOF dimensions")
+
+
+def parse_gif_header(payload: bytes) -> tuple[int, int]:
+    """``(width, height)`` from a GIF logical screen descriptor."""
+    if (
+        payload is None
+        or len(payload) < 10
+        or payload[:6] not in (b"GIF87a", b"GIF89a")
+    ):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w == 0 or h == 0:
+        raise ValueError("degenerate GIF dimensions")
+    return w, h
+
+
+def parse_mp4_meta(
+    payload: bytes,
+) -> tuple[float | None, int, int | None, int | None]:
+    """``(duration_ms, n_tracks, width, height)`` from an ISO BMFF (MP4)
+    container — a pure box walk: ``mvhd`` gives timescale+duration,
+    ``trak``/``tkhd`` give track count and presentation size (16.16
+    fixed point; the max over tracks, audio tracks carry 0x0). Frame
+    DATA decoding would need real codecs; container structure does not.
+    """
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if body + 8 > hi:
+                    return
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            if size < 8 or pos + size > hi:
+                return
+            yield btype, body, pos + size
+            pos += size
+
+    duration_ms: float | None = None
+    n_tracks = 0
+    width: int | None = None
+    height: int | None = None
+    for btype, body, end in walk(0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in walk(body, end):
+            if ctype == b"mvhd" and cbody + 4 <= cend:
+                ver = payload[cbody]
+                if ver == 1 and cbody + 32 <= cend:
+                    (ts,) = struct.unpack_from(">I", payload, cbody + 20)
+                    (dur,) = struct.unpack_from(">Q", payload, cbody + 24)
+                elif cbody + 24 <= cend:
+                    (ts,) = struct.unpack_from(">I", payload, cbody + 12)
+                    (dur,) = struct.unpack_from(">I", payload, cbody + 16)
+                else:
+                    continue
+                if ts:
+                    duration_ms = dur / ts * 1000.0
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, tbody, tend in walk(cbody, cend):
+                    if ttype != b"tkhd" or tbody + 4 > tend:
+                        continue
+                    ver = payload[tbody]
+                    off = tbody + (88 if ver == 1 else 76)
+                    if off + 8 <= tend:
+                        w_fx, h_fx = struct.unpack_from(">II", payload, off)
+                        w, h = w_fx >> 16, h_fx >> 16
+                        if w and h:
+                            width = max(width or 0, w)
+                            height = max(height or 0, h)
+    if n_tracks == 0 and duration_ms is None:
+        raise ValueError("BMFF without moov metadata")
+    return duration_ms, n_tracks, width, height
+
+
 def decode_stub(payload: bytes) -> tuple[int, int]:
     """STUB decode — deterministic fake for formats that genuinely need
-    codec libraries (JPEG/PNG/MP4 — PIL/libvips/ffmpeg are not in this
-    container). BMP and WAV do NOT hit this path: they are really parsed
-    (``parse_bmp_header`` / ``parse_wav_header``). The fake derives a
+    codec libraries to reach PIXELS (PIL/libvips/ffmpeg are not in this
+    container). Only pixel/sample DATA is stubbed: BMP and WAV decode
+    for real, and PNG/JPEG/GIF/MP4 get REAL header metadata
+    (``parse_png_header``/``parse_jpeg_header``/``parse_gif_header``/
+    ``parse_mp4_meta``) before any stub fires. The fake derives a
     (width, height) from the first payload bytes so the pipeline shape
     stays testable end-to-end. Raise instead if strict behavior is
     wanted: ``NotImplementedError("image codecs not bundled")``."""
@@ -191,7 +319,8 @@ def _header_meta(
     raw: bytes,
 ) -> tuple[int | None, int | None, int | None, float | None]:
     """``(width, height, sample_rate, duration_ms)`` — real header parse
-    when the magic bytes say BMP or WAV, ``decode_stub`` otherwise."""
+    when the magic bytes say BMP/WAV/PNG/JPEG/GIF/MP4, ``decode_stub``
+    otherwise."""
     if raw[:2] == b"BM":
         try:
             w, h, _bpp, _off, _comp = parse_bmp_header(raw)
@@ -203,6 +332,23 @@ def _header_meta(
             rate, _ch, _bits, n_frames, _off, _size = parse_wav_header(raw)
             dur = (n_frames / rate) * 1000.0 if rate else None
             return None, None, rate, dur
+        except ValueError:
+            pass
+    for sniff, parser in (
+        (lambda r: r[:8] == b"\x89PNG\r\n\x1a\n", parse_png_header),
+        (lambda r: r[:2] == b"\xff\xd8", parse_jpeg_header),
+        (lambda r: r[:6] in (b"GIF87a", b"GIF89a"), parse_gif_header),
+    ):
+        if sniff(raw):
+            try:
+                w, h = parser(raw)
+                return w, h, None, None
+            except ValueError:
+                break
+    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        try:
+            dur, _n_tracks, w, h = parse_mp4_meta(raw)
+            return w, h, None, dur
         except ValueError:
             pass
     w, h = decode_stub(raw)

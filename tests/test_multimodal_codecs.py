@@ -287,3 +287,110 @@ def test_image_features_match_numpy_reference(spark):
     ]:
         assert abs(gotv - expv) < 1e-9
     assert got[2].mean_r is None and got[2].width is None
+
+
+# ---------------------------------------------------------------------------
+# Codec-free container/header parsers: PNG / JPEG / GIF / MP4
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00" * 8
+    )
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    # segment length includes its own 2 bytes: 2 + 5 + 9 = 16
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xda" + b"\x00" * 4
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _mp4_bytes(timescale, duration, w, h):
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    mvhd_body = bytearray(100)
+    struct.pack_into(">I", mvhd_body, 12, timescale)
+    struct.pack_into(">I", mvhd_body, 16, duration)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + bytes(mvhd_body)
+    tkhd_body = bytearray(84)
+    struct.pack_into(">II", tkhd_body, 76, w << 16, h << 16)
+    tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + bytes(tkhd_body)
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    return ftyp + moov
+
+
+def test_png_jpeg_gif_header_parsers():
+    from big_data_hadoop_spark.operators.multimodal import (
+        parse_gif_header,
+        parse_jpeg_header,
+        parse_png_header,
+    )
+
+    assert parse_png_header(_png_bytes(640, 480)) == (640, 480)
+    assert parse_jpeg_header(_jpeg_bytes(1024, 768)) == (1024, 768)
+    assert parse_gif_header(_gif_bytes(320, 200)) == (320, 200)
+    for bad in (b"", b"\x89PNG", b"\xff\xd8\xff\xda\x00\x04", b"GIF00a12345"):
+        for parser in (parse_png_header, parse_jpeg_header, parse_gif_header):
+            with pytest.raises(ValueError):
+                parser(bad)
+
+
+def test_mp4_box_walk():
+    from big_data_hadoop_spark.operators.multimodal import parse_mp4_meta
+
+    dur_ms, n_tracks, w, h = parse_mp4_meta(_mp4_bytes(1000, 5000, 1920, 1080))
+    assert dur_ms == pytest.approx(5000.0)
+    assert (n_tracks, w, h) == (1, 1920, 1080)
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00" * 32)
+    # ftyp but no moov -> no metadata
+    import struct
+
+    only_ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    with pytest.raises(ValueError):
+        parse_mp4_meta(only_ftyp)
+
+
+def test_extract_media_meta_covers_new_formats(spark):
+    from big_data_hadoop_spark.operators.multimodal import extract_media_meta
+
+    rows = [
+        (1, "image/png", bytearray(_png_bytes(12, 34))),
+        (2, "image/jpeg", bytearray(_jpeg_bytes(56, 78))),
+        (3, "image/gif", bytearray(_gif_bytes(9, 10))),
+        (4, "video/mp4", bytearray(_mp4_bytes(600, 1200, 640, 360))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r["media_id"]: r for r in extract_media_meta(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (12, 34)
+    assert (got[2]["width"], got[2]["height"]) == (56, 78)
+    assert (got[3]["width"], got[3]["height"]) == (9, 10)
+    assert (got[4]["width"], got[4]["height"]) == (640, 360)
+    assert got[4]["duration_ms"] == pytest.approx(2000.0)
