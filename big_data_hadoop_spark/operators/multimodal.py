@@ -139,6 +139,107 @@ def encode_bmp(arr: "np.ndarray") -> bytes:
     return header + info + data
 
 
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Full pixel decode of an 8-bit non-interlaced truecolor PNG
+    (color type 2 RGB or 6 RGBA) to a ``uint8`` array ``(h, w, c)`` —
+    stdlib ``zlib`` + numpy only, no codec library. Implements the five
+    PNG row filters (none/sub/up/average/paeth) over the concatenated
+    IDAT stream. Palette/gray/interlaced variants raise
+    ``NotImplementedError`` (they would decode the same way with more
+    table plumbing; the curation pipeline re-encodes to truecolor
+    upstream anyway)."""
+    import zlib
+
+    w, h = parse_png_header(payload)  # validates signature + IHDR
+    bit_depth = payload[24]
+    color_type = payload[25]
+    interlace = payload[28]
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced truecolor PNG decodable here "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if ctype == b"IDAT":
+            idat += payload[body : body + size]
+        elif ctype == b"IEND":
+            break
+        pos = body + size + 4  # skip CRC
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 2:  # up
+            out[y] = row + prev  # uint8 wraps mod 256, per spec
+        elif ftype in (1, 3, 4):  # sub / average / paeth: sequential
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.reshape(h, w, ch).copy()
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Encode a ``uint8`` array ``(h, w, 3|4)`` as an 8-bit truecolor
+    non-interlaced PNG (filter 0 rows, stdlib zlib) — the exact inverse
+    of :func:`decode_png` on its fast path."""
+    import zlib
+
+    h, w, ch = arr.shape
+    color_type = 2 if ch == 3 else 6
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = np.concatenate(
+        [
+            np.concatenate(
+                [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * ch)],
+                axis=1,
+            )
+        ]
+    ).tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+
+
 def parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int, int]:
     """``(sample_rate, channels, bits_per_sample, n_frames, data_offset,
     data_size)`` from a RIFF/WAVE payload — a pure-Python chunk walk
@@ -420,13 +521,29 @@ def resize_bmp(raw: bytes, max_dim: int) -> tuple[int, int, bytes]:
     return nw, nh, encode_bmp(arr[yi][:, xi])
 
 
+def resize_png(raw: bytes, max_dim: int) -> tuple[int, int, bytes]:
+    """REAL nearest-neighbor downscale of an 8-bit truecolor PNG
+    (``decode_png`` → index-sample → ``encode_png``); pass-through when
+    already within ``max_dim``."""
+    arr = decode_png(raw)
+    h, w = arr.shape[:2]
+    if max(h, w) <= max_dim:
+        return w, h, raw
+    scale = max_dim / max(w, h)
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    yi = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xi = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return nw, nh, encode_png(arr[yi][:, xi])
+
+
 def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
     """Resize via ``mapInPandas`` (partition-preserving; the blobs never
-    shuffle). Uncompressed 24-bit BMPs are REALLY resized (numpy
-    nearest-neighbor, re-encoded as BMP); codec-needing formats use the
-    disclosed stub: fake-decoded dims scaled to fit ``max_dim`` and the
-    payload truncated proportionally — swap in PIL/libvips there with
-    the identical schema and Arrow batch shape."""
+    shuffle). Uncompressed 24-bit BMPs and 8-bit truecolor PNGs are
+    REALLY resized (numpy nearest-neighbor, re-encoded in their own
+    format); codec-needing formats use the disclosed stub: fake-decoded
+    dims scaled to fit ``max_dim`` and the payload truncated
+    proportionally — swap in PIL/libvips there with the identical
+    schema and Arrow batch shape."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -442,6 +559,15 @@ def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
                 if raw[:2] == b"BM":
                     try:
                         nw, nh, npay = resize_bmp(raw, max_dim)
+                        out["width"].append(nw)
+                        out["height"].append(nh)
+                        out["payload"].append(npay)
+                        continue
+                    except (ValueError, NotImplementedError):
+                        pass
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        nw, nh, npay = resize_png(raw, max_dim)
                         out["width"].append(nw)
                         out["height"].append(nh)
                         out["payload"].append(npay)
@@ -604,7 +730,8 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def extract_image_features(df: DataFrame) -> DataFrame:
     """REAL image feature extraction for decodable payloads (uncompressed
-    24-bit BMP via ``decode_bmp``): per-channel means and Rec.601 luma
+    24-bit BMP via ``decode_bmp``; 8-bit truecolor PNG via
+    ``decode_png``, RGB planes): per-channel means and Rec.601 luma
     mean/std — the signals an image-curation gate filters on (all-black /
     blown-out / low-contrast detection). Codec-needing formats yield
     schema-stable all-null features (no fake numbers from the stub —
@@ -620,8 +747,15 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 try:
                     arr = decode_bmp(raw).astype(np.float64)
                 except (ValueError, NotImplementedError):
-                    rows.append((mid, None, None, None, None, None, None, None))
-                    continue
+                    try:
+                        # RGBA's alpha is not a color signal: stats run
+                        # on the RGB planes
+                        arr = decode_png(raw)[..., :3].astype(np.float64)
+                    except (ValueError, NotImplementedError):
+                        rows.append(
+                            (mid, None, None, None, None, None, None, None)
+                        )
+                        continue
                 h, w = arr.shape[:2]
                 means = arr.reshape(-1, 3).mean(axis=0)
                 luma = (

@@ -394,3 +394,154 @@ def test_extract_media_meta_covers_new_formats(spark):
     assert (got[3]["width"], got[3]["height"]) == (9, 10)
     assert (got[4]["width"], got[4]["height"]) == (640, 360)
     assert got[4]["duration_ms"] == pytest.approx(2000.0)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode (stdlib zlib + numpy)
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+
+def _png_with_filters(arr, ftypes):
+    """Hand-filter ``arr`` (h, w, ch) per the PNG spec with the given
+    per-row filter types and assemble a real PNG — an independent
+    encoder so decode is tested against the SPEC, not our encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(int)
+    out = bytearray()
+    for y, ft in enumerate(ftypes):
+        out.append(ft)
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = flat[y][x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            raw = flat[y][x]
+            if ft == 0:
+                v = raw
+            elif ft == 1:
+                v = raw - a
+            elif ft == 2:
+                v = raw - b
+            elif ft == 3:
+                v = raw - (a + b) // 2
+            else:
+                v = raw - _paeth(a, b, c)
+            out.append(v & 0xFF)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_against_spec():
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _png_with_filters(arr, [0, 1, 2, 3, 4])
+    assert (decode_png(png) == arr).all()
+    rgba = rng.integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    png4 = _png_with_filters(rgba, [4, 3, 2, 1])
+    assert (decode_png(png4) == rgba).all()
+
+
+def test_png_encode_decode_roundtrip_and_resize():
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_png,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(arr)) == arr).all()
+    nw, nh, npay = resize_png(encode_png(arr), max_dim=16)
+    assert max(nw, nh) == 16 and nw == 16 and nh == 12
+    small = decode_png(npay)
+    assert small.shape == (nh, nw, 3)
+    # nearest-neighbor: every output pixel exists in the input
+    yi = (np.arange(nh) * (48 / nh)).astype(int)
+    xi = (np.arange(nw) * (64 / nw)).astype(int)
+    assert (small == arr[yi][:, xi]).all()
+    # pass-through below the cap
+    w0, h0, p0 = resize_png(encode_png(arr), max_dim=64)
+    assert (w0, h0) == (64, 48) and p0 == encode_png(arr)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from big_data_hadoop_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(pal)
+
+
+def test_image_features_and_spark_resize_on_png(spark):
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.multimodal import (
+        encode_png,
+        extract_image_features,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(40, 50, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(encode_png(arr)))],
+        "media_id long, media_type string, payload binary",
+    )
+    feats = extract_image_features(df).collect()[0]
+    a = arr.astype(float)
+    assert feats["width"] == 50 and feats["height"] == 40
+    assert feats["mean_r"] == pytest.approx(a[..., 0].mean())
+    luma = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert feats["luma_mean"] == pytest.approx(luma.mean())
+    assert feats["luma_std"] == pytest.approx(luma.std())
+    rs = resize_media(df, max_dim=10).collect()[0]
+    assert (rs["width"], rs["height"]) == (10, 8)
+    assert rs["payload"][:8] == bytearray(b"\x89PNG\r\n\x1a\n")
