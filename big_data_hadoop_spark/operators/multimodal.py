@@ -333,6 +333,112 @@ def parse_gif_header(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def decode_gif(payload: bytes) -> "np.ndarray":
+    """Full pixel decode of a GIF's FIRST image to ``uint8 (h, w, 3)``
+    — pure-Python LZW (the GIF variant: variable code width, clear/EOI
+    codes) plus palette lookup; numpy for assembly. Interlaced images
+    are de-interlaced per the four-pass spec. Animated GIFs decode
+    frame 1 only (curation signals want a representative frame, not the
+    animation)."""
+    w_screen, h_screen = parse_gif_header(payload)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:  # global color table
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            # descriptor: left u16, top u16, width u16, height u16, packed u8
+            w, h = struct.unpack_from("<HH", payload, pos + 5)
+            ipacked = payload[pos + 9]
+            pos += 10
+            lct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                lct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if lct is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                size = payload[pos]
+                data += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            indices = _gif_lzw(bytes(data), min_code_size, w * h)
+            if len(indices) < w * h:
+                raise ValueError("truncated GIF image data")
+            idx = np.asarray(indices[: w * h], dtype=np.int64).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return lct[np.clip(idx, 0, len(lct) - 1)].copy()
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF without an image block")
+
+
+def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: little-endian bit packing, dynamic code width,
+    clear/EOI control codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt LZW code {code}")
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
 def parse_mp4_meta(
     payload: bytes,
 ) -> tuple[float | None, int, int | None, int | None]:
@@ -744,18 +850,22 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p) if p is not None else b""
-                try:
-                    arr = decode_bmp(raw).astype(np.float64)
-                except (ValueError, NotImplementedError):
+                arr = None
+                for decoder in (
+                    decode_bmp,
+                    # RGBA's alpha is not a color signal: stats run on
+                    # the RGB planes
+                    lambda r: decode_png(r)[..., :3],
+                    decode_gif,
+                ):
                     try:
-                        # RGBA's alpha is not a color signal: stats run
-                        # on the RGB planes
-                        arr = decode_png(raw)[..., :3].astype(np.float64)
+                        arr = decoder(raw).astype(np.float64)
+                        break
                     except (ValueError, NotImplementedError):
-                        rows.append(
-                            (mid, None, None, None, None, None, None, None)
-                        )
                         continue
+                if arr is None:
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
                 h, w = arr.shape[:2]
                 means = arr.reshape(-1, 3).mean(axis=0)
                 luma = (

@@ -545,3 +545,129 @@ def test_image_features_and_spark_resize_on_png(spark):
     rs = resize_media(df, max_dim=10).collect()[0]
     assert (rs["width"], rs["height"]) == (10, 8)
     assert rs["payload"][:8] == bytearray(b"\x89PNG\r\n\x1a\n")
+
+
+# ---------------------------------------------------------------------------
+# Real GIF decode (pure-Python LZW)
+# ---------------------------------------------------------------------------
+
+
+def _gif_encode(idx, palette, interlaced=False):
+    """Independent test-side GIF writer using the classic
+    'uncompressed' LZW trick: every pixel is emitted as its own code,
+    with a clear code whenever the decoder's table is about to force a
+    width increase — exercises clear handling and bit unpacking without
+    reimplementing full LZW compression."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    n_colors = len(palette)
+    exp = max(1, (n_colors - 1).bit_length())
+    min_code = max(2, exp)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+
+    rows = idx
+    if interlaced:
+        order = np.concatenate(
+            [
+                np.arange(0, h, 8),
+                np.arange(4, h, 8),
+                np.arange(2, h, 4),
+                np.arange(1, h, 2),
+            ]
+        )
+        rows = idx[order]
+
+    bits = []
+
+    def emit(code):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    budget = (1 << width) - eoi - 1  # codes before the width would grow
+    for v in rows.flatten():
+        if budget == 0:
+            emit(clear)
+            budget = (1 << width) - eoi - 1
+        emit(int(v))
+        budget -= 1
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * ((1 << exp) * 3 - len(pal))  # table has 2^exp entries
+
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HH", w, h)
+    out.append(0x80 | (exp - 1) if exp else 0x80)  # GCT present, size exp-1
+    out += b"\x00\x00"  # bg color, aspect
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlaced else 0x00)
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        blockdata = data[i : i + 255]
+        out.append(len(blockdata))
+        out += blockdata
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_matches_reference():
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.multimodal import decode_gif
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 4, size=(9, 7), dtype=np.int64)
+    gif = _gif_encode(idx, palette)
+    got = decode_gif(gif)
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert (got == want).all()
+    # interlaced four-pass row order
+    gif_i = _gif_encode(idx, palette, interlaced=True)
+    assert (decode_gif(gif_i) == want).all()
+
+
+def test_gif_decode_larger_image_table_growth():
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.multimodal import decode_gif
+
+    palette = [(i, 255 - i, i // 2) for i in range(16)]
+    rng = np.random.default_rng(13)
+    idx = rng.integers(0, 16, size=(32, 41), dtype=np.int64)
+    got = decode_gif(_gif_encode(idx, palette))
+    assert (got == np.array(palette, dtype=np.uint8)[idx]).all()
+
+
+def test_gif_feeds_image_features(spark):
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    idx = np.zeros((8, 8), dtype=np.int64)
+    idx[::2] = 1  # half white, half black
+    df = spark.createDataFrame(
+        [(1, "image/gif", bytearray(_gif_encode(idx, palette)))],
+        "media_id long, media_type string, payload binary",
+    )
+    f = extract_image_features(df).collect()[0]
+    assert (f["width"], f["height"]) == (8, 8)
+    assert f["mean_r"] == pytest.approx(127.5)
+    assert f["luma_mean"] == pytest.approx(127.5)
