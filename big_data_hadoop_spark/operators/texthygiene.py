@@ -1,0 +1,138 @@
+"""Text hygiene: Unicode normalization and compressibility signals.
+
+Two curation steps Spark's native function library genuinely cannot
+express, so both run as Arrow-batched ``mapInPandas`` (the sanctioned
+slow path — never row-at-a-time Python UDFs):
+
+* **Unicode normalization** (``normalize_text``): NFC/NFKC via the
+  stdlib ``unicodedata`` — the standard first step before hashing or
+  dedup (the same text in composed vs decomposed form would otherwise
+  produce different digests), plus optional control-character
+  stripping. Spark SQL has no normalization builtin.
+* **Compressibility** (``compression_signals``): per-document zlib
+  ratio — the classic cheap junk detector (public precedent: the
+  C4/Gopher-era curation stacks and web-spam literature use gzip
+  compressibility to flag boilerplate and generated sludge). Highly
+  compressible documents are repetitive/templated; incompressible ones
+  are often binary-in-text or encrypted junk. Both tails get gated.
+
+Determinism: zlib with a FIXED level and strategy is deterministic for
+a given input on every platform this engine targets (the DEFLATE
+stream is produced by the same zlib algorithm; the pure-Python oracle
+in tests replicates byte counts exactly). Scale shape: both operators
+are stateless per-row transforms — partition-preserving, no shuffle,
+blobs/text never leave their partition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["normalize_text", "compression_signals"]
+
+#: Control characters stripped by ``strip_control`` — C0/C1 minus the
+#: whitespace the tokenizer is specified over (tab, LF, CR).
+_CONTROL = "".join(
+    chr(c)
+    for c in list(range(0x00, 0x20)) + [0x7F] + list(range(0x80, 0xA0))
+    if chr(c) not in "\t\n\r"
+)
+
+COMPRESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_deflate_bytes", T.LongType(), True),
+        T.StructField("compression_ratio", T.DoubleType(), True),
+    ]
+)
+
+
+def normalize_text(
+    df: DataFrame,
+    form: str = "NFKC",
+    strip_control: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Return ``df`` with ``text_col`` Unicode-normalized in place.
+
+    ``form`` is any ``unicodedata.normalize`` form (NFC/NFKC/NFD/NFKD);
+    ``strip_control`` removes C0/C1 control characters except
+    tab/newline/carriage-return. All other columns pass through
+    untouched (the transform runs on the full row batch, preserving
+    column order)."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    cols = df.columns
+    table = {ord(c): None for c in _CONTROL} if strip_control else None
+
+    def _norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            out = pdf.copy()
+            texts = out[text_col]
+
+            def fix(t):
+                if t is None:
+                    return None
+                t = unicodedata.normalize(form, t)
+                return t.translate(table) if table is not None else t
+
+            out[text_col] = texts.map(fix)
+            yield out
+
+    return df.mapInPandas(_norm, schema=df.schema).select(*cols)
+
+
+def compression_signals(
+    df: DataFrame,
+    level: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, n_bytes, n_deflate_bytes, compression_ratio)`` per
+    document: UTF-8 byte length, zlib-deflated length at ``level``, and
+    their ratio (deflated/raw — LOW means repetitive/templated, HIGH
+    means incompressible junk). Empty documents yield ratio NULL."""
+    if not (0 <= level <= 9):
+        raise ValueError(f"zlib level must be 0..9, got {level}")
+
+    def _sig(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                n = len(raw)
+                z = len(zlib.compress(raw, level)) if n else 0
+                rows.append((did, n, z, (z / n) if n else None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in COMPRESSION_SCHEMA]
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _sig, schema=COMPRESSION_SCHEMA
+    )
+
+
+# Self-contained executor serialization (see operators/multimodal.py):
+# by-value pickling lets drivers launched outside the repo run these
+# closures without shipping the package to executor Python workers.
+import sys as _sys
+
+try:  # pragma: no cover - vendored cloudpickle without the API
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except (ImportError, AttributeError):
+    pass

@@ -1084,6 +1084,26 @@ def q72_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q73_compression_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document zlib compressibility (rows-only check; byte counts
+    are replicated exactly against stdlib zlib in
+    tests/test_texthygiene.py). The classic cheap junk detector: low
+    ratio = templated/repetitive, high ratio = incompressible sludge."""
+    from big_data_hadoop_spark.operators.texthygiene import compression_signals
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return (
+        compression_signals(docs)
+        .select(
+            "doc_id",
+            "n_bytes",
+            "n_deflate_bytes",
+            F.round("compression_ratio", 6).alias("compression_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1346,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_bm25_topk": q70_bm25_topk,
     "q71_corpus_profile": q71_corpus_profile,
     "q72_bpe_tokenize": q72_bpe_tokenize,
+    "q73_compression_signals": q73_compression_signals,
 }
 
 _EN = ts.STOPWORDS["en"]
