@@ -639,9 +639,12 @@ def corpus_profile(
     return staged.groupBy(*group_cols).agg(
         n.alias("n_docs"),
         F.countDistinct("_h").alias("n_distinct"),
-        (
-            (n - F.countDistinct("_h")).cast("double")
-            / n.cast("double")
+        # guarded: the GLOBAL (no group-cols) profile of an empty frame
+        # is one SQL aggregate row with n=0, and ANSI mode (Spark 4
+        # default) turns 0/0 into an error instead of NULL
+        F.when(
+            n > 0,
+            (n - F.countDistinct("_h")).cast("double") / n.cast("double"),
         ).alias("dup_frac"),
         F.sum("_ntok").alias("total_tokens"),
         F.sum("_nchar").alias("total_chars"),

@@ -142,3 +142,74 @@ def test_round5_operators_empty(spark, empty_docs, empty_emb):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "sim",
     ]
+
+
+def test_round6_operators_empty(spark, empty_docs, empty_emb):
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.bm25 import bm25_index, bm25_topk
+    from big_data_hadoop_spark.operators.bpe import BPEModel, bpe_encode, bpe_train
+    from big_data_hadoop_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+    from big_data_hadoop_spark.operators.ngram_lm import (
+        ngram_lm_score,
+        ngram_lm_train,
+        ppl_filter,
+    )
+    from big_data_hadoop_spark.operators.texthygiene import (
+        compression_signals,
+        normalize_text,
+    )
+    from big_data_hadoop_spark.pipeline import corpus_profile, split_leakage_safe
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+
+    # LM trained on an EMPTY reference: every probability falls to the
+    # add-one floor (vocab 0, n 0 -> p_uni = 1); scoring must not throw
+    lm0 = ngram_lm_train(empty_docs)
+    scored = ngram_lm_score(docs, lm0).collect()
+    assert {r["doc_id"] for r in scored} == {1, 2}
+    # empty SCORED corpus: filter yields empty, cutoff agg has no rows
+    assert ppl_filter(empty_docs, ngram_lm_train(docs)).count() == 0
+
+    # BM25 over an empty corpus / empty query set
+    idx0 = bm25_index(empty_docs)
+    q = docs.select(F.col("doc_id").alias("query_id"), "text")
+    assert bm25_topk(idx0, q).count() == 0
+    idx = bm25_index(docs)
+    empty_q = spark.createDataFrame([], "query_id long, text string")
+    assert bm25_topk(idx, empty_q).count() == 0
+
+    # BPE: empty merge table encodes every word to its characters
+    enc = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe_encode(docs, BPEModel(merges=())).collect()
+    }
+    assert enc[1] == ["a", "</w>", "b", "</w>", "c", "</w>"]
+    # training on an empty corpus yields no merges and still encodes
+    m0 = bpe_train(docs.limit(0).unionByName(empty_docs), n_merges=5)
+    assert m0.merges == ()
+
+    # hygiene / profile / split on empty frames
+    assert normalize_text(empty_docs).count() == 0
+    assert compression_signals(empty_docs).count() == 0
+    # grouped profile: empty in, empty out; GLOBAL profile keeps SQL's
+    # one-row aggregate semantics (n_docs=0, ratios NULL)
+    assert corpus_profile(
+        empty_docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        )
+    ).count() == 0
+    (gl,) = corpus_profile(empty_docs, group_cols=()).collect()
+    assert gl["n_docs"] == 0 and gl["dup_frac"] is None
+    assert split_leakage_safe(empty_docs, {"train": 1.0}).count() == 0
+
+    # incremental minhash with an EMPTY history: nothing dropped vs
+    # history; within-batch dedup still runs
+    empty_sigs = minhash_signatures(empty_docs)
+    out = minhash_dedup_against(docs, empty_sigs, threshold=0.9)
+    assert out.count() == 2
