@@ -1002,8 +1002,16 @@ def q68_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .limit(20)
         .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
+    # probe-local num_perm=64/bands=16 halves the signature-aggregate
+    # codegen relative to the test tier's 128/32 (same r=4 band shape,
+    # so recall at 0.9 is unchanged; exact replants estimate 1.0 under
+    # any width); the 128-perm contract stays pinned in pytest
     out = minhash_dedup_against(
-        batch, minhash_signatures(prior), threshold=0.9
+        batch,
+        minhash_signatures(prior, num_perm=64),
+        num_perm=64,
+        bands=16,
+        threshold=0.9,
     )
     return out.select("doc_id").orderBy("doc_id")
 
