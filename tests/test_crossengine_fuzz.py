@@ -246,3 +246,49 @@ SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
 FROM documents"""
     expect_fp = {r[0]: r[1] for r in con.execute(fp_sql).fetchall()}
     assert got_fp == expect_fp
+
+
+_PROFILE_ORACLE_FUZZ = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           ::BIGINT AS ntok,
+         length(text)::BIGINT AS nchar,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT h)::BIGINT AS n_distinct,
+       CASE WHEN COUNT(*) > 0 THEN
+         (COUNT(*) - COUNT(DISTINCT h))::DOUBLE / COUNT(*) END AS dup_frac,
+       SUM(ntok)::BIGINT AS total_tokens,
+       SUM(nchar)::BIGINT AS total_chars,
+       ROUND(AVG(ntok), 2) AS avg_tokens,
+       quantile_cont(ntok, 0.5) AS p50_tokens,
+       quantile_cont(ntok, 0.9) AS p90_tokens
+FROM t
+"""
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts)
+def test_corpus_profile_agrees_with_duckdb_on_random_text(spark, texts):
+    """The newest oracle surface fuzzed like the gates: the global
+    (group-less) profile over adversarial text must match DuckDB
+    column-for-column — whitespace-class and md5-normalization
+    divergences would surface here."""
+    from big_data_hadoop_spark.pipeline import corpus_profile
+    from tests.oracle_utils import assert_frames_match
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = corpus_profile(df, group_cols=()).toPandas()
+    con = _duck_with(rows)
+    try:
+        want = con.sql(_PROFILE_ORACLE_FUZZ).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, "corpus_profile_fuzz")

@@ -286,3 +286,88 @@ def test_winnow_pairs_equal_python_reference(spark, texts):
         for r in winnow_neardup_pairs(df, k=k, w=w, threshold=thr).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    n_merges=st.integers(min_value=1, max_value=40),
+)
+def test_bpe_roundtrip_property(spark, words, n_merges):
+    """For ANY corpus and merge budget: encoding is lossless (pieces
+    concatenate back to the token stream) and piece counts are bounded
+    by characters+1 per token below and 1 per token above."""
+    from big_data_hadoop_spark.operators.bpe import EOW, bpe_encode, bpe_train
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    model = bpe_train(docs, n_merges=n_merges)
+    (row,) = bpe_encode(docs, model).collect()
+    toks = [t for t in text.lower().split(" ") if t]
+    assert "".join(row["pieces"]).replace(EOW, " ").split() == toks
+    assert len(toks) <= row["n_pieces"] <= sum(len(t) + 1 for t in toks)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_docs=st.integers(min_value=1, max_value=40),
+    weights=st.dictionaries(
+        st.sampled_from(["train", "val", "test", "holdout"]),
+        st.floats(min_value=0.01, max_value=5.0),
+        min_size=1,
+        max_size=4,
+    ),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=0, max_value=39),
+        ),
+        max_size=30,
+    ),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_split_partition_and_atomicity_property(spark, n_docs, weights, edges, seed):
+    """For ANY weights, duplicate graph, and seed: every doc gets
+    exactly one label from the weight names, and no connected component
+    straddles labels."""
+    from big_data_hadoop_spark.operators.dedup import duplicate_clusters
+    from big_data_hadoop_spark.pipeline import split_leakage_safe
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n_docs)], "doc_id long, text string"
+    )
+    pairs = [
+        (min(a, b), max(a, b))
+        for a, b in edges
+        if a != b and a < n_docs and b < n_docs
+    ]
+    clusters = None
+    if pairs:
+        clusters = duplicate_clusters(
+            spark.createDataFrame(pairs, "id_a long, id_b long")
+        )
+    out = split_leakage_safe(docs, weights, clusters=clusters, seed=seed)
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert {r["split"] for r in rows} <= set(weights)
+    if clusters is not None:
+        label = {r["doc_id"]: r["split"] for r in rows}
+        comp = {
+            r["member_id"]: r["cluster_id"] for r in clusters.collect()
+        }
+        by_comp: dict = {}
+        for m, c in comp.items():
+            by_comp.setdefault(c, set()).add(label[m])
+        assert all(len(s) == 1 for s in by_comp.values())

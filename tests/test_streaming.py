@@ -575,3 +575,37 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     # not re-emitted
     assert second - first == {(11, "C")}, second
     assert first <= second and len(second) == 3
+
+
+def test_stateless_hygiene_ops_stream_unchanged(spark, tmp_path):
+    """normalize_text and compression_signals are narrow/stateless
+    mapInPandas transforms — applied to a readStream frame unchanged,
+    the drained output must equal the batch result exactly."""
+    from big_data_hadoop_spark.operators.texthygiene import (
+        compression_signals,
+        normalize_text,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "hyg_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    q = (
+        compression_signals(normalize_text(stream))
+        .writeStream.format("memory")
+        .queryName("hyg_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM hyg_stream").collect()
+    }
+    expect = {
+        tuple(r)
+        for r in compression_signals(normalize_text(docs)).collect()
+    }
+    assert got == expect and len(got) == docs.count()
