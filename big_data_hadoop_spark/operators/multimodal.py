@@ -23,6 +23,8 @@ metadata columns, not the blobs.
 from __future__ import annotations
 
 import struct
+
+from big_data_hadoop_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from collections.abc import Iterator
 
 import numpy as np
@@ -630,6 +632,34 @@ def resize_bmp(raw: bytes, max_dim: int) -> tuple[int, int, bytes]:
     return nw, nh, encode_bmp(arr[yi][:, xi])
 
 
+def _decode_jpeg_sniffed(raw: bytes) -> "np.ndarray":
+    """Baseline JPEG decode (``operators.jpeg``), gated on the SOI
+    magic so non-JPEG payloads fail fast with ValueError.
+
+    ``decode_jpeg`` is imported at MODULE level (below): a lazy import
+    inside this function would execute on the executor worker, where
+    the package is not importable off-repo — the module-level binding
+    rides the by-value closure serialization instead."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    return decode_jpeg(raw)
+
+
+def resize_jpeg(raw: bytes, max_dim: int) -> tuple[int, int, bytes]:
+    """REAL nearest-neighbor downscale of a baseline JPEG
+    (``decode_jpeg`` → index-sample → ``encode_jpeg`` with the Annex K
+    tables); pass-through when already within ``max_dim``."""
+    arr = decode_jpeg(raw)
+    h, w = arr.shape[:2]
+    if max(h, w) <= max_dim:
+        return w, h, raw
+    scale = max_dim / max(w, h)
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    yi = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xi = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return nw, nh, encode_jpeg(arr[yi][:, xi])
+
+
 def resize_png(raw: bytes, max_dim: int) -> tuple[int, int, bytes]:
     """REAL nearest-neighbor downscale of an 8-bit truecolor PNG
     (``decode_png`` → index-sample → ``encode_png``); pass-through when
@@ -677,6 +707,15 @@ def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
                     try:
                         nw, nh, npay = resize_png(raw, max_dim)
+                        out["width"].append(nw)
+                        out["height"].append(nh)
+                        out["payload"].append(npay)
+                        continue
+                    except (ValueError, NotImplementedError):
+                        pass
+                if raw[:2] == b"\xff\xd8":
+                    try:
+                        nw, nh, npay = resize_jpeg(raw, max_dim)
                         out["width"].append(nw)
                         out["height"].append(nh)
                         out["payload"].append(npay)
@@ -860,6 +899,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                     # the RGB planes
                     lambda r: decode_png(r)[..., :3],
                     decode_gif,
+                    _decode_jpeg_sniffed,
                 ):
                     try:
                         arr = decoder(raw).astype(np.float64)
