@@ -509,17 +509,17 @@ def parse_mp4_meta(
 
 def decode_stub(payload: bytes) -> tuple[int, int]:
     """STUB decode — deterministic fake for formats that genuinely need
-    codec libraries to reach PIXELS (PIL/libvips/ffmpeg are not in this
-    container). The stub surface is now small: BMP, WAV, 8-bit
-    truecolor PNG (``decode_png``, stdlib zlib) and GIF first frames
-    (``decode_gif``, pure-Python LZW) decode for REAL; JPEG/MP4 and the
-    exotic PNG/GIF variants get real header metadata
-    (``parse_jpeg_header``/``parse_mp4_meta`` etc.) before any stub
-    fires — only their entropy-coded payloads are faked. The fake
-    derives a (width, height) from the first payload bytes so the
-    pipeline shape stays testable end-to-end. Raise instead if strict
-    behavior is wanted: ``NotImplementedError("image codecs not
-    bundled")``."""
+    codec libraries to reach PIXELS (ffmpeg is not in this container).
+    The stub surface is now minimal: BMP, WAV, 8-bit truecolor PNG
+    (``decode_png``, stdlib zlib), GIF first frames (``decode_gif``,
+    pure-Python LZW) and baseline JPEG (``operators.jpeg``, pure numpy)
+    all decode for REAL; MP4 and the exotic variants (progressive
+    JPEG, palette/interlaced PNG) get real header metadata
+    (``parse_mp4_meta``/``parse_jpeg_header`` etc.) before any stub
+    fires — only video sample data is faked. The fake derives a
+    (width, height) from the first payload bytes so the pipeline shape
+    stays testable end-to-end. Raise instead if strict behavior is
+    wanted: ``NotImplementedError("video codecs not bundled")``."""
     if payload is None or len(payload) == 0:
         return (0, 0)
     w = 1 + payload[0] % 64
