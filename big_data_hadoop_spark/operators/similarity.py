@@ -854,3 +854,50 @@ def semantic_dedup(
     # round plans nest it repeatedly and the driver OOMs just
     # stringifying them (observed at sf0.1 before the checkpointing).
     return dedup_by_clusters(df, pairs, id_col=id_col)
+
+
+def grouped_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-group embedding centroids in LONG form: ``(group_col, j,
+    centroid_j)`` with ``j`` the 0-based dimension — the mean-pooling
+    primitive behind label prototypes, cluster diagnostics, and
+    chunk-to-document embedding rollups.
+
+    ONE aggregation: per group, ``collect_list`` the vectors and fold
+    them elementwise with ``aggregate``/``zip_with`` (JVM-side HOFs over
+    the already-grouped list — no per-dimension shuffle), then explode
+    to long form. The shuffle carries raw vectors once, keyed by group;
+    group state is bounded by group size. For VERY large groups prefer
+    the two-shuffle explode-by-dimension formulation; at typical
+    label/cluster cardinalities this single-pass form wins. Long-form
+    output keeps every column scalar (probe §2.8 contract) and is what
+    a DuckDB oracle can reproduce exactly modulo float-sum order —
+    hence ``centroid_j`` is rounded to 9 decimals on both sides.
+    """
+    emb = _as_double(F.col(vec_col))
+    if dim is not None:
+        zero = F.array_repeat(F.lit(0.0), dim)
+    else:
+        zero = F.transform(F.col("_vs")[0], lambda _: F.lit(0.0))
+    agg = df.select(F.col(group_col), emb.alias("_e")).groupBy(group_col).agg(
+        F.collect_list("_e").alias("_vs"), F.count("*").alias("_n")
+    )
+    summed = agg.select(
+        group_col,
+        "_n",
+        F.aggregate(
+            "_vs",
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
+        ).alias("_sum"),
+    )
+    return summed.select(
+        group_col,
+        F.posexplode(
+            F.transform("_sum", lambda s: F.round(s / F.col("_n"), 9))
+        ).alias("j", "centroid_j"),
+    )

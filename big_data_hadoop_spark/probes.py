@@ -1112,6 +1112,18 @@ def q73_compression_signals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q74_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids in long form (rows-only registry
+    slot; the full frame has a DuckDB unnest/avg oracle in
+    tests/test_profile.py). The mean-pooling primitive behind label
+    prototypes and chunk-to-document embedding rollups; single-pass
+    collect_list + elementwise fold, one shuffle keyed by label."""
+    from big_data_hadoop_spark.operators.similarity import grouped_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    return grouped_centroids(emb, dim=EMBED_DIM).orderBy("label", "j")
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1375,6 +1387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_corpus_profile": q71_corpus_profile,
     "q72_bpe_tokenize": q72_bpe_tokenize,
     "q73_compression_signals": q73_compression_signals,
+    "q74_label_centroids": q74_label_centroids,
 }
 
 _EN = ts.STOPWORDS["en"]

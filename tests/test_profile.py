@@ -56,3 +56,29 @@ def test_profile_single_group_and_dup_rate(spark):
     assert row["n_distinct"] == 2
     assert abs(row["dup_frac"] - 1 / 3) < 1e-12
     assert row["total_tokens"] == 3 + 3 + 2
+
+
+CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, t.j, embedding[t.j + 1] AS v
+  FROM embeddings, range(0, 64) t(j))
+SELECT label, CAST(j AS INT) AS j,
+       ROUND(AVG(v), 9) AS centroid_j
+FROM e GROUP BY label, j ORDER BY label, j
+"""
+
+
+def test_grouped_centroids_match_duckdb(spark, duck):
+    """Long-form per-label centroids vs DuckDB's unnest/avg — same
+    9-decimal rounding on both sides absorbs float-sum order."""
+    from big_data_hadoop_spark.operators.similarity import grouped_centroids
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    got = (
+        grouped_centroids(emb, dim=64)
+        .orderBy("label", "j")
+        .toPandas()
+    )
+    want = duck.sql(CENTROID_ORACLE).df()
+    assert len(got) == 64 * emb.select("label").distinct().count()
+    assert_frames_match(got, want, "grouped_centroids")
