@@ -202,16 +202,19 @@ def main() -> None:
             "pass_totals": pass_totals,
         }
     )
-    if len(line) > 1900:  # stay inside the driver's tail-capture window
+    # Stay inside the driver's ~2000-char tail-capture window (BENCH_r04
+    # lesson: an oversized line parses as null). Degrade progressively —
+    # the registry has grown past what full floats fit; exact values
+    # always live in bench_detail.json.
+    for decimals in (2, 1):
+        if len(line) <= 1900:
+            break
         line = json.dumps(
             {
                 "metric": f"probe suite sec, per-query best-of-{n_passes}",
                 "value": total,
                 "unit": "sec",
-                # 2-decimal per-query values: the registry is large enough
-                # that full floats alone overflow the capture window; the
-                # exact values live in bench_detail.json
-                "queries": {k: round(v, 2) for k, v in best.items()},
+                "queries": {k: round(v, decimals) for k, v in best.items()},
                 "sf": sf,
             },
             separators=(",", ":"),
