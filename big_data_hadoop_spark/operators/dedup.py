@@ -55,8 +55,17 @@ from big_data_hadoop_spark.functions.text import split_tokens
 
 def normalized_text(text: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace runs,
-    trim. Cheap, reversible-intent normalization — not a semantic hash."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    trim. Cheap, reversible-intent normalization — not a semantic hash.
+
+    The whitespace class is EXPLICIT (``[ \\t\\n\\x0b\\f\\r]`` — exactly
+    Java's default ``\\s``): shorthand ``\\s`` diverges across engines on
+    ``\\x0b`` (Java includes it, RE2/DuckDB does not), so two documents
+    differing only by a vertical tab would dedup in Spark but not in the
+    oracle — found by the corpus-profile hypothesis fuzz; same precedent
+    as ``repetition.py`` and ``textstats.BPE_PATTERN``."""
+    return F.trim(
+        F.regexp_replace(F.lower(text), "[ \\t\\n\\x0b\\f\\r]+", " ")
+    )
 
 
 def exact_dedup_groups(

@@ -1503,7 +1503,7 @@ ORDER BY op, k""",
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
 FROM events GROUP BY 1 ORDER BY 1""",
     "q17_exact_dedup": """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS h,
        CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1 ORDER BY h""",
     "q18_ngram_jaccard": f"""
@@ -1731,7 +1731,7 @@ FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
 WITH keep AS (
   SELECT MIN(doc_id) AS doc_id
   FROM (SELECT doc_id,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+               trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS nt
         FROM documents)
   GROUP BY nt)
 SELECT d.doc_id, d.lang, d.source

@@ -254,7 +254,7 @@ WITH t AS (
          len(list_filter(string_split(lower(text), ' '), x -> x != ''))
            ::BIGINT AS ntok,
          length(text)::BIGINT AS nchar,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS h
   FROM documents)
 SELECT COUNT(*)::BIGINT AS n_docs,
        COUNT(DISTINCT h)::BIGINT AS n_distinct,

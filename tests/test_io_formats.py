@@ -162,7 +162,7 @@ def test_exact_dedup_against_matches_duckdb(spark, duck, tmp_path):
     }
     assert got == {11, 13}
     # oracle: same semantics in SQL
-    norm = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    norm = "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))"
     con = duck
     con.register("old_df", old.toPandas())
     con.register("new_df", new.toPandas())

@@ -47,7 +47,7 @@ l AS (
 ),
 d AS (
   SELECT doc_id, text,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS h
   FROM l
 ),
 k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h)
