@@ -42,7 +42,7 @@ from pyspark.sql.window import Window
 
 from big_data_hadoop_spark.functions.text import split_tokens
 
-__all__ = ["BM25Index", "bm25_index", "bm25_topk"]
+__all__ = ["BM25Index", "bm25_index", "bm25_topk", "hybrid_topk"]
 
 
 def _kept(text_col: str):
@@ -142,4 +142,61 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select(query_id_col, index.id_col, "score", "rank")
+    )
+
+
+def hybrid_topk(
+    index: BM25Index,
+    corpus_emb: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    n_candidates: int = 100,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    query_vec_col: str = "embedding",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 generates ``n_candidates``
+    lexical candidates per query, exact cosine over the embedding
+    column re-ranks them — the standard sparse-then-dense serving shape
+    (cheap inverted-index recall, expensive similarity only on the
+    shortlist). Output ``(query_id, id, bm25_score, cosine, rank)``,
+    rank 1 = highest cosine, ties by id ascending.
+
+    ``corpus_emb`` is ``(id, embedding)`` keyed like the BM25 corpus;
+    ``queries`` carries BOTH its text and its embedding. The dense
+    stage touches ``n_candidates`` rows per query — never the corpus —
+    via an equi-join of the candidate list against the embedding table
+    (broadcast when the query batch is small; at scale both sides hash
+    on the id key)."""
+    from big_data_hadoop_spark.operators.similarity import dot, norm
+
+    cand = bm25_topk(
+        index, queries, topk=n_candidates, k1=k1, b=b,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+    ).select(query_id_col, index.id_col, F.col("score").alias("bm25_score"))
+    q_emb = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_q"),
+    ).withColumn("_qn", norm(F.col("_q"), dim))
+    c_emb = corpus_emb.select(
+        F.col(index.id_col),
+        F.col(vec_col).cast("array<double>").alias("_c"),
+    ).withColumn("_cn", norm(F.col("_c"), dim))
+    cos = dot(F.col("_q"), F.col("_c"), dim) / (F.col("_qn") * F.col("_cn"))
+    scored = (
+        cand.join(c_emb, index.id_col)
+        .join(q_emb, query_id_col)
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(index.id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, index.id_col, "bm25_score", "cosine", "rank")
     )

@@ -129,3 +129,51 @@ def test_index_is_lazy(spark, corpus):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
     assert idx.totals.collect()[0]["n_docs"] == corpus.count()
+
+
+def test_hybrid_rerank_equals_cosine_over_candidates(spark, corpus):
+    """The dense stage must equal brute cosine ranking restricted to
+    the BM25 candidate set (recomputed in numpy from the two stages'
+    own outputs), and the output carries both stage scores."""
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.bm25 import hybrid_topk
+    from big_data_hadoop_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    queries = (
+        corpus.orderBy("doc_id")
+        .limit(3)
+        .join(emb, "doc_id")
+        .select(F.col("doc_id").alias("query_id"), "text", "embedding")
+    )
+    idx = bm25_index(corpus)
+    cand = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25_topk(idx, queries, topk=20).collect()
+    }
+    got: dict = {}
+    for r in hybrid_topk(
+        idx, emb, queries, topk=5, n_candidates=20
+    ).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    vecs = {r["doc_id"]: np.array(r["embedding"], float) for r in emb.collect()}
+    for q, rows in got.items():
+        rows.sort(key=lambda r: r["rank"])
+        qv = vecs[q]
+        want = sorted(
+            (
+                (
+                    -float(qv @ vecs[d] / (np.linalg.norm(qv) * np.linalg.norm(vecs[d]))),
+                    d,
+                )
+                for (qq, d) in cand
+                if qq == q
+            ),
+        )[:5]
+        assert [r["doc_id"] for r in rows] == [d for _, d in want], q
+        for r, (negcos, _) in zip(rows, want):
+            assert r["cosine"] == pytest.approx(-negcos, rel=1e-9)
+            assert r["bm25_score"] > 0
