@@ -1124,6 +1124,39 @@ def q74_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return grouped_centroids(emb, dim=EMBED_DIM).orderBy("label", "j")
 
 
+def q75_hybrid_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse-then-dense retrieval (BM25 recall + exact-cosine re-rank
+    — rows-only check; the dense stage is pinned equal to numpy cosine
+    over the candidate set in tests/test_bm25.py). 5 verbatim document
+    queries; embeddings keyed by vec_id == doc_id."""
+    from big_data_hadoop_spark.operators.bm25 import bm25_index, hybrid_topk
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .join(emb, "doc_id")
+        .select(F.col("doc_id").alias("query_id"), "text", "embedding")
+    )
+    return (
+        hybrid_topk(
+            bm25_index(docs), emb, queries, topk=10, n_candidates=50,
+            dim=EMBED_DIM,
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("bm25_score", 6).alias("bm25_score"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q15_exact_dedup_result(spark: SparkSession, sf: str) -> DataFrame:
     """The dedup FILTER itself (keep-first semi-join): surviving documents
     after exact dedup on normalized text."""
@@ -1388,6 +1421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_bpe_tokenize": q72_bpe_tokenize,
     "q73_compression_signals": q73_compression_signals,
     "q74_label_centroids": q74_label_centroids,
+    "q75_hybrid_retrieval": q75_hybrid_retrieval,
 }
 
 _EN = ts.STOPWORDS["en"]
