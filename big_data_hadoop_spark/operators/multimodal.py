@@ -441,6 +441,72 @@ def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
     return out
 
 
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables (header index)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def parse_mp3_meta(payload: bytes) -> tuple[int, int, float]:
+    """``(sample_rate, bitrate_kbps, est_duration_ms)`` from an MPEG-1
+    Layer III stream — a pure frame-header walk (11-bit sync, version/
+    layer/bitrate/samplerate fields; ID3v2 prefix skipped). Duration is
+    the CBR estimate ``audio_bytes * 8 / bitrate`` from the first
+    frame's header — the standard quick estimate; VBR needs a Xing
+    header walk. Raises ``ValueError`` for non-MP3 payloads."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("not an MP3 payload")
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # syncsafe 28-bit tag size
+        size = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    if pos + 4 > len(payload):
+        raise ValueError("not an MP3 payload")
+    b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("no MP3 frame sync")
+    version = (b1 >> 3) & 0x03
+    layer = (b1 >> 1) & 0x03
+    if version != 0b11 or layer != 0b01:  # MPEG-1 Layer III only
+        raise ValueError("not MPEG-1 Layer III")
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("free/bad MP3 bitrate or reserved sample rate")
+    bitrate = _MP3_BITRATES[br_idx]
+    rate = _MP3_RATES[sr_idx]
+    audio_bytes = len(payload) - pos
+    dur_ms = audio_bytes * 8.0 / (bitrate * 1000.0) * 1000.0
+    return rate, bitrate, dur_ms
+
+
+def parse_flac_meta(payload: bytes) -> tuple[int, int, int, float]:
+    """``(sample_rate, channels, bits_per_sample, duration_ms)`` from a
+    FLAC STREAMINFO block — pure bit unpacking of the mandatory first
+    metadata block. Raises ``ValueError`` for non-FLAC payloads."""
+    if payload is None or len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    # first metadata block header at 4: 1 byte type/last + 3 bytes length
+    if (payload[4] & 0x7F) != 0:
+        raise ValueError("FLAC without leading STREAMINFO")
+    b = payload[8:42]  # 34-byte STREAMINFO body
+    rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x07) + 1
+    bits = (((b[12] & 0x01) << 4) | (b[13] >> 4)) + 1
+    total = (
+        (b[13] & 0x0F) << 32 | b[14] << 24 | b[15] << 16 | b[16] << 8 | b[17]
+    )
+    if rate == 0:
+        raise ValueError("FLAC with zero sample rate")
+    return rate, channels, bits, total / rate * 1000.0
+
+
 def parse_mp4_meta(
     payload: bytes,
 ) -> tuple[float | None, int, int | None, int | None]:
@@ -561,6 +627,20 @@ def _header_meta(
         try:
             dur, _n_tracks, w, h = parse_mp4_meta(raw)
             return w, h, None, dur
+        except ValueError:
+            pass
+    if raw[:4] == b"fLaC":
+        try:
+            rate, _ch, _bits, dur = parse_flac_meta(raw)
+            return None, None, rate, dur
+        except ValueError:
+            pass
+    if raw[:3] == b"ID3" or (
+        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+    ):
+        try:
+            rate, _br, dur = parse_mp3_meta(raw)
+            return None, None, rate, dur
         except ValueError:
             pass
     w, h = decode_stub(raw)

@@ -671,3 +671,78 @@ def test_gif_feeds_image_features(spark):
     assert (f["width"], f["height"]) == (8, 8)
     assert f["mean_r"] == pytest.approx(127.5)
     assert f["luma_mean"] == pytest.approx(127.5)
+
+
+# ---------------------------------------------------------------------------
+# Codec-free audio metadata: MP3 frame header, FLAC STREAMINFO
+# ---------------------------------------------------------------------------
+
+
+def _mp3_bytes(bitrate_idx=9, rate_idx=0, n_bytes=4000, id3=False):
+    import struct
+
+    hdr = bytes(
+        [0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2), 0x00]
+    )
+    body = hdr + b"\x00" * (n_bytes - 4)
+    if id3:
+        tag = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 10]) + b"x" * 10
+        return tag + body
+    return body
+
+
+def _flac_bytes(rate=44100, ch=2, bits=16, total=44100 * 3):
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last-metadata flag + type 0 (STREAMINFO)
+    out += (34).to_bytes(3, "big")
+    b = bytearray(34)
+    # rate: 20 bits starting at byte 10
+    b[10] = (rate >> 12) & 0xFF
+    b[11] = (rate >> 4) & 0xFF
+    b[12] = ((rate & 0x0F) << 4) | (((ch - 1) & 0x07) << 1) | ((bits - 1) >> 4)
+    b[13] = (((bits - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F)
+    b[14] = (total >> 24) & 0xFF
+    b[15] = (total >> 16) & 0xFF
+    b[16] = (total >> 8) & 0xFF
+    b[17] = total & 0xFF
+    out += b
+    return bytes(out)
+
+
+def test_mp3_and_flac_meta_parsers():
+    from big_data_hadoop_spark.operators.multimodal import (
+        parse_flac_meta,
+        parse_mp3_meta,
+    )
+
+    rate, br, dur = parse_mp3_meta(_mp3_bytes(bitrate_idx=9, n_bytes=16000))
+    assert (rate, br) == (44100, 128)
+    assert dur == pytest.approx(16000 * 8 / 128_000 * 1000)
+    # ID3v2 prefix is skipped, audio length excludes it
+    rate2, br2, dur2 = parse_mp3_meta(_mp3_bytes(n_bytes=16000, id3=True))
+    assert (rate2, br2) == (44100, 128)
+    assert dur2 == pytest.approx(dur)
+    fr, fch, fbits, fdur = parse_flac_meta(_flac_bytes())
+    assert (fr, fch, fbits) == (44100, 2, 16)
+    assert fdur == pytest.approx(3000.0)
+    for parser in (parse_mp3_meta, parse_flac_meta):
+        with pytest.raises(ValueError):
+            parser(b"nonsense bytes here")
+
+
+def test_audio_meta_flows_through_extract(spark):
+    from big_data_hadoop_spark.operators.multimodal import extract_media_meta
+
+    rows = [
+        (1, "audio/mpeg", bytearray(_mp3_bytes(n_bytes=32000))),
+        (2, "audio/flac", bytearray(_flac_bytes(rate=48000, total=48000 * 2))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r["media_id"]: r for r in extract_media_meta(df).collect()}
+    assert got[1]["sample_rate"] == 44100
+    assert got[1]["duration_ms"] == pytest.approx(32000 * 8 / 128_000 * 1000)
+    assert got[2]["sample_rate"] == 48000
+    assert got[2]["duration_ms"] == pytest.approx(2000.0)
+    assert got[1]["width"] is None and got[2]["width"] is None
