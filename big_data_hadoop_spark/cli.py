@@ -291,6 +291,34 @@ def cmd_split(args: argparse.Namespace) -> None:
     _warn_dropped_lines()
 
 
+def cmd_search(args: argparse.Namespace) -> None:
+    """Ad-hoc BM25 retrieval over a document corpus."""
+    from big_data_hadoop_spark.operators.bm25 import bm25_index, bm25_topk
+
+    spark = _spark("search")
+    docs = _read_docs(spark, args.input)
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(args.query)],
+        "query_id long, text string",
+    )
+    idx = bm25_index(docs, max_df_frac=args.max_df_frac)
+    hits = bm25_topk(idx, queries, topk=args.topk).join(
+        docs.select("doc_id", F.substring("text", 1, 80).alias("snippet")),
+        "doc_id",
+    )
+    for q_i, q in enumerate(args.query):
+        print(f"# query[{q_i}]: {q}")
+        for r in sorted(
+            hits.filter(F.col("query_id") == q_i).collect(),
+            key=lambda r: r["rank"],
+        ):
+            print(
+                f"  {r['rank']:>2}. doc {r['doc_id']} "
+                f"(bm25 {r['score']:.3f}): {r['snippet']}"
+            )
+    _warn_dropped_lines()
+
+
 def cmd_probe(args: argparse.Namespace) -> None:
     from big_data_hadoop_spark.probes import QUERIES
 
@@ -421,6 +449,18 @@ def main(argv: list[str] | None = None) -> None:
     )
     sl.add_argument("--seed", type=int, default=0)
 
+    se = sub.add_parser("search", help="ad-hoc BM25 retrieval over a corpus")
+    se.add_argument("input")
+    se.add_argument(
+        "--query", action="append", required=True,
+        help="query text (repeatable)",
+    )
+    se.add_argument("--topk", type=int, default=10)
+    se.add_argument(
+        "--max-df-frac", type=float, default=None,
+        help="drop terms present in more than this fraction of docs",
+    )
+
     args = p.parse_args(argv)
     t0 = time.monotonic()
     {
@@ -436,6 +476,7 @@ def main(argv: list[str] | None = None) -> None:
         "decontaminate": cmd_decontaminate,
         "profile": cmd_profile,
         "split": cmd_split,
+        "search": cmd_search,
     }[args.command](args)
     print(f"[{args.command}] completed in {time.monotonic() - t0:.2f}s")
 

@@ -189,3 +189,17 @@ def test_cli_profile_and_split(spark, tmp_path, capsys):
         for _ in open(p)
     )
     assert n == 500
+
+
+def test_cli_search(spark, tmp_path, capsys):
+    from big_data_hadoop_spark.sources.io import load_table
+
+    src = str(tmp_path / "search_parquet")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).write.parquet(src)
+    main(["search", src, "--query", "the quick data pipeline", "--topk", "3"])
+    out = capsys.readouterr().out
+    assert "# query[0]: the quick data pipeline" in out
+    assert out.count(". doc ") == 3
+    assert "bm25 " in out
