@@ -206,7 +206,15 @@ def main() -> None:
     # lesson: an oversized line parses as null). Degrade progressively —
     # the registry has grown past what full floats fit; exact values
     # always live in bench_detail.json.
-    for decimals in (2, 1):
+    for queries in (
+        {k: round(v, 2) for k, v in best.items()},
+        {k: round(v, 1) for k, v in best.items()},
+        # last resort: the slowest half — a registry large enough to
+        # overflow even 1-decimal full coverage must not regress to the
+        # unparseable-line failure; the dropped (fast) entries live in
+        # bench_detail.json
+        dict(sorted(best.items(), key=lambda kv: -kv[1])[: len(best) // 2]),
+    ):
         if len(line) <= 1900:
             break
         line = json.dumps(
@@ -214,7 +222,7 @@ def main() -> None:
                 "metric": f"probe suite sec, per-query best-of-{n_passes}",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, decimals) for k, v in best.items()},
+                "queries": queries,
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -248,12 +248,31 @@ def cmd_profile(args: argparse.Namespace) -> None:
     docs = _read_docs(spark, args.input)
     group_cols = tuple(c for c in args.group_cols.split(",") if c)
     if group_cols:
-        # group columns live beside (doc_id, text) in the source table
+        # group columns live beside (doc_id, text) in the source table.
+        # Detection mirrors _read_docs (scan for .parquet part files —
+        # a JSONL DIRECTORY is also isdir, review finding): JSONL inputs
+        # re-read with the wider schema instead of the parquet reader.
         import os
 
-        if os.path.isdir(args.input) or args.input.endswith(".parquet"):
+        def is_parquet(p: str) -> bool:
+            if os.path.isdir(p):
+                return any(
+                    f.endswith(".parquet")
+                    for _root, _dirs, files in os.walk(p)
+                    for f in files
+                )
+            return p.endswith(".parquet")
+
+        if is_parquet(args.input):
             full = spark.read.parquet(args.input)
-            docs = full.select("doc_id", "text", *group_cols)
+        else:
+            from big_data_hadoop_spark.sources.io import read_jsonl
+
+            cols = ", ".join(f"{c} string" for c in group_cols)
+            full = read_jsonl(
+                spark, args.input, schema=f"doc_id long, text string, {cols}"
+            ).filter(F.col("_corrupt_record").isNull())
+        docs = full.select("doc_id", "text", *group_cols)
     prof = corpus_profile(docs, group_cols=group_cols).orderBy(
         *group_cols if group_cols else ["n_docs"]
     )
@@ -306,12 +325,14 @@ def cmd_search(args: argparse.Namespace) -> None:
         docs.select("doc_id", F.substring("text", 1, 80).alias("snippet")),
         "doc_id",
     )
+    # ONE action for all queries (review finding: a per-query
+    # filter+collect re-ran the whole index/score job N times)
+    by_query: dict[int, list] = {}
+    for r in hits.collect():
+        by_query.setdefault(r["query_id"], []).append(r)
     for q_i, q in enumerate(args.query):
         print(f"# query[{q_i}]: {q}")
-        for r in sorted(
-            hits.filter(F.col("query_id") == q_i).collect(),
-            key=lambda r: r["rank"],
-        ):
+        for r in sorted(by_query.get(q_i, []), key=lambda r: r["rank"]):
             print(
                 f"  {r['rank']:>2}. doc {r['doc_id']} "
                 f"(bm25 {r['score']:.3f}): {r['snippet']}"

@@ -65,6 +65,17 @@ def categorize(token: Column) -> Column:
     )
 
 
+def kept_tokens(text: Column, lowercase: bool = True) -> Column:
+    """Kept-token array: single-space split with empties dropped
+    (lowercased by default) — the shared token contract of the
+    LLM-pipeline operators (BM25, the bigram LM, BPE, the corpus
+    profile). One definition so the engine's token semantics — and
+    their cross-engine regex pins — change in exactly one place."""
+    return F.filter(
+        split_tokens(text, lowercase=lowercase), lambda t: t != F.lit("")
+    )
+
+
 def split_tokens(text: Column, lowercase: bool = False) -> Column:
     """Raw token array: split on a single literal space.
 

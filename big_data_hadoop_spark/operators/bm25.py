@@ -40,15 +40,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from big_data_hadoop_spark.functions.text import split_tokens
+from big_data_hadoop_spark.functions.text import kept_tokens
 
 __all__ = ["BM25Index", "bm25_index", "bm25_topk", "hybrid_topk"]
 
 
 def _kept(text_col: str):
-    return F.filter(
-        split_tokens(F.col(text_col), lowercase=True), lambda t: t != F.lit("")
-    )
+    return kept_tokens(F.col(text_col))
 
 
 @dataclass(frozen=True)
@@ -178,14 +176,17 @@ def hybrid_topk(
         index, queries, topk=n_candidates, k1=k1, b=b,
         query_id_col=query_id_col, query_text_col=query_text_col,
     ).select(query_id_col, index.id_col, F.col("score").alias("bm25_score"))
+    # zero-norm guard (review finding): cosine of a zero vector is NaN,
+    # and Spark sorts NaN ABOVE every double — an empty/failed embedding
+    # would take rank 1. Zero-norm rows are excluded from both sides.
     q_emb = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_q"),
-    ).withColumn("_qn", norm(F.col("_q"), dim))
+    ).withColumn("_qn", norm(F.col("_q"), dim)).filter(F.col("_qn") > 0)
     c_emb = corpus_emb.select(
         F.col(index.id_col),
         F.col(vec_col).cast("array<double>").alias("_c"),
-    ).withColumn("_cn", norm(F.col("_c"), dim))
+    ).withColumn("_cn", norm(F.col("_c"), dim)).filter(F.col("_cn") > 0)
     cos = dot(F.col("_q"), F.col("_c"), dim) / (F.col("_qn") * F.col("_cn"))
     scored = (
         cand.join(c_emb, index.id_col)

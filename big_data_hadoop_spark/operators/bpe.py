@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from big_data_hadoop_spark.functions.text import split_tokens
+from big_data_hadoop_spark.functions.text import kept_tokens
 
 __all__ = ["BPEModel", "bpe_train", "bpe_encode", "bpe_apply_word"]
 
@@ -141,9 +141,7 @@ def bpe_train(
     the bounded top-``max_words`` vocabulary collect."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    toks = F.filter(
-        split_tokens(F.col(text_col), lowercase=True), lambda t: t != F.lit("")
-    )
+    toks = kept_tokens(F.col(text_col))
     vocab = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")

@@ -170,9 +170,17 @@ class _BitReader:
                 self.acc = (self.acc << 8) | 0xFF
                 self.n += 8
                 return
-            else:
-                self.pos += 1  # stray fill byte 0xFF before marker
+            elif nxt == 0xFF:
+                self.pos += 1  # fill byte: FF FF ... before a marker
                 return self._fill()
+            else:
+                # FF followed by a non-stuffing, non-restart, non-fill
+                # byte inside entropy data is a desync (review finding:
+                # silently consuming the marker byte as data produced
+                # garbage pixels on corrupt streams instead of an error)
+                raise ValueError(
+                    f"marker 0x{nxt:02X} inside JPEG entropy stream"
+                )
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b

@@ -603,14 +603,14 @@ def _header_meta(
         try:
             w, h, _bpp, _off, _comp = parse_bmp_header(raw)
             return w, abs(h), None, None
-        except ValueError:
+        except Exception:
             pass
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         try:
             rate, _ch, _bits, n_frames, _off, _size = parse_wav_header(raw)
             dur = (n_frames / rate) * 1000.0 if rate else None
             return None, None, rate, dur
-        except ValueError:
+        except Exception:
             pass
     for sniff, parser in (
         (lambda r: r[:8] == b"\x89PNG\r\n\x1a\n", parse_png_header),
@@ -621,19 +621,19 @@ def _header_meta(
             try:
                 w, h = parser(raw)
                 return w, h, None, None
-            except ValueError:
+            except Exception:
                 break
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
         try:
             dur, _n_tracks, w, h = parse_mp4_meta(raw)
             return w, h, None, dur
-        except ValueError:
+        except Exception:
             pass
     if raw[:4] == b"fLaC":
         try:
             rate, _ch, _bits, dur = parse_flac_meta(raw)
             return None, None, rate, dur
-        except ValueError:
+        except Exception:
             pass
     if raw[:3] == b"ID3" or (
         len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
@@ -641,7 +641,7 @@ def _header_meta(
         try:
             rate, _br, dur = parse_mp3_meta(raw)
             return None, None, rate, dur
-        except ValueError:
+        except Exception:
             pass
     w, h = decode_stub(raw)
     return w, h, None, None
@@ -782,7 +782,9 @@ def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
                         out["height"].append(nh)
                         out["payload"].append(npay)
                         continue
-                    except (ValueError, NotImplementedError):
+                    except Exception:
+                        # broad: corrupt payloads raise zlib/struct/Index
+                        # errors from inside decoders; fall to the stub
                         pass
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
                     try:
@@ -791,7 +793,9 @@ def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
                         out["height"].append(nh)
                         out["payload"].append(npay)
                         continue
-                    except (ValueError, NotImplementedError):
+                    except Exception:
+                        # broad: corrupt payloads raise zlib/struct/Index
+                        # errors from inside decoders; fall to the stub
                         pass
                 if raw[:2] == b"\xff\xd8":
                     try:
@@ -800,7 +804,9 @@ def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
                         out["height"].append(nh)
                         out["payload"].append(npay)
                         continue
-                    except (ValueError, NotImplementedError):
+                    except Exception:
+                        # broad: corrupt payloads raise zlib/struct/Index
+                        # errors from inside decoders; fall to the stub
                         pass
                 w, h = decode_stub(raw)
                 scale = min(1.0, max_dim / max(w, h, 1))
@@ -981,10 +987,15 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                     decode_gif,
                     _decode_jpeg_sniffed,
                 ):
+                    # broad except (review finding): malformed payloads
+                    # can surface zlib.error / struct.error / IndexError
+                    # / KeyError from deep inside a decoder; one dirty
+                    # document must yield null features, never abort the
+                    # whole curation stage.
                     try:
                         arr = decoder(raw).astype(np.float64)
                         break
-                    except (ValueError, NotImplementedError):
+                    except Exception:
                         continue
                 if arr is None:
                     rows.append((mid, None, None, None, None, None, None, None))

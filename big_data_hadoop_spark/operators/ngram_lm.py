@@ -63,17 +63,14 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from big_data_hadoop_spark.functions.text import split_tokens
+from big_data_hadoop_spark.functions.text import kept_tokens
 
 __all__ = ["NGramLM", "ngram_lm_train", "ngram_lm_score", "ppl_filter"]
 
 
 def _kept_tokens(text_col: str) -> Column:
-    """Lowercased kept-token array: single-space split, empties dropped."""
-    return F.filter(
-        split_tokens(F.col(text_col), lowercase=True),
-        lambda t: t != F.lit(""),
-    )
+    """Lowercased kept-token array (shared engine contract)."""
+    return kept_tokens(F.col(text_col))
 
 
 def _bigram_events(
@@ -138,8 +135,13 @@ def ngram_lm_train(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
     )
+    # coalesce: SUM over an EMPTY reference corpus is NULL, which would
+    # poison p_uni into NULL for every scored document (breaking the
+    # documented P > 0 floor — review finding); with 0 the add-one term
+    # degrades to (c+1)/vocab-free 1.0, keeping scores finite.
     totals = unigrams.agg(
-        F.sum("c1").alias("n_tokens"), F.count("*").alias("vocab")
+        F.coalesce(F.sum("c1"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.count("*").alias("vocab"),
     )
     return NGramLM(unigrams=unigrams, bigrams=bigrams, totals=totals)
 
@@ -179,8 +181,15 @@ def ngram_lm_score(
         F.col("c_w1").isNotNull() & F.col("c2").isNotNull(),
         F.col("c2").cast("double") / F.col("c_w1").cast("double"),
     ).otherwise(F.lit(0.0))
+    # greatest(..., 1): an EMPTY reference corpus has N = V = 0; the
+    # floor keeps p_uni = 1 there (every token equally unsurprising)
+    # instead of NULL/div-by-zero, preserving the documented P > 0
+    # invariant (review finding). No-op whenever the reference has data.
     p_uni = (F.coalesce(F.col("c_w2"), F.lit(0)).cast("double") + F.lit(1.0)) / (
-        F.col("n_tokens").cast("double") + F.col("vocab").cast("double")
+        F.greatest(
+            F.col("n_tokens").cast("double") + F.col("vocab").cast("double"),
+            F.lit(1.0),
+        )
     )
     nll = -F.log(F.lit(float(lam)) * p_ml + F.lit(1.0 - float(lam)) * p_uni)
     per_doc = scored.groupBy(id_col).agg(

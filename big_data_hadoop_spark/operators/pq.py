@@ -158,9 +158,16 @@ def pq_train(
         )
         kj = min(k, n_train)
         if kj == 1:
-            # KMeans rejects k=1; a single-row/-centroid subspace is just
-            # the sampled subvector itself.
-            (row,) = sub.limit(1).collect()
+            # KMeans rejects k=1; the single centroid is the MINIMUM-id
+            # sample vector — ordered, because an unordered limit(1)
+            # returns an arbitrary partition's first row and the
+            # codebook would differ across runs (review finding).
+            (row,) = (
+                train.orderBy(id_col)
+                .limit(1)
+                .select(array_to_vector(F.slice("_ed", j * dsub + 1, dsub)).alias("_v"))
+                .collect()
+            )
             centers = [[float(x) for x in row._v.toArray()]]
         else:
             model = KMeans(

@@ -883,9 +883,13 @@ def grouped_centroids(
         zero = F.array_repeat(F.lit(0.0), dim)
     else:
         zero = F.transform(F.col("_vs")[0], lambda _: F.lit(0.0))
+    # count the COLLECTED vectors, not the rows: collect_list drops NULL
+    # embeddings, and dividing by count(*) would understate the centroid
+    # of any group containing a null/uncastable vector (review finding;
+    # matches SQL AVG's ignore-null semantics and the DuckDB oracle).
     agg = df.select(F.col(group_col), emb.alias("_e")).groupBy(group_col).agg(
-        F.collect_list("_e").alias("_vs"), F.count("*").alias("_n")
-    )
+        F.collect_list("_e").alias("_vs")
+    ).withColumn("_n", F.size("_vs"))
     summed = agg.select(
         group_col,
         "_n",

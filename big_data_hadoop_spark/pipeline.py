@@ -626,9 +626,9 @@ def corpus_profile(
     """
     from big_data_hadoop_spark.operators.dedup import normalized_text
 
-    toks = F.filter(
-        split_tokens(F.col(text_col), lowercase=True), lambda t: t != F.lit("")
-    )
+    from big_data_hadoop_spark.functions.text import kept_tokens
+
+    toks = kept_tokens(F.col(text_col))
     staged = df.select(
         *group_cols,
         F.size(toks).cast("long").alias("_ntok"),

@@ -333,7 +333,7 @@ def streaming_ppl_score(
         F.col("c2").cast("double") / F.col("c_w1").cast("double"),
     ).otherwise(F.lit(0.0))
     p_uni = (F.coalesce(F.col("c_w2"), F.lit(0)).cast("double") + F.lit(1.0)) / (
-        F.lit(n_tok) + F.lit(vocab)
+        F.lit(max(n_tok + vocab, 1.0))
     )
     nll = -F.log(F.lit(float(lam)) * p_ml + F.lit(1.0 - float(lam)) * p_uni)
     return (

@@ -177,3 +177,39 @@ def test_hybrid_rerank_equals_cosine_over_candidates(spark, corpus):
         for r, (negcos, _) in zip(rows, want):
             assert r["cosine"] == pytest.approx(-negcos, rel=1e-9)
             assert r["bm25_score"] > 0
+
+
+def test_hybrid_zero_norm_embedding_never_ranks(spark, corpus):
+    """A zero-vector corpus embedding must be EXCLUDED from the dense
+    stage (cosine would be NaN, which Spark sorts above every double —
+    it would otherwise take rank 1)."""
+    import numpy as np
+
+    from big_data_hadoop_spark.operators.bm25 import hybrid_topk
+    from big_data_hadoop_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    # zero out the embedding of a doc certain to be a BM25 candidate
+    # for the first query (the query doc itself)
+    target = corpus.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    emb_z = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("doc_id") == target,
+            F.array_repeat(F.lit(0.0), 64),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    queries = (
+        corpus.orderBy("doc_id")
+        .limit(1)
+        .join(emb, "doc_id")  # query keeps its REAL embedding
+        .select(F.col("doc_id").alias("query_id"), "text", "embedding")
+    )
+    rows = hybrid_topk(
+        bm25_index(corpus), emb_z, queries, topk=10, n_candidates=20
+    ).collect()
+    assert rows, "query should still retrieve non-zero candidates"
+    assert target not in {r["doc_id"] for r in rows}
+    assert not any(np.isnan(r["cosine"]) for r in rows)

@@ -173,6 +173,11 @@ def test_round6_operators_empty(spark, empty_docs, empty_emb):
     lm0 = ngram_lm_train(empty_docs)
     scored = ngram_lm_score(docs, lm0).collect()
     assert {r["doc_id"] for r in scored} == {1, 2}
+    # the floor is REAL, not NULL: p_uni = 1 -> nll = -ln(1-lam), finite
+    import math
+
+    for r in scored:
+        assert r["ppl"] == pytest.approx(math.exp(-math.log(0.2)), rel=1e-9)
     # empty SCORED corpus: filter yields empty, cutoff agg has no rows
     assert ppl_filter(empty_docs, ngram_lm_train(docs)).count() == 0
 

@@ -92,3 +92,16 @@ def test_spark_features_and_resize_on_jpeg(spark):
     assert bytes(r["payload"][:2]) == b"\xff\xd8"
     small = decode_jpeg(bytes(r["payload"]))
     assert small.shape == (10, 14, 3)
+
+
+def test_marker_in_entropy_stream_raises():
+    """Corrupt entropy data containing FF <marker> must raise, not be
+    silently consumed as pixel data."""
+    img = _smooth(16, 16)
+    payload = bytearray(encode_jpeg(img))
+    # inject FF C4 into the entropy stream (after SOS, before EOI)
+    sos = payload.find(b"\xff\xda")
+    inject_at = sos + 30
+    payload[inject_at : inject_at + 2] = b"\xff\xc4"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))

@@ -746,3 +746,49 @@ def test_audio_meta_flows_through_extract(spark):
     assert got[2]["sample_rate"] == 48000
     assert got[2]["duration_ms"] == pytest.approx(2000.0)
     assert got[1]["width"] is None and got[2]["width"] is None
+
+
+def test_malformed_payloads_yield_null_features_not_crash(spark):
+    """Review finding: decoder internals can raise zlib/struct/Index
+    errors on truncated or lying payloads; the feature extractor must
+    yield null features for those rows, never abort the stage."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"not zlib data")
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, "image/gif", bytearray(b"GIF89a\x00\x01\x00\x01")),  # truncated
+        (2, "image/png", bytearray(bad_png)),                    # bad IDAT
+        (3, "image/jpeg", bytearray(b"\xff\xd8\xff\xc0\x00\x04\x08\x00")),
+        (4, "image/bmp", bytearray(_gradient_bmp(4, 3)[1])),     # healthy
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_image_features,
+        extract_media_meta,
+        resize_media,
+    )
+
+    feats = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert feats[1]["luma_mean"] is None
+    assert feats[2]["luma_mean"] is None
+    assert feats[3]["luma_mean"] is None
+    assert feats[4]["luma_mean"] is not None
+    # metadata + resize also survive the same payloads
+    assert extract_media_meta(df).count() == 4
+    assert resize_media(df, max_dim=2).count() == 4
