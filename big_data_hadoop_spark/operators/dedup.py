@@ -34,6 +34,8 @@ pairs in ``textstats.py``.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -116,8 +118,12 @@ def exact_dedup_against(
     fresh = df.withColumn(
         "_h", F.md5(normalized_text(F.col(text_col)))
     ).join(seen_digests.select(F.col("h").alias("_h")), "_h", "left_anti")
-    out = exact_dedup(fresh, text_col=text_col, id_col=id_col)
-    return out.drop("_h")
+    # Within-batch keep-first on the ALREADY-COMPUTED digest (review
+    # finding: delegating to exact_dedup re-ran the normalize+md5 regex
+    # pass over every surviving body — a second full scan at corpus
+    # scale). min-id per digest is exactly exact_dedup's rule.
+    keep = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return fresh.join(keep, id_col, "left_semi").drop("_h")
 
 
 def content_digests(
@@ -296,14 +302,22 @@ def _ppjoin_candidates(
         .withColumn("rk", F.row_number().over(w))
         .join(sizes, id_col)
     )
+    # Every ceil carries the same 1e-9 guard as the positional filter:
+    # double rounding can overshoot an exact product (0.56 * 25 =
+    # 14.000000000000002 -> ceil 15, not 14), which would shorten the
+    # prefix and tighten the size filter past their true integer bounds
+    # — FALSE NEGATIVES on a filter documented as exact (review
+    # finding). The epsilon can never loosen a bound by a full integer.
+    eps = F.lit(1e-9)
     prefix = ranked.filter(
-        F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("rk")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
     ).select(id_col, "shingle", "sz", "rk")
     cond = (
         (F.col("a.shingle") == F.col("b.shingle"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
-        & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
+        & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz") - eps))
+        & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz") - eps))
     )
     if positional:
         required = F.ceil(
@@ -836,11 +850,21 @@ def _bloom_probes(n_bits: int, n_hashes: int, i: int) -> tuple[str, str]:
     )
 
 
+class DigestBloom(NamedTuple):
+    """A built digest Bloom filter: the dense word list PLUS the probe
+    count it was built with — carrying ``n_hashes`` in the value makes a
+    build/probe mismatch (silent false negatives) unrepresentable."""
+
+    words: list[int]
+    n_hashes: int
+
+
 def build_digest_bloom(
     seen_digests: DataFrame, n_bits: int = 1 << 23, n_hashes: int = 5
-) -> list[int]:
+) -> DigestBloom:
     """Bloom filter over a digest history (``h`` frame from
-    :func:`content_digests`), as a dense ``n_bits / 64``-long word list.
+    :func:`content_digests`), as a dense ``n_bits / 64``-long word list
+    bundled with its probe count (:class:`DigestBloom`).
 
     All-JVM build: each digest explodes to ``n_hashes`` (word, bit) probe
     pairs, one ``bit_or`` aggregation keyed by word folds them — a
@@ -879,7 +903,7 @@ def build_digest_bloom(
     words = [0] * (n_bits // 64)
     for r in rows:
         words[r["w"]] = r["word"]
-    return words
+    return DigestBloom(words=words, n_hashes=n_hashes)
 
 
 def bloom_dedup_against(
@@ -887,7 +911,7 @@ def bloom_dedup_against(
     seen_digests: DataFrame,
     n_bits: int = 1 << 23,
     n_hashes: int = 5,
-    bloom: list[int] | None = None,
+    bloom: "DigestBloom | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -916,12 +940,19 @@ def bloom_dedup_against(
     Within-batch keep-first then applies, as in
     ``exact_dedup_against``."""
     if bloom is not None:
-        if not bloom or len(bloom) % 1:
-            raise ValueError("bloom must be a non-empty word list")
-        n_bits = len(bloom) * 64
-        words = bloom
+        # A prebuilt filter CARRIES its probe count (review finding:
+        # trusting the caller's n_hashes allowed a mismatch to produce
+        # silent false negatives — probes never set at build time).
+        if not isinstance(bloom, DigestBloom) or not bloom.words:
+            raise ValueError(
+                "bloom must be a non-empty DigestBloom from "
+                "build_digest_bloom"
+            )
+        n_bits = len(bloom.words) * 64
+        n_hashes = bloom.n_hashes
+        words = bloom.words
     else:
-        words = build_digest_bloom(seen_digests, n_bits, n_hashes)
+        words = build_digest_bloom(seen_digests, n_bits, n_hashes).words
     spark = df.sparkSession
     wdf = spark.createDataFrame([(words,)], "_bw array<long>")
     maybe = F.expr(
@@ -948,6 +979,7 @@ def bloom_dedup_against(
     # appear in truly_seen (no false negatives), so batch \ truly_seen
     # is exactly the fresh set — no union of branches, single output
     # scan shape.
-    fresh = staged.join(F.broadcast(truly_seen), "_h", "left_anti")
-    out = exact_dedup(fresh.drop("_bw"), text_col=text_col, id_col=id_col)
-    return out.drop("_h")
+    fresh = staged.join(F.broadcast(truly_seen), "_h", "left_anti").drop("_bw")
+    # keep-first on the already-computed digest (see exact_dedup_against)
+    keep = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return fresh.join(keep, id_col, "left_semi").drop("_h")

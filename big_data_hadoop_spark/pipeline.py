@@ -235,8 +235,12 @@ def chunk_documents(
     any explode, so downstream aggregations see one row per chunk.
     ANSI-SQL-expressible (DuckDB oracle in ``tests/test_pipeline.py``).
     """
-    if overlap >= max_tokens:
-        raise ValueError("overlap must be smaller than max_tokens")
+    if not (0 <= overlap < max_tokens):
+        # negative overlap would widen the stride and silently SKIP the
+        # tokens between chunks (review finding)
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
     stride = max_tokens - overlap
     toks = split_tokens(F.col(text_col), lowercase=False)
     n = F.size(toks)
@@ -566,9 +570,12 @@ def sample_by_temperature(
     line of work; public). ``tau = 1`` keeps everything; larger ``tau``
     upweights small sources RELATIVELY by downsampling large ones —
     concretely, source ``s`` keeps ``(p_s^(1/tau - 1)) / max_s'(...)``
-    of its rows, so the largest source's keep rate normalizes to the
-    biggest achievable without upsampling (deterministic subsampling
-    can only remove rows; true upsampling is a trainer-side repeat).
+    of its rows. For ``tau > 1`` the exponent is negative, so the
+    SMALLEST source has the largest raw rate and normalizes to keep
+    rate 1.0 while larger sources are downsampled hardest — the biggest
+    relative upweighting achievable without upsampling (deterministic
+    subsampling can only remove rows; true upsampling is a trainer-side
+    repeat). At ``tau = 1`` every rate is 1.0.
 
     Driver work is one tiny aggregate (per-source counts — O(#sources)
     rows); each row's fate then depends only on ``(id, seed)`` via the
@@ -587,7 +594,10 @@ def sample_by_temperature(
     exponent = 1.0 / tau - 1.0
     raw = {s: (n / total) ** exponent for s, n in counts.items()}
     cap = max(raw.values())
-    keep = {s: r / cap for s, r in raw.items()}  # largest source -> 1.0 @ tau>=1
+    # smallest source -> 1.0 for tau > 1 (negative exponent); every
+    # source -> 1.0 at tau == 1 (review finding: the old comment said
+    # the inverse)
+    keep = {s: r / cap for s, r in raw.items()}
     den = 1_000_000
     frac = F.create_map(
         *[
@@ -750,13 +760,25 @@ def cap_per_group(
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     under = counts.filter(F.col("_n") <= cap).select(group_col)
     over = counts.filter(F.col("_n") > cap).select(group_col)
-    passthrough = df.join(F.broadcast(under), group_col, "left_semi")
+    # null-safe semi joins (review finding): groupBy keeps a NULL group
+    # (docs with missing provenance), but an equi semi-join never
+    # matches NULL == NULL — every NULL-group row silently vanished.
+    # <=> routes the NULL group through the same under/over split as
+    # any other group; the window partitions NULL as its own group too.
+    def semi(side):
+        return df.alias("d").join(
+            F.broadcast(side.alias("g")),
+            F.col(f"d.{group_col}").eqNullSafe(F.col(f"g.{group_col}")),
+            "left_semi",
+        )
+
+    passthrough = semi(under)
     w = Window.partitionBy(group_col).orderBy(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000_007)),
         F.col(id_col),
     )
     capped = (
-        df.join(F.broadcast(over), group_col, "left_semi")
+        semi(over)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")

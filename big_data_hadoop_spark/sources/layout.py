@@ -59,8 +59,20 @@ def zorder_value(
         mn = F.col(f"{stats_prefix}min_{c}")
         mx = F.col(f"{stats_prefix}max_{c}")
         span = mx - mn
+        v = F.col(c).cast("double")
+        # NaN handling (review finding): a single NaN row makes max()
+        # return NaN, span NaN, and `span <= 0` FALSE — every row's
+        # bucket then computed as NaN, collapsing the whole dimension.
+        # NaN values map to bucket 0 per row, and NaN STATS (possible
+        # only when the stats aggregation itself saw NaN through a
+        # caller-supplied frame) degrade the dimension to bucket 0
+        # explicitly instead of silently.
         scaled = F.when(
-            F.col(c).isNull() | (span <= F.lit(0.0)), F.lit(0).cast("long")
+            F.col(c).isNull()
+            | F.isnan(v)
+            | F.isnan(span)
+            | (span <= F.lit(0.0)),
+            F.lit(0).cast("long"),
         ).otherwise(
             F.least(
                 F.greatest(
@@ -91,17 +103,32 @@ def write_zordered(
 
     ``n_files`` bounds the output file count (= z-range partitions);
     size it so files land near the target file size at the corpus
-    scale. Columns must be numeric/date/timestamp (castable to double);
-    hash non-ordinal strings into a bucket column first if needed —
+    scale. Columns must be castable to double — numeric or timestamp
+    types (Spark rejects ``cast(date AS double)``: cast DATE columns to
+    timestamp, or derive a day number, before z-ordering). Hash
+    non-ordinal strings into a bucket column first if needed —
     interleaving hashed bits buys pruning only for equality predicates.
     """
+    # NaN-safe stats: min/max over a raw double column would return NaN
+    # if ANY row is NaN (poisoning the whole dimension — see
+    # zorder_value); NaN rows are excluded here and bucket to 0 per row.
     stats = df.agg(
         *[
             agg
             for c in cols
             for agg in (
-                F.min(F.col(c).cast("double")).alias(f"_zs_min_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"_zs_max_{c}"),
+                F.min(
+                    F.when(
+                        ~F.isnan(F.col(c).cast("double")),
+                        F.col(c).cast("double"),
+                    )
+                ).alias(f"_zs_min_{c}"),
+                F.max(
+                    F.when(
+                        ~F.isnan(F.col(c).cast("double")),
+                        F.col(c).cast("double"),
+                    )
+                ).alias(f"_zs_max_{c}"),
             )
         ]
     )

@@ -206,7 +206,20 @@ def streaming_sessionize(
                 closed.append([user_id, sid, n, start_us, last_us])
                 sid, n, start_us = sid + 1, 0, t
             n += 1
-            last_us = t
+            # monotone bounds (review finding): a LATER micro-batch can
+            # deliver an out-of-order but watermark-admitted event
+            # (t < last_us). Regressing last_us would spuriously split
+            # the session on the next in-order event and move the
+            # timeout timestamp backward; instead the admitted late
+            # event joins the current session (t - last_us < 0 < gap)
+            # and may extend its START backward. Late events belonging
+            # to an ALREADY-CLOSED session still merge here — exact
+            # reordering needs watermark-horizon buffering, which this
+            # operator deliberately trades away for O(1) state.
+            if t < start_us:
+                start_us = t
+            if t > last_us:
+                last_us = t
         state.update((sid, n, start_us, last_us))
         state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         if closed:

@@ -17,6 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_hadoop_spark.operators.dedup import (
+    DigestBloom,
     bloom_dedup_against,
     build_digest_bloom,
     content_digests,
@@ -64,9 +65,14 @@ def test_prebuilt_bloom_reuse(spark, split_corpus):
     prior, new = split_corpus
     seen = content_digests(prior)
     words = build_digest_bloom(seen, n_bits=1 << 16)
-    assert len(words) == (1 << 16) // 64
+    assert len(words.words) == (1 << 16) // 64
+    assert words.n_hashes == 5
     got = _ids(bloom_dedup_against(new, seen, bloom=words))
     assert got == _ids(exact_dedup_against(new, seen))
+    # probe-count mismatch is UNREPRESENTABLE: the filter carries its
+    # own n_hashes, so a conflicting argument is simply ignored
+    got2 = _ids(bloom_dedup_against(new, seen, bloom=words, n_hashes=7))
+    assert got2 == got
 
 
 def test_bloom_bits_match_python(spark, split_corpus):
@@ -86,7 +92,8 @@ def test_bloom_bits_match_python(spark, split_corpus):
             expect[pos // 64] |= 1 << (pos % 64)
     # Spark longs are signed; normalize both to unsigned for comparison
     norm = lambda ws: [w & (2**64 - 1) for w in ws]  # noqa: E731
-    assert norm(words) == norm(expect)
+    assert words.n_hashes == n_hashes
+    assert norm(words.words) == norm(expect)
 
 
 def test_empty_history_passes_batch_through(spark, split_corpus):
@@ -103,4 +110,7 @@ def test_invalid_sizes_rejected(spark, split_corpus):
     with pytest.raises(ValueError):
         build_digest_bloom(seen, n_bits=100)  # not a multiple of 64
     with pytest.raises(ValueError):
-        bloom_dedup_against(new, seen, bloom=[])
+        bloom_dedup_against(new, seen, bloom=DigestBloom(words=[], n_hashes=5))
+    with pytest.raises(ValueError):
+        # bare word lists (no probe count) are rejected outright
+        bloom_dedup_against(new, seen, bloom=[1, 2, 3])

@@ -121,3 +121,19 @@ def test_real_documents_cap(spark):
         for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
     ]
     assert sizes and all(n == 10 for n in sizes)  # every source has 25 docs
+
+
+def test_null_group_rows_survive_and_cap(spark):
+    """Review finding: NULL-group rows vanished through the equi
+    semi-joins (NULL == NULL is false). They must route through the
+    same under/over split as any named group."""
+    from big_data_hadoop_spark.pipeline import cap_per_group
+
+    rows = [(i, None if i < 8 else "web") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, group_col="source", cap=5).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src.get(None, [])) == 5     # 8 NULL-group rows capped
+    assert len(by_src.get("web", [])) == 4    # under the cap: untouched

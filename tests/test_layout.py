@@ -132,3 +132,42 @@ def test_zorder_validation(spark):
         zorder_value([], bits=8)
     with pytest.raises(ValueError):
         zorder_value(["a", "b"], bits=40)  # 80 bits > signed 64
+
+
+def test_nan_values_do_not_poison_the_dimension(spark):
+    """Review finding: one NaN made max() NaN, bucketing EVERY row to
+    the same NaN bucket; NaN rows must map to bucket 0 while clean rows
+    keep their discrimination."""
+    rows = [(i, float(i), float(i) if i != 3 else float("nan")) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.sources.layout import zorder_value
+
+    stats = df.agg(
+        F.min(F.when(~F.isnan("a"), F.col("a"))).alias("_zs_min_a"),
+        F.max(F.when(~F.isnan("a"), F.col("a"))).alias("_zs_max_a"),
+        F.min(F.when(~F.isnan("b"), F.col("b"))).alias("_zs_min_b"),
+        F.max(F.when(~F.isnan("b"), F.col("b"))).alias("_zs_max_b"),
+    )
+    got = (
+        df.join(F.broadcast(stats))
+        .withColumn("_z", zorder_value(["a", "b"], bits=4))
+        .collect()
+    )
+    zs = {r["id"]: r["_z"] for r in got}
+    assert len(set(zs.values())) > 4  # discrimination retained
+    # the NaN row contributes bucket 0 on b but still buckets on a
+    assert zs[3] != zs[0]
+
+
+def test_zorder_write_with_nan_column(spark, tmp_path):
+    import math
+
+    rows = [(i, float(i), math.nan if i % 5 == 0 else float(i * 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    from big_data_hadoop_spark.sources.layout import write_zordered
+
+    out = str(tmp_path / "z_nan")
+    write_zordered(df, out, ["a", "b"], bits=6, n_files=4)
+    assert spark.read.parquet(out).count() == 50
