@@ -75,6 +75,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left' only")
+    if salt_buckets < 1:
+        # review finding: 0 exploded an empty salt array, silently
+        # dropping every replicated-side row (empty "join result")
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     # ADVICE r2: an existing _salt column would be silently clobbered on
     # one side and ambiguous on the other — refuse loudly instead.
     for side, cols in (("skewed", skewed.columns), ("other", other.columns)):
@@ -198,8 +202,13 @@ def asof_join(
     # partitioning would otherwise group all NULL keys together and let
     # left rows inherit NULL-key right payloads, so drop those right rows;
     # NULL-key left rows then sit in a right-free partition → null payload
-    # (kept by 'left', dropped by 'inner').
-    r = right.filter(F.col(partition_col).isNotNull()).select(
+    # (kept by 'left', dropped by 'inner'). A NULL TIMESTAMP likewise
+    # never matches an inequality (review finding: ASC sorts NULLs
+    # first, so a NULL-ts right row sat at the partition head and its
+    # payload leaked onto every left row).
+    r = right.filter(
+        F.col(partition_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(partition_col),
         F.col(ts_col),
         F.struct(*[F.col(c) for c in value_cols]).alias(payload),
@@ -283,6 +292,10 @@ def bucketized_range_join(
         raise ValueError(f"column names must be disjoint: {sorted(clash)}")
     if "_bkt" in left.columns or "_bkt" in right.columns:
         raise ValueError("bucketized_range_join reserves the column '_bkt'")
+    if bucket_width <= 0:
+        # review finding: floor(x / 0) is NULL in non-ANSI mode and NULL
+        # bucket keys never join — a silent empty result, not an error
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     l = left.withColumn(
         "_bkt", F.floor(F.col(left_ts) / F.lit(bucket_width)).cast("long")
     )

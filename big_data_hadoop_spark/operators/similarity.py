@@ -247,6 +247,14 @@ def cosine_topk(
     by query — k rows per query survive. With ``dim`` given, both sides are
     flattened to scalar columns (see ``_flat``) for codegen'd scoring.
     """
+    # zero-norm guard (review finding; same rationale and same RAW-array
+    # predicate as cosine_neardup_pairs): a zero vector's sim is NULL in
+    # Spark but NaN in IEEE engines, diverging from the oracle and
+    # polluting top-k tails; zero-norm rows cannot be ranked by cosine
+    # and are excluded from corpus and query sides alike.
+    df = df.filter(
+        F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
+    )
     if dim is not None:
         e = _flat(df, id_col, vec_col, dim, "_a")
         q = (
@@ -359,6 +367,14 @@ def lsh_bucketed_topk(
     join were measured to cost ~6 s of one-off plan-compile time at
     bench scale.
     """
+    # zero-norm guard (review finding; same rationale and same RAW-array
+    # predicate as cosine_neardup_pairs): a zero vector's sim is NULL in
+    # Spark but NaN in IEEE engines, diverging from the oracle and
+    # polluting top-k tails; zero-norm rows cannot be ranked by cosine
+    # and are excluded from corpus and query sides alike.
+    df = df.filter(
+        F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
+    )
     sigs = hyperplane_signatures(
         df, dim=dim, num_planes=num_planes, id_col=id_col, vec_col=vec_col
     )
@@ -481,12 +497,24 @@ def ivf_build(
         assigned = with_norm(e, vec_col=vec_col).select(
             F.col(id_col), F.lit(0).alias("cell"), "emb_d", "nrm"
         )
+        # honor `table` here too (review finding: the empty branch
+        # skipped persistence, so a serving job's ivf_load/spark.table
+        # failed only when an input partition happened to be empty)
+        if table is not None:
+            from big_data_hadoop_spark.sources.io import write_bucketed
+
+            write_bucketed(assigned, table, buckets, key="cell")
+            assigned = df.sparkSession.table(table)
         return IVFIndex([], assigned, id_col)
     if available == 1:
         # This Spark's KMeans rejects k=1 — and with one training row
         # there is nothing to fit anyway: one cell whose centroid IS the
-        # sampled vector.
-        (row,) = train.limit(1).select("_v").collect()
+        # sampled vector. ORDERED (review finding): with n_cells=1 over
+        # a multi-row corpus an unordered limit(1) returned an arbitrary
+        # partition's first row, so the persisted centroid depended on
+        # cluster layout; min-id is deterministic (the k=1 centroid is a
+        # representative, not a mean — recall is governed by n_probe).
+        (row,) = train.orderBy(id_col).limit(1).select("_v").collect()
         assigned = with_norm(e, vec_col=vec_col).select(
             F.col(id_col), F.lit(0).alias("cell"), "emb_d", "nrm"
         )
@@ -570,6 +598,9 @@ def _ivf_search_core(
     if exclude_self:
         cond = cond & (F.col("query_id") != F.col(id_col))
     sim = dot(F.col("q_emb"), F.col("emb_d")) / (F.col("q_nrm") * F.col("nrm"))
+    # zero-norm guard: NULL sims are unrankable (see cosine_topk)
+    assigned = assigned.filter(F.col("nrm") > 0)
+    probed = probed.filter(F.col("q_nrm") > 0)
     scored = assigned.join(F.broadcast(probed), cond).select(
         "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim")
     )
@@ -669,6 +700,17 @@ def cosine_topk_vectors(
     part of the corpus, so there is no self-exclusion. The query batch
     is broadcast; the corpus streams through one scan; a rank window per
     query keeps k rows, tie-broken on neighbor id."""
+    # zero-norm guard (review finding; same rationale and same RAW-array
+    # predicate as cosine_neardup_pairs): a zero vector's sim is NULL in
+    # Spark but NaN in IEEE engines, diverging from the oracle and
+    # polluting top-k tails; zero-norm rows cannot be ranked by cosine
+    # and are excluded from corpus and query sides alike.
+    df = df.filter(
+        F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
+    )
+    queries = queries.filter(
+        F.exists(_as_double(F.col(query_vec_col)), lambda x: x != F.lit(0.0))
+    )
     e = with_norm(
         df.select(F.col(id_col), F.col(vec_col)), vec_col=vec_col
     ).select(F.col(id_col), "emb_d", "nrm")

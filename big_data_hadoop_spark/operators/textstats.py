@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from big_data_hadoop_spark.functions.text import categorize, split_tokens
+from big_data_hadoop_spark.functions.text import categorize, kept_tokens, split_tokens
 
 #: BPE-ish subword-run pattern (GPT-2-style approximation): a token is an
 #: optionally space-prefixed letter run, digit run, or punctuation run.
@@ -273,9 +273,11 @@ def hashed_linear_scores(
     batch scoring pass curation pipelines run over every document — the
     engine ships the distributed half, the learned weights are an input.
 
-    Tokens are the engine's single-space split, lowercased, empties
-    dropped (matching ``quality_scores``). Empty documents score
-    ``sigmoid(bias)``.
+    Tokens are the engine's kept-token contract (``functions.text.
+    kept_tokens``: single-space split, lowercased, empties dropped —
+    shared with BM25/the bigram LM/BPE; NOTE ``quality_scores`` counts
+    raw positions, empties included, so its denominators differ).
+    Empty documents score ``sigmoid(bias)``.
 
     Scale shape: the weight vector rides in on a broadcast single-row
     cross join (one array column, never shuffled, shared JVM-side by
@@ -293,7 +295,7 @@ def hashed_linear_scores(
     )
     staged = df.join(F.broadcast(wdf)).select(
         F.col(id_col),
-        F.filter(_toks(text_col), lambda t: t != F.lit("")).alias("_tk"),
+        kept_tokens(F.col(text_col)).alias("_tk"),
         F.col("_w"),
     )
     bucket = lambda t: (F.pmod(F.xxhash64(t), F.lit(dim)) + 1).cast("int")  # noqa: E731

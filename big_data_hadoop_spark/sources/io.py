@@ -165,14 +165,30 @@ def write_jsonl(
     w.json(path)
 
 
+def _tsv_line(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One raw ``\\t``-joined text line per row — byte-level
+    TextOutputFormat parity. The CSV writer cannot produce this: a field
+    containing the separator or a quote gets quote-wrapped/escaped
+    (review finding: univocity falls back to NUL-byte quoting even with
+    quoting "disabled"), where Hadoop's TextOutputFormat writes the raw
+    ``key \\t value`` bytes ambiguity-and-all. NULLs print as the empty
+    field (``concat_ws`` would silently DROP the column otherwise)."""
+    return df.select(
+        F.concat_ws(
+            "\t",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols],
+        ).alias("value")
+    )
+
+
 def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """``key \\t value`` text output (TextOutputFormat parity, S3)."""
-    df.write.mode(mode).option("sep", "\t").csv(path)
+    _tsv_line(df, df.columns).write.mode(mode).text(path)
 
 
 def write_single_text_file(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """One output file (S4) — ``coalesce(1)``, not ``repartition(1)``."""
-    df.coalesce(1).write.mode(mode).option("sep", "\t").csv(path)
+    _tsv_line(df, df.columns).coalesce(1).write.mode(mode).text(path)
 
 
 def write_partitioned_by_category(
@@ -185,7 +201,15 @@ def write_partitioned_by_category(
     ``part-r-00000``/``part-r-00001`` become ``category=number/`` and
     ``category=word/``.
     """
-    df.write.mode(mode).partitionBy("category").option("sep", "\t").csv(path)
+    cols = [c for c in df.columns if c != "category"]
+    out = df.select(
+        F.concat_ws(
+            "\t",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols],
+        ).alias("value"),
+        "category",
+    )
+    out.write.mode(mode).partitionBy("category").text(path)
 
 
 def read_csv(
@@ -199,7 +223,14 @@ def read_csv(
     DDL ``schema`` whenever known (schema inference is a second full scan
     — wasteful at 100 TB and type-unstable on dirty data), and parse in
     PERMISSIVE mode so malformed lines land in ``_corrupt_record`` as a
-    filterable column instead of failing the job."""
+    filterable column instead of failing the job.
+
+    The corrupt-record triage REQUIRES the explicit schema: Spark's CSV
+    reader only populates ``columnNameOfCorruptRecord`` when that column
+    is declared in the schema, and inference never adds it — on the
+    ``schema=None`` path malformed fields silently become NULLs and no
+    ``_corrupt_record`` column exists (review finding; filter for
+    unexpected NULLs instead, or pass the schema)."""
     reader = spark.read.option("header", str(header).lower()).option("sep", sep)
     if schema is not None:
         reader = reader.schema(schema + ", _corrupt_record string")

@@ -19,7 +19,7 @@ REFERENCE_LINE = "I am in A group of 3 20 year adults with Weight 2.5.5"
 
 def _read_partition(out_dir: str, category: str) -> dict[str, list[str]]:
     rows: dict[str, list[str]] = {}
-    for part in Path(out_dir, f"category={category}").glob("part-*.csv"):
+    for part in Path(out_dir, f"category={category}").glob("part-*.txt"):
         with open(part, newline="") as fh:
             for row in csv.reader(fh, delimiter="\t"):
                 rows[row[0]] = row[1:]
@@ -60,14 +60,14 @@ def test_cli_topk_single_file(spark, tmp_path):
     out_w = str(tmp_path / "top_words")
     out_n = str(tmp_path / "top_numbers")
     main(["topk", str(src), out_w, out_n, "-k", "2"])
-    word_files = list(Path(out_w).glob("part-*.csv"))
+    word_files = list(Path(out_w).glob("part-*.txt"))
     assert len(word_files) == 1, "topk must write a single file"
     rows = [r.split("\t") for r in word_files[0].read_text().splitlines()]
     # lowercased: a=2, b=2 -> tie broken by token asc
     assert rows == [["a", "2"], ["b", "2"]]
     num_rows = [
         r.split("\t")
-        for f in Path(out_n).glob("part-*.csv")
+        for f in Path(out_n).glob("part-*.txt")
         for r in f.read_text().splitlines()
     ]
     assert num_rows == [["7", "3"]]

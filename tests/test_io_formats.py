@@ -175,3 +175,25 @@ SELECT c.doc_id FROM cand c JOIN k ON c.h = k.h AND c.doc_id = k.keep_id
 ORDER BY c.doc_id
 """
     assert [r[0] for r in con.execute(oracle).fetchall()] == sorted(got)
+
+
+def test_tsv_sink_writes_raw_bytes(spark, tmp_path):
+    """TextOutputFormat parity is BYTE-level (review finding: the CSV
+    writer quote-wrapped any value containing the separator or a quote
+    — univocity even falls back to NUL-byte quoting with quoting
+    'disabled'). Values with embedded quotes must come out raw."""
+    from pathlib import Path
+
+    from big_data_hadoop_spark.sources.io import write_tsv
+
+    df = spark.createDataFrame(
+        [('say "hi"', 3), ("plain", 1), (None, 2)], "k string, n int"
+    )
+    out = str(tmp_path / "raw_tsv")
+    write_tsv(df, out)
+    lines = sorted(
+        line
+        for p in Path(out).glob("part-*.txt")
+        for line in p.read_text().splitlines()
+    )
+    assert lines == ["\t2", "plain\t1", 'say "hi"\t3']
