@@ -203,21 +203,14 @@ def main() -> None:
         }
     )
     # Stay inside the driver's ~2000-char tail-capture window (BENCH_r04
-    # lesson: an oversized line parses as null). Degrade progressively —
-    # the registry has grown past what full floats fit; exact values
-    # always live in bench_detail.json.
-    for queries in (
-        {k: round(v, 2) for k, v in best.items()},
-        {k: round(v, 1) for k, v in best.items()},
-        # last resort: the slowest half — a registry large enough to
-        # overflow even 1-decimal full coverage must not regress to the
-        # unparseable-line failure; the dropped (fast) entries live in
-        # bench_detail.json
-        dict(sorted(best.items(), key=lambda kv: -kv[1])[: len(best) // 2]),
-    ):
-        if len(line) <= 1900:
-            break
-        line = json.dumps(
+    # lesson: an oversized line parses as null). Degrade progressively:
+    # full floats → 2-decimal compact → 1-decimal compact → then drop the
+    # FASTEST entries one at a time until the line fits (the slow entries
+    # are the ones worth comparing against BASELINE.md; `value` always
+    # stays the full-suite sum). Exact per-query values always live in
+    # bench_detail.json.
+    def _line(queries: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": f"probe suite sec, per-query best-of-{n_passes}",
                 "value": total,
@@ -227,6 +220,18 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
+
+    if len(line) > 1900:
+        for ndigits in (2, 1):
+            rounded = {k: round(v, ndigits) for k, v in best.items()}
+            line = _line(rounded)
+            if len(line) <= 1900:
+                break
+        else:
+            by_speed = sorted(rounded.items(), key=lambda kv: kv[1])
+            while len(line) > 1900 and by_speed:
+                by_speed.pop(0)  # drop the fastest remaining entry
+                line = _line(dict(sorted(by_speed)))
     print(line)
 
 

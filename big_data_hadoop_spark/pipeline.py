@@ -784,3 +784,61 @@ def cap_per_group(
         .drop("_rn")
     )
     return passthrough.unionByName(capped)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``k`` rows drawn with
+    inclusion probability proportional to ``weight_col`` (Efraimidis–
+    Spirakis A-ES, public — "Weighted random sampling with a
+    reservoir", IPL 2006). The curation use: quality- or length-biased
+    subcorpus draws where a plain uniform sample (``sample_fraction``)
+    over/under-represents what training actually consumes.
+
+    Mechanics: each row gets an exponential race key
+    ``-ln(u) / w`` with ``u ∈ (0,1)`` derived from
+    ``xxhash64(id, seed)`` — the k SMALLEST keys win, which is
+    distribution-identical to sequential draws-without-replacement with
+    probabilities ``w_i / Σ_remaining w``. Rows with NULL or
+    non-positive weight are ineligible and filtered out.
+
+    Determinism: the key depends only on ``(id, seed, weight)`` — the
+    same rows win across runs, partitionings, and cluster layouts, and
+    different seeds draw independent samples (same contract as
+    ``sample_fraction`` / ``cap_per_group``).
+
+    100 TB shape: global ``k`` compiles to ``TakeOrderedAndProject`` —
+    per-partition top-k then a k-row merge, never a full sort; driver
+    sees k rows. With ``group_col`` the quota applies per group via a
+    ``row_number`` window — one shuffle keyed by group, the same shape
+    (and caveat: a giant group serializes through one task) as
+    ``cap_per_group``.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    den = 2**31
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(den)).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(den))
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    eligible = df.filter(w.isNotNull() & (w > 0)).withColumn("_es_key", key)
+    if group_col is None:
+        picked = eligible.orderBy("_es_key", id_col).limit(k)
+    else:
+        win = Window.partitionBy(group_col).orderBy("_es_key", id_col)
+        picked = (
+            eligible.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return picked.drop("_es_key")

@@ -1330,6 +1330,83 @@ def q50_word_counts_cased(spark: SparkSession, sf: str) -> DataFrame:
     return c.orderBy(F.desc("cnt"), F.asc("token")).limit(100)
 
 
+def q76_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis race,
+    ``pipeline.weighted_sample``) — rows-only slot (xxhash64-derived
+    uniforms have no ANSI-SQL twin; race-logic equality vs a Python
+    replay of the same uniforms + the k=1 inclusion-probability law are
+    pinned in tests/test_weighted_sample.py). Draws 50 documents biased
+    by length, plus a per-source quota draw, to exercise both shapes."""
+    from big_data_hadoop_spark.pipeline import weighted_sample
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    g = weighted_sample(docs, 50, "n_chars", seed=11).select(
+        F.lit("global").alias("draw"), "doc_id"
+    )
+    per_src = weighted_sample(
+        docs, 5, "n_chars", seed=11, group_col="source"
+    ).select(F.lit("per_source").alias("draw"), "doc_id")
+    return g.unionByName(per_src).orderBy("draw", "doc_id")
+
+
+def q77_window_fn_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic-window completion: ntile / percent_rank / cume_dist /
+    nth_value over customers partitioned by nation — the ranking-family
+    functions q13 (rank) and q36 (lag/avg) don't cover. Full DuckDB
+    oracle lives in tests/test_window_suite.py (the driver's 50-slot
+    oracle cap is full, so the registry slot is rows-only)."""
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("c_custkey", 2).over(wf).alias("second_key"),
+            F.first("c_custkey").over(wf).alias("first_key"),
+            F.last("c_custkey").over(wf).alias("last_key"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q78_correlated_subqueries(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-subquery surface via ``spark.sql``: EXISTS, NOT
+    EXISTS, IN, and a correlated scalar subquery in one statement —
+    the declarative shapes Catalyst de-correlates into joins (EXISTS →
+    left-semi, NOT EXISTS → left-anti, scalar → left-outer + agg).
+    Full DuckDB oracle (same ANSI text) in tests/test_window_suite.py."""
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf, t).createOrReplaceTempView(f"_q78_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               c.c_acctbal,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM _q78_orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               c.c_nationkey IN (SELECT n_nationkey FROM _q78_nation
+                                  WHERE n_name LIKE 'A%') AS in_a_nation
+        FROM _q78_customer c
+        WHERE EXISTS (SELECT 1 FROM _q78_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM _q78_orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F'
+                             AND o.o_totalprice < 1000)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1422,6 +1499,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_compression_signals": q73_compression_signals,
     "q74_label_centroids": q74_label_centroids,
     "q75_hybrid_retrieval": q75_hybrid_retrieval,
+    "q76_weighted_sample": q76_weighted_sample,
+    "q77_window_fn_suite": q77_window_fn_suite,
+    "q78_correlated_subqueries": q78_correlated_subqueries,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -4,6 +4,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
     read_events_stream,
     streaming_exact_dedup,
     streaming_curate,
+    streaming_interval_join,
     streaming_neighbor_counts,
     streaming_pair_counts,
     streaming_ppl_score,
@@ -18,6 +19,7 @@ __all__ = [
     "read_events_stream",
     "streaming_exact_dedup",
     "streaming_curate",
+    "streaming_interval_join",
     "streaming_neighbor_counts",
     "streaming_pair_counts",
     "streaming_ppl_score",

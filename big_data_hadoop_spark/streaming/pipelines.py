@@ -358,6 +358,57 @@ def streaming_ppl_score(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM join with an event-time constraint — the attribution
+    shape (impression stream ⋈ click stream: same key, the right event
+    lands within ``[left_ts, left_ts + max_delay]``). The one Structured
+    Streaming join mode the module lacked: every other streaming op here
+    is either stateless, an aggregation, or a stream-static join.
+
+    Both sides carry a watermark and the join predicate carries the time
+    band; together they BOUND the join state Spark must buffer — each
+    side's rows are evicted once the other side's watermark passes the
+    last instant they could still match (watermark + max_delay). Without
+    the time constraint Spark would (correctly) refuse an outer variant
+    and buffer inner-join state forever — unbounded state is the classic
+    stream-join failure at 100 TB/day volumes.
+
+    Timestamp columns must be PRE-RENAMED to distinct names (``l_ts`` /
+    ``r_ts``) by the caller: Spark resolves the time-constraint predicate
+    by column name across both inputs, so a shared name like ``ts`` on
+    both sides is ambiguous inside one join condition.
+
+    ``how="inner"`` drains to exactly the batch join's result (pinned in
+    tests). ``how="left_outer"`` additionally emits left rows with NULL
+    right columns — but only once the watermark proves no match can
+    arrive, so a drained single pass emits the matches immediately while
+    unmatched rows surface on a LATER trigger after the watermark
+    advances past their band (exercised via a second availableNow run
+    over the same checkpoint, the restart pattern).
+    """
+    allowed = {"inner", "left_outer"}
+    if how not in allowed:
+        raise ValueError(f"how must be one of {sorted(allowed)}, got {how!r}")
+    l_key, r_key = f"l_{key}", f"r_{key}"
+    lw = left.withColumnRenamed(key, l_key).withWatermark(left_ts, watermark)
+    rw = right.withColumnRenamed(key, r_key).withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(l_key) == F.col(r_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

@@ -4,6 +4,7 @@ to the batch twin's result when the stream is drained (availableNow)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_hadoop_spark.probes import q28_event_windows
 from big_data_hadoop_spark.streaming import (
@@ -609,3 +610,125 @@ def test_stateless_hygiene_ops_stream_unchanged(spark, tmp_path):
         for r in compression_signals(normalize_text(docs)).collect()
     }
     assert got == expect and len(got) == docs.count()
+
+
+def test_streaming_interval_join_inner_equals_batch(spark, tmp_path):
+    """Drained stream-stream inner join (view ⋈ click, same user, click
+    within 30 minutes of the view) must equal the batch join with the
+    identical predicate."""
+    from big_data_hadoop_spark.streaming import streaming_interval_join
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views_b = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+    )
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views_b.write.parquet(vsrc)
+    clicks_b.write.parquet(csrc)
+    vs = spark.readStream.schema(views_b.schema).parquet(vsrc)
+    cs = spark.readStream.schema(clicks_b.schema).parquet(csrc)
+
+    joined = streaming_interval_join(
+        vs, cs, key="user_id", max_delay="30 minutes", watermark="100 days"
+    ).select("view_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_inner")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj_inner").collect()
+    }
+    expect = {
+        (r.view_id, r.click_id)
+        for r in views_b.join(
+            clicks_b,
+            (views_b.user_id == clicks_b.user_id)
+            & (clicks_b.r_ts >= views_b.l_ts)
+            & (clicks_b.r_ts <= views_b.l_ts + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_streaming_interval_join_left_outer_flushes_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer semantics: matches emit on the first drain; unmatched
+    left rows emit with NULL right columns only after a later run's
+    watermark proves no match can arrive (restart pattern over one
+    checkpoint)."""
+    from datetime import datetime, timedelta
+
+    from big_data_hadoop_spark.streaming import streaming_interval_join
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    lsrc, rsrc = tmp_path / "lo_l", tmp_path / "lo_r"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    ckpt = str(tmp_path / "lo_ckpt")
+    sink = str(tmp_path / "lo_out")
+
+    def write_file(dirp, name, rows, schema):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        staged = tmp_path / f"_stage_{dirp.name}_{name}"
+        df.write.mode("overwrite").parquet(str(staged))
+        import shutil
+
+        part = next(staged.glob("part-*.parquet"))
+        shutil.copy(part, dirp / f"{name}.parquet")
+
+    l_schema = "user_id long, l_ts timestamp, view_id long"
+    r_schema = "user_id long, r_ts timestamp, click_id long"
+    # user 1 matched within 10 min; user 2 unmatched
+    write_file(lsrc, "b1", [(1, t0, 100), (2, t0, 200)], l_schema)
+    write_file(rsrc, "b1", [(1, t0 + timedelta(minutes=5), 900)], r_schema)
+
+    def run_once():
+        from big_data_hadoop_spark.streaming import write_stream_parquet
+
+        ls = spark.readStream.schema(l_schema).parquet(str(lsrc))
+        rs = spark.readStream.schema(r_schema).parquet(str(rsrc))
+        j = streaming_interval_join(
+            ls, rs, key="user_id", max_delay="10 minutes",
+            watermark="1 minute", how="left_outer",
+        ).select("view_id", "click_id")
+        q = write_stream_parquet(j, sink, ckpt)
+        q.awaitTermination(120)
+        return {
+            (r.view_id, r.click_id)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    first = run_once()
+    assert (100, 900) in first
+    # advance the watermark far past t0's band with a late file each side
+    t_far = t0 + timedelta(hours=6)
+    write_file(lsrc, "b2", [(9, t_far, 901)], l_schema)
+    write_file(rsrc, "b2", [(9, t_far + timedelta(minutes=1), 902)], r_schema)
+    second = run_once()
+    assert (200, None) in second, second
+    assert (100, 900) in second and (901, 902) in second
+
+
+def test_streaming_interval_join_rejects_unknown_how(spark):
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.streaming import streaming_interval_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("l_ts"),
+    )
+    with _pytest.raises(ValueError):
+        streaming_interval_join(df, df, how="full_outer")
