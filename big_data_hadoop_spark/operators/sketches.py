@@ -131,3 +131,92 @@ def hll_merge_estimate(
             "n_distinct_approx"
         )
     )
+
+
+AGG_STATE_MOMENTS = ("n", "s", "s2", "mn", "mx")
+
+
+def agg_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    distinct_col: str | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key MERGEABLE aggregate state over ``value_col`` —
+    ``(*group_cols, n, s, s2, mn, mx[, sketch])`` where ``s2`` is the
+    sum of squares and ``sketch`` (when ``distinct_col`` is given) an
+    HLL sketch of that column. The materialized-aggregate pattern:
+    persist one state table per ingest batch (or maintain one with
+    :func:`agg_state_merge`) and derive count/sum/min/max/mean/variance
+    /distinct for ANY union of batches later via
+    :func:`agg_state_finalize` — no rescan of the data, the incremental
+    twin of a plain groupBy the way ``hll_sketches`` is for
+    ``approx_count_distinct``.
+
+    Every component is associative-commutative (sums, extrema, sketch
+    union), so states merge exactly: variance comes out of the
+    (n, s, s2) moment triple, the textbook parallel-variance merge.
+    State size is O(groups), independent of row volume; partials
+    combine map-side and the shuffle carries moments, not values."""
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.count(v).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    ]
+    if distinct_col is not None:
+        aggs.append(
+            F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("sketch")
+        )
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def agg_state_merge(
+    states: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge state rows (a union of several runs' state tables) per key
+    into one state row of the SAME schema — sums add, extrema fold,
+    sketches union — so merging is closed: daily states roll into
+    monthly states roll into an all-time state."""
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    ]
+    if "sketch" in states.columns:
+        aggs.append(F.hll_union_agg("sketch").alias("sketch"))
+    return states.groupBy(*group_cols).agg(*aggs)
+
+
+def agg_state_finalize(state: DataFrame) -> DataFrame:
+    """Derive the user-facing aggregates from a state table:
+    ``n_rows, total, vmin, vmax, avg, var_samp`` (+
+    ``n_distinct_approx`` when the state carries a sketch). ``var_samp``
+    is ``(s2 - s²/n) / (n-1)`` — NULL for n < 2, clamped at 0 against
+    negative floating-point residue, matching SQL ``VAR_SAMP``."""
+    n, s, s2 = F.col("n"), F.col("s"), F.col("s2")
+    var = F.when(
+        n >= 2, F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+    )
+    keep = [
+        c for c in state.columns if c not in AGG_STATE_MOMENTS + ("sketch",)
+    ]
+    out = [
+        *keep,
+        n.alias("n_rows"),
+        s.alias("total"),
+        F.col("mn").alias("vmin"),
+        F.col("mx").alias("vmax"),
+        (s / n).alias("avg"),
+        var.alias("var_samp"),
+    ]
+    if "sketch" in state.columns:
+        out.append(
+            F.hll_sketch_estimate("sketch").alias("n_distinct_approx")
+        )
+    return state.select(*out)

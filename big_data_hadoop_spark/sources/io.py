@@ -297,3 +297,70 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def list_data_files(
+    spark: SparkSession, path: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """``(path, length, modificationTime)`` for every data file under
+    ``path`` matching ``glob`` — a DISTRIBUTED listing via the
+    ``binaryFile`` source with the ``content`` column pruned away, so
+    only file metadata is materialized (the scan never opens the files;
+    Spark's FileIndex does the listing in parallel for object-store
+    scale directory trees). The discovery half of incremental ingestion.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "length", "modificationTime")
+    )
+
+
+def read_incremental(
+    spark: SparkSession,
+    path: str,
+    manifest: str,
+    glob: str = "*.parquet",
+    fmt: str = "parquet",
+):
+    """Incremental ingestion for BATCH pipelines: read only the files
+    under ``path`` that no previous run has processed, tracked by a
+    parquet manifest of ``(path, length)``. Returns ``(df, commit)``
+    where ``df`` holds the new files' rows (``None`` when nothing is
+    new) and ``commit()`` appends the new files to the manifest — call
+    it AFTER the downstream write succeeds, so a failed run retries the
+    same files (at-least-once, the manifest pattern of every warehouse
+    ingest tool; Structured Streaming's file source keeps the same log
+    in its checkpoint, this is the batch twin).
+
+    A re-uploaded file (same path, different length) counts as new
+    again; the manifest keeps one row per (path, length) version.
+
+    100 TB shape: the listing is metadata-only and distributed; the
+    anti-join runs on O(files) rows, not data; only the new files'
+    bytes are ever scanned. The file list does pass through the driver
+    (``collect`` of new paths) — O(new files) strings, the same driver
+    state every table format's planner holds anyway.
+    """
+    import os
+
+    current = list_data_files(spark, path, glob=glob)
+    if os.path.exists(manifest):
+        seen = spark.read.parquet(manifest).select("path", "length")
+        fresh = current.join(seen, ["path", "length"], "left_anti")
+    else:
+        fresh = current
+    new_files = [(r.path, r.length) for r in fresh.collect()]
+    if not new_files:
+        return None, lambda: None
+
+    paths = [p for p, _ in new_files]
+    df = spark.read.format(fmt).load(paths)
+
+    def commit() -> None:
+        spark.createDataFrame(
+            new_files, "path string, length long"
+        ).write.mode("append").parquet(manifest)
+
+    return df, commit

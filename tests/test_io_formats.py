@@ -197,3 +197,88 @@ def test_tsv_sink_writes_raw_bytes(spark, tmp_path):
         for line in p.read_text().splitlines()
     )
     assert lines == ["\t2", "plain\t1", 'say "hi"\t3']
+
+
+def test_incremental_read_picks_up_only_new_files(spark, tmp_path):
+    """Two-batch ingest: run 1 reads batch 1 and commits; run 2 sees only
+    batch 2; run 3 sees nothing. An uncommitted run retries."""
+    from big_data_hadoop_spark.sources.io import read_incremental
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    manifest = str(tmp_path / "inc_manifest")
+
+    def add_file(name, ids):
+        staged = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            [(i,) for i in ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staged))
+        import shutil
+
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+
+    add_file("b1", [1, 2, 3])
+
+    df, commit = read_incremental(spark, str(src), manifest)
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+
+    # failure before commit: the same files come back on retry
+    df_retry, commit_retry = read_incremental(spark, str(src), manifest)
+    assert {r.id for r in df_retry.collect()} == {1, 2, 3}
+    commit_retry()
+
+    add_file("b2", [10, 11])
+    df2, commit2 = read_incremental(spark, str(src), manifest)
+    assert {r.id for r in df2.collect()} == {10, 11}
+    commit2()
+
+    df3, _ = read_incremental(spark, str(src), manifest)
+    assert df3 is None
+
+
+def test_incremental_read_reprocesses_changed_length(spark, tmp_path):
+    """A re-uploaded file with a different size is new again."""
+    from big_data_hadoop_spark.sources.io import read_incremental
+
+    src = tmp_path / "inc2_src"
+    src.mkdir()
+    manifest = str(tmp_path / "inc2_manifest")
+
+    def write_named(ids):
+        staged = tmp_path / "_stage_inc2"
+        spark.createDataFrame(
+            [(i,) for i in ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staged))
+        import shutil
+
+        shutil.copy(next(staged.glob("part-*.parquet")), src / "a.parquet")
+
+    write_named([1])
+    df, commit = read_incremental(spark, str(src), manifest)
+    assert {r.id for r in df.collect()} == {1}
+    commit()
+
+    write_named([1, 2, 3, 4, 5, 6, 7, 8])  # same path, bigger file
+    df2, commit2 = read_incremental(spark, str(src), manifest)
+    assert df2 is not None and df2.count() == 8
+    commit2()
+    assert read_incremental(spark, str(src), manifest)[0] is None
+
+
+def test_list_data_files_prunes_content(spark, tmp_path):
+    """The listing plan must NOT materialize file bytes: the binaryFile
+    scan's ReadSchema carries only metadata columns."""
+    from big_data_hadoop_spark.sources.io import list_data_files
+
+    src = tmp_path / "ls_src"
+    src.mkdir()
+    spark.createDataFrame([(1,)], "id long").write.mode(
+        "overwrite"
+    ).parquet(str(src / "t"))
+    df = list_data_files(spark, str(src / "t"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+    files = df.collect()
+    assert files and all(r.length > 0 for r in files)

@@ -792,3 +792,118 @@ def test_malformed_payloads_yield_null_features_not_crash(spark):
     # metadata + resize also survive the same payloads
     assert extract_media_meta(df).count() == 4
     assert resize_media(df, max_dim=2).count() == 4
+
+
+def _sine_wav(freq_hz: float, rate: int = 8000, n_frames: int = 4096,
+              ch: int = 1, bits: int = 16) -> bytes:
+    t = np.arange(n_frames) / rate
+    x = (np.sin(2 * np.pi * freq_hz * t) * 12000).astype(np.int16)
+    frames = np.repeat(x, ch)
+    data = frames.tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_spectrum_pure_tone(spark):
+    """A 1 kHz sine's dominant bin and centroid must land on 1 kHz
+    (within one FFT bin), rolloff at the tone, flatness near zero."""
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_audio_spectrum,
+    )
+
+    rate, n = 8000, 4096
+    payload = _sine_wav(1000.0, rate=rate, n_frames=n)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = extract_audio_spectrum(df).collect()[0]
+    bin_hz = rate / n  # 1.953 Hz
+    assert abs(row.dominant_hz - 1000.0) <= bin_hz
+    # leakage spreads a little mass; centroid stays within a few bins
+    assert abs(row.centroid_hz - 1000.0) < 25
+    assert abs(row.rolloff85_hz - 1000.0) <= 5 * bin_hz
+    assert row.flatness < 0.05
+    assert row.bandwidth_hz < 200
+
+
+def test_audio_spectrum_matches_numpy_reference(spark):
+    """Independent recomputation: decode the PCM with struct/numpy in the
+    test and recompute every feature from the magnitude spectrum."""
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_audio_spectrum,
+        parse_wav_header,
+    )
+
+    payload = _pcm_wav(rate=8000, n_frames=2048, ch=2, bits=16)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = extract_audio_spectrum(df).collect()[0]
+
+    rate, ch, bits, nf, off, size = parse_wav_header(payload)
+    x = (
+        np.frombuffer(payload[off : off + nf * ch * 2], dtype=np.int16)
+        .astype(np.float64)
+        .reshape(-1, ch)
+        .mean(axis=1)
+        / 32768.0
+    )
+    mag = np.abs(np.fft.rfft(x))[1:]
+    f = np.fft.rfftfreq(x.size, d=1.0 / rate)[1:]
+    centroid = (f * mag).sum() / mag.sum()
+    assert abs(row.dominant_hz - f[int(np.argmax(mag))]) < 1e-9
+    assert abs(row.centroid_hz - centroid) < 1e-9
+    bw = np.sqrt(((f - centroid) ** 2 * mag).sum() / mag.sum())
+    assert abs(row.bandwidth_hz - bw) < 1e-9
+    power = mag * mag
+    cum = np.cumsum(power)
+    assert abs(
+        row.rolloff85_hz - f[int(np.searchsorted(cum, 0.85 * cum[-1]))]
+    ) < 1e-9
+    flat = np.exp(np.mean(np.log(power + 1e-30))) / (np.mean(power) + 1e-30)
+    assert abs(row.flatness - flat) < 1e-12
+
+
+def test_audio_spectrum_non_wav_is_null_row(spark):
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_audio_spectrum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not audio")), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_audio_spectrum(df).collect()}
+    assert len(rows) == 2
+    for r in rows.values():
+        assert r.dominant_hz is None and r.flatness is None
+
+
+def test_audio_spectrum_noise_flatness_high(spark):
+    """Deterministic wideband pseudo-noise should score flatness near 1,
+    far above any tone — separating the two is the operator's job."""
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_audio_spectrum,
+    )
+
+    rng = np.random.default_rng(12345)  # seeded: deterministic test
+    x = (rng.uniform(-0.5, 0.5, 4096) * 32767).astype(np.int16)
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = extract_audio_spectrum(df).collect()[0]
+    assert row.flatness > 0.5

@@ -138,3 +138,120 @@ def test_hll_sketches_merge_across_runs(spark):
     }
     for lang, n in exact.items():
         assert abs(got_m[lang] - n) / n < 0.05, (lang, got_m[lang], n)
+
+
+def test_agg_state_merge_equals_one_shot(spark, tmp_path):
+    """Split the corpus into two batches, build a state per batch,
+    merge — the merged state must equal the one-shot state over the
+    whole corpus (exact for n/s/mn/mx and the sketch registers; s2 up
+    to float summation order)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state,
+        agg_state_finalize,
+        agg_state_merge,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    one_shot = agg_state(
+        docs, ["source"], "n_chars", distinct_col="lang"
+    )
+    merged = agg_state_merge(
+        agg_state(b1, ["source"], "n_chars", distinct_col="lang").unionByName(
+            agg_state(b2, ["source"], "n_chars", distinct_col="lang")
+        ),
+        ["source"],
+    )
+    a = {r.source: r for r in agg_state_finalize(one_shot).collect()}
+    b = {r.source: r for r in agg_state_finalize(merged).collect()}
+    assert a.keys() == b.keys() and len(a) > 1
+    for k in a:
+        assert a[k].n_rows == b[k].n_rows
+        assert a[k].vmin == b[k].vmin and a[k].vmax == b[k].vmax
+        assert abs(a[k].total - b[k].total) < 1e-6
+        assert abs(a[k].var_samp - b[k].var_samp) < 1e-4
+        assert a[k].n_distinct_approx == b[k].n_distinct_approx
+
+
+def test_agg_state_finalize_matches_duckdb(spark, duck):
+    """Finalized aggregates vs SQL on the same data."""
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state,
+        agg_state_finalize,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = {
+        r.source: r
+        for r in agg_state_finalize(
+            agg_state(docs, ["source"], "n_chars")
+        ).collect()
+    }
+    want = duck.sql(
+        """
+        SELECT source, COUNT(n_chars)::BIGINT AS n_rows,
+               SUM(n_chars)::DOUBLE AS total,
+               MIN(n_chars)::DOUBLE AS vmin, MAX(n_chars)::DOUBLE AS vmax,
+               AVG(n_chars) AS avg, VAR_SAMP(n_chars) AS var_samp
+        FROM documents GROUP BY source
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    for source, n_rows, total, vmin, vmax, avg, var_samp in want:
+        r = got[source]
+        assert r.n_rows == n_rows
+        assert abs(r.total - total) < 1e-6
+        assert r.vmin == vmin and r.vmax == vmax
+        assert abs(r.avg - avg) < 1e-9
+        assert abs(r.var_samp - var_samp) < 1e-6
+
+
+def test_agg_state_roundtrips_through_parquet(spark, tmp_path):
+    """The state table (incl. the binary sketch) must persist and merge
+    from storage — the cross-run contract."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state,
+        agg_state_finalize,
+        agg_state_merge,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p1, p2 = str(tmp_path / "st1"), str(tmp_path / "st2")
+    agg_state(
+        docs.filter(F.col("doc_id") < 250), ["lang"], "n_chars",
+        distinct_col="source",
+    ).write.parquet(p1)
+    agg_state(
+        docs.filter(F.col("doc_id") >= 250), ["lang"], "n_chars",
+        distinct_col="source",
+    ).write.parquet(p2)
+    merged = agg_state_merge(
+        spark.read.parquet(p1).unionByName(spark.read.parquet(p2)), ["lang"]
+    )
+    direct = agg_state(docs, ["lang"], "n_chars", distinct_col="source")
+    a = {r.lang: r for r in agg_state_finalize(merged).collect()}
+    b = {r.lang: r for r in agg_state_finalize(direct).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].n_rows == b[k].n_rows
+        assert a[k].n_distinct_approx == b[k].n_distinct_approx
+        assert a[k].var_samp is None or abs(a[k].var_samp - b[k].var_samp) < 1e-4
+
+
+def test_agg_state_var_null_for_singleton(spark):
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state,
+        agg_state_finalize,
+    )
+
+    df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    row = agg_state_finalize(agg_state(df, ["k"], "v")).collect()[0]
+    assert row.n_rows == 1 and row.var_samp is None
