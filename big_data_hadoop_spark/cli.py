@@ -340,6 +340,26 @@ def cmd_search(args: argparse.Namespace) -> None:
     _warn_dropped_lines()
 
 
+def cmd_ingest(args: argparse.Namespace) -> None:
+    """Manifest-tracked incremental ingest: append only files no prior
+    run processed into a parquet dataset; the manifest commits AFTER
+    the write succeeds, so a failed run retries the same files
+    (at-least-once — ``sources.io.read_incremental``)."""
+    from big_data_hadoop_spark.sources.io import read_incremental
+
+    spark = _spark("ingest")
+    df, commit = read_incremental(
+        spark, args.input, args.manifest, glob=args.glob, fmt=args.format
+    )
+    if df is None:
+        print("[ingest] no new files")
+        return
+    n = df.count()
+    df.write.mode("append").parquet(args.output)
+    commit()
+    print(f"[ingest] appended {n} rows from new files")
+
+
 def cmd_probe(args: argparse.Namespace) -> None:
     from big_data_hadoop_spark.probes import QUERIES
 
@@ -482,6 +502,15 @@ def main(argv: list[str] | None = None) -> None:
         help="drop terms present in more than this fraction of docs",
     )
 
+    ig = sub.add_parser(
+        "ingest", help="manifest-tracked incremental append into parquet"
+    )
+    ig.add_argument("input")
+    ig.add_argument("output")
+    ig.add_argument("--manifest", required=True)
+    ig.add_argument("--glob", default="*.parquet")
+    ig.add_argument("--format", default="parquet")
+
     args = p.parse_args(argv)
     t0 = time.monotonic()
     {
@@ -498,6 +527,7 @@ def main(argv: list[str] | None = None) -> None:
         "profile": cmd_profile,
         "split": cmd_split,
         "search": cmd_search,
+        "ingest": cmd_ingest,
     }[args.command](args)
     print(f"[{args.command}] completed in {time.monotonic() - t0:.2f}s")
 

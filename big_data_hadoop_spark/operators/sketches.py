@@ -220,3 +220,99 @@ def agg_state_finalize(state: DataFrame) -> DataFrame:
             F.hll_sketch_estimate("sketch").alias("n_distinct_approx")
         )
     return state.select(*out)
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 2048,
+    seed: int = 0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of ``key_col`` frequencies (Cormode-Muthukrishnan
+    2005, public) as a STORABLE table ``(r, b, cnt)`` — ``d`` hash rows ×
+    ``w`` buckets, at most ``d*w`` rows regardless of key cardinality.
+    The mergeable-state answer to "how often did key X occur across all
+    runs" when the exact per-key table (``heavy_hitter_tokens``'s input)
+    is too large to keep per batch: estimates never undercount, and
+    overcount by at most ``e/w × total`` with probability ``1 - e^-d``.
+
+    One pass: each key row explodes into its ``d`` (row, bucket) cells
+    BEFORE the shuffle, partial aggregation collapses them to ≤ ``d*w``
+    rows per map task, so the shuffle carries the sketch, not the data.
+    ``weight_col`` counts each row with a weight (e.g. pre-aggregated
+    counts) instead of 1."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2; got d={d}, w={w}")
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(seed * 131 + r)),
+                            F.lit(w),
+                        ).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+        wt.alias("_w"),
+    )
+    return cells.groupBy(
+        F.col("cell.r").alias("r"), F.col("cell.b").alias("b")
+    ).agg(F.sum("_w").alias("cnt"))
+
+
+def cms_merge(states: DataFrame) -> DataFrame:
+    """Merge CMS state tables (same d/w/seed — the caller's contract,
+    like every storable-state operator here): cells add elementwise, so
+    the merged sketch is IDENTICAL to one built over the concatenated
+    data (exact equality, pinned by test — unlike HLL there is no
+    estimator in the state itself)."""
+    return states.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 2048,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-estimate each key in ``keys``: min over the ``d`` rows of
+    its bucket counts (missing cell = 0). Returns ``keys`` plus
+    ``est_cnt``. The d/w/seed must match the build. The state is ≤ d*w
+    rows — broadcast to the keys side, so estimation is a narrow
+    broadcast join however many keys are probed."""
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(seed * 131 + r)),
+                            F.lit(w),
+                        ).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("*", F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+    joined = probes.join(F.broadcast(state), ["r", "b"], "left").withColumn(
+        "cnt", F.coalesce("cnt", F.lit(0))
+    )
+    out_cols = [c for c in keys.columns]
+    return joined.groupBy(*out_cols).agg(F.min("cnt").alias("est_cnt"))

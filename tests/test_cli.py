@@ -203,3 +203,35 @@ def test_cli_search(spark, tmp_path, capsys):
     assert "# query[0]: the quick data pipeline" in out
     assert out.count(". doc ") == 3
     assert "bm25 " in out
+
+
+def test_cli_ingest_incremental(tmp_path, spark):
+    """e2e: two ingest runs — the second appends only the new file; a
+    third is a no-op."""
+    import shutil
+
+    from big_data_hadoop_spark.cli import main
+
+    src = tmp_path / "ing_src"
+    src.mkdir()
+    out = str(tmp_path / "ing_out")
+    man = str(tmp_path / "ing_man")
+
+    def add(name, ids):
+        staged = tmp_path / f"_s_{name}"
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+
+    add("a", [1, 2])
+    main(["ingest", str(src), out, "--manifest", man])
+    assert spark.read.parquet(out).count() == 2
+    add("b", [3])
+    main(["ingest", str(src), out, "--manifest", man])
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}
+    main(["ingest", str(src), out, "--manifest", man])  # no new files
+    assert spark.read.parquet(out).count() == 3

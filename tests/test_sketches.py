@@ -255,3 +255,110 @@ def test_agg_state_var_null_for_singleton(spark):
     df = spark.createDataFrame([(1, 5.0)], "k long, v double")
     row = agg_state_finalize(agg_state(df, ["k"], "v")).collect()[0]
     assert row.n_rows == 1 and row.var_samp is None
+
+
+def _token_rows(spark, sf):
+    from big_data_hadoop_spark.operators.tokenize import tokens
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return tokens(docs, lowercase=True, keep_cols=()).select("token")
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """CMS guarantee: est >= true for every present key; overcount is
+    bounded (deterministic data + seed, so the measured bound is a
+    stable pin, not a flake)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from tests.conftest import SF_ORACLE
+
+    toks = _token_rows(spark, SF_ORACLE)
+    exact = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    state = cms_build(toks, "token")
+    est = cms_estimate(state, exact, "token")
+    rows = est.collect()
+    total = sum(r.true_cnt for r in rows)
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
+    # e/w * total expected-overcount bound (w=2048); generous 3x slack
+    worst = max(r.est_cnt - r.true_cnt for r in rows)
+    assert worst <= 3 * 2.72 * total / 2048, (worst, total)
+    # heavy keys should be near-exact relative to their own mass
+    heavy = [r for r in rows if r.true_cnt >= total * 0.01]
+    assert heavy and all(
+        (r.est_cnt - r.true_cnt) <= 0.05 * r.true_cnt for r in heavy
+    )
+
+
+def test_cms_merge_is_exact_sum(spark):
+    """Merged two-batch sketch == one-shot sketch, cell for cell."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.sketches import cms_build, cms_merge
+    from tests.conftest import SF_SMOKE
+
+    toks = _token_rows(spark, SF_SMOKE).withColumn(
+        "h", F.pmod(F.xxhash64("token"), F.lit(2))
+    )
+    one = cms_build(toks, "token")
+    merged = cms_merge(
+        cms_build(toks.filter("h = 0"), "token").unionByName(
+            cms_build(toks.filter("h = 1"), "token")
+        )
+    )
+    a = {(r.r, r.b): r.cnt for r in one.collect()}
+    b = {(r.r, r.b): r.cnt for r in merged.collect()}
+    assert a == b and len(a) > 100
+
+
+def test_cms_weighted_equals_exploded(spark):
+    """weight_col over pre-aggregated counts == unweighted over raw."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.sketches import cms_build
+    from tests.conftest import SF_SMOKE
+
+    toks = _token_rows(spark, SF_SMOKE)
+    pre = toks.groupBy("token").agg(F.count("*").alias("n"))
+    a = {
+        (r.r, r.b): r.cnt
+        for r in cms_build(toks, "token").collect()
+    }
+    b = {
+        (r.r, r.b): r.cnt
+        for r in cms_build(pre, "token", weight_col="n").collect()
+    }
+    assert a == b
+
+
+def test_cms_absent_key_estimate_small(spark):
+    from big_data_hadoop_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    toks = _token_rows(spark, SF_SMOKE)
+    state = cms_build(toks, "token")
+    probe = spark.createDataFrame(
+        [("zz-never-seen-token-xq",)], "token string"
+    )
+    est = cms_estimate(state, probe, "token").collect()[0]
+    total = toks.count()
+    assert 0 <= est.est_cnt <= 3 * 2.72 * total / 2048
+
+
+def test_cms_rejects_degenerate_shape(spark):
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([("a",)], "token string")
+    with _pytest.raises(ValueError):
+        cms_build(df, "token", d=0)
+    with _pytest.raises(ValueError):
+        cms_build(df, "token", w=1)
