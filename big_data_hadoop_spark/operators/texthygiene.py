@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["normalize_text", "compression_signals"]
+__all__ = ["normalize_text", "compression_signals", "dedup_lines"]
 
 #: Control characters stripped by ``strip_control`` — C0/C1 minus the
 #: whitespace the tokenizer is specified over (tab, LF, CR).
@@ -136,3 +136,72 @@ try:  # pragma: no cover - vendored cloudpickle without the API
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except (ImportError, AttributeError):
     pass
+
+
+def dedup_lines(
+    docs: DataFrame,
+    max_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document LINE-level deduplication — the CCNet/RefinedWeb
+    boilerplate step (public): drop every line whose trimmed form occurs
+    in MORE than ``max_df`` distinct documents (nav bars, cookie
+    banners, "subscribe" footers — template text that survives
+    document-level dedup because each page differs elsewhere). Returns
+    ``(id_col, text, n_lines, n_dropped)`` with the surviving lines
+    rejoined in original order; empty/whitespace-only lines carry no
+    content signal and are kept as structure.
+
+    Purely declarative — split/posexplode, one distinct-df aggregate on
+    the line DIGEST (md5 — lines never shuffle twice), a hash join back,
+    and an order-restoring array_sort rollup. 100 TB shape: two
+    shuffles keyed by line hash (df count + join; both combine
+    map-side) and one keyed by document (rebuild); no driver state, no
+    Python. Skew note: the hottest boilerplate line is exactly the row
+    the df-count compacts map-side, so hot lines cost one row per map
+    task, not a hot reduce partition.
+    """
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "key",
+        F.when(
+            F.trim(F.col("line")) != "", F.md5(F.trim(F.col("line")))
+        ),
+    )
+    dfc = (
+        lines.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("key", F.lit(True).alias("_drop"))
+    )
+    kept = lines.join(dfc, "key", "left").withColumn(
+        "_drop", F.coalesce("_drop", F.lit(False))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_lines", "n_dropped")
+    )

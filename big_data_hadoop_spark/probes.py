@@ -1407,6 +1407,32 @@ def q78_correlated_subqueries(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q79_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document line-level dedup (CCNet-style boilerplate removal,
+    ``texthygiene.dedup_lines``) — rows-only slot; the full DuckDB
+    oracle runs on a constructed corpus in tests/test_texthygiene.py.
+    The testdata documents are single-line, so the probe wraps each in
+    a synthetic page (shared header/footer + the body): the operator
+    must drop exactly the shared lines and return every body intact."""
+    from big_data_hadoop_spark.operators.texthygiene import dedup_lines
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("SITE NAV | home | about"),
+            F.col("text"),
+            F.lit("(c) example footer"),
+        ).alias("text"),
+    )
+    return (
+        dedup_lines(pages, max_df=2)
+        .select("doc_id", "n_lines", "n_dropped", F.md5("text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1502,6 +1528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_weighted_sample": q76_weighted_sample,
     "q77_window_fn_suite": q77_window_fn_suite,
     "q78_correlated_subqueries": q78_correlated_subqueries,
+    "q79_line_dedup": q79_line_dedup,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -218,3 +218,76 @@ def test_round6_operators_empty(spark, empty_docs, empty_emb):
     empty_sigs = minhash_signatures(empty_docs)
     out = minhash_dedup_against(docs, empty_sigs, threshold=0.9)
     assert out.count() == 2
+
+
+def test_round7_operators_empty(spark, empty_docs):
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_audio_spectrum,
+    )
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state,
+        agg_state_finalize,
+        agg_state_merge,
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from big_data_hadoop_spark.pipeline import weighted_sample
+
+    # weighted sample: empty in -> empty out; k=0 -> empty
+    wdocs = empty_docs.withColumn("w", F.lit(1.0))
+    assert weighted_sample(wdocs, 5, "w").count() == 0
+    docs = spark.createDataFrame(
+        [(1, "a", 2.0)], "doc_id long, text string, w double"
+    )
+    assert weighted_sample(docs, 0, "w").count() == 0
+    assert weighted_sample(docs, 0, "w", group_col="text").count() == 0
+
+    # agg state over nothing: no groups; finalize of empty state is empty
+    st0 = agg_state(wdocs, ["text"], "w")
+    assert agg_state_finalize(st0).count() == 0
+    assert agg_state_finalize(agg_state_merge(st0, ["text"])).count() == 0
+
+    # CMS of an empty corpus: empty state; estimates fall to 0
+    s0 = cms_build(empty_docs, "text")
+    assert s0.count() == 0 and cms_merge(s0).count() == 0
+    probe = spark.createDataFrame([("x",)], "text string")
+    est = cms_estimate(s0, probe, "text").collect()
+    assert [r.est_cnt for r in est] == [0]
+
+    # audio spectrum over an empty media frame
+    empty_media = spark.createDataFrame(
+        [], "media_id long, payload binary"
+    )
+    assert extract_audio_spectrum(empty_media).count() == 0
+
+
+def test_streaming_interval_join_empty_side(spark, tmp_path):
+    """An empty right stream must not break the drained inner join —
+    zero matches, schema intact."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.streaming import streaming_interval_join
+
+    l_schema = "user_id long, l_ts timestamp, view_id long"
+    r_schema = "user_id long, r_ts timestamp, click_id long"
+    lsrc, rsrc = str(tmp_path / "el"), str(tmp_path / "er")
+    spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 1)], l_schema
+    ).write.parquet(lsrc)
+    spark.createDataFrame([], r_schema).write.parquet(rsrc)
+    ls = spark.readStream.schema(l_schema).parquet(lsrc)
+    rs = spark.readStream.schema(r_schema).parquet(rsrc)
+    j = streaming_interval_join(ls, rs, watermark="1 hour")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ssj_empty")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT * FROM ssj_empty").count() == 0

@@ -297,3 +297,40 @@ def test_split_cluster_map_join_shape(spark):
     )
     assert "Window" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_weighted_sample_global_is_take_ordered(spark):
+    """The global-k draw must compile to TakeOrderedAndProject (per-
+    partition top-k + k-row merge), never a full sort."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.pipeline import weighted_sample
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = weighted_sample(
+        docs, 10, "n_chars"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "global=true" not in plan
+
+
+def test_cms_estimate_broadcasts_state(spark):
+    """The <= d*w-row sketch joins broadcast; the probe side never
+    shuffles."""
+    from big_data_hadoop_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from big_data_hadoop_spark.operators.tokenize import tokens
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    toks = tokens(docs, lowercase=True, keep_cols=()).select("token")
+    state = cms_build(toks, "token")
+    plan = cms_estimate(
+        state, toks.distinct(), "token"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -77,3 +77,112 @@ def test_compression_signals_flag_both_tails(spark):
     assert got[3] is None
     with pytest.raises(ValueError):
         compression_signals(df, level=11)
+
+
+def _boiler_docs(spark):
+    boiler = "Subscribe to our newsletter"
+    cookie = "This site uses cookies"
+    rows = [
+        (1, f"unique alpha\n{boiler}\n{cookie}\nmore alpha text"),
+        (2, f"{boiler}\nbeta body line\n{cookie}"),
+        (3, f"gamma start\n{boiler}\n\n{cookie}  \ngamma end"),
+        (4, f"{boiler}\n{cookie}"),                      # all boilerplate
+        (5, "delta only original content"),
+        (6, f"epsilon text\n{boiler}"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_drops_cross_document_boilerplate(spark):
+    from big_data_hadoop_spark.operators.texthygiene import dedup_lines
+
+    out = {r.doc_id: r for r in dedup_lines(_boiler_docs(spark), max_df=2).collect()}
+    assert out[1].text == "unique alpha\nmore alpha text"
+    assert out[1].n_dropped == 2 and out[1].n_lines == 4
+    assert out[2].text == "beta body line"
+    # empty line and trailing-space line: trim matches the cookie banner
+    assert out[3].text == "gamma start\n\ngamma end"
+    assert out[4].text == "" and out[4].n_dropped == 2
+    assert out[5].text == "delta only original content"
+    assert out[5].n_dropped == 0
+    assert out[6].text == "epsilon text"
+
+
+def test_dedup_lines_max_df_boundary(spark):
+    """A line in exactly max_df documents survives; max_df+1 dies."""
+    from big_data_hadoop_spark.operators.texthygiene import dedup_lines
+
+    docs = _boiler_docs(spark)
+    # boiler appears in 5 docs, cookie in 4
+    out5 = {r.doc_id: r.text for r in dedup_lines(docs, max_df=5).collect()}
+    assert "Subscribe to our newsletter" in out5[1]
+    assert "This site uses cookies" in out5[1]
+    out4 = {r.doc_id: r.text for r in dedup_lines(docs, max_df=4).collect()}
+    assert "Subscribe to our newsletter" not in out4[1]
+    assert "This site uses cookies" in out4[1]
+
+
+def test_dedup_lines_repeated_within_one_doc_not_dropped(spark):
+    """df counts DISTINCT documents: a line repeated 10x inside one doc
+    is that document's own repetition (repetition_signals' job), not
+    cross-document boilerplate."""
+    from big_data_hadoop_spark.operators.texthygiene import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "\n".join(["same line"] * 10))], "doc_id long, text string"
+    )
+    row = dedup_lines(docs, max_df=1).collect()[0]
+    assert row.n_dropped == 0 and row.text.count("same line") == 10
+
+
+def test_dedup_lines_matches_duckdb(spark):
+    import duckdb
+
+    from big_data_hadoop_spark.operators.texthygiene import dedup_lines
+
+    docs = _boiler_docs(spark)
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.sql(
+            """
+        WITH s AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs
+        ), l AS (
+          SELECT doc_id, g.pos, ls[g.pos + 1] AS line,
+                 CASE WHEN trim(ls[g.pos + 1]) != ''
+                      THEN md5(trim(ls[g.pos + 1])) END AS key
+          FROM s, LATERAL (SELECT unnest(generate_series(0, len(ls) - 1))
+                           AS pos) g
+        ), dfc AS (
+          SELECT key FROM l WHERE key IS NOT NULL
+          GROUP BY key HAVING COUNT(DISTINCT doc_id) > 2
+        )
+        SELECT l.doc_id,
+               COALESCE(string_agg(CASE WHEN dfc.key IS NULL THEN l.line END,
+                                   chr(10) ORDER BY l.pos), '') AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN dfc.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped
+        FROM l LEFT JOIN dfc ON l.key = dfc.key
+        GROUP BY l.doc_id
+        """
+        ).fetchall()
+    }
+    got = {
+        (r.doc_id, r.text, r.n_lines, r.n_dropped)
+        for r in dedup_lines(docs, max_df=2).collect()
+    }
+    assert got == want
+    con.close()
+
+
+def test_dedup_lines_rejects_bad_max_df(spark):
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.operators.texthygiene import dedup_lines
+
+    with _pytest.raises(ValueError):
+        dedup_lines(_boiler_docs(spark), max_df=0)
