@@ -842,3 +842,89 @@ def weighted_sample(
             .drop("_rn")
         )
     return picked.drop("_es_key")
+
+
+def filter_by_group_quantile(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    group_col: str = "source",
+    best: str = "low",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep the best-scoring ``keep_frac`` of rows WITHIN EACH GROUP —
+    the per-domain form of quantile gating (CCNet cuts per language,
+    domain-balanced quality filters cut per source: a global cutoff
+    would gut weak domains and keep every row of strong ones; rows with
+    NULL score are dropped like ``ppl_filter``). ``best="low"`` keeps
+    scores at or below the group's ``keep_frac`` quantile (perplexity
+    style); ``best="high"`` keeps the top ``keep_frac`` (quality-score
+    style). The cutoff is an actual data value and is kept INCLUSIVELY,
+    so the kept fraction is at least ``keep_frac`` — ties at the cutoff
+    never split (the right bias for a filter: borderline documents
+    survive together or not at all).
+
+    Cutoffs come from ``percentile_approx`` per group (one mergeable
+    aggregate — O(groups) rows, rank error ``n_group / accuracy``) and
+    join back broadcast, so the data shuffles ZERO times: scan → gate.
+    The alternative per-row ``percent_rank`` window would shuffle the
+    corpus by group and serialize giant groups through single tasks —
+    wrong shape at 100 TB.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if best not in ("low", "high"):
+        raise ValueError(f"best must be 'low' or 'high', got {best!r}")
+    q = keep_frac if best == "low" else 1.0 - keep_frac
+    cuts = (
+        df.groupBy(group_col)
+        .agg(F.percentile_approx(score_col, q, accuracy).alias("_cut"))
+        .withColumnRenamed(group_col, "_grp")
+    )
+    j = df.join(
+        F.broadcast(cuts),
+        F.col(group_col).eqNullSafe(F.col("_grp")),
+        "inner",
+    ).drop("_grp")
+    s = F.col(score_col)
+    keep = (s <= F.col("_cut")) if best == "low" else (s >= F.col("_cut"))
+    return j.filter(s.isNotNull() & keep).drop("_cut")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per document
+    id with ``status`` in ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` — the audit step between ingest runs (what did this
+    crawl refresh actually do?). Content comparison is by md5 of
+    normalized text (``dedup.normalized_text`` — the same digest the
+    dedup family keys on), so cosmetic whitespace drift is
+    ``unchanged``.
+
+    Full outer join on the id, digests compared in place: digests
+    shuffle, text bodies never do. One shuffle per side.
+    """
+    from big_data_hadoop_spark.operators.dedup import normalized_text
+
+    def dig(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(normalized_text(F.col(text_col))).alias(name),
+        )
+
+    o, n = dig(old, "_h_old"), dig(new, "_h_new")
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("_h_old").isNull(), F.lit("added"))
+            .when(F.col("_h_new").isNull(), F.lit("removed"))
+            .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )

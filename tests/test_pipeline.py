@@ -569,3 +569,147 @@ def test_sample_by_temperature_flattens_distribution(spark):
             .collect()
         }
     assert ids1 == expect
+
+
+def test_filter_by_group_quantile_matches_duckdb(spark, duck):
+    """Per-group keep-low gate vs SQL quantile_disc-style cutoffs.
+    percentile_approx at accuracy=10k is exact at this group size, and
+    its result is an ACTUAL data value, so quantile_disc matches."""
+    from big_data_hadoop_spark.pipeline import filter_by_group_quantile
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = {
+        r.doc_id
+        for r in filter_by_group_quantile(
+            docs, "n_chars", 0.5, group_col="source", best="low"
+        ).collect()
+    }
+    want = {
+        r[0]
+        for r in duck.sql(
+            """
+        WITH c AS (SELECT source, quantile_disc(n_chars, 0.5) AS cut
+                   FROM documents GROUP BY source)
+        SELECT d.doc_id FROM documents d JOIN c USING (source)
+        WHERE d.n_chars <= c.cut
+        """
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_filter_by_group_quantile_high_and_null(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.pipeline import filter_by_group_quantile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0),
+         (5, "b", 10.0), (6, "b", None), (7, None, 5.0), (8, None, 6.0)],
+        "doc_id long, source string, score double",
+    )
+    hi = {
+        r.doc_id
+        for r in filter_by_group_quantile(
+            df, "score", 0.5, best="high"
+        ).collect()
+    }
+    # The cutoff is a DATA VALUE (percentile_approx), kept inclusively:
+    # group a keeps scores >= q(0.5)=2 -> {2,3,4} (at LEAST keep_frac,
+    # ties never split); group b's only scored row 5 keeps; the NULL
+    # group is a group of its own (eqNullSafe): {5,6} -> cut 5 -> {7,8}
+    assert hi == {2, 3, 4, 5, 7, 8}
+    lo = {
+        r.doc_id
+        for r in filter_by_group_quantile(
+            df, "score", 0.5, best="low"
+        ).collect()
+    }
+    assert lo == {1, 2, 5, 7}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        filter_by_group_quantile(df, "score", 0.0)
+    with _pytest.raises(ValueError):
+        filter_by_group_quantile(df, "score", 0.5, best="middle")
+
+
+def test_filter_by_group_quantile_no_data_shuffle(spark):
+    """The corpus side must not exchange: cutoffs broadcast back."""
+    from big_data_hadoop_spark.pipeline import filter_by_group_quantile
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = filter_by_group_quantile(
+        docs, "n_chars", 0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only shuffle Exchange feeds the O(groups) cutoff aggregate
+    # (broadcast exchanges ship the tiny cutoff frame, not the corpus)
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+def test_corpus_diff_statuses(spark):
+    from big_data_hadoop_spark.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text"),
+         (4, "delta  text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "beta text"), (3, "gamma CHANGED"), (4, "delta text"),
+         (5, "epsilon new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "unchanged",  # whitespace-only drift normalizes away
+        5: "added",
+    }
+
+
+def test_corpus_diff_matches_duckdb(spark, duck):
+    """Self-diff with a deterministic mutation on sf0.01: statuses match
+    a SQL full-outer recomputation (same digest rule)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.pipeline import corpus_diff
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" x")))
+        .otherwise(F.col("text")),
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(docs, new).collect()}
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            """
+        WITH o AS (SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text),
+                         '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS h
+                   FROM documents),
+             n AS (SELECT doc_id,
+                     md5(trim(regexp_replace(lower(
+                         CASE WHEN doc_id % 5 = 0 THEN text || ' x'
+                              ELSE text END),
+                         '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS h
+                   FROM documents WHERE doc_id % 7 != 0)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.h IS NULL THEN 'added'
+                    WHEN n.h IS NULL THEN 'removed'
+                    WHEN o.h = n.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """
+        ).fetchall()
+    }
+    assert got == want and "changed" in got.values() and "removed" in got.values()
