@@ -186,3 +186,96 @@ def test_dedup_lines_rejects_bad_max_df(spark):
 
     with _pytest.raises(ValueError):
         dedup_lines(_boiler_docs(spark), max_df=0)
+
+
+def test_strip_html_basic(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.texthygiene import strip_html
+
+    html = (
+        "<html><head><style>body{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- comment --><h1>Title</h1>"
+        "<p>First &amp; second &lt;para&gt;.</p>"
+        "<div>Item one<br>Item two</div>"
+        "<p>Tail&nbsp;text &#39;quoted&#39;</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    out = df.select(strip_html(F.col("text")).alias("t")).collect()[0].t
+    assert out == (
+        "Title\nFirst & second <para>.\nItem one\nItem two\n"
+        "Tail text 'quoted'"
+    )
+
+
+def test_strip_html_plain_text_unchanged(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.texthygiene import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "no markup here, just 2 < 3 words")],
+        "doc_id long, text string",
+    )
+    out = df.select(strip_html(F.col("text")).alias("t")).collect()[0].t
+    # "< 3 words" is not a tag (no matching >)... but the tag regex is
+    # greedy-safe: "< 3" contains a space and no closing > until end
+    assert "no markup here" in out
+
+
+def test_extract_urls_and_domains(spark):
+    from big_data_hadoop_spark.operators.texthygiene import (
+        domain_counts,
+        extract_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://Example.COM/a/b?q=1 and http://other.org."),
+            (2, "again https://example.com/x, plus https://example.com/x"),
+            (3, "no links at all"),
+        ],
+        "doc_id long, text string",
+    )
+    urls = extract_urls(docs).collect()
+    got = {(r.doc_id, r.url, r.domain) for r in urls}
+    assert (1, "https://Example.COM/a/b?q=1", "example.com") in got
+    # trailing sentence period excluded
+    assert (1, "http://other.org", "other.org") in got
+    assert len([r for r in urls if r.doc_id == 2]) == 2
+
+    dc = {r.domain: (r.n_links, r.n_docs) for r in domain_counts(docs).collect()}
+    assert dc["example.com"] == (3, 2)
+    assert dc["other.org"] == (1, 1)
+
+
+def test_extract_urls_matches_duckdb(spark):
+    import duckdb
+
+    from big_data_hadoop_spark.operators.texthygiene import (
+        URL_PATTERN,
+        extract_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a https://x.io/p and https://y.net/q?a=b#f end"),
+            (2, "bare host http://z.dev and dup https://x.io/p"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.url) for r in extract_urls(docs).collect()}
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    # the pattern contains a quote char: bind it, don't inline it
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            "SELECT doc_id, unnest(regexp_extract_all(text, ?)) AS url "
+            "FROM docs",
+            [URL_PATTERN],
+        ).fetchall()
+    }
+    assert got == want and len(got) == 4
+    con.close()
