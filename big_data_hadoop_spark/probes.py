@@ -1433,6 +1433,75 @@ def q79_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q80_agg_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable per-key aggregate state (``sketches.agg_state``) —
+    rows-only slot. The probe IS the incremental contract: build one
+    state per corpus half, merge, finalize — the result must equal the
+    one-shot aggregate (two-batch == one-shot equality and a DuckDB
+    VAR_SAMP oracle are pinned in tests/test_sketches.py)."""
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state,
+        agg_state_finalize,
+        agg_state_merge,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    halves = [
+        agg_state(
+            docs.filter(F.col("doc_id") % 2 == i),
+            ["source"],
+            "n_chars",
+            distinct_col="lang",
+        )
+        for i in (0, 1)
+    ]
+    merged = agg_state_merge(halves[0].unionByName(halves[1]), ["source"])
+    return (
+        agg_state_finalize(merged)
+        .select(
+            "source",
+            "n_rows",
+            F.round("total", 2).alias("total"),
+            "vmin",
+            "vmax",
+            F.round("avg", 6).alias("avg"),
+            F.round("var_samp", 4).alias("var_samp"),
+            "n_distinct_approx",
+        )
+        .orderBy("source")
+    )
+
+
+def q81_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch frequency estimates (``sketches.cms_build`` /
+    ``cms_estimate``) for every distinct token beside its exact count —
+    rows-only slot; the never-undercount and error-bound guarantees are
+    pinned in tests/test_sketches.py. Built as a two-batch merge so the
+    probe also exercises ``cms_merge``'s cell-exactness."""
+    from big_data_hadoop_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from big_data_hadoop_spark.operators.tokenize import tokens
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens(docs, lowercase=True, keep_cols=("doc_id",)).select(
+        "doc_id", "token"
+    )
+    state = cms_merge(
+        cms_build(toks.filter(F.col("doc_id") % 2 == 0), "token").unionByName(
+            cms_build(toks.filter(F.col("doc_id") % 2 == 1), "token")
+        )
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    return (
+        cms_estimate(state, exact, "token")
+        .select("token", "true_cnt", "est_cnt")
+        .orderBy("token")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1529,6 +1598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_window_fn_suite": q77_window_fn_suite,
     "q78_correlated_subqueries": q78_correlated_subqueries,
     "q79_line_dedup": q79_line_dedup,
+    "q80_agg_state": q80_agg_state,
+    "q81_cms_counts": q81_cms_counts,
 }
 
 _EN = ts.STOPWORDS["en"]
