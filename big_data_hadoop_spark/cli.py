@@ -340,6 +340,31 @@ def cmd_search(args: argparse.Namespace) -> None:
     _warn_dropped_lines()
 
 
+def cmd_clean(args: argparse.Namespace) -> None:
+    """Web-text hygiene chain: optional HTML-to-text, Unicode
+    normalization, optional cross-document line dedup — the cleanup
+    that runs BEFORE the curate gates so quality signals see prose,
+    not tag soup."""
+    from big_data_hadoop_spark.operators.texthygiene import (
+        dedup_lines,
+        normalize_text,
+        strip_html,
+    )
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("clean")
+    docs = _read_docs(spark, args.input)
+    if args.strip_html:
+        docs = docs.withColumn("text", strip_html(F.col("text")))
+    docs = normalize_text(docs, form=args.form)
+    if args.max_line_df > 0:
+        docs = dedup_lines(docs, max_df=args.max_line_df).select(
+            "doc_id", "text"
+        )
+    write_jsonl(docs, args.output)
+    _warn_dropped_lines()
+
+
 def cmd_ingest(args: argparse.Namespace) -> None:
     """Manifest-tracked incremental ingest: append only files no prior
     run processed into a parquet dataset; the manifest commits AFTER
@@ -502,6 +527,18 @@ def main(argv: list[str] | None = None) -> None:
         help="drop terms present in more than this fraction of docs",
     )
 
+    cl = sub.add_parser(
+        "clean", help="HTML strip + normalize + line dedup -> JSONL"
+    )
+    cl.add_argument("input")
+    cl.add_argument("output")
+    cl.add_argument("--strip-html", action="store_true")
+    cl.add_argument("--form", default="NFKC")
+    cl.add_argument(
+        "--max-line-df", type=int, default=0,
+        help="drop lines in more than this many docs (0 = keep all)",
+    )
+
     ig = sub.add_parser(
         "ingest", help="manifest-tracked incremental append into parquet"
     )
@@ -528,6 +565,7 @@ def main(argv: list[str] | None = None) -> None:
         "split": cmd_split,
         "search": cmd_search,
         "ingest": cmd_ingest,
+        "clean": cmd_clean,
     }[args.command](args)
     print(f"[{args.command}] completed in {time.monotonic() - t0:.2f}s")
 

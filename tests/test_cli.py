@@ -235,3 +235,37 @@ def test_cli_ingest_incremental(tmp_path, spark):
     assert got == {1, 2, 3}
     main(["ingest", str(src), out, "--manifest", man])  # no new files
     assert spark.read.parquet(out).count() == 3
+
+
+def test_cli_clean_chain(tmp_path, spark):
+    """e2e: HTML strip + NFKC + line dedup through the clean command."""
+    import json
+
+    from big_data_hadoop_spark.cli import main
+
+    src = str(tmp_path / "clean_src")
+    out = str(tmp_path / "clean_out")
+    boiler = "<p>Subscribe now</p>"
+    spark.createDataFrame(
+        [
+            (1, f"<h1>Doc one</h1>{boiler}<p>body ﬁrst</p>"),
+            (2, f"<h1>Doc two</h1>{boiler}<p>body second</p>"),
+            (3, f"<h1>Doc three</h1>{boiler}<p>body third</p>"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    main([
+        "clean", src, out, "--strip-html", "--max-line-df", "2",
+    ])
+    import glob
+
+    rows = {}
+    for p in glob.glob(out + "/part-*"):
+        for line in open(p):
+            d = json.loads(line)
+            rows[d["doc_id"]] = d["text"]
+    assert len(rows) == 3
+    # ligature normalized, tags gone, shared boilerplate line dropped
+    assert rows[1] == "Doc one\nbody first"
+    assert rows[2] == "Doc two\nbody second"
+    assert "Subscribe now" not in rows[3]
