@@ -282,3 +282,134 @@ def test_round6_ops_at_sf01(spark, duck_sf01):
     for r in enc:
         toks = [t for t in texts[r["doc_id"]].lower().split(" ") if t]
         assert "".join(r["pieces"]).replace(EOW, " ").split() == toks or not toks
+
+
+def test_round7_ops_at_sf01(spark, duck_sf01):
+    """This round's operators at bench scale: weighted-sample race
+    equality vs a Python replay, group-quantile gate vs quantile_disc,
+    CMS guarantee over the full vocabulary, agg-state merge == one-shot,
+    corpus diff vs a SQL full-outer recomputation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state,
+        agg_state_finalize,
+        agg_state_merge,
+        cms_build,
+        cms_estimate,
+    )
+    from big_data_hadoop_spark.operators.tokenize import tokens
+    from big_data_hadoop_spark.pipeline import (
+        corpus_diff,
+        filter_by_group_quantile,
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_BENCH}/documents.parquet")
+
+    # weighted sample == Python replay of the race on the same uniforms
+    den = 2**31
+    rows = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            (
+                F.pmod(F.xxhash64("doc_id", F.lit(0)), F.lit(den)).cast(
+                    "double"
+                )
+                + F.lit(0.5)
+            )
+            / F.lit(float(den))
+        ).alias("u"),
+    ).collect()
+    expect = {
+        d
+        for _, d in sorted(
+            ((-math.log(r.u) / r.n_chars, r.doc_id) for r in rows)
+        )[:500]
+    }
+    got = {
+        r.doc_id for r in weighted_sample(docs, 500, "n_chars").collect()
+    }
+    assert got == expect
+
+    # group-quantile gate vs DuckDB
+    got_q = {
+        r.doc_id
+        for r in filter_by_group_quantile(
+            docs, "n_chars", 0.3, group_col="source"
+        ).collect()
+    }
+    want_q = {
+        r[0]
+        for r in duck_sf01.sql(
+            """
+        WITH c AS (SELECT source, quantile_disc(n_chars, 0.3) AS cut
+                   FROM documents GROUP BY source)
+        SELECT d.doc_id FROM documents d JOIN c USING (source)
+        WHERE d.n_chars <= c.cut
+        """
+        ).fetchall()
+    }
+    assert got_q == want_q and got_q
+
+    # CMS never undercounts at full-vocabulary scale
+    toks = tokens(
+        docs.select("doc_id", "text"), lowercase=True, keep_cols=()
+    ).select("token")
+    exact = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    est = cms_estimate(cms_build(toks, "token"), exact, "token").collect()
+    assert est and all(r.est_cnt >= r.true_cnt for r in est)
+
+    # agg-state merge == one-shot at scale
+    one = {
+        r.source: r
+        for r in agg_state_finalize(
+            agg_state(docs, ["source"], "n_chars", distinct_col="lang")
+        ).collect()
+    }
+    merged = {
+        r.source: r
+        for r in agg_state_finalize(
+            agg_state_merge(
+                agg_state(
+                    docs.filter(F.col("doc_id") % 2 == 0),
+                    ["source"], "n_chars", distinct_col="lang",
+                ).unionByName(
+                    agg_state(
+                        docs.filter(F.col("doc_id") % 2 == 1),
+                        ["source"], "n_chars", distinct_col="lang",
+                    )
+                ),
+                ["source"],
+            )
+        ).collect()
+    }
+    assert one.keys() == merged.keys()
+    for k in one:
+        assert one[k].n_rows == merged[k].n_rows
+        assert one[k].n_distinct_approx == merged[k].n_distinct_approx
+        assert abs(one[k].var_samp - merged[k].var_samp) < 1e-3
+
+    # corpus diff vs SQL
+    new = docs.select("doc_id", "text").filter(F.col("doc_id") % 11 != 0)
+    got_d = {
+        r.doc_id: r.status
+        for r in corpus_diff(docs.select("doc_id", "text"), new).collect()
+    }
+    want_d = {
+        r[0]: r[1]
+        for r in duck_sf01.sql(
+            """
+        WITH o AS (SELECT doc_id FROM documents),
+             n AS (SELECT doc_id FROM documents WHERE doc_id % 11 != 0)
+        SELECT o.doc_id,
+               CASE WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'unchanged' END AS status
+        FROM o LEFT JOIN n ON o.doc_id = n.doc_id
+        """
+        ).fetchall()
+    }
+    assert got_d == want_d
