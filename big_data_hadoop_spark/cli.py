@@ -379,10 +379,13 @@ def cmd_ingest(args: argparse.Namespace) -> None:
     if df is None:
         print("[ingest] no new files")
         return
-    n = df.count()
+    # the row count rides the write's own scan via observe — an eager
+    # count() here read every new file twice (review finding)
+    obs = Observation("ingest_rows")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     df.write.mode("append").parquet(args.output)
     commit()
-    print(f"[ingest] appended {n} rows from new files")
+    print(f"[ingest] appended {obs.get['n']} rows from new files")
 
 
 def cmd_probe(args: argparse.Namespace) -> None:

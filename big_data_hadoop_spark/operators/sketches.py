@@ -291,10 +291,15 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-estimate each key in ``keys``: min over the ``d`` rows of
     its bucket counts (missing cell = 0). Returns ``keys`` plus
-    ``est_cnt``. The d/w/seed must match the build. The state is ≤ d*w
-    rows — broadcast to the keys side, so estimation is a narrow
-    broadcast join however many keys are probed."""
-    probes = keys.select(
+    ``est_cnt``, ONE OUTPUT ROW PER INPUT ROW — duplicate probe rows
+    each get their estimate (a per-row tag keeps the fold from
+    collapsing them; review finding). The d/w/seed must match the
+    build. The state is ≤ d*w rows — broadcast to the keys side, so
+    estimation is a narrow broadcast join however many keys are
+    probed."""
+    probes = keys.withColumn(
+        "_probe_row", F.monotonically_increasing_id()
+    ).select(
         "*",
         F.explode(
             F.array(
@@ -315,4 +320,8 @@ def cms_estimate(
         "cnt", F.coalesce("cnt", F.lit(0))
     )
     out_cols = [c for c in keys.columns]
-    return joined.groupBy(*out_cols).agg(F.min("cnt").alias("est_cnt"))
+    return (
+        joined.groupBy("_probe_row", *out_cols)
+        .agg(F.min("cnt").alias("est_cnt"))
+        .drop("_probe_row")
+    )

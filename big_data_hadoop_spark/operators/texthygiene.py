@@ -172,9 +172,16 @@ def dedup_lines(
     """
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
+    # posexplode_OUTER: a NULL-text document must survive as one row
+    # with text NULL, not vanish from the output (review finding —
+    # plain posexplode of a NULL array yields zero rows and the doc
+    # silently disappeared).
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.col(text_col).isNull().alias("_null_text"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "pos", "line"
+        ),
     ).withColumn(
         "key",
         F.when(
@@ -194,20 +201,23 @@ def dedup_lines(
     return (
         kept.groupBy(id_col)
         .agg(
-            F.count("*").alias("n_lines"),
+            F.count("line").alias("n_lines"),  # 0 for a NULL-text doc
             F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                ~F.col("_drop"),
-                                F.struct("pos", "line"),
+            F.when(
+                ~F.first("_null_text"),
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("_drop"),
+                                    F.struct("pos", "line"),
+                                )
                             )
-                        )
+                        ),
+                        lambda s: s["line"],
                     ),
-                    lambda s: s["line"],
                 ),
             ).alias(text_col),
         )
@@ -236,9 +246,12 @@ def strip_html(col: Column) -> Column:
         c, r"(?i)</(p|div|h[1-6]|li|tr|table|blockquote)\s*>|<br\s*/?>", "\n"
     )
     c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # &amp; must decode LAST: '&amp;lt;' is the literal string '&lt;'
+    # on the rendered page, and decoding &amp; first would double-decode
+    # it into '<' (review finding).
     for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
@@ -252,7 +265,7 @@ def strip_html(col: Column) -> Column:
 #: sentence period is NOT part of the host), path/query optional with
 #: trailing punctuation excluded.
 URL_PATTERN = (
-    r"https?://[\w-]+(?:\.[\w-]+)*(?::\d+)?"
+    r"(?i:https?)://[\w-]+(?:\.[\w-]+)*(?::\d+)?"
     r"(?:/[^\s\"'<>]*[^\s\"'<>.,;:!?)]|/)?"
 )
 
@@ -277,7 +290,7 @@ def extract_urls(
             "domain",
             F.lower(
                 F.regexp_extract(
-                    F.col("url"), r"^https?://([\w-]+(?:\.[\w-]+)*)", 1
+                    F.col("url"), r"^(?i:https?)://([\w-]+(?:\.[\w-]+)*)", 1
                 )
             ),
         )

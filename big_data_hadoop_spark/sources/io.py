@@ -334,8 +334,12 @@ def read_incremental(
     ingest tool; Structured Streaming's file source keeps the same log
     in its checkpoint, this is the batch twin).
 
-    A re-uploaded file (same path, different length) counts as new
-    again; the manifest keeps one row per (path, length) version.
+    A re-uploaded file (same path, different length OR different
+    modification time) counts as new again; the manifest keeps one row
+    per (path, length, mtime) version — mtime in the key catches the
+    same-length in-place overwrite that a (path, length) key silently
+    skips (review finding). Manifests written by earlier versions
+    (no mtime column) degrade to the (path, length) key.
 
     100 TB shape: the listing is metadata-only and distributed; the
     anti-join runs on O(files) rows, not data; only the new files'
@@ -345,22 +349,29 @@ def read_incremental(
     """
     import os
 
-    current = list_data_files(spark, path, glob=glob)
+    current = list_data_files(spark, path, glob=glob).withColumn(
+        "mtime", F.col("modificationTime").cast("long")
+    )
     if os.path.exists(manifest):
-        seen = spark.read.parquet(manifest).select("path", "length")
-        fresh = current.join(seen, ["path", "length"], "left_anti")
+        seen = spark.read.parquet(manifest)
+        key = (
+            ["path", "length", "mtime"]
+            if "mtime" in seen.columns
+            else ["path", "length"]
+        )
+        fresh = current.join(seen.select(*key), key, "left_anti")
     else:
         fresh = current
-    new_files = [(r.path, r.length) for r in fresh.collect()]
+    new_files = [(r.path, r.length, r.mtime) for r in fresh.collect()]
     if not new_files:
         return None, lambda: None
 
-    paths = [p for p, _ in new_files]
+    paths = [p for p, _, _ in new_files]
     df = spark.read.format(fmt).load(paths)
 
     def commit() -> None:
         spark.createDataFrame(
-            new_files, "path string, length long"
+            new_files, "path string, length long, mtime long"
         ).write.mode("append").parquet(manifest)
 
     return df, commit

@@ -282,3 +282,38 @@ def test_list_data_files_prunes_content(spark, tmp_path):
     assert "content" not in plan
     files = df.collect()
     assert files and all(r.length > 0 for r in files)
+
+
+def test_incremental_read_reprocesses_same_length_overwrite(spark, tmp_path):
+    """An in-place overwrite with IDENTICAL byte length is still new:
+    the manifest keys on (path, length, mtime) (review finding)."""
+    import shutil
+    import time as _time
+
+    from big_data_hadoop_spark.sources.io import read_incremental
+
+    src = tmp_path / "inc3_src"
+    src.mkdir()
+    manifest = str(tmp_path / "inc3_manifest")
+
+    def write_named(ids, stage):
+        staged = tmp_path / stage
+        spark.createDataFrame(
+            [(i,) for i in ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staged))
+        shutil.copy(next(staged.glob("part-*.parquet")), src / "a.parquet")
+
+    write_named([1], "_s_a")
+    df, commit = read_incremental(spark, str(src), manifest)
+    assert {r.id for r in df.collect()} == {1}
+    commit()
+
+    _time.sleep(1.1)  # ensure a distinct mtime second
+    write_named([2], "_s_b")  # same schema/row count -> same byte length
+    import os
+
+    df2, commit2 = read_incremental(spark, str(src), manifest)
+    assert df2 is not None, "same-length overwrite must be reprocessed"
+    assert {r.id for r in df2.collect()} == {2}
+    commit2()
+    assert read_incremental(spark, str(src), manifest)[0] is None

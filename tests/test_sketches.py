@@ -362,3 +362,25 @@ def test_cms_rejects_degenerate_shape(spark):
         cms_build(df, "token", d=0)
     with _pytest.raises(ValueError):
         cms_build(df, "token", w=1)
+
+
+def test_cms_estimate_preserves_duplicate_probe_rows(spark):
+    """One output row per input row, even for duplicate probes
+    (review finding: the fold collapsed them)."""
+    from big_data_hadoop_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "token string"
+    )
+    state = cms_build(corpus, "token")
+    probes = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "token string"
+    )
+    rows = cms_estimate(state, probes, "token").collect()
+    assert len(rows) == 3
+    assert sorted((r.token, r.est_cnt) for r in rows) == [
+        ("a", 2), ("a", 2), ("b", 1)
+    ]

@@ -279,3 +279,46 @@ def test_extract_urls_matches_duckdb(spark):
     }
     assert got == want and len(got) == 4
     con.close()
+
+
+def test_strip_html_escaped_entities_not_double_decoded(spark):
+    """'&amp;lt;' renders as the literal string '&lt;' — decoding &amp;
+    last must not turn it into '<' (review finding)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.texthygiene import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "<p>Write &amp;lt;div&amp;gt; for a literal tag</p>")],
+        "doc_id long, text string",
+    )
+    out = df.select(strip_html(F.col("text")).alias("t")).collect()[0].t
+    assert out == "Write &lt;div&gt; for a literal tag"
+
+
+def test_dedup_lines_preserves_null_text_doc(spark):
+    """A NULL-text document must survive with text NULL, 0 lines
+    (review finding: posexplode dropped it entirely)."""
+    from big_data_hadoop_spark.operators.texthygiene import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "real\ncontent"), (2, None), (3, "real\nother")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(docs, max_df=1).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].text is None
+    assert out[2].n_lines == 0 and out[2].n_dropped == 0
+    assert out[1].text == "content" and out[1].n_dropped == 1  # 'real' df=2
+
+
+def test_extract_urls_uppercase_scheme(spark):
+    from big_data_hadoop_spark.operators.texthygiene import extract_urls
+
+    docs = spark.createDataFrame(
+        [(1, "Visit HTTP://EXAMPLE.COM/Page and HtTpS://Mixed.Io/x")],
+        "doc_id long, text string",
+    )
+    got = {(r.url, r.domain) for r in extract_urls(docs).collect()}
+    assert ("HTTP://EXAMPLE.COM/Page", "example.com") in got
+    assert ("HtTpS://Mixed.Io/x", "mixed.io") in got
