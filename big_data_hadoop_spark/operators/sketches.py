@@ -325,3 +325,109 @@ def cms_estimate(
         .agg(F.min("cnt").alias("est_cnt"))
         .drop("_probe_row")
     )
+
+
+def _applied_epoch(path: str) -> int:
+    """Highest epoch marker recorded in a state generation (-1 if
+    none). Markers are underscore-prefixed files, which parquet readers
+    treat as metadata and skip."""
+    import os
+
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return -1
+    epochs = [
+        int(n.removeprefix("_epoch-"))
+        for n in names
+        if n.startswith("_epoch-")
+    ]
+    return max(epochs, default=-1)
+
+
+def maintain_agg_state(
+    batch: DataFrame,
+    path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    distinct_col: str | None = None,
+    lg_k: int = 12,
+    epoch: int | None = None,
+) -> None:
+    """Fold one ingest batch into the persistent state table at
+    ``path``: state(batch) merged with the stored state, written back.
+    The write is staged-then-swapped (write to ``path + '.staging'``,
+    rename over) so a reader never sees a half-written state and a
+    failed write leaves the previous generation intact; a transactional
+    table format does this swap in production, the filesystem rename is
+    the local twin.
+
+    ``epoch`` makes the fold IDEMPOTENT for at-least-once callers
+    (``foreachBatch`` replays the last epoch after a crash): each
+    generation carries an ``_epoch-<n>`` marker file, and a fold whose
+    epoch is already recorded is a no-op — the replayed batch cannot
+    double-count. Underscore files are metadata to parquet readers, so
+    the marker rides inside the state directory through the swap."""
+    import os
+    import shutil
+
+    if epoch is not None and _applied_epoch(path) >= epoch:
+        return
+    spark = batch.sparkSession
+    new = agg_state(
+        batch, group_cols, value_col, distinct_col=distinct_col, lg_k=lg_k
+    )
+    if os.path.exists(path):
+        old = spark.read.parquet(path)
+        new = agg_state_merge(old.unionByName(new), group_cols)
+    staging = path + ".staging"
+    new.write.mode("overwrite").parquet(staging)
+    if epoch is not None:
+        with open(os.path.join(staging, f"_epoch-{epoch}"), "w"):
+            pass
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def streaming_agg_state(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    distinct_col: str | None = None,
+    available_now: bool = True,
+):
+    """Continuous aggregate maintenance over an unbounded stream: every
+    micro-batch folds into the state table at ``path`` via
+    ``foreachBatch`` + :func:`maintain_agg_state`, so
+    ``agg_state_finalize(spark.read.parquet(path))`` serves
+    count/sum/min/max/mean/variance/distinct for everything that ever
+    arrived — the continuous-aggregate / materialized-view pattern, and
+    the streaming twin of the batch build→merge cycle (q80).
+
+    State size is O(groups); each epoch reads and rewrites only the
+    state table, never reprocesses history. ``foreachBatch`` is
+    at-least-once per epoch — exactly-once comes from the epoch-marker
+    idempotence in :func:`maintain_agg_state`: a replayed epoch whose
+    fold already swapped in is a no-op. Returns the started query."""
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        maintain_agg_state(
+            batch,
+            path,
+            group_cols,
+            value_col,
+            distinct_col=distinct_col,
+            epoch=epoch,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -384,3 +384,84 @@ def test_cms_estimate_preserves_duplicate_probe_rows(spark):
     assert sorted((r.token, r.est_cnt) for r in rows) == [
         ("a", 2), ("a", 2), ("b", 1)
     ]
+
+
+def test_streaming_agg_state_equals_batch(spark, tmp_path):
+    """Drained continuous aggregate == one-shot batch state, including
+    across a second drain over the same checkpoint with new files."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state,
+        agg_state_finalize,
+        streaming_agg_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    src = tmp_path / "cas_src"
+    src.mkdir()
+    state = str(tmp_path / "cas_state")
+    ckpt = str(tmp_path / "cas_ckpt")
+
+    def add(name, pred):
+        staged = tmp_path / f"_s_{name}"
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(staged)
+        )
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+
+    def drain():
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        q = streaming_agg_state(
+            stream, state, ckpt, ["source"], "n_chars", distinct_col="doc_id"
+        )
+        q.awaitTermination(120)
+
+    add("b1", F.col("doc_id") < 250)
+    drain()
+    add("b2", F.col("doc_id") >= 250)
+    drain()
+
+    got = {
+        r.source: r
+        for r in agg_state_finalize(spark.read.parquet(state)).collect()
+    }
+    want = {
+        r.source: r
+        for r in agg_state_finalize(
+            agg_state(docs, ["source"], "n_chars", distinct_col="doc_id")
+        ).collect()
+    }
+    assert got.keys() == want.keys() and len(got) > 1
+    for k in got:
+        assert got[k].n_rows == want[k].n_rows
+        assert got[k].vmin == want[k].vmin and got[k].vmax == want[k].vmax
+        assert got[k].n_distinct_approx == want[k].n_distinct_approx
+        assert abs(got[k].total - want[k].total) < 1e-6
+
+
+def test_maintain_agg_state_epoch_replay_is_noop(spark, tmp_path):
+    """The at-least-once hazard: replaying an already-applied epoch must
+    not double-count."""
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state_finalize,
+        maintain_agg_state,
+    )
+
+    path = str(tmp_path / "st")
+    b = spark.createDataFrame([("a", 1.0), ("a", 3.0)], "g string, v double")
+    maintain_agg_state(b, path, ["g"], "v", epoch=0)
+    maintain_agg_state(b, path, ["g"], "v", epoch=0)  # replay: no-op
+    row = agg_state_finalize(spark.read.parquet(path)).collect()[0]
+    assert row.n_rows == 2 and row.total == 4.0
+    # a NEW epoch applies
+    maintain_agg_state(b, path, ["g"], "v", epoch=1)
+    row = agg_state_finalize(spark.read.parquet(path)).collect()[0]
+    assert row.n_rows == 4 and row.total == 8.0
