@@ -1502,6 +1502,33 @@ def q81_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q82_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT / melt — the wide→long inverse of q38's pivot, the one
+    reshaping primitive the relational surface lacked
+    (``DataFrame.unpivot``; Catalyst expands it to the same plan as a
+    UNION ALL of per-column projections). Per-metric row count, sum and
+    mean over four lineitem measures. Full DuckDB oracle (UNION ALL
+    form) in tests/test_window_suite.py — rows-only registry slot, the
+    driver's 50 oracle slots are full."""
+    li = load_table(spark, sf, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=measures,
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("metric")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1600,6 +1627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_line_dedup": q79_line_dedup,
     "q80_agg_state": q80_agg_state,
     "q81_cms_counts": q81_cms_counts,
+    "q82_unpivot": q82_unpivot,
 }
 
 _EN = ts.STOPWORDS["en"]

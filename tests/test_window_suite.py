@@ -71,3 +71,30 @@ def test_q78_decorrelates_to_joins(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+Q82_ORACLE = """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity::DOUBLE AS value
+    FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount::DOUBLE FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', l_tax::DOUBLE FROM lineitem
+)
+SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total,
+       ROUND(AVG(value), 6) AS avg_value
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+
+def test_q82_matches_duckdb(spark, duck):
+    from big_data_hadoop_spark.probes import q82_unpivot
+
+    got = q82_unpivot(spark, SF_ORACLE).toPandas()
+    want = duck.sql(Q82_ORACLE).df()
+    assert len(got) == 4
+    assert_frames_match(got, want, "q82_unpivot")
