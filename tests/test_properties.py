@@ -371,3 +371,93 @@ def test_split_partition_and_atomicity_property(spark, n_docs, weights, edges, s
         for m, c in comp.items():
             by_comp.setdefault(c, set()).add(label[m])
         assert all(len(s) == 1 for s in by_comp.values())
+
+
+# --- round-5 operators: line dedup and weighted sampling ---------------
+
+_LINE_WORDS = ["alpha", "beta", "gamma", "shared", "", "  ", "x"]
+
+docs_lines_strategy = st.lists(
+    st.lists(
+        st.sampled_from(_LINE_WORDS), min_size=0, max_size=6
+    ).map("\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=docs_lines_strategy, max_df=st.integers(min_value=1, max_value=3))
+@_SETTINGS
+def test_dedup_lines_equals_python_reference(spark, texts, max_df):
+    """dedup_lines vs a direct Python re-implementation of the contract
+    on random multi-line corpora (empty lines, whitespace lines,
+    repeated lines within and across docs)."""
+    from collections import defaultdict
+
+    from big_data_hadoop_spark.operators.texthygiene import dedup_lines
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_dropped)
+        for r in dedup_lines(df, max_df=max_df).collect()
+    }
+
+    line_docs = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            if ln.strip():
+                line_docs[ln.strip()].add(i)
+    drop = {k for k, v in line_docs.items() if len(v) > max_df}
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln.strip() not in drop or not ln.strip()]
+        n_dropped = len(lines) - len(kept)
+        assert got[i] == ("\n".join(kept), len(lines), n_dropped), (i, t)
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.1, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(min_value=0, max_value=25),
+    seed=st.integers(min_value=0, max_value=10),
+)
+@_SETTINGS
+def test_weighted_sample_race_property(spark, weights, k, seed):
+    """Invariant: the draw is exactly the k smallest -ln(u)/w keys for
+    the hash-derived uniforms — verified by replaying the race in
+    Python on the collected uniforms."""
+    import math
+
+    from big_data_hadoop_spark.pipeline import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w double"
+    )
+    den = 2**31
+    rows = df.select(
+        "doc_id",
+        "w",
+        (
+            (
+                F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(den)).cast(
+                    "double"
+                )
+                + F.lit(0.5)
+            )
+            / F.lit(float(den))
+        ).alias("u"),
+    ).collect()
+    expect = [
+        d
+        for _, d in sorted(
+            ((-math.log(r.u) / r.w, r.doc_id) for r in rows)
+        )[:k]
+    ]
+    got = sorted(
+        r.doc_id for r in weighted_sample(df, k, "w", seed=seed).collect()
+    )
+    assert got == sorted(expect)
