@@ -327,20 +327,25 @@ def cms_estimate(
     )
 
 
-def _applied_epoch(path: str) -> int:
-    """Highest epoch marker recorded in a state generation (-1 if
-    none). Markers are underscore-prefixed files, which parquet readers
-    treat as metadata and skip."""
+def _applied_epoch(path: str, run_token: str = "") -> int:
+    """Highest epoch marker recorded in a state generation for this
+    run token (-1 if none). Markers are underscore-prefixed files,
+    which parquet readers treat as metadata and skip. The token scopes
+    idempotence to ONE streaming run: after a checkpoint reset the
+    query gets a fresh id, batch numbering restarts at 0, and markers
+    from the previous run must not suppress the new run's batches
+    (review finding)."""
     import os
 
+    prefix = f"_epoch-{run_token}-" if run_token else "_epoch--"
     try:
         names = os.listdir(path)
     except OSError:
         return -1
     epochs = [
-        int(n.removeprefix("_epoch-"))
+        int(n.removeprefix(prefix))
         for n in names
-        if n.startswith("_epoch-")
+        if n.startswith(prefix) and n.removeprefix(prefix).isdigit()
     ]
     return max(epochs, default=-1)
 
@@ -353,6 +358,7 @@ def maintain_agg_state(
     distinct_col: str | None = None,
     lg_k: int = 12,
     epoch: int | None = None,
+    run_token: str = "",
 ) -> None:
     """Fold one ingest batch into the persistent state table at
     ``path``: state(batch) merged with the stored state, written back.
@@ -362,32 +368,49 @@ def maintain_agg_state(
     table format does this swap in production, the filesystem rename is
     the local twin.
 
-    ``epoch`` makes the fold IDEMPOTENT for at-least-once callers
+    ``epoch`` (+ ``run_token``, scoping epochs to one streaming run)
+    makes the fold IDEMPOTENT for at-least-once callers
     (``foreachBatch`` replays the last epoch after a crash): each
-    generation carries an ``_epoch-<n>`` marker file, and a fold whose
-    epoch is already recorded is a no-op — the replayed batch cannot
-    double-count. Underscore files are metadata to parquet readers, so
-    the marker rides inside the state directory through the swap."""
+    generation carries an ``_epoch-<token>-<n>`` marker file, and a
+    fold whose epoch is already recorded for the same run is a no-op —
+    the replayed batch cannot double-count. Underscore files are
+    metadata to parquet readers, so markers ride inside the state
+    directory through the swap.
+
+    The swap is rename-old → rename-staging → drop-old, never
+    delete-then-rename: a crash at any point leaves either the old or
+    the new generation on disk (recovery at the next fold restores a
+    stranded ``.old`` — review finding: rmtree-then-rename had a
+    window that lost the whole table)."""
     import os
     import shutil
 
-    if epoch is not None and _applied_epoch(path) >= epoch:
+    old = path + ".old"
+    # crash recovery: a fold killed between its two renames leaves
+    # only the .old generation
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if epoch is not None and _applied_epoch(path, run_token) >= epoch:
         return
     spark = batch.sparkSession
     new = agg_state(
         batch, group_cols, value_col, distinct_col=distinct_col, lg_k=lg_k
     )
     if os.path.exists(path):
-        old = spark.read.parquet(path)
-        new = agg_state_merge(old.unionByName(new), group_cols)
+        prior = spark.read.parquet(path)
+        new = agg_state_merge(prior.unionByName(new), group_cols)
     staging = path + ".staging"
     new.write.mode("overwrite").parquet(staging)
     if epoch is not None:
-        with open(os.path.join(staging, f"_epoch-{epoch}"), "w"):
+        marker = f"_epoch-{run_token}-{epoch}"
+        with open(os.path.join(staging, marker), "w"):
             pass
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def streaming_agg_state(
@@ -410,10 +433,28 @@ def streaming_agg_state(
     State size is O(groups); each epoch reads and rewrites only the
     state table, never reprocesses history. ``foreachBatch`` is
     at-least-once per epoch — exactly-once comes from the epoch-marker
-    idempotence in :func:`maintain_agg_state`: a replayed epoch whose
-    fold already swapped in is a no-op. Returns the started query."""
+    idempotence in :func:`maintain_agg_state`, keyed on (streaming
+    query id, batchId): batch ids restart at 0 after a checkpoint
+    reset, so the query id must scope the markers or the new run's
+    first batches would be mistaken for replays (review finding).
+    DELETING the checkpoint remains destructive in the usual
+    foreachBatch way — the source replays from scratch and those rows
+    re-fold; the marker scoping only guarantees new data is never
+    silently dropped. Returns the started query."""
+    import json
+    import os
+
+    token_cache: list[str] = []
 
     def fold(batch: DataFrame, epoch: int) -> None:
+        if not token_cache:
+            # the checkpoint's metadata file carries the query id,
+            # regenerated whenever the checkpoint is reset
+            try:
+                with open(os.path.join(checkpoint, "metadata")) as f:
+                    token_cache.append(json.load(f)["id"][:8])
+            except (OSError, KeyError, ValueError):
+                token_cache.append("run")
         maintain_agg_state(
             batch,
             path,
@@ -421,6 +462,7 @@ def streaming_agg_state(
             value_col,
             distinct_col=distinct_col,
             epoch=epoch,
+            run_token=token_cache[0],
         )
 
     writer = (

@@ -326,20 +326,28 @@ def read_incremental(
 ):
     """Incremental ingestion for BATCH pipelines: read only the files
     under ``path`` that no previous run has processed, tracked by a
-    parquet manifest of ``(path, length)``. Returns ``(df, commit)``
-    where ``df`` holds the new files' rows (``None`` when nothing is
-    new) and ``commit()`` appends the new files to the manifest — call
-    it AFTER the downstream write succeeds, so a failed run retries the
-    same files (at-least-once, the manifest pattern of every warehouse
-    ingest tool; Structured Streaming's file source keeps the same log
-    in its checkpoint, this is the batch twin).
+    parquet manifest keyed ``(path, length, mtime)``. Returns
+    ``(df, commit)`` where ``df`` holds the new files' rows (``None``
+    when nothing is new) and ``commit()`` folds the new files into the
+    manifest — call it AFTER the downstream write succeeds, so a failed
+    run retries the same files (at-least-once, the manifest pattern of
+    every warehouse ingest tool; Structured Streaming's file source
+    keeps the same log in its checkpoint, this is the batch twin).
 
     A re-uploaded file (same path, different length OR different
-    modification time) counts as new again; the manifest keeps one row
-    per (path, length, mtime) version — mtime in the key catches the
-    same-length in-place overwrite that a (path, length) key silently
-    skips (review finding). Manifests written by earlier versions
-    (no mtime column) degrade to the (path, length) key.
+    millisecond modification time) counts as new again — mtime in the
+    key catches the same-length in-place overwrite, at parquet's
+    millisecond timestamp precision (``unix_millis``; a whole-second
+    cast re-opened the same hazard inside one second — review finding).
+    Manifests written by earlier versions (no ``mtime`` column) are
+    UPGRADED on the next commit: the whole manifest is rewritten with
+    the legacy rows carrying mtime NULL, and a NULL-mtime row matches
+    any current mtime for its (path, length) — legacy history is
+    honored without re-ingesting it, and the directory never holds
+    mixed schemas (an append of the new schema onto legacy part files
+    made Spark's schema pick arbitrary — review finding). Commits
+    rewrite the whole manifest (O(files) rows) via stage-and-swap, so
+    a crashed commit leaves the previous manifest intact.
 
     100 TB shape: the listing is metadata-only and distributed; the
     anti-join runs on O(files) rows, not data; only the new files'
@@ -348,18 +356,33 @@ def read_incremental(
     state every table format's planner holds anyway.
     """
     import os
+    import shutil
+
+    # crash recovery: a commit killed between its two renames leaves
+    # only the .old generation — restore it before reading
+    if not os.path.exists(manifest) and os.path.exists(manifest + ".old"):
+        os.rename(manifest + ".old", manifest)
 
     current = list_data_files(spark, path, glob=glob).withColumn(
-        "mtime", F.col("modificationTime").cast("long")
+        "mtime", F.unix_millis(F.col("modificationTime"))
     )
+    seen_rows: list[tuple] = []
     if os.path.exists(manifest):
         seen = spark.read.parquet(manifest)
-        key = (
-            ["path", "length", "mtime"]
-            if "mtime" in seen.columns
-            else ["path", "length"]
+        if "mtime" not in seen.columns:
+            seen = seen.withColumn("mtime", F.lit(None).cast("long"))
+        seen = seen.select("path", "length", "mtime").alias("s")
+        c = current.alias("c")
+        cond = (
+            (F.col("c.path") == F.col("s.path"))
+            & (F.col("c.length") == F.col("s.length"))
+            & (
+                F.col("s.mtime").isNull()
+                | (F.col("s.mtime") == F.col("c.mtime"))
+            )
         )
-        fresh = current.join(seen.select(*key), key, "left_anti")
+        fresh = c.join(seen, cond, "left_anti")
+        seen_rows = [(r.path, r.length, r.mtime) for r in seen.collect()]
     else:
         fresh = current
     new_files = [(r.path, r.length, r.mtime) for r in fresh.collect()]
@@ -370,8 +393,17 @@ def read_incremental(
     df = spark.read.format(fmt).load(paths)
 
     def commit() -> None:
+        all_rows = seen_rows + new_files
+        staging = manifest + ".staging"
         spark.createDataFrame(
-            new_files, "path string, length long, mtime long"
-        ).write.mode("append").parquet(manifest)
+            all_rows, "path string, length long, mtime long"
+        ).write.mode("overwrite").parquet(staging)
+        old = manifest + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(manifest):
+            os.rename(manifest, old)
+        os.rename(staging, manifest)
+        shutil.rmtree(old, ignore_errors=True)
 
     return df, commit

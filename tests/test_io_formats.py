@@ -317,3 +317,50 @@ def test_incremental_read_reprocesses_same_length_overwrite(spark, tmp_path):
     assert {r.id for r in df2.collect()} == {2}
     commit2()
     assert read_incremental(spark, str(src), manifest)[0] is None
+
+
+def test_incremental_legacy_manifest_upgrades_cleanly(spark, tmp_path):
+    """A 2-column (path, length) manifest from an earlier version must
+    keep suppressing its files (no mass re-ingest), and the first
+    commit must rewrite the directory to ONE schema (review finding:
+    appending the new schema made Spark's schema pick arbitrary)."""
+    import shutil
+
+    from big_data_hadoop_spark.sources.io import (
+        list_data_files,
+        read_incremental,
+    )
+
+    src = tmp_path / "leg_src"
+    src.mkdir()
+    manifest = str(tmp_path / "leg_manifest")
+
+    def add_file(name, ids):
+        staged = tmp_path / f"_ls_{name}"
+        spark.createDataFrame(
+            [(i,) for i in ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+
+    add_file("a", [1, 2])
+    # legacy manifest: the old 2-column schema, written directly
+    list_data_files(spark, str(src)).select("path", "length").write.parquet(
+        manifest
+    )
+
+    # run 1 after upgrade: the legacy-tracked file must NOT come back
+    df, commit = read_incremental(spark, str(src), manifest)
+    assert df is None
+
+    # new file arrives; only it is ingested; commit rewrites to 3 cols
+    add_file("b", [3])
+    df2, commit2 = read_incremental(spark, str(src), manifest)
+    assert {r.id for r in df2.collect()} == {3}
+    commit2()
+    man = spark.read.parquet(manifest)
+    assert set(man.columns) == {"path", "length", "mtime"}
+    assert man.count() == 2  # both files, one schema
+    # and the upgraded manifest still suppresses everything
+    assert read_incremental(spark, str(src), manifest)[0] is None

@@ -465,3 +465,72 @@ def test_maintain_agg_state_epoch_replay_is_noop(spark, tmp_path):
     maintain_agg_state(b, path, ["g"], "v", epoch=1)
     row = agg_state_finalize(spark.read.parquet(path)).collect()[0]
     assert row.n_rows == 4 and row.total == 8.0
+
+
+def test_maintain_agg_state_recovers_stranded_old_generation(spark, tmp_path):
+    """Crash between the two swap renames leaves only path+'.old'; the
+    next fold must restore it instead of rebuilding from scratch
+    (review finding: the rmtree-then-rename swap lost the table)."""
+    import os
+
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state_finalize,
+        maintain_agg_state,
+    )
+
+    path = str(tmp_path / "rec_st")
+    b1 = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    maintain_agg_state(b1, path, ["g"], "v", epoch=0)
+    # simulate the crash window: generation renamed away, swap not done
+    os.rename(path, path + ".old")
+    b2 = spark.createDataFrame([("a", 2.0)], "g string, v double")
+    maintain_agg_state(b2, path, ["g"], "v", epoch=1)
+    row = agg_state_finalize(spark.read.parquet(path)).collect()[0]
+    assert row.n_rows == 2 and row.total == 3.0  # history survived
+
+
+def test_streaming_agg_state_checkpoint_reset_not_suppressed(spark, tmp_path):
+    """After a checkpoint reset, batch ids restart at 0 — the new run's
+    folds must NOT be dropped by the previous run's epoch markers
+    (review finding). The source replays from scratch on reset, so the
+    first run's rows re-fold (documented at-least-once hazard): totals
+    count b1 twice and b2 once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state_finalize,
+        streaming_agg_state,
+    )
+
+    src = tmp_path / "cr_src"
+    src.mkdir()
+    state = str(tmp_path / "cr_state")
+    ckpt = str(tmp_path / "cr_ckpt")
+
+    def add(name, rows):
+        staged = tmp_path / f"_cr_{name}"
+        spark.createDataFrame(rows, "g string, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+
+    def drain():
+        stream = spark.readStream.schema("g string, v double").parquet(
+            str(src)
+        )
+        q = streaming_agg_state(stream, state, ckpt, ["g"], "v")
+        q.awaitTermination(120)
+
+    add("b1", [("a", 1.0), ("a", 2.0)])
+    drain()
+    shutil.rmtree(ckpt)  # ops resets the checkpoint
+    add("b2", [("a", 10.0)])
+    drain()
+    row = agg_state_finalize(spark.read.parquet(state)).collect()[0]
+    # b1 folded twice (replay-from-scratch), b2 once — and crucially
+    # b2 is PRESENT: with unscoped markers it would have been dropped
+    assert row.n_rows == 5 and row.total == 16.0, row
