@@ -23,6 +23,7 @@ tables for exchange-free recurring joins.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -407,3 +408,77 @@ def read_incremental(
         shutil.rmtree(old, ignore_errors=True)
 
     return df, commit
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Dynamic partition overwrite — the backfill primitive: rewrite
+    ONLY the hive partitions present in ``df``, leaving every other
+    partition of the dataset untouched (``partitionOverwriteMode=
+    dynamic``; STATIC mode — Spark's default — would first delete the
+    whole table root, the classic backfill footgun). Reprocessing one
+    day of a year-partitioned 100 TB dataset rewrites one day.
+
+    The mode is set per-write via the writer option, not session-wide,
+    so concurrent writes with other semantics are unaffected."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite the parquet dataset at ``path``
+    into ``ceil(total_bytes / target_file_bytes)`` files (the
+    small-files problem — streaming sinks and incremental appends leave
+    thousands of KB-scale files whose per-file open/footer/task costs
+    dominate scans at scale). Returns ``(files_before, files_after)``.
+
+    Sizing comes from the metadata-only listing (no data read); the
+    rewrite is one repartition pass staged next to the dataset and
+    swapped in via the rename-old/rename-new pattern (crash leaves
+    either generation intact, recovery restores a stranded ``.old``).
+    Row-content equality is pinned by test; file ORDER inside the
+    dataset is not part of the parquet contract."""
+    import math
+    import os
+    import shutil
+
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    files = list_data_files(spark, path).collect()
+    n_before = len(files)
+    total = sum(r.length for r in files)
+    n_after = max(1, math.ceil(total / target_file_bytes))
+    staging = path + ".staging"
+    spark.read.parquet(path).repartition(n_after).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_before, len(list_data_files(spark, path).collect())
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files carry DIFFERENT (compatible)
+    schemas — the schema-evolution case every long-lived ingest hits
+    when a column is added mid-stream. ``mergeSchema=true`` unions the
+    footer schemas (missing columns read as NULL); the default read
+    picks ONE file's schema arbitrarily and silently drops the newer
+    columns — the same footgun the incremental manifest upgrade fixed.
+    Costs a footer read per file at plan time; data pages are untouched
+    until the query runs."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -364,3 +364,65 @@ def test_incremental_legacy_manifest_upgrades_cleanly(spark, tmp_path):
     assert man.count() == 2  # both files, one schema
     # and the upgraded manifest still suppresses everything
     assert read_incremental(spark, str(src), manifest)[0] is None
+
+
+def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
+    """Dynamic overwrite rewrites only the partitions present in the
+    frame; untouched partitions survive (static mode would wipe them)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.sources.io import overwrite_partitions
+
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        "day string, v long",
+    )
+    overwrite_partitions(base, path, ["day"])
+    # backfill day 1 with corrected data only
+    fix = spark.createDataFrame([("2024-01-01", 99)], "day string, v long")
+    overwrite_partitions(fix, path, ["day"])
+    # hive partition values type-infer back as dates; compare as str
+    got = {(str(r.day), r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 99), ("2024-01-02", 3)}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    before, after = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert before == 40 and after == 1
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(i, i * 2) for i in range(1000)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, path, target_file_bytes=0)
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    """Files written before and after a column addition read as one
+    unified schema with NULLs for the missing column."""
+    from big_data_hadoop_spark.sources.io import read_parquet_evolving
+
+    path = tmp_path / "evo"
+    path.mkdir()
+    spark.createDataFrame([(1,)], "id long").coalesce(1).write.parquet(
+        str(path / "gen1")
+    )
+    spark.createDataFrame(
+        [(2, "en")], "id long, lang string"
+    ).coalesce(1).write.parquet(str(path / "gen2"))
+    import shutil
+
+    for gen in ("gen1", "gen2"):
+        for p in (path / gen).glob("part-*.parquet"):
+            shutil.copy(p, path / f"{gen}.parquet")
+        shutil.rmtree(path / gen)
+    df = read_parquet_evolving(spark, str(path))
+    assert set(df.columns) == {"id", "lang"}
+    got = {(r.id, r.lang) for r in df.collect()}
+    assert got == {(1, None), (2, "en")}
