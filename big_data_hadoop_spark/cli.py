@@ -388,6 +388,36 @@ def cmd_ingest(args: argparse.Namespace) -> None:
     print(f"[ingest] appended {obs.get['n']} rows from new files")
 
 
+def cmd_compact(args: argparse.Namespace) -> None:
+    """Small-file compaction of a parquet dataset in place."""
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    spark = _spark("compact")
+    before, after = compact_parquet(
+        spark, args.path, target_file_bytes=args.target_mb * 1024 * 1024
+    )
+    print(f"[compact] {before} files -> {after}")
+
+
+def cmd_diff(args: argparse.Namespace) -> None:
+    """Snapshot diff between two corpus versions: status counts to
+    stdout, optional per-document JSONL."""
+    from big_data_hadoop_spark.pipeline import corpus_diff
+    from big_data_hadoop_spark.sources.io import write_jsonl
+
+    spark = _spark("diff")
+    old = _read_docs(spark, args.old)
+    new = _read_docs(spark, args.new)
+    d = corpus_diff(old, new)
+    if args.output:
+        write_jsonl(d, args.output)
+        # status counts from the written result: no second derivation
+        d = spark.read.json(args.output)
+    for r in d.groupBy("status").count().orderBy("status").collect():
+        print(f"[diff] {r['status']}: {r['count']}")
+    _warn_dropped_lines()
+
+
 def cmd_probe(args: argparse.Namespace) -> None:
     from big_data_hadoop_spark.probes import QUERIES
 
@@ -542,6 +572,17 @@ def main(argv: list[str] | None = None) -> None:
         help="drop lines in more than this many docs (0 = keep all)",
     )
 
+    co = sub.add_parser("compact", help="compact a parquet dataset's files")
+    co.add_argument("path")
+    co.add_argument("--target-mb", type=int, default=128)
+
+    di = sub.add_parser(
+        "diff", help="added/removed/changed/unchanged between two corpora"
+    )
+    di.add_argument("old")
+    di.add_argument("new")
+    di.add_argument("--output", default=None, help="optional JSONL output")
+
     ig = sub.add_parser(
         "ingest", help="manifest-tracked incremental append into parquet"
     )
@@ -569,6 +610,8 @@ def main(argv: list[str] | None = None) -> None:
         "search": cmd_search,
         "ingest": cmd_ingest,
         "clean": cmd_clean,
+        "compact": cmd_compact,
+        "diff": cmd_diff,
     }[args.command](args)
     print(f"[{args.command}] completed in {time.monotonic() - t0:.2f}s")
 

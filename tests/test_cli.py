@@ -269,3 +269,31 @@ def test_cli_clean_chain(tmp_path, spark):
     assert rows[1] == "Doc one\nbody first"
     assert rows[2] == "Doc two\nbody second"
     assert "Subscribe now" not in rows[3]
+
+
+def test_cli_compact_and_diff(tmp_path, spark, capsys):
+    from big_data_hadoop_spark.cli import main
+
+    frag = str(tmp_path / "frag")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    ).repartition(10).write.parquet(frag)
+    main(["compact", frag, "--target-mb", "1024"])
+    out = capsys.readouterr().out
+    assert "[compact] 10 files -> 1" in out
+    assert spark.read.parquet(frag).count() == 100
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "doc_id long, text string"
+    ).write.parquet(new)
+    main(["diff", old, new])
+    out = capsys.readouterr().out
+    assert "[diff] added: 1" in out
+    assert "[diff] removed: 1" in out
+    assert "[diff] changed: 1" in out
+    assert "[diff] unchanged: 1" in out
