@@ -347,6 +347,15 @@ def _applied_epoch(path: str, run_token: str = "") -> int:
         for n in names
         if n.startswith(prefix) and n.removeprefix(prefix).isdigit()
     ]
+    if not run_token:
+        # pre-run-token markers were written as `_epoch-<n>`; a batch
+        # caller's crash-replay straddling the upgrade must still see
+        # them (review finding: forgetting them double-counts once)
+        epochs += [
+            int(n.removeprefix("_epoch-"))
+            for n in names
+            if n.startswith("_epoch-") and n.removeprefix("_epoch-").isdigit()
+        ]
     return max(epochs, default=-1)
 
 
@@ -383,13 +392,13 @@ def maintain_agg_state(
     stranded ``.old`` — review finding: rmtree-then-rename had a
     window that lost the whole table)."""
     import os
-    import shutil
 
-    old = path + ".old"
-    # crash recovery: a fold killed between its two renames leaves
-    # only the .old generation
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+    from big_data_hadoop_spark.sources.io import (
+        _recover_generation,
+        _swap_in,
+    )
+
+    _recover_generation(path)
     if epoch is not None and _applied_epoch(path, run_token) >= epoch:
         return
     spark = batch.sparkSession
@@ -405,12 +414,7 @@ def maintain_agg_state(
         marker = f"_epoch-{run_token}-{epoch}"
         with open(os.path.join(staging, marker), "w"):
             pass
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_in(staging, path)
 
 
 def streaming_agg_state(
@@ -443,18 +447,29 @@ def streaming_agg_state(
     silently dropped. Returns the started query."""
     import json
     import os
+    import uuid
+    from urllib.parse import urlparse
 
     token_cache: list[str] = []
 
     def fold(batch: DataFrame, epoch: int) -> None:
         if not token_cache:
             # the checkpoint's metadata file carries the query id,
-            # regenerated whenever the checkpoint is reset
+            # regenerated whenever the checkpoint is reset. Accept a
+            # file: URI; for non-local filesystems (or any read
+            # failure) fall back to a PER-CALL random token — failing
+            # toward possible re-folds on process restart, never
+            # toward suppressing real data (a constant fallback
+            # re-opened the reset-suppression bug — review finding).
+            local = checkpoint
+            parsed = urlparse(checkpoint)
+            if parsed.scheme in ("file", ""):
+                local = parsed.path or checkpoint
             try:
-                with open(os.path.join(checkpoint, "metadata")) as f:
+                with open(os.path.join(local, "metadata")) as f:
                     token_cache.append(json.load(f)["id"][:8])
             except (OSError, KeyError, ValueError):
-                token_cache.append("run")
+                token_cache.append(uuid.uuid4().hex[:8])
         maintain_agg_state(
             batch,
             path,

@@ -300,6 +300,34 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _recover_generation(path: str) -> None:
+    """Crash recovery for the stage-and-swap pattern: a swap killed
+    between its two renames leaves only ``path + '.old'`` — restore it.
+    Shared by every swap site (manifest commit, compaction, agg-state
+    fold) so a crash-window fix lands once (review finding: the
+    sequence was hand-copied three times)."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
+def _swap_in(staging: str, path: str) -> None:
+    """Atomically-enough replace ``path`` with ``staging``:
+    rename-old → rename-new → drop-old. A crash at any point leaves
+    either the old or the new generation on disk for
+    :func:`_recover_generation` to restore — never neither (the
+    delete-then-rename form had a window that lost the table)."""
+    import shutil
+
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def list_data_files(
     spark: SparkSession, path: str, glob: str = "*.parquet"
 ) -> DataFrame:
@@ -356,18 +384,12 @@ def read_incremental(
     (``collect`` of new paths) — O(new files) strings, the same driver
     state every table format's planner holds anyway.
     """
-    import os
-    import shutil
-
-    # crash recovery: a commit killed between its two renames leaves
-    # only the .old generation — restore it before reading
-    if not os.path.exists(manifest) and os.path.exists(manifest + ".old"):
-        os.rename(manifest + ".old", manifest)
+    _recover_generation(manifest)
 
     current = list_data_files(spark, path, glob=glob).withColumn(
         "mtime", F.unix_millis(F.col("modificationTime"))
     )
-    seen_rows: list[tuple] = []
+    seen = None
     if os.path.exists(manifest):
         seen = spark.read.parquet(manifest)
         if "mtime" not in seen.columns:
@@ -383,29 +405,45 @@ def read_incremental(
             )
         )
         fresh = c.join(seen, cond, "left_anti")
-        seen_rows = [(r.path, r.length, r.mtime) for r in seen.collect()]
     else:
         fresh = current
     new_files = [(r.path, r.length, r.mtime) for r in fresh.collect()]
     if not new_files:
+        # no driver materialization of the manifest on an idle poll
+        # (review finding: the old code collected every row ever seen
+        # on every no-op call)
         return None, lambda: None
 
     paths = [p for p, _, _ in new_files]
     df = spark.read.format(fmt).load(paths)
 
     def commit() -> None:
-        all_rows = seen_rows + new_files
+        # materialize the prior manifest only now, on the commit path.
+        # Legacy NULL-mtime rows are BACKFILLED from the current
+        # listing (a NULL row matched exactly the file now on disk
+        # with its (path, length)) so the same-length-overwrite hazard
+        # closes for pre-upgrade files too instead of staying open
+        # forever (review finding).
+        seen_rows: list[tuple] = []
+        if seen is not None:
+            now = {
+                (r.path, r.length): r.mtime for r in current.collect()
+            }
+            seen_rows = [
+                (
+                    r.path,
+                    r.length,
+                    r.mtime
+                    if r.mtime is not None
+                    else now.get((r.path, r.length)),
+                )
+                for r in seen.collect()
+            ]
         staging = manifest + ".staging"
         spark.createDataFrame(
-            all_rows, "path string, length long, mtime long"
+            seen_rows + new_files, "path string, length long, mtime long"
         ).write.mode("overwrite").parquet(staging)
-        old = manifest + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(manifest):
-            os.rename(manifest, old)
-        os.rename(staging, manifest)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_in(staging, manifest)
 
     return df, commit
 
@@ -443,33 +481,64 @@ def compact_parquet(
 
     Sizing comes from the metadata-only listing (no data read); the
     rewrite is one repartition pass staged next to the dataset and
-    swapped in via the rename-old/rename-new pattern (crash leaves
-    either generation intact, recovery restores a stranded ``.old``).
-    Row-content equality is pinned by test; file ORDER inside the
-    dataset is not part of the parquet contract."""
+    swapped in via the shared rename-old/rename-new pattern (crash
+    leaves either generation intact, recovery restores a stranded
+    ``.old``). Hive-partitioned datasets keep their layout: partition
+    columns are detected from the ``col=value`` directory names and the
+    rewrite repartitions BY them and writes ``partitionBy`` them, one
+    file per partition value (flattening them into root files would
+    kill pruning and corrupt later dynamic-overwrite backfills —
+    review finding). Already-compact (or empty) datasets are no-ops,
+    so the tool is safe to run on a schedule. Row-content equality is
+    pinned by test; file ORDER inside the dataset is not part of the
+    parquet contract."""
     import math
-    import os
-    import shutil
 
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
-    old = path + ".old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+    _recover_generation(path)
     files = list_data_files(spark, path).collect()
     n_before = len(files)
+    if n_before == 0:
+        return 0, 0
     total = sum(r.length for r in files)
     n_after = max(1, math.ceil(total / target_file_bytes))
+    pcols = _hive_partition_cols(path)
+    if not pcols and n_after >= n_before:
+        return n_before, n_before  # nothing to gain from a rewrite
     staging = path + ".staging"
-    spark.read.parquet(path).repartition(n_after).write.mode(
-        "overwrite"
-    ).parquet(staging)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    df = spark.read.parquet(path)
+    if pcols:
+        # cluster rows by partition value -> one file per partition dir
+        df.repartition(*[F.col(c) for c in pcols]).write.mode(
+            "overwrite"
+        ).partitionBy(*pcols).parquet(staging)
+    else:
+        df.repartition(n_after).write.mode("overwrite").parquet(staging)
+    _swap_in(staging, path)
     return n_before, len(list_data_files(spark, path).collect())
+
+
+def _hive_partition_cols(path: str) -> list[str]:
+    """Partition column chain of a hive-layout dataset (e.g.
+    ``['day', 'hour']`` for ``day=X/hour=Y/part-*.parquet``), detected
+    from directory names; empty for a flat dataset."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        try:
+            subdirs = [
+                d
+                for d in os.listdir(cur)
+                if "=" in d and os.path.isdir(os.path.join(cur, d))
+            ]
+        except OSError:
+            break
+        if not subdirs:
+            break
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+    return cols
 
 
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:

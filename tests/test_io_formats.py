@@ -426,3 +426,100 @@ def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
     assert set(df.columns) == {"id", "lang"}
     got = {(r.id, r.lang) for r in df.collect()}
     assert got == {(1, None), (2, "en")}
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a partitioned dataset must keep the layout (review
+    finding: a flat rewrite killed pruning and corrupted later dynamic
+    backfills)."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import (
+        compact_parquet,
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "pc")
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(50)],
+        "k string, v long",
+    ).repartition(10)
+    df.write.partitionBy("k").parquet(path)
+    before, after = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert sorted(os.listdir(path)) >= ["k=a", "k=b"] or {
+        "k=a", "k=b"
+    } <= set(os.listdir(path))
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 100
+    # a dynamic backfill after compaction stays correct
+    overwrite_partitions(
+        spark.createDataFrame([("a", 999)], "k string, v long"), path, ["k"]
+    )
+    rows = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert ("a", 999) in rows and len([r for r in rows if r[0] == "a"]) == 1
+    assert len([r for r in rows if r[0] == "b"]) == 50
+
+
+def test_compact_noop_guards(spark, tmp_path):
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    # empty dataset: clean no-op, not an AnalysisException
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert compact_parquet(spark, str(empty)) == (0, 0)
+    # already compact: no rewrite (file count unchanged, tiny target)
+    path = str(tmp_path / "one")
+    spark.range(10).coalesce(1).write.parquet(path)
+    import glob as _g
+
+    parts_before = sorted(_g.glob(path + "/part-*.parquet"))
+    assert compact_parquet(spark, path, target_file_bytes=1) == (1, 1)
+    assert sorted(_g.glob(path + "/part-*.parquet")) == parts_before
+
+
+def test_incremental_legacy_null_mtime_backfilled_on_commit(spark, tmp_path):
+    """After the upgrade commit, legacy rows carry the real mtime, so a
+    later same-length overwrite of a pre-upgrade file IS re-ingested
+    (review finding: NULL persisted forever and permanently re-opened
+    the hazard)."""
+    import shutil
+    import time as _time
+
+    from big_data_hadoop_spark.sources.io import (
+        list_data_files,
+        read_incremental,
+    )
+
+    src = tmp_path / "lb_src"
+    src.mkdir()
+    manifest = str(tmp_path / "lb_manifest")
+
+    def write_named(ids, stage):
+        staged = tmp_path / stage
+        spark.createDataFrame(
+            [(i,) for i in ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staged))
+        shutil.copy(next(staged.glob("part-*.parquet")), src / "a.parquet")
+
+    write_named([1], "_lb1")
+    list_data_files(spark, str(src)).select("path", "length").write.parquet(
+        manifest
+    )  # legacy manifest tracks the file without mtime
+
+    # a new file triggers the upgrade commit
+    staged2 = tmp_path / "_lb2"
+    spark.createDataFrame([(9,)], "id long").coalesce(1).write.parquet(
+        str(staged2)
+    )
+    shutil.copy(next(staged2.glob("part-*.parquet")), src / "b.parquet")
+    df, commit = read_incremental(spark, str(src), manifest)
+    assert {r.id for r in df.collect()} == {9}
+    commit()
+    man = spark.read.parquet(manifest)
+    assert man.filter("mtime IS NULL").count() == 0  # backfilled
+
+    # same-length in-place overwrite of the PRE-UPGRADE file: reprocessed
+    _time.sleep(1.1)
+    write_named([2], "_lb3")
+    df2, _ = read_incremental(spark, str(src), manifest)
+    assert df2 is not None and {r.id for r in df2.collect()} == {2}

@@ -534,3 +534,25 @@ def test_streaming_agg_state_checkpoint_reset_not_suppressed(spark, tmp_path):
     # b1 folded twice (replay-from-scratch), b2 once — and crucially
     # b2 is PRESENT: with unscoped markers it would have been dropped
     assert row.n_rows == 5 and row.total == 16.0, row
+
+
+def test_applied_epoch_recognizes_legacy_markers(spark, tmp_path):
+    """Markers written as `_epoch-<n>` by the pre-token version still
+    suppress a replay of the same epoch for token-less callers."""
+    import os
+
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state_finalize,
+        maintain_agg_state,
+    )
+
+    path = str(tmp_path / "leg_st")
+    b = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    maintain_agg_state(b, path, ["g"], "v", epoch=3)
+    # rewrite the marker in the OLD format
+    os.rename(
+        os.path.join(path, "_epoch--3"), os.path.join(path, "_epoch-3")
+    )
+    maintain_agg_state(b, path, ["g"], "v", epoch=3)  # replay: no-op
+    row = agg_state_finalize(spark.read.parquet(path)).collect()[0]
+    assert row.n_rows == 1
