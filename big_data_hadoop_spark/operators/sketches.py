@@ -444,31 +444,37 @@ def streaming_agg_state(
     DELETING the checkpoint remains destructive in the usual
     foreachBatch way — the source replays from scratch and those rows
     re-fold; the marker scoping only guarantees new data is never
-    silently dropped. Returns the started query."""
+    silently dropped. If the checkpoint's metadata cannot be read at
+    all, the token falls back to a per-process random value: crash
+    replays may then re-fold once per restart (at-least-once) — the
+    safe failure direction — so exactly-once holds exactly when the
+    query id is readable. Returns the started query."""
     import json
-    import os
     import uuid
-    from urllib.parse import urlparse
 
     token_cache: list[str] = []
 
     def fold(batch: DataFrame, epoch: int) -> None:
         if not token_cache:
             # the checkpoint's metadata file carries the query id,
-            # regenerated whenever the checkpoint is reset. Accept a
-            # file: URI; for non-local filesystems (or any read
-            # failure) fall back to a PER-CALL random token — failing
-            # toward possible re-folds on process restart, never
-            # toward suppressing real data (a constant fallback
-            # re-opened the reset-suppression bug — review finding).
-            local = checkpoint
-            parsed = urlparse(checkpoint)
-            if parsed.scheme in ("file", ""):
-                local = parsed.path or checkpoint
+            # regenerated whenever the checkpoint is reset. Read it
+            # through Spark's own filesystem layer so EVERY scheme the
+            # checkpoint can live on (file:, hdfs:, s3a:, plain local
+            # paths incl. '#'/'?' characters) resolves the same way
+            # Spark resolved it — a local open() silently degraded
+            # non-local runs, and urlparse mangled legal local names
+            # (review findings). Only on a genuine read failure fall
+            # back to a PER-CALL random token — failing toward
+            # possible re-folds, never toward suppressing real data.
             try:
-                with open(os.path.join(local, "metadata")) as f:
-                    token_cache.append(json.load(f)["id"][:8])
-            except (OSError, KeyError, ValueError):
+                meta = "".join(
+                    r.value
+                    for r in batch.sparkSession.read.text(
+                        checkpoint + "/metadata"
+                    ).collect()
+                )
+                token_cache.append(json.loads(meta)["id"][:8])
+            except Exception:
                 token_cache.append(uuid.uuid4().hex[:8])
         maintain_agg_state(
             batch,

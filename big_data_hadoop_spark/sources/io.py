@@ -426,9 +426,15 @@ def read_incremental(
         # forever (review finding).
         seen_rows: list[tuple] = []
         if seen is not None:
-            now = {
-                (r.path, r.length): r.mtime for r in current.collect()
-            }
+            prior = seen.collect()
+            # current listing materializes ONLY when a NULL-mtime
+            # legacy row actually needs backfilling — the steady state
+            # after the one-time upgrade pays nothing (review finding)
+            now: dict[tuple, int] = {}
+            if any(r.mtime is None for r in prior):
+                now = {
+                    (r.path, r.length): r.mtime for r in current.collect()
+                }
             seen_rows = [
                 (
                     r.path,
@@ -437,7 +443,7 @@ def read_incremental(
                     if r.mtime is not None
                     else now.get((r.path, r.length)),
                 )
-                for r in seen.collect()
+                for r in prior
             ]
         staging = manifest + ".staging"
         spark.createDataFrame(
@@ -484,15 +490,24 @@ def compact_parquet(
     swapped in via the shared rename-old/rename-new pattern (crash
     leaves either generation intact, recovery restores a stranded
     ``.old``). Hive-partitioned datasets keep their layout: partition
-    columns are detected from the ``col=value`` directory names and the
-    rewrite repartitions BY them and writes ``partitionBy`` them, one
-    file per partition value (flattening them into root files would
-    kill pruning and corrupt later dynamic-overwrite backfills —
-    review finding). Already-compact (or empty) datasets are no-ops,
-    so the tool is safe to run on a schedule. Row-content equality is
-    pinned by test; file ORDER inside the dataset is not part of the
-    parquet contract."""
+    columns come from the DATA FILES' own relative paths (a stray
+    ``name=value`` directory with no parquet inside cannot
+    misclassify the dataset — review finding), partition values stay
+    STRINGS (type inference disabled for the rewrite, so ``id=01``
+    is not renamed/merged into ``id=1`` — review finding), and
+    ``target_file_bytes`` applies PER PARTITION: each partition
+    directory is salted into ``ceil(its bytes / target)`` groups
+    before ``partitionBy`` (the one-file-per-partition shortcut
+    funnelled a hot 50 GB day through one task — review finding;
+    hash collisions between salt groups can still merge two groups
+    into one file, so the target is approximate from above).
+    Already-compact datasets — flat at-or-under the target count, or
+    partitioned with every directory already at its target — are
+    no-ops, so the tool is safe to run on a schedule. Row-content
+    equality is pinned by test; file ORDER inside the dataset is not
+    part of the parquet contract."""
     import math
+    from collections import defaultdict
 
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
@@ -501,44 +516,74 @@ def compact_parquet(
     n_before = len(files)
     if n_before == 0:
         return 0, 0
-    total = sum(r.length for r in files)
-    n_after = max(1, math.ceil(total / target_file_bytes))
-    pcols = _hive_partition_cols(path)
-    if not pcols and n_after >= n_before:
-        return n_before, n_before  # nothing to gain from a rewrite
-    staging = path + ".staging"
-    df = spark.read.parquet(path)
+
+    # partition chain from the data files' own parent directories
+    root = os.path.abspath(path)
+    dir_bytes: dict[tuple[str, ...], int] = defaultdict(int)
+    dir_files: dict[tuple[str, ...], int] = defaultdict(int)
+    pcols: list[str] = []
+    for r in files:
+        p = r.path.removeprefix("file:")
+        rel = os.path.relpath(os.path.dirname(os.path.abspath(p)), root)
+        segs = () if rel == "." else tuple(rel.split(os.sep))
+        if all("=" in s for s in segs):
+            key = tuple(s.split("=", 1)[1] for s in segs)
+            cols = [s.split("=", 1)[0] for s in segs]
+            if len(cols) > len(pcols):
+                pcols = cols
+            dir_bytes[key] += r.length
+            dir_files[key] += 1
+
     if pcols:
-        # cluster rows by partition value -> one file per partition dir
-        df.repartition(*[F.col(c) for c in pcols]).write.mode(
-            "overwrite"
-        ).partitionBy(*pcols).parquet(staging)
+        k_per_dir = {
+            key: max(1, math.ceil(b / target_file_bytes))
+            for key, b in dir_bytes.items()
+        }
+        if all(dir_files[k] <= k_per_dir[k] for k in dir_files):
+            return n_before, n_before  # every directory already compact
     else:
-        df.repartition(n_after).write.mode("overwrite").parquet(staging)
+        total = sum(r.length for r in files)
+        n_after = max(1, math.ceil(total / target_file_bytes))
+        if n_after >= n_before:
+            return n_before, n_before  # nothing to gain from a rewrite
+
+    staging = path + ".staging"
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prior_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")  # partition values stay strings
+    try:
+        df = spark.read.parquet(path)
+        if pcols:
+            kmap = spark.createDataFrame(
+                [(*key, k) for key, k in k_per_dir.items()],
+                ", ".join(f"{c} string" for c in pcols) + ", _k int",
+            )
+            total_k = sum(k_per_dir.values())
+            salted = (
+                df.join(F.broadcast(kmap), pcols)
+                .withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64(F.monotonically_increasing_id()),
+                        F.col("_k"),
+                    ),
+                )
+            )
+            (
+                salted.repartition(
+                    max(total_k, 1), *[F.col(c) for c in pcols], F.col("_salt")
+                )
+                .drop("_k", "_salt")
+                .write.mode("overwrite")
+                .partitionBy(*pcols)
+                .parquet(staging)
+            )
+        else:
+            df.repartition(n_after).write.mode("overwrite").parquet(staging)
+    finally:
+        spark.conf.set(infer_key, prior_infer)
     _swap_in(staging, path)
     return n_before, len(list_data_files(spark, path).collect())
-
-
-def _hive_partition_cols(path: str) -> list[str]:
-    """Partition column chain of a hive-layout dataset (e.g.
-    ``['day', 'hour']`` for ``day=X/hour=Y/part-*.parquet``), detected
-    from directory names; empty for a flat dataset."""
-    cols: list[str] = []
-    cur = path
-    while True:
-        try:
-            subdirs = [
-                d
-                for d in os.listdir(cur)
-                if "=" in d and os.path.isdir(os.path.join(cur, d))
-            ]
-        except OSError:
-            break
-        if not subdirs:
-            break
-        cols.append(subdirs[0].split("=", 1)[0])
-        cur = os.path.join(cur, subdirs[0])
-    return cols
 
 
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:

@@ -523,3 +523,87 @@ def test_incremental_legacy_null_mtime_backfilled_on_commit(spark, tmp_path):
     write_named([2], "_lb3")
     df2, _ = read_incremental(spark, str(src), manifest)
     assert df2 is not None and {r.id for r in df2.collect()} == {2}
+
+
+def test_compact_partitioned_noop_and_per_partition_sizing(spark, tmp_path):
+    """Second scheduled run on an already-compact partitioned dataset is
+    a no-op (review finding: it rewrote everything every tick), and a
+    directory larger than the target splits into multiple files."""
+    import glob as _g
+
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    import hashlib
+
+    path = str(tmp_path / "pps")
+    # high-entropy text so the parquet files don't compress below the
+    # tiny test target
+    spark.createDataFrame(
+        [
+            ("a", hashlib.sha256(str(i).encode()).hexdigest() * 4)
+            for i in range(300)
+        ]
+        + [("b", "y")] * 3,
+        "k string, text string",
+    ).repartition(6).write.partitionBy("k").parquet(path)
+    # per-partition sizing: k=a (~45 KB compressed over 6 fragments)
+    # compacts toward ceil(bytes/16 KB) ≈ 3 groups — fewer files than
+    # before but MORE than one (the one-file-per-partition shortcut
+    # would funnel everything through one task); k=b merges to 1
+    n_a_before = len(_g.glob(path + "/k=a/part-*.parquet"))
+    b1, a1 = compact_parquet(spark, path, target_file_bytes=16384)
+    n_a = len(_g.glob(path + "/k=a/part-*.parquet"))
+    assert 1 < n_a < n_a_before
+    assert len(_g.glob(path + "/k=b/part-*.parquet")) == 1
+    files_after_first = sorted(_g.glob(path + "/k=*/part-*.parquet"))
+    # second scheduled run at the same target: nothing to do
+    b2, a2 = compact_parquet(spark, path, target_file_bytes=16384)
+    assert (b2, a2) == (a1, a1)
+    assert sorted(_g.glob(path + "/k=*/part-*.parquet")) == files_after_first
+    # a big target merges k=a fully
+    compact_parquet(spark, path, target_file_bytes=10**9)
+    assert len(_g.glob(path + "/k=a/part-*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 303
+
+
+def test_compact_preserves_string_partition_values(spark, tmp_path):
+    """id=01 and id=1 are DISTINCT string partitions and must both
+    survive compaction verbatim (review finding: type inference merged
+    them into id=1)."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "strp")
+    spark.createDataFrame(
+        [("01", 1), ("01", 2), ("1", 9)], "id string, v long"
+    ).repartition(4).write.partitionBy("id").parquet(path)
+    assert {"id=01", "id=1"} <= set(os.listdir(path))
+    compact_parquet(spark, path, target_file_bytes=10**9)
+    assert {"id=01", "id=1"} <= set(os.listdir(path))
+    # verify values with inference off (the default read would itself
+    # merge 01 and 1 at presentation time, independent of layout)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    finally:
+        spark.conf.set(key, prior)
+    assert got == {("01", 1), ("01", 2), ("1", 9)}
+
+
+def test_compact_flat_with_stray_equals_dir(spark, tmp_path):
+    """A flat dataset with a stray 'name=value' subdirectory holding no
+    parquet is still compacted as FLAT (review finding: the directory
+    walk misclassified it as partitioned and the rewrite aborted)."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "stray")
+    spark.range(100).repartition(5).write.parquet(path)
+    os.makedirs(os.path.join(path, "backup=old"))
+    b, a = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert (b, a) == (5, 1)
+    assert spark.read.parquet(path).count() == 100
