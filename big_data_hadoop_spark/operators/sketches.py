@@ -457,22 +457,38 @@ def streaming_agg_state(
     def fold(batch: DataFrame, epoch: int) -> None:
         if not token_cache:
             # the checkpoint's metadata file carries the query id,
-            # regenerated whenever the checkpoint is reset. Read it
-            # through Spark's own filesystem layer so EVERY scheme the
-            # checkpoint can live on (file:, hdfs:, s3a:, plain local
-            # paths incl. '#'/'?' characters) resolves the same way
-            # Spark resolved it — a local open() silently degraded
-            # non-local runs, and urlparse mangled legal local names
-            # (review findings). Only on a genuine read failure fall
-            # back to a PER-CALL random token — failing toward
-            # possible re-folds, never toward suppressing real data.
+            # regenerated whenever the checkpoint is reset. Local
+            # paths (scheme-less or file:) read via plain open() —
+            # exact-name, no glob expansion, so names with [ ? * { are
+            # safe (review finding: read.text glob-expands and broke
+            # them). Remote schemes (hdfs:, s3a:, …) read through
+            # Spark with the path's glob metacharacters escaped. Only
+            # on a genuine read failure fall back to a PER-CALL random
+            # token — failing toward possible re-folds, never toward
+            # suppressing real data.
+            import os
+
             try:
-                meta = "".join(
-                    r.value
-                    for r in batch.sparkSession.read.text(
-                        checkpoint + "/metadata"
-                    ).collect()
-                )
+                if "://" not in checkpoint and not checkpoint.startswith(
+                    "file:"
+                ):
+                    with open(os.path.join(checkpoint, "metadata")) as f:
+                        meta = f.read()
+                elif checkpoint.startswith("file:"):
+                    local = checkpoint[5:]
+                    with open(os.path.join(local, "metadata")) as f:
+                        meta = f.read()
+                else:
+                    escaped = "".join(
+                        "\\" + ch if ch in "\\[]{}*?" else ch
+                        for ch in checkpoint + "/metadata"
+                    )
+                    meta = "".join(
+                        r.value
+                        for r in batch.sparkSession.read.text(
+                            escaped
+                        ).collect()
+                    )
                 token_cache.append(json.loads(meta)["id"][:8])
             except Exception:
                 token_cache.append(uuid.uuid4().hex[:8])

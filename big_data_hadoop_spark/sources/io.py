@@ -485,24 +485,23 @@ def compact_parquet(
     thousands of KB-scale files whose per-file open/footer/task costs
     dominate scans at scale). Returns ``(files_before, files_after)``.
 
-    Sizing comes from the metadata-only listing (no data read); the
-    rewrite is one repartition pass staged next to the dataset and
-    swapped in via the shared rename-old/rename-new pattern (crash
-    leaves either generation intact, recovery restores a stranded
-    ``.old``). Hive-partitioned datasets keep their layout: partition
-    columns come from the DATA FILES' own relative paths (a stray
-    ``name=value`` directory with no parquet inside cannot
-    misclassify the dataset — review finding), partition values stay
-    STRINGS (type inference disabled for the rewrite, so ``id=01``
-    is not renamed/merged into ``id=1`` — review finding), and
-    ``target_file_bytes`` applies PER PARTITION: each partition
-    directory is salted into ``ceil(its bytes / target)`` groups
-    before ``partitionBy`` (the one-file-per-partition shortcut
-    funnelled a hot 50 GB day through one task — review finding;
-    hash collisions between salt groups can still merge two groups
-    into one file, so the target is approximate from above).
-    Already-compact datasets — flat at-or-under the target count, or
-    partitioned with every directory already at its target — are
+    Sizing comes from the metadata-only listing (no data read).
+    Hive-partitioned datasets compact PER PARTITION DIRECTORY: each
+    directory holding more files than ``ceil(its bytes / target)`` is
+    read as a leaf (data columns only — partition values live in the
+    directory NAME, so escaped values, NULL partitions, and reserved
+    column names are never decoded, joined, or touched), repartitioned
+    to its own file budget, and swapped in place; directories already
+    at budget are never read or rewritten — one dirty day of a
+    year-partitioned dataset costs one day's rewrite, not the table
+    (review findings: the previous join-on-decoded-values rewrite
+    dropped escaped/NULL partitions, collided with user columns named
+    ``_salt``/``_k``, and rewrote the whole dataset for one dirty
+    directory). Flat datasets rewrite in one repartition pass when
+    over budget. Every rewrite is staged next to its target and
+    swapped via the shared rename-old/rename-new pattern; recovery
+    restores any stranded ``.old`` generation (including per-partition
+    ones) before counting. Already-compact (or empty) datasets are
     no-ops, so the tool is safe to run on a schedule. Row-content
     equality is pinned by test; file ORDER inside the dataset is not
     part of the parquet contract."""
@@ -512,78 +511,77 @@ def compact_parquet(
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     _recover_generation(path)
+    _recover_tree(path)
     files = list_data_files(spark, path).collect()
     n_before = len(files)
     if n_before == 0:
         return 0, 0
 
-    # partition chain from the data files' own parent directories
+    # group files by their parent directory, relative to the root;
+    # a hive dataset's data files live in col=value chains
     root = os.path.abspath(path)
     dir_bytes: dict[tuple[str, ...], int] = defaultdict(int)
     dir_files: dict[tuple[str, ...], int] = defaultdict(int)
-    pcols: list[str] = []
     for r in files:
         p = r.path.removeprefix("file:")
         rel = os.path.relpath(os.path.dirname(os.path.abspath(p)), root)
         segs = () if rel == "." else tuple(rel.split(os.sep))
-        if all("=" in s for s in segs):
-            key = tuple(s.split("=", 1)[1] for s in segs)
-            cols = [s.split("=", 1)[0] for s in segs]
-            if len(cols) > len(pcols):
-                pcols = cols
-            dir_bytes[key] += r.length
-            dir_files[key] += 1
+        dir_bytes[segs] += r.length
+        dir_files[segs] += 1
+    partitioned = all(
+        segs and all("=" in s for s in segs) for segs in dir_files
+    )
 
-    if pcols:
-        k_per_dir = {
-            key: max(1, math.ceil(b / target_file_bytes))
-            for key, b in dir_bytes.items()
-        }
-        if all(dir_files[k] <= k_per_dir[k] for k in dir_files):
+    if partitioned:
+        dirty = [
+            segs
+            for segs, n in dir_files.items()
+            if n > max(1, math.ceil(dir_bytes[segs] / target_file_bytes))
+        ]
+        if not dirty:
             return n_before, n_before  # every directory already compact
+        for segs in dirty:
+            sub = os.path.join(root, *segs)
+            k = max(1, math.ceil(dir_bytes[segs] / target_file_bytes))
+            staging = sub + ".staging"
+            spark.read.parquet(sub).repartition(k).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            _swap_in(staging, sub)
     else:
         total = sum(r.length for r in files)
         n_after = max(1, math.ceil(total / target_file_bytes))
         if n_after >= n_before:
             return n_before, n_before  # nothing to gain from a rewrite
-
-    staging = path + ".staging"
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prior_infer = spark.conf.get(infer_key)
-    spark.conf.set(infer_key, "false")  # partition values stay strings
-    try:
-        df = spark.read.parquet(path)
-        if pcols:
-            kmap = spark.createDataFrame(
-                [(*key, k) for key, k in k_per_dir.items()],
-                ", ".join(f"{c} string" for c in pcols) + ", _k int",
-            )
-            total_k = sum(k_per_dir.values())
-            salted = (
-                df.join(F.broadcast(kmap), pcols)
-                .withColumn(
-                    "_salt",
-                    F.pmod(
-                        F.xxhash64(F.monotonically_increasing_id()),
-                        F.col("_k"),
-                    ),
-                )
-            )
-            (
-                salted.repartition(
-                    max(total_k, 1), *[F.col(c) for c in pcols], F.col("_salt")
-                )
-                .drop("_k", "_salt")
-                .write.mode("overwrite")
-                .partitionBy(*pcols)
-                .parquet(staging)
-            )
-        else:
-            df.repartition(n_after).write.mode("overwrite").parquet(staging)
-    finally:
-        spark.conf.set(infer_key, prior_infer)
-    _swap_in(staging, path)
+        staging = path + ".staging"
+        spark.read.parquet(path).repartition(n_after).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        _swap_in(staging, path)
     return n_before, len(list_data_files(spark, path).collect())
+
+
+def _recover_tree(path: str) -> None:
+    """Restore any stranded ``<dir>.old`` generations anywhere under
+    ``path`` (a per-partition swap killed between its renames leaves
+    one) so no partition's files stay invisible to the listing, and
+    drop orphaned ``<dir>.staging`` leftovers whose base still exists
+    (a rewrite killed before its swap) so their files are never
+    double-counted as data."""
+    import shutil
+
+    for dirpath, dirnames, _files in os.walk(path):
+        for d in list(dirnames):
+            if d.endswith(".old"):
+                base = os.path.join(dirpath, d[: -len(".old")])
+                if not os.path.exists(base):
+                    os.rename(os.path.join(dirpath, d), base)
+        for d in list(dirnames):
+            if d.endswith(".staging"):
+                base = os.path.join(dirpath, d[: -len(".staging")])
+                if os.path.exists(base):
+                    shutil.rmtree(os.path.join(dirpath, d))
+                    dirnames.remove(d)
 
 
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:

@@ -607,3 +607,69 @@ def test_compact_flat_with_stray_equals_dir(spark, tmp_path):
     b, a = compact_parquet(spark, path, target_file_bytes=10**9)
     assert (b, a) == (5, 1)
     assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_preserves_escaped_and_null_partitions(spark, tmp_path):
+    """Partition values needing hive escaping ('a:b' -> a%3Ab) and NULL
+    partitions (__HIVE_DEFAULT_PARTITION__) must survive compaction
+    byte-for-byte (review finding: the value-decoding join dropped
+    them). Per-dir leaf rewrites never decode directory names."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [("a:b", 1), ("a:b", 2), (None, 3), (None, 4), ("x", 5)],
+        "k string, v long",
+    ).repartition(5).write.partitionBy("k").parquet(path)
+    before = spark.read.parquet(path).count()
+    b, a = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert a < b
+    got = {
+        (r.k, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("a:b", 1), ("a:b", 2), (None, 3), (None, 4), ("x", 5)}
+    assert spark.read.parquet(path).count() == before
+
+
+def test_compact_tolerates_reserved_column_names(spark, tmp_path):
+    """User columns named _salt/_k pass through untouched (review
+    finding: the salted rewrite silently dropped _salt and crashed on
+    _k)."""
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "resv")
+    spark.createDataFrame(
+        [("a", 1, 2, 3)] * 20, "k string, _salt long, _k long, v long"
+    ).repartition(5).write.partitionBy("k").parquet(path)
+    b, a = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert a < b
+    df = spark.read.parquet(path)
+    assert {"_salt", "_k", "v", "k"} <= set(df.columns)
+    assert df.count() == 20
+    assert df.select("_salt").distinct().collect()[0][0] == 1
+    assert df.select("_k").distinct().collect()[0][0] == 2
+
+
+def test_compact_rewrites_only_dirty_partitions(spark, tmp_path):
+    """Only over-budget directories are rewritten: the clean partition's
+    files keep their exact paths (review finding: one dirty day
+    rewrote the whole table)."""
+    import glob as _g
+
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "dirty1")
+    spark.createDataFrame(
+        [("hot", i) for i in range(50)], "k string, v long"
+    ).repartition(8).write.partitionBy("k").parquet(path)
+    spark.createDataFrame(
+        [("cold", 0)], "k string, v long"
+    ).coalesce(1).write.mode("append").partitionBy("k").parquet(path)
+    cold_before = sorted(_g.glob(path + "/k=cold/part-*.parquet"))
+    assert len(cold_before) == 1
+    compact_parquet(spark, path, target_file_bytes=10**9)
+    assert sorted(_g.glob(path + "/k=cold/part-*.parquet")) == cold_before
+    assert len(_g.glob(path + "/k=hot/part-*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 51
