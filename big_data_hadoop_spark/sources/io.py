@@ -594,3 +594,84 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     Costs a footer read per file at plan time; data pages are untouched
     until the query runs."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def versioned_write(df: DataFrame, path: str) -> int:
+    """Append an immutable dataset VERSION: the frame lands in
+    ``path/v=<n>/`` and a one-line ``_latest`` pointer file flips to it
+    atomically (``os.replace`` of a temp file — POSIX guarantees
+    readers see either the old pointer or the new one, never a torn
+    write). Returns the new version number.
+
+    This is the minimal public table-format idea (versioned snapshots +
+    an atomic pointer) without a transaction log: writers never mutate
+    a published version, so a crashed write leaves an unreferenced
+    ``v=<n>`` directory that the next write simply supersedes and
+    :func:`versioned_vacuum` collects; readers pinned to a version are
+    immune to concurrent writes — the reproducibility property training
+    pipelines need (the exact corpus a run trained on stays readable
+    by version number).
+    """
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    version = max(versioned_versions(path), default=-1) + 1
+    vdir = os.path.join(path, f"v={version}")
+    df.write.mode("errorifexists").parquet(vdir)
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, "_latest"))
+    return version
+
+
+def versioned_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a versioned dataset: the published latest (the ``_latest``
+    pointer) or a pinned ``version`` — time travel. A version directory
+    that exists but was never published (crashed write) is only
+    readable by explicit pin, matching snapshot-isolation expectations.
+    """
+    if version is None:
+        with open(os.path.join(path, "_latest")) as f:
+            version = int(f.read().strip())
+    vdir = os.path.join(path, f"v={version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"version {version} not found in {path}")
+    return spark.read.parquet(vdir)
+
+
+def versioned_versions(path: str) -> list[int]:
+    """All version numbers physically present (published or not),
+    ascending."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("v=") and n[2:].isdigit():
+            out.append(int(n[2:]))
+    return sorted(out)
+
+
+def versioned_vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions — but NEVER the
+    published one, whatever its age (a reader following ``_latest``
+    must not lose its snapshot). Returns the versions removed."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    published = None
+    try:
+        with open(os.path.join(path, "_latest")) as f:
+            published = int(f.read().strip())
+    except OSError:
+        pass
+    versions = versioned_versions(path)
+    victims = [v for v in versions[:-keep_last] if v != published]
+    for v in victims:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return victims

@@ -30,6 +30,8 @@ carries only the original columns.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -143,3 +145,34 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally range-sorted parquet layout for ONE sort dimension
+    chain: rows are range-partitioned on ``sort_cols`` (file i holds
+    only keys below every key of file i+1) and sorted within each
+    file, so every file's parquet min/max footer stats cover a
+    DISJOINT key range — a point or range predicate on the leading
+    sort column prunes to the few files that can match, the
+    single-dimension complement of the Z-order writer above (which
+    trades per-dimension tightness for multi-dimension coverage).
+
+    ``repartitionByRange`` samples the key distribution to place the
+    cut points, so skewed keys still yield balanced files; the sort is
+    per-partition (no global merge). NULL keys sort first, into file 0.
+    """
+    if not sort_cols:
+        raise ValueError("sort_cols must be non-empty")
+    cols = [F.col(c) for c in sort_cols]
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

@@ -673,3 +673,84 @@ def test_compact_rewrites_only_dirty_partitions(spark, tmp_path):
     assert sorted(_g.glob(path + "/k=cold/part-*.parquet")) == cold_before
     assert len(_g.glob(path + "/k=hot/part-*.parquet")) == 1
     assert spark.read.parquet(path).count() == 51
+
+
+def test_versioned_dataset_time_travel_and_vacuum(spark, tmp_path):
+    from big_data_hadoop_spark.sources.io import (
+        versioned_read,
+        versioned_vacuum,
+        versioned_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vds")
+    v0 = versioned_write(
+        spark.createDataFrame([(1, "a")], "id long, s string"), path
+    )
+    v1 = versioned_write(
+        spark.createDataFrame([(2, "b")], "id long, s string"), path
+    )
+    v2 = versioned_write(
+        spark.createDataFrame([(3, "c")], "id long, s string"), path
+    )
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert versioned_read(spark, path).collect()[0].id == 3  # latest
+    assert versioned_read(spark, path, version=0).collect()[0].id == 1
+    assert versioned_versions(path) == [0, 1, 2]
+    removed = versioned_vacuum(path, keep_last=2)
+    assert removed == [0]
+    assert versioned_versions(path) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        versioned_read(spark, path, version=0)
+    with _pytest.raises(ValueError):
+        versioned_vacuum(path, keep_last=0)
+
+
+def test_versioned_vacuum_never_drops_published(spark, tmp_path):
+    """If _latest points at an old version (e.g. a rolled-back pointer),
+    vacuum must spare it whatever its age."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import (
+        versioned_read,
+        versioned_vacuum,
+        versioned_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vdp")
+    for i in range(4):
+        versioned_write(
+            spark.createDataFrame([(i,)], "id long"), path
+        )
+    # roll the pointer back to v0
+    with open(os.path.join(path, "_latest"), "w") as f:
+        f.write("0")
+    versioned_vacuum(path, keep_last=1)
+    assert 0 in versioned_versions(path)
+    assert versioned_read(spark, path).collect()[0].id == 0
+
+
+def test_versioned_crashed_write_invisible_to_latest(spark, tmp_path):
+    """A version directory without a pointer flip (crashed writer) is
+    not served as latest; the next write supersedes it."""
+    import os
+    import shutil
+
+    from big_data_hadoop_spark.sources.io import (
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vcr")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+    # simulate a crashed writer: v=1 exists, pointer still at 0
+    spark.createDataFrame([(99,)], "id long").write.parquet(
+        os.path.join(path, "v=1")
+    )
+    assert versioned_read(spark, path).collect()[0].id == 1  # still v0's row
+    v = versioned_write(spark.createDataFrame([(2,)], "id long"), path)
+    assert v == 2  # superseded, never reused
+    assert versioned_read(spark, path).collect()[0].id == 2

@@ -171,3 +171,41 @@ def test_zorder_write_with_nan_column(spark, tmp_path):
     out = str(tmp_path / "z_nan")
     write_zordered(df, out, ["a", "b"], bits=6, n_files=4)
     assert spark.read.parquet(out).count() == 50
+
+
+def test_write_sorted_disjoint_file_ranges(spark, tmp_path):
+    """Each output file's parquet min/max on the sort key must cover a
+    DISJOINT range in file order, so a point predicate prunes to one
+    file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_hadoop_spark.sources.layout import write_sorted
+
+    path = str(tmp_path / "srt")
+    df = spark.range(10_000).selectExpr(
+        "pmod(id * 2654435761, 10000) AS key", "id AS v"
+    )
+    write_sorted(df, path, ["key"], n_files=8)
+    stats = []
+    for p in sorted(glob.glob(path + "/part-*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            stats.append((min(mins), max(maxs)))
+    assert len(stats) >= 4
+    ordered = sorted(stats)
+    for (_, hi), (lo2, _) in zip(ordered, ordered[1:]):
+        assert hi <= lo2  # disjoint, adjacent ranges
+    # data intact and each file internally sorted
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_sorted(df, path, [])
