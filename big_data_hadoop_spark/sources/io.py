@@ -611,18 +611,50 @@ def versioned_write(df: DataFrame, path: str) -> int:
     immune to concurrent writes — the reproducibility property training
     pipelines need (the exact corpus a run trained on stays readable
     by version number).
+
+    Concurrent writers each CLAIM their version number with an atomic
+    ``os.mkdir`` before any data lands, so two writers can never
+    interleave part files into one snapshot (review finding: a
+    max+1 / errorifexists race could); when both finish, the pointer is
+    last-flip-wins, the other version stays pinnable.
     """
     import tempfile
 
     os.makedirs(path, exist_ok=True)
+    _clean_pointer_residue(path)
     version = max(versioned_versions(path), default=-1) + 1
-    vdir = os.path.join(path, f"v={version}")
-    df.write.mode("errorifexists").parquet(vdir)
+    while True:
+        vdir = os.path.join(path, f"v={version}")
+        try:
+            os.mkdir(vdir)  # atomic claim of this version number
+            break
+        except FileExistsError:
+            version += 1
+    df.write.mode("overwrite").parquet(vdir)  # we own the claimed dir
     fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest_")
     with os.fdopen(fd, "w") as f:
         f.write(str(version))
+    # mkstemp creates 0600; the pointer must be as readable as the data
+    # (review finding: other users could read v=N but not resolve it)
+    os.chmod(tmp, 0o644)
     os.replace(tmp, os.path.join(path, "_latest"))
     return version
+
+
+def _clean_pointer_residue(path: str) -> None:
+    """Remove ``._latest_*`` temp files stranded by a writer killed
+    between mkstemp and the atomic replace — the live pointer is always
+    ``_latest`` itself, so any remaining temp is residue."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return
+    for n in names:
+        if n.startswith("._latest_"):
+            try:
+                os.remove(os.path.join(path, n))
+            except OSError:
+                pass
 
 
 def versioned_read(
@@ -657,13 +689,20 @@ def versioned_versions(path: str) -> list[int]:
 
 
 def versioned_vacuum(path: str, keep_last: int = 2) -> list[int]:
-    """Drop all but the newest ``keep_last`` versions — but NEVER the
-    published one, whatever its age (a reader following ``_latest``
-    must not lose its snapshot). Returns the versions removed."""
+    """Drop old snapshots, keeping the newest ``keep_last`` PUBLISHED
+    versions (crashed, never-published directories don't count toward
+    the quota — review finding: they displaced real pinnable history),
+    and always keeping (a) the published version itself, whatever its
+    age, and (b) the single highest version on disk, which may be a
+    concurrent writer mid-flight. Unpublished directories BELOW the
+    highest are superseded residue and are collected. Returns the
+    versions actually removed (a directory that could not be deleted is
+    not reported removed)."""
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    _clean_pointer_residue(path)
     published = None
     try:
         with open(os.path.join(path, "_latest")) as f:
@@ -671,7 +710,19 @@ def versioned_vacuum(path: str, keep_last: int = 2) -> list[int]:
     except OSError:
         pass
     versions = versioned_versions(path)
-    victims = [v for v in versions[:-keep_last] if v != published]
-    for v in victims:
-        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
-    return victims
+    if not versions:
+        return []
+    eligible = [v for v in versions if published is None or v <= published]
+    keep = set(eligible[-keep_last:])
+    keep.add(max(versions))  # possibly an in-flight writer's claim
+    if published is not None:
+        keep.add(published)
+    removed = []
+    for v in versions:
+        if v in keep:
+            continue
+        vdir = os.path.join(path, f"v={v}")
+        shutil.rmtree(vdir, ignore_errors=True)
+        if not os.path.exists(vdir):
+            removed.append(v)
+    return removed

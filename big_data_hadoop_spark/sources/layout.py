@@ -35,7 +35,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "write_zordered"]
+__all__ = ["zorder_value", "write_zordered", "write_sorted"]
 
 
 def zorder_value(
@@ -164,7 +164,9 @@ def write_sorted(
     trades per-dimension tightness for multi-dimension coverage).
 
     ``repartitionByRange`` samples the key distribution to place the
-    cut points, so skewed keys still yield balanced files; the sort is
+    cut points, balancing files across DISTINCT keys; a single hot key
+    still lands wholly in one file (range partitioning never splits a
+    key — the inherent limit of any sorted layout). The sort is
     per-partition (no global merge). NULL keys sort first, into file 0.
     """
     if not sort_cols:

@@ -754,3 +754,65 @@ def test_versioned_crashed_write_invisible_to_latest(spark, tmp_path):
     v = versioned_write(spark.createDataFrame([(2,)], "id long"), path)
     assert v == 2  # superseded, never reused
     assert versioned_read(spark, path).collect()[0].id == 2
+
+
+def test_versioned_vacuum_policy_with_crashed_top_version(spark, tmp_path):
+    """Crashed unpublished dirs don't count toward keep_last (review
+    finding: they displaced real history); the top version is spared as
+    possibly in-flight; superseded unpublished residue is collected."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import (
+        versioned_vacuum,
+        versioned_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vp")
+    for i in range(3):  # published v0..v2, pointer at 2
+        versioned_write(spark.createDataFrame([(i,)], "id long"), path)
+    # crashed writers left unpublished v=3 (superseded later) and v=5 (top)
+    os.mkdir(os.path.join(path, "v=3"))
+    os.mkdir(os.path.join(path, "v=5"))
+    removed = versioned_vacuum(path, keep_last=2)
+    # keep: published history {1,2}, published 2, top 5; collect 0 and 3
+    assert removed == [0, 3]
+    assert versioned_versions(path) == [1, 2, 5]
+
+
+def test_versioned_write_cleans_pointer_residue(spark, tmp_path):
+    import os
+
+    from big_data_hadoop_spark.sources.io import versioned_write
+
+    path = str(tmp_path / "vr")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+    # simulate a writer killed between mkstemp and replace
+    with open(os.path.join(path, "._latest_dead"), "w") as f:
+        f.write("99")
+    versioned_write(spark.createDataFrame([(2,)], "id long"), path)
+    assert not [
+        n for n in os.listdir(path) if n.startswith("._latest_")
+    ]
+    # pointer is world-readable like the data
+    mode = os.stat(os.path.join(path, "_latest")).st_mode & 0o777
+    assert mode & 0o044 == 0o044
+
+
+def test_versioned_write_claims_skip_existing_dirs(spark, tmp_path):
+    """A pre-existing (e.g. crashed concurrent) v=N dir is never written
+    into: the next writer claims the next free number atomically."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import (
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vc")
+    versioned_write(spark.createDataFrame([(1,)], "id long"), path)
+    os.mkdir(os.path.join(path, "v=1"))  # someone else's claim
+    v = versioned_write(spark.createDataFrame([(2,)], "id long"), path)
+    assert v == 2
+    assert versioned_read(spark, path).collect()[0].id == 2
+    assert os.listdir(os.path.join(path, "v=1")) == []  # untouched
