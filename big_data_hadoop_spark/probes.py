@@ -1529,6 +1529,55 @@ def q82_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q83_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order functions — transform / filter / exists /
+    aggregate / zip_with over per-order lineitem arrays, the lambda
+    surface Catalyst evaluates JVM-side (no Python). Each order's
+    quantities and prices roll up via collect_list sorted by line
+    number, then: doubled quantities (transform), count of qty>25 lines
+    (filter+size), any tax-free line (exists), total revenue as a
+    left-fold (aggregate over zip_with qty*price) — all scalarized for
+    the comparator. Full DuckDB oracle (list lambdas) in
+    tests/test_window_suite.py; rows-only registry slot."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    # ONE struct array with a total sort key: line numbers are not
+    # unique per order in the synthetic data, so three independently
+    # sorted arrays would tie-break on different fields and misalign
+    arrays = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"
+                )
+            )
+        ).alias("_rows")
+    ).select(
+        "l_orderkey",
+        F.transform("_rows", lambda s: s["l_quantity"]).alias("qty"),
+        F.transform("_rows", lambda s: s["l_extendedprice"]).alias("price"),
+        F.transform("_rows", lambda s: s["l_tax"]).alias("tax"),
+    )
+    return (
+        arrays.select(
+            "l_orderkey",
+            F.concat_ws(
+                ",", F.transform("qty", lambda q: (q * 2).cast("long"))
+            ).alias("qty_doubled"),
+            F.size(F.filter("qty", lambda q: q > 25)).alias("n_big_lines"),
+            F.exists("tax", lambda t: t == 0).alias("has_taxfree"),
+            F.round(
+                F.aggregate(
+                    F.zip_with("qty", "price", lambda q, p: q * p),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1628,6 +1677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_agg_state": q80_agg_state,
     "q81_cms_counts": q81_cms_counts,
     "q82_unpivot": q82_unpivot,
+    "q83_array_hof": q83_array_hof,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -98,3 +98,34 @@ def test_q82_matches_duckdb(spark, duck):
     want = duck.sql(Q82_ORACLE).df()
     assert len(got) == 4
     assert_frames_match(got, want, "q82_unpivot")
+
+
+Q83_ORACLE = """
+WITH a AS (
+  SELECT l_orderkey,
+         list(l_quantity ORDER BY l_linenumber, l_quantity,
+              l_extendedprice, l_tax) AS qty,
+         list(l_extendedprice ORDER BY l_linenumber, l_quantity,
+              l_extendedprice, l_tax) AS price,
+         list(l_tax ORDER BY l_linenumber, l_quantity,
+              l_extendedprice, l_tax) AS tax
+  FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       array_to_string(list_transform(qty, q -> CAST(q * 2 AS BIGINT)), ',')
+         AS qty_doubled,
+       CAST(len(list_filter(qty, q -> q > 25)) AS INTEGER) AS n_big_lines,
+       len(list_filter(tax, t -> t = 0)) > 0 AS has_taxfree,
+       ROUND(list_sum(list_transform(list_zip(qty, price),
+                                     z -> z[1] * z[2])), 2) AS revenue
+FROM a ORDER BY l_orderkey
+"""
+
+
+def test_q83_matches_duckdb(spark, duck):
+    from big_data_hadoop_spark.probes import q83_array_hof
+
+    got = q83_array_hof(spark, SF_ORACLE).toPandas()
+    want = duck.sql(Q83_ORACLE).df()
+    assert len(got) > 50
+    assert_frames_match(got, want, "q83_array_hof")
