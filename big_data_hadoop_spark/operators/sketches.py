@@ -390,31 +390,18 @@ def maintain_agg_state(
     delete-then-rename: a crash at any point leaves either the old or
     the new generation on disk (recovery at the next fold restores a
     stranded ``.old`` — review finding: rmtree-then-rename had a
-    window that lost the whole table)."""
-    import os
-
-    from big_data_hadoop_spark.sources.io import (
-        _recover_generation,
-        _swap_in,
+    window that lost the whole table). Thin wrapper over
+    :func:`maintain_state` with the agg-state build/merge pair."""
+    maintain_state(
+        batch,
+        path,
+        build=lambda b: agg_state(
+            b, group_cols, value_col, distinct_col=distinct_col, lg_k=lg_k
+        ),
+        merge=lambda states: agg_state_merge(states, group_cols),
+        epoch=epoch,
+        run_token=run_token,
     )
-
-    _recover_generation(path)
-    if epoch is not None and _applied_epoch(path, run_token) >= epoch:
-        return
-    spark = batch.sparkSession
-    new = agg_state(
-        batch, group_cols, value_col, distinct_col=distinct_col, lg_k=lg_k
-    )
-    if os.path.exists(path):
-        prior = spark.read.parquet(path)
-        new = agg_state_merge(prior.unionByName(new), group_cols)
-    staging = path + ".staging"
-    new.write.mode("overwrite").parquet(staging)
-    if epoch is not None:
-        marker = f"_epoch-{run_token}-{epoch}"
-        with open(os.path.join(staging, marker), "w"):
-            pass
-    _swap_in(staging, path)
 
 
 def streaming_agg_state(
@@ -449,49 +436,7 @@ def streaming_agg_state(
     replays may then re-fold once per restart (at-least-once) — the
     safe failure direction — so exactly-once holds exactly when the
     query id is readable. Returns the started query."""
-    import json
-    import uuid
-
-    token_cache: list[str] = []
-
     def fold(batch: DataFrame, epoch: int) -> None:
-        if not token_cache:
-            # the checkpoint's metadata file carries the query id,
-            # regenerated whenever the checkpoint is reset. Local
-            # paths (scheme-less or file:) read via plain open() —
-            # exact-name, no glob expansion, so names with [ ? * { are
-            # safe (review finding: read.text glob-expands and broke
-            # them). Remote schemes (hdfs:, s3a:, …) read through
-            # Spark with the path's glob metacharacters escaped. Only
-            # on a genuine read failure fall back to a PER-CALL random
-            # token — failing toward possible re-folds, never toward
-            # suppressing real data.
-            import os
-
-            try:
-                if "://" not in checkpoint and not checkpoint.startswith(
-                    "file:"
-                ):
-                    with open(os.path.join(checkpoint, "metadata")) as f:
-                        meta = f.read()
-                elif checkpoint.startswith("file:"):
-                    local = checkpoint[5:]
-                    with open(os.path.join(local, "metadata")) as f:
-                        meta = f.read()
-                else:
-                    escaped = "".join(
-                        "\\" + ch if ch in "\\[]{}*?" else ch
-                        for ch in checkpoint + "/metadata"
-                    )
-                    meta = "".join(
-                        r.value
-                        for r in batch.sparkSession.read.text(
-                            escaped
-                        ).collect()
-                    )
-                token_cache.append(json.loads(meta)["id"][:8])
-            except Exception:
-                token_cache.append(uuid.uuid4().hex[:8])
         maintain_agg_state(
             batch,
             path,
@@ -499,7 +444,122 @@ def streaming_agg_state(
             value_col,
             distinct_col=distinct_col,
             epoch=epoch,
-            run_token=token_cache[0],
+            run_token=_checkpoint_run_token(batch, checkpoint),
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _checkpoint_run_token(batch: DataFrame, checkpoint: str) -> str:
+    """Per-streaming-run token from the checkpoint's metadata query id
+    (regenerated on checkpoint reset). Read FRESH on every fold — one
+    tiny file per micro-batch — because any caching keyed on the
+    checkpoint path would hand a reset-in-place run its predecessor's
+    token and resurrect the suppression bug. Local paths (scheme-less
+    or ``file:``) read via plain ``open()`` — exact-name, no glob
+    expansion, so names with ``[ ? * {`` are safe (review finding:
+    ``read.text`` glob-expands and broke them); remote schemes read
+    through Spark with glob metacharacters escaped. On a genuine read
+    failure the token is a random value — failing toward possible
+    re-folds, never toward suppressing real data."""
+    import json
+    import os
+    import uuid
+
+    try:
+        if "://" not in checkpoint and not checkpoint.startswith("file:"):
+            with open(os.path.join(checkpoint, "metadata")) as f:
+                meta = f.read()
+        elif checkpoint.startswith("file:"):
+            with open(os.path.join(checkpoint[5:], "metadata")) as f:
+                meta = f.read()
+        else:
+            escaped = "".join(
+                "\\" + ch if ch in "\\[]{}*?" else ch
+                for ch in checkpoint + "/metadata"
+            )
+            meta = "".join(
+                r.value
+                for r in batch.sparkSession.read.text(escaped).collect()
+            )
+        token = json.loads(meta)["id"][:8]
+    except Exception:
+        token = uuid.uuid4().hex[:8]
+    return token
+
+
+def maintain_state(
+    batch: DataFrame,
+    path: str,
+    build,
+    merge,
+    epoch: int | None = None,
+    run_token: str = "",
+) -> None:
+    """Generalized incremental-state fold: ``build(batch)`` produces a
+    state frame, ``merge(old_union_new)`` combines generations — the
+    same stage-and-swap + epoch-idempotence machinery
+    ``maintain_agg_state`` uses, for ANY mergeable state family
+    (CMS cells, HLL sketch tables, digest sets). The build/merge pair
+    must be closed over the state schema; everything else (crash
+    recovery, replay no-ops, atomic swap) is shared — so the hardening
+    that six review batches put into this path applies once, not per
+    state type."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import (
+        _recover_generation,
+        _swap_in,
+    )
+
+    _recover_generation(path)
+    if epoch is not None and _applied_epoch(path, run_token) >= epoch:
+        return
+    spark = batch.sparkSession
+    new = build(batch)
+    if os.path.exists(path):
+        new = merge(spark.read.parquet(path).unionByName(new))
+    staging = path + ".staging"
+    new.write.mode("overwrite").parquet(staging)
+    if epoch is not None:
+        with open(os.path.join(staging, f"_epoch-{run_token}-{epoch}"), "w"):
+            pass
+    _swap_in(staging, path)
+
+
+def streaming_cms(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    d: int = 4,
+    w: int = 2048,
+    seed: int = 0,
+    available_now: bool = True,
+):
+    """Continuous Count-Min maintenance over an unbounded stream: every
+    micro-batch's sketch folds into the state table at ``path`` (cells
+    add — CMS merge is exact), so ``cms_estimate`` answers "how often
+    has key X ever occurred" at any moment without reprocessing
+    history. Streaming twin of the q81 batch build→merge cycle; the
+    epoch/run-token idempotence contract matches
+    :func:`streaming_agg_state`."""
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        maintain_state(
+            batch,
+            path,
+            build=lambda b: cms_build(b, key_col, d=d, w=w, seed=seed),
+            merge=cms_merge,
+            epoch=epoch,
+            run_token=_checkpoint_run_token(batch, checkpoint),
         )
 
     writer = (

@@ -556,3 +556,81 @@ def test_applied_epoch_recognizes_legacy_markers(spark, tmp_path):
     maintain_agg_state(b, path, ["g"], "v", epoch=3)  # replay: no-op
     row = agg_state_finalize(spark.read.parquet(path)).collect()[0]
     assert row.n_rows == 1
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path):
+    """Drained continuous CMS == one-shot batch sketch, cell for cell,
+    across two drains; and cms_estimate over the maintained state gives
+    the exact counts for this tiny vocabulary."""
+    import shutil
+
+    from big_data_hadoop_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        streaming_cms,
+    )
+
+    rows1 = [("alpha",), ("beta",), ("alpha",)]
+    rows2 = [("alpha",), ("gamma",)]
+    src = tmp_path / "scms_src"
+    src.mkdir()
+    state = str(tmp_path / "scms_state")
+    ckpt = str(tmp_path / "scms_ckpt")
+
+    def add(name, rows):
+        staged = tmp_path / f"_sc_{name}"
+        spark.createDataFrame(rows, "token string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+
+    def drain():
+        stream = spark.readStream.schema("token string").parquet(str(src))
+        q = streaming_cms(stream, state, ckpt, "token")
+        q.awaitTermination(120)
+
+    add("b1", rows1)
+    drain()
+    add("b2", rows2)
+    drain()
+
+    got = {(r.r, r.b): r.cnt for r in spark.read.parquet(state).collect()}
+    want = {
+        (r.r, r.b): r.cnt
+        for r in cms_build(
+            spark.createDataFrame(rows1 + rows2, "token string"), "token"
+        ).collect()
+    }
+    assert got == want
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("never",)], "token string"
+    )
+    est = {
+        r.token: r.est_cnt
+        for r in cms_estimate(
+            spark.read.parquet(state), probes, "token"
+        ).collect()
+    }
+    assert est == {"alpha": 3, "beta": 1, "gamma": 1, "never": 0}
+
+
+def test_maintain_state_generalized_epoch_noop(spark, tmp_path):
+    """The generalized fold honors epoch idempotence for any build/merge
+    pair (here: CMS)."""
+    from big_data_hadoop_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        maintain_state,
+    )
+
+    path = str(tmp_path / "gm")
+    b = spark.createDataFrame([("x",), ("x",)], "token string")
+    kw = dict(
+        build=lambda d: cms_build(d, "token"), merge=cms_merge, epoch=0
+    )
+    maintain_state(b, path, **kw)
+    maintain_state(b, path, **kw)  # replay: no-op
+    total = sum(r.cnt for r in spark.read.parquet(path).collect())
+    assert total == 2 * 4  # 2 rows x d=4 cells, folded once
