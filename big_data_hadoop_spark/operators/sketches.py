@@ -432,19 +432,50 @@ def streaming_agg_state(
     foreachBatch way — the source replays from scratch and those rows
     re-fold; the marker scoping only guarantees new data is never
     silently dropped. If the checkpoint's metadata cannot be read at
-    all, the token falls back to a per-process random value: crash
-    replays may then re-fold once per restart (at-least-once) — the
-    safe failure direction — so exactly-once holds exactly when the
-    query id is readable. Returns the started query."""
+    all, the token falls back to a per-started-query random value:
+    crash replays may then re-fold once per restart (at-least-once) —
+    the safe failure direction — so exactly-once holds exactly when
+    the query id is readable. Returns the started query."""
+    return streaming_state(
+        stream,
+        path,
+        checkpoint,
+        build=lambda b: agg_state(
+            b, group_cols, value_col, distinct_col=distinct_col
+        ),
+        merge=lambda states: agg_state_merge(states, group_cols),
+        available_now=available_now,
+    )
+
+
+def streaming_state(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    build,
+    merge,
+    available_now: bool = True,
+):
+    """Shared streaming scaffold for every continuous-state family:
+    ``foreachBatch`` over :func:`maintain_state` with the run-token
+    epoch scoping. The token is resolved ONCE per started query and
+    cached in the query's own closure — reset-safe (a checkpoint reset
+    always starts a new query, hence a new closure) without paying a
+    metadata read per micro-batch (review finding: the uncached form
+    launched a Spark job per fold on remote-scheme checkpoints).
+    Returns the started query."""
+    token_cache: list[str] = []
+
     def fold(batch: DataFrame, epoch: int) -> None:
-        maintain_agg_state(
+        if not token_cache:
+            token_cache.append(_checkpoint_run_token(batch, checkpoint))
+        maintain_state(
             batch,
             path,
-            group_cols,
-            value_col,
-            distinct_col=distinct_col,
+            build=build,
+            merge=merge,
             epoch=epoch,
-            run_token=_checkpoint_run_token(batch, checkpoint),
+            run_token=token_cache[0],
         )
 
     writer = (
@@ -550,23 +581,16 @@ def streaming_cms(
     has key X ever occurred" at any moment without reprocessing
     history. Streaming twin of the q81 batch build→merge cycle; the
     epoch/run-token idempotence contract matches
-    :func:`streaming_agg_state`."""
-
-    def fold(batch: DataFrame, epoch: int) -> None:
-        maintain_state(
-            batch,
-            path,
-            build=lambda b: cms_build(b, key_col, d=d, w=w, seed=seed),
-            merge=cms_merge,
-            epoch=epoch,
-            run_token=_checkpoint_run_token(batch, checkpoint),
-        )
-
-    writer = (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    :func:`streaming_agg_state` (shared :func:`streaming_state`
+    scaffold). Shape parameters fail fast HERE, not asynchronously
+    inside the first micro-batch of an already-started query."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2; got d={d}, w={w}")
+    return streaming_state(
+        stream,
+        path,
+        checkpoint,
+        build=lambda b: cms_build(b, key_col, d=d, w=w, seed=seed),
+        merge=cms_merge,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

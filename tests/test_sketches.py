@@ -634,3 +634,17 @@ def test_maintain_state_generalized_epoch_noop(spark, tmp_path):
     maintain_state(b, path, **kw)  # replay: no-op
     total = sum(r.cnt for r in spark.read.parquet(path).collect())
     assert total == 2 * 4  # 2 rows x d=4 cells, folded once
+
+
+def test_streaming_cms_rejects_bad_shape_eagerly(spark, tmp_path):
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.operators.sketches import streaming_cms
+
+    src = tmp_path / "eg_src"
+    src.mkdir()
+    stream = spark.readStream.schema("token string").parquet(str(src))
+    with _pytest.raises(ValueError):
+        streaming_cms(
+            stream, str(tmp_path / "s"), str(tmp_path / "c"), "token", w=1
+        )
