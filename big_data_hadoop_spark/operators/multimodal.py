@@ -990,7 +990,12 @@ def extract_audio_spectrum(
                 raw = bytes(p) if p is not None else b""
                 try:
                     rate, ch, bits, nf, off, size = parse_wav_header(raw)
-                    if bits not in (8, 16, 32) or nf == 0 or rate == 0:
+                    if (
+                        bits not in (8, 16, 32)
+                        or nf == 0
+                        or rate == 0
+                        or ch < 1
+                    ):
                         raise ValueError("unsupported PCM layout")
                 except ValueError:
                     rows.append((mid, None, None, None, None, None))
@@ -998,6 +1003,15 @@ def extract_audio_spectrum(
                 nf = min(nf, max_samples)
                 block = ch * (bits // 8)
                 pcm = raw[off : off + nf * block]
+                # a header whose block-align lies about ch*(bits/8), or
+                # a truncated payload, leaves a partial last frame —
+                # clamp to whole frames so frombuffer/reshape can't
+                # throw and fail the whole task on one malformed blob
+                # (review finding)
+                pcm = pcm[: (len(pcm) // block) * block]
+                if not pcm:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
                 dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
                 x = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
                 if bits == 8:  # unsigned, offset binary

@@ -296,9 +296,20 @@ def cms_estimate(
     collapsing them; review finding). The d/w/seed must match the
     build. The state is ≤ d*w rows — broadcast to the keys side, so
     estimation is a narrow broadcast join however many keys are
-    probed."""
+    probed. Internal columns are ``_cms_``-prefixed so probe frames
+    carrying ``r``/``b``/``cnt`` columns pass through untouched (review
+    finding: an existing ``cnt`` was silently overwritten before the
+    min-fold); a probe column that still collides (``_cms_*``,
+    ``est_cnt``) is refused loudly rather than corrupted."""
+    clash = {"_cms_row", "_cms_cell", "_cms_r", "_cms_b", "_cms_cnt",
+             "est_cnt"}.intersection(keys.columns)
+    if clash:
+        raise ValueError(
+            f"cms_estimate: probe columns collide with output/internal "
+            f"names {sorted(clash)}; rename them before probing"
+        )
     probes = keys.withColumn(
-        "_probe_row", F.monotonically_increasing_id()
+        "_cms_row", F.monotonically_increasing_id()
     ).select(
         "*",
         F.explode(
@@ -314,16 +325,25 @@ def cms_estimate(
                     for r in range(d)
                 ]
             )
-        ).alias("cell"),
-    ).select("*", F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
-    joined = probes.join(F.broadcast(state), ["r", "b"], "left").withColumn(
-        "cnt", F.coalesce("cnt", F.lit(0))
+        ).alias("_cms_cell"),
+    ).select(
+        "*",
+        F.col("_cms_cell.r").alias("_cms_r"),
+        F.col("_cms_cell.b").alias("_cms_b"),
+    ).drop("_cms_cell")
+    cells = state.select(
+        F.col("r").alias("_cms_r"),
+        F.col("b").alias("_cms_b"),
+        F.col("cnt").alias("_cms_cnt"),
     )
+    joined = probes.join(
+        F.broadcast(cells), ["_cms_r", "_cms_b"], "left"
+    ).withColumn("_cms_cnt", F.coalesce("_cms_cnt", F.lit(0)))
     out_cols = [c for c in keys.columns]
     return (
-        joined.groupBy("_probe_row", *out_cols)
-        .agg(F.min("cnt").alias("est_cnt"))
-        .drop("_probe_row")
+        joined.groupBy("_cms_row", *out_cols)
+        .agg(F.min("_cms_cnt").alias("est_cnt"))
+        .drop("_cms_row")
     )
 
 
@@ -490,10 +510,13 @@ def streaming_state(
 
 def _checkpoint_run_token(batch: DataFrame, checkpoint: str) -> str:
     """Per-streaming-run token from the checkpoint's metadata query id
-    (regenerated on checkpoint reset). Read FRESH on every fold — one
-    tiny file per micro-batch — because any caching keyed on the
-    checkpoint path would hand a reset-in-place run its predecessor's
-    token and resurrect the suppression bug. Local paths (scheme-less
+    (regenerated on checkpoint reset). Callers cache it ONCE PER
+    STARTED QUERY in the query's own closure (:func:`streaming_state`)
+    — reset-safe, because a checkpoint reset always starts a NEW query
+    and hence a new closure that re-reads the fresh id. What would
+    resurrect the suppression bug is a cache keyed on the CHECKPOINT
+    PATH outliving the query object (a reset-in-place run would inherit
+    its predecessor's token); never add one. Local paths (scheme-less
     or ``file:``) read via plain ``open()`` — exact-name, no glob
     expansion, so names with ``[ ? * {`` are safe (review finding:
     ``read.text`` glob-expands and broke them); remote schemes read

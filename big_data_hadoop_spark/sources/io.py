@@ -380,9 +380,11 @@ def read_incremental(
 
     100 TB shape: the listing is metadata-only and distributed; the
     anti-join runs on O(files) rows, not data; only the new files'
-    bytes are ever scanned. The file list does pass through the driver
-    (``collect`` of new paths) — O(new files) strings, the same driver
-    state every table format's planner holds anyway.
+    bytes are ever scanned. The commit likewise builds the next
+    manifest generation distributedly (prior parquet ∪ new rows →
+    staging → swap) — the ONLY thing that ever passes through the
+    driver is the O(new files) path list the read needs anyway, the
+    same driver state every table format's planner holds.
     """
     _recover_generation(manifest)
 
@@ -418,37 +420,55 @@ def read_incremental(
     df = spark.read.format(fmt).load(paths)
 
     def commit() -> None:
-        # materialize the prior manifest only now, on the commit path.
-        # Legacy NULL-mtime rows are BACKFILLED from the current
-        # listing (a NULL row matched exactly the file now on disk
-        # with its (path, length)) so the same-length-overwrite hazard
-        # closes for pre-upgrade files too instead of staying open
-        # forever (review finding).
-        seen_rows: list[tuple] = []
+        # Build the next manifest generation DISTRIBUTEDLY: prior
+        # manifest (read back from parquet — never collected) unioned
+        # with the new-files rows, staged and swapped. The driver holds
+        # only the O(new files) list it already collected for the read;
+        # the O(all files ever) history stays executor-side (review
+        # finding: the previous commit collect()ed the entire manifest
+        # into a Python list on EVERY ingest — a multi-GB driver
+        # rebuild per batch at 10**6-file counts).
+        new_df = spark.createDataFrame(
+            new_files, "path string, length long, mtime long"
+        )
+        next_gen = new_df
         if seen is not None:
-            prior = seen.collect()
-            # current listing materializes ONLY when a NULL-mtime
-            # legacy row actually needs backfilling — the steady state
-            # after the one-time upgrade pays nothing (review finding)
-            now: dict[tuple, int] = {}
-            if any(r.mtime is None for r in prior):
-                now = {
-                    (r.path, r.length): r.mtime for r in current.collect()
-                }
-            seen_rows = [
-                (
-                    r.path,
-                    r.length,
-                    r.mtime
-                    if r.mtime is not None
-                    else now.get((r.path, r.length)),
+            prior = seen.select("path", "length", "mtime")
+            # Legacy NULL-mtime rows are BACKFILLED from the current
+            # listing (a NULL row matched exactly the file now on disk
+            # with its (path, length)) so the same-length-overwrite
+            # hazard closes for pre-upgrade files too instead of
+            # staying open forever (review finding). The backfill is a
+            # JOIN against the distributed listing, not a driver dict,
+            # and only runs when a legacy row actually exists — the
+            # steady state pays a limit(1) probe, nothing more.
+            has_legacy = (
+                prior.where(F.col("mtime").isNull()).limit(1).count() > 0
+            )
+            if has_legacy:
+                now = current.select(
+                    F.col("path").alias("_now_path"),
+                    F.col("length").alias("_now_length"),
+                    F.col("mtime").alias("_now_mtime"),
                 )
-                for r in prior
-            ]
+                prior = (
+                    prior.join(
+                        now,
+                        (F.col("path") == F.col("_now_path"))
+                        & (F.col("length") == F.col("_now_length")),
+                        "left",
+                    )
+                    .select(
+                        "path",
+                        "length",
+                        F.coalesce("mtime", "_now_mtime").alias("mtime"),
+                    )
+                )
+            next_gen = prior.unionByName(new_df)
         staging = manifest + ".staging"
-        spark.createDataFrame(
-            seen_rows + new_files, "path string, length long, mtime long"
-        ).write.mode("overwrite").parquet(staging)
+        # the staging write reads the prior generation lazily while it
+        # still exists on disk; only after it lands does the swap flip
+        next_gen.write.mode("overwrite").parquet(staging)
         _swap_in(staging, manifest)
 
     return df, commit
@@ -616,7 +636,14 @@ def versioned_write(df: DataFrame, path: str) -> int:
     ``os.mkdir`` before any data lands, so two writers can never
     interleave part files into one snapshot (review finding: a
     max+1 / errorifexists race could); when both finish, the pointer is
-    last-flip-wins, the other version stays pinnable.
+    last-flip-wins, the other version stays pinnable. A completed
+    write drops a ``_PUBLISHED`` marker inside its snapshot before
+    flipping the pointer, so :func:`versioned_vacuum` can tell durable
+    history (collectable by quota) from a still-writing concurrent
+    claim (protected until a grace period passes) — without the
+    marker, vacuum could only guess from version numbers, and guessed
+    wrong for a slow writer whose number a faster one overtook (review
+    finding).
     """
     import tempfile
 
@@ -631,6 +658,11 @@ def versioned_write(df: DataFrame, path: str) -> int:
         except FileExistsError:
             version += 1
     df.write.mode("overwrite").parquet(vdir)  # we own the claimed dir
+    # marker BEFORE pointer: every pointed-at version is marked; a
+    # crash in between leaves a marked-unpublished dir, which vacuum
+    # may collect — correct, nothing references it
+    with open(os.path.join(vdir, _PUBLISHED_MARK), "w"):
+        pass
     fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest_")
     with os.fdopen(fd, "w") as f:
         f.write(str(version))
@@ -641,18 +673,39 @@ def versioned_write(df: DataFrame, path: str) -> int:
     return version
 
 
-def _clean_pointer_residue(path: str) -> None:
+_PUBLISHED_MARK = "_PUBLISHED"
+
+# How long an unexplained temp/claim must sit untouched before cleanup
+# may assume its writer is dead rather than merely slow. An hour dwarfs
+# any mkstemp→replace gap by ~6 orders of magnitude while still
+# collecting genuine residue on the next day's write.
+_RESIDUE_GRACE_SECONDS = 3600.0
+
+
+def _clean_pointer_residue(
+    path: str, grace_seconds: float = _RESIDUE_GRACE_SECONDS
+) -> None:
     """Remove ``._latest_*`` temp files stranded by a writer killed
     between mkstemp and the atomic replace — the live pointer is always
-    ``_latest`` itself, so any remaining temp is residue."""
+    ``_latest`` itself, so a remaining temp is residue. Only temps
+    older than ``grace_seconds`` are collected: a concurrent writer
+    holds its temp for microseconds between mkstemp and ``os.replace``,
+    and deleting it in that window made the writer's publish raise
+    FileNotFoundError after its data had landed, breaking the
+    last-flip-wins contract (review finding)."""
+    import time
+
     try:
         names = os.listdir(path)
     except OSError:
         return
+    cutoff = time.time() - grace_seconds
     for n in names:
         if n.startswith("._latest_"):
+            p = os.path.join(path, n)
             try:
-                os.remove(os.path.join(path, n))
+                if os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
             except OSError:
                 pass
 
@@ -688,17 +741,29 @@ def versioned_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def versioned_vacuum(path: str, keep_last: int = 2) -> list[int]:
-    """Drop old snapshots, keeping the newest ``keep_last`` PUBLISHED
-    versions (crashed, never-published directories don't count toward
-    the quota — review finding: they displaced real pinnable history),
-    and always keeping (a) the published version itself, whatever its
-    age, and (b) the single highest version on disk, which may be a
-    concurrent writer mid-flight. Unpublished directories BELOW the
-    highest are superseded residue and are collected. Returns the
-    versions actually removed (a directory that could not be deleted is
-    not reported removed)."""
+def versioned_vacuum(
+    path: str,
+    keep_last: int = 2,
+    grace_seconds: float = 24 * 3600.0,
+) -> list[int]:
+    """Drop old snapshots, keeping the newest ``keep_last`` COMPLETED
+    versions (``_PUBLISHED``-marked — crashed, incomplete directories
+    don't count toward the quota; review finding: they displaced real
+    pinnable history), and always keeping (a) the published version
+    itself, whatever its age, and (b) the single highest version on
+    disk. A directory WITHOUT the completion marker may be a concurrent
+    writer mid-flight at ANY version number, not just the highest
+    (review finding: with writers on v5 and v6, the v6 writer finishing
+    first left the v5 writer's claim looking like "superseded residue"
+    — vacuuming it mid-write, then v5's pointer flip published a
+    deleted snapshot). Unmarked directories are therefore only
+    collected once untouched for ``grace_seconds`` (default one day —
+    longer than any sane snapshot write; a directory's mtime refreshes
+    on every part file its writer lands). Returns the versions actually
+    removed (a directory that could not be deleted is not reported
+    removed)."""
     import shutil
+    import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -712,16 +777,34 @@ def versioned_vacuum(path: str, keep_last: int = 2) -> list[int]:
     versions = versioned_versions(path)
     if not versions:
         return []
-    eligible = [v for v in versions if published is None or v <= published]
+    completed = {
+        v
+        for v in versions
+        if os.path.exists(os.path.join(path, f"v={v}", _PUBLISHED_MARK))
+    }
+    eligible = [
+        v
+        for v in versions
+        if v in completed and (published is None or v <= published)
+    ]
     keep = set(eligible[-keep_last:])
     keep.add(max(versions))  # possibly an in-flight writer's claim
     if published is not None:
         keep.add(published)
+    cutoff = time.time() - grace_seconds
     removed = []
     for v in versions:
         if v in keep:
             continue
         vdir = os.path.join(path, f"v={v}")
+        if v not in completed:
+            # possibly a live writer (or a pre-marker legacy snapshot):
+            # collect only after the grace window of no modification
+            try:
+                if os.path.getmtime(vdir) > cutoff:
+                    continue
+            except OSError:
+                continue
         shutil.rmtree(vdir, ignore_errors=True)
         if not os.path.exists(vdir):
             removed.append(v)

@@ -238,6 +238,61 @@ def test_incremental_read_picks_up_only_new_files(spark, tmp_path):
     assert df3 is None
 
 
+def test_incremental_commit_never_collects_manifest(spark, tmp_path):
+    """The commit path must build the next manifest generation
+    distributedly: NO DataFrame.collect() of the file history may run
+    inside commit() (review finding: the old commit rebuilt the entire
+    manifest — O(all files ever) — as a Python list on the driver on
+    EVERY ingest batch; at 100 TB file counts that is a multi-GB
+    driver materialization per commit). The only driver-side list is
+    the O(new files) one the read itself needs, collected BEFORE
+    commit."""
+    import shutil
+
+    from pyspark.sql import DataFrame as _DF
+
+    from big_data_hadoop_spark.sources.io import read_incremental
+
+    src = tmp_path / "inc_nc_src"
+    src.mkdir()
+    manifest = str(tmp_path / "inc_nc_manifest")
+
+    def add_file(name, ids):
+        staged = tmp_path / f"_stage_nc_{name}"
+        spark.createDataFrame(
+            [(i,) for i in ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+
+    add_file("b1", [1, 2])
+    df, commit = read_incremental(spark, str(src), manifest)
+    assert df.count() == 2
+
+    real_collect = _DF.collect
+
+    def forbidden(self):
+        raise AssertionError(
+            "commit() collected a DataFrame to the driver"
+        )
+
+    _DF.collect = forbidden
+    try:
+        commit()  # second-gen path below exercises the union branch
+        add_file("b2", [10])
+        _DF.collect = real_collect
+        df2, commit2 = read_incremental(spark, str(src), manifest)
+        assert df2.count() == 1
+        _DF.collect = forbidden
+        commit2()
+    finally:
+        _DF.collect = real_collect
+
+    df3, _ = read_incremental(spark, str(src), manifest)
+    assert df3 is None  # both generations committed correctly
+
+
 def test_incremental_read_reprocesses_changed_length(spark, tmp_path):
     """A re-uploaded file with a different size is new again."""
     from big_data_hadoop_spark.sources.io import read_incremental
@@ -757,9 +812,12 @@ def test_versioned_crashed_write_invisible_to_latest(spark, tmp_path):
 
 
 def test_versioned_vacuum_policy_with_crashed_top_version(spark, tmp_path):
-    """Crashed unpublished dirs don't count toward keep_last (review
-    finding: they displaced real history); the top version is spared as
-    possibly in-flight; superseded unpublished residue is collected."""
+    """Crashed unmarked dirs don't count toward keep_last (review
+    finding: they displaced real history); a FRESH unmarked dir at ANY
+    number is spared as a possibly-live concurrent writer (review
+    finding: a slow writer's claim below a faster writer's published
+    version was vacuumed mid-write); once aged past the grace window it
+    is collected as residue."""
     import os
 
     from big_data_hadoop_spark.sources.io import (
@@ -771,13 +829,51 @@ def test_versioned_vacuum_policy_with_crashed_top_version(spark, tmp_path):
     path = str(tmp_path / "vp")
     for i in range(3):  # published v0..v2, pointer at 2
         versioned_write(spark.createDataFrame([(i,)], "id long"), path)
-    # crashed writers left unpublished v=3 (superseded later) and v=5 (top)
+    # writers still in flight (or crashed): unmarked v=3 and v=5 (top)
     os.mkdir(os.path.join(path, "v=3"))
     os.mkdir(os.path.join(path, "v=5"))
     removed = versioned_vacuum(path, keep_last=2)
-    # keep: published history {1,2}, published 2, top 5; collect 0 and 3
-    assert removed == [0, 3]
+    # keep: published history {1,2}, published 2, top 5, AND fresh v=3
+    # (possibly mid-write); collect only superseded-published v=0
+    assert removed == [0]
+    assert versioned_versions(path) == [1, 2, 3, 5]
+    # age v=3 past the grace window -> now provably dead residue
+    old = os.path.getmtime(os.path.join(path, "v=3")) - 48 * 3600
+    os.utime(os.path.join(path, "v=3"), (old, old))
+    removed = versioned_vacuum(path, keep_last=2)
+    assert removed == [3]
     assert versioned_versions(path) == [1, 2, 5]
+
+
+def test_versioned_vacuum_spares_slow_writer_below_published(spark, tmp_path):
+    """The ADVICE scenario end-to-end: writer A claims v1 and is slow;
+    writer B claims v2, finishes, and publishes. A vacuum in that
+    window must NOT collect A's claim — A then finishes and publishes,
+    and its snapshot must still be fully readable."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import (
+        versioned_read,
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vslow")
+    versioned_write(spark.createDataFrame([(0,)], "id long"), path)
+    # writer A's claim: dir exists, data mid-write, no marker yet
+    os.mkdir(os.path.join(path, "v=1"))
+    # writer B overtakes: claims v=2, finishes, publishes
+    v = versioned_write(spark.createDataFrame([(2,)], "id long"), path)
+    assert v == 2
+    versioned_vacuum(path, keep_last=1)
+    assert os.path.isdir(os.path.join(path, "v=1"))  # A not vacuumed
+    # A now finishes writing and publishes (last-flip-wins)
+    spark.createDataFrame([(1,)], "id long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "v=1"))
+    with open(os.path.join(path, "_latest"), "w") as f:
+        f.write("1")
+    assert versioned_read(spark, path).collect()[0].id == 1
 
 
 def test_versioned_write_cleans_pointer_residue(spark, tmp_path):
@@ -787,13 +883,21 @@ def test_versioned_write_cleans_pointer_residue(spark, tmp_path):
 
     path = str(tmp_path / "vr")
     versioned_write(spark.createDataFrame([(1,)], "id long"), path)
-    # simulate a writer killed between mkstemp and replace
-    with open(os.path.join(path, "._latest_dead"), "w") as f:
+    # a writer killed between mkstemp and replace, LONG ago
+    dead = os.path.join(path, "._latest_dead")
+    with open(dead, "w") as f:
         f.write("99")
+    old = os.path.getmtime(dead) - 2 * 3600
+    os.utime(dead, (old, old))
+    # a concurrent writer holding its temp RIGHT NOW (mkstemp→replace
+    # window) — cleanup must not steal it (review finding: deleting it
+    # made that writer's os.replace raise FileNotFoundError)
+    live = os.path.join(path, "._latest_live")
+    with open(live, "w") as f:
+        f.write("7")
     versioned_write(spark.createDataFrame([(2,)], "id long"), path)
-    assert not [
-        n for n in os.listdir(path) if n.startswith("._latest_")
-    ]
+    names = [n for n in os.listdir(path) if n.startswith("._latest_")]
+    assert names == ["._latest_live"]  # aged residue gone, live spared
     # pointer is world-readable like the data
     mode = os.stat(os.path.join(path, "_latest")).st_mode & 0o777
     assert mode & 0o044 == 0o044

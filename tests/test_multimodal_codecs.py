@@ -885,6 +885,50 @@ def test_audio_spectrum_non_wav_is_null_row(spark):
         assert r.dominant_hz is None and r.flatness is None
 
 
+def test_audio_spectrum_malformed_block_align_is_null_row(spark):
+    """A WAV whose fmt block-align LIES about ch*(bits/8) (or claims
+    zero channels) must degrade to the all-null feature row, not raise
+    inside frombuffer/reshape and fail the whole task on one malformed
+    blob (review finding: 'cannot reshape array of size 3 into shape
+    (2)' aborted the job)."""
+    import struct
+
+    from big_data_hadoop_spark.operators.multimodal import (
+        extract_audio_spectrum,
+    )
+
+    def wav(ch, bits, block, data):
+        fmt = struct.pack("<HHIIHH", 1, ch, 8000, 8000 * max(block, 1),
+                          block, bits)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = {
+        r.media_id: r
+        for r in extract_audio_spectrum(
+            spark.createDataFrame(
+                [
+                    # block-align=1 but stereo 16-bit: nf=3 "frames",
+                    # only 3 bytes of pcm — a partial frame
+                    (1, bytearray(wav(2, 16, 1, b"\x01\x02\x03"))),
+                    # zero channels
+                    (2, bytearray(wav(0, 16, 4, b"\x01\x02\x03\x04"))),
+                    # healthy control in the same batch still decodes
+                    (3, bytearray(wav(1, 16, 2, b"\x00\x10" * 64))),
+                ],
+                "media_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert rows[1].dominant_hz is None and rows[1].flatness is None
+    assert rows[2].dominant_hz is None
+    assert rows[3].dominant_hz is not None
+
+
 def test_audio_spectrum_noise_flatness_high(spark):
     """Deterministic wideband pseudo-noise should score flatness near 1,
     far above any tone — separating the two is the operator's job."""

@@ -364,6 +364,36 @@ def test_cms_rejects_degenerate_shape(spark):
         cms_build(df, "token", w=1)
 
 
+def test_cms_estimate_probe_sketch_schema_columns_survive(spark):
+    """A probe frame already carrying ``cnt``/``r``/``b`` columns (the
+    sketch's own schema names) passes through UNTOUCHED — review
+    finding: the internal coalesce silently overwrote a probe ``cnt``
+    before the min-fold and the join errored on ``r``/``b``. A probe
+    column colliding with the OUTPUT (``est_cnt``) is refused loudly."""
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "token string"
+    )
+    state = cms_build(toks, "token")
+    probe = spark.createDataFrame(
+        [("a", 777, 1, 2), ("b", 888, 3, 4)],
+        "token string, cnt long, r int, b int",
+    )
+    rows = {r.token: r for r in cms_estimate(state, probe, "token").collect()}
+    assert rows["a"].cnt == 777 and rows["b"].cnt == 888  # untouched
+    assert rows["a"].r == 1 and rows["b"].b == 4
+    assert rows["a"].est_cnt >= 2 and rows["b"].est_cnt >= 1
+    bad = spark.createDataFrame([("a", 0)], "token string, est_cnt long")
+    with _pytest.raises(ValueError, match="collide"):
+        cms_estimate(state, bad, "token")
+
+
 def test_cms_estimate_preserves_duplicate_probe_rows(spark):
     """One output row per input row, even for duplicate probes
     (review finding: the fold collapsed them)."""
