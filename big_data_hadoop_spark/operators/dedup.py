@@ -703,6 +703,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    method: str = "jump",
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS:
     ``(member_id, cluster_id)`` where ``cluster_id`` is the minimum id in
@@ -729,10 +730,22 @@ def duplicate_clusters(
     past what explainString can even allocate). Checkpointing collapses
     each round to a leaf. On a cluster deployment prefer a reliable
     checkpoint dir if executor loss matters (local checkpoints die with
-    their executor). For planet-scale graphs with deep chains, the
-    two-phase small-star/large-star formulation (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14 — public)
-    drops rounds to O(log n); not needed at near-dup diameters.
+    their executor).
+
+    ``method`` picks the iteration scheme:
+
+    - ``"jump"`` (default): the pointer-jumped propagation above —
+      lowest constant factors, right for near-dup graphs (shallow
+      stars/chains, typically 2-4 rounds).
+    - ``"star"``: the alternating small-star/large-star formulation
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14 — public), the planet-scale shape: per round it rewires
+      EDGES toward each neighborhood's minimum instead of propagating
+      labels, so intermediate state stays O(edges) with no label table,
+      the per-round joins are plain edge-list self-aggregations, and
+      deep components collapse in O(log n) alternations regardless of
+      where the minimum sits. Pick it for duplicate graphs with deep
+      chains or when ``jump`` hits ``max_iter``.
 
     Only ids that appear in ``pairs`` are emitted — singletons are their
     own cluster implicitly.
@@ -759,6 +772,10 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if method == "star":
+        return _star_clusters(edges, max_iter)
+    if method != "jump":
+        raise ValueError(f"unknown method {method!r}; use 'jump' or 'star'")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -818,6 +835,95 @@ def duplicate_clusters(
             break
     return labels.select(
         F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _star_clusters(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating small-star/large-star connected components (Kiveris
+    et al., SoCC'14 §3 — public paper; no reference-repo counterpart:
+    the reference has no graph operator at all). Operates purely on the
+    EDGE LIST — no label table to join each round:
+
+    - **large-star**: every node ``u`` links its strictly LARGER
+      neighbors to the minimum of its closed neighborhood
+      ``m = min(N(u) ∪ {u})`` — emits ``(v, m)`` for ``v ∈ N(u),
+      v > u``. Tall chains fold toward local minima.
+    - **small-star**: edges oriented larger→smaller; every node ``u``
+      links its smaller neighbors AND itself to its minimum neighbor —
+      star-ifies each local neighborhood.
+
+    Both are one groupBy-min + one self-join per pass, all keyed
+    shuffles; each alternation is checkpointed to a leaf (same
+    lineage-growth defense as the jump method). The paper proves
+    convergence in O(log n) alternations with edge count bounded by
+    O(n + m), independent of component DIAMETER or where the minimum
+    id sits — the property the pointer-jump method only gets through
+    its label table. Fixpoint = the small-star output is edge-set-equal
+    to the previous alternation's (checked by count + one anti-join,
+    both on checkpointed leaves).
+
+    Emits the same contract as the jump method: ``(member_id,
+    cluster_id = component minimum)`` for every id appearing in the
+    input edges."""
+    # ids present in the input (kept aside: star rounds drop self-loops
+    # and orphan the root of each finished star, both restored at the
+    # end from this node list)
+    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    cur = edges.filter(F.col("src") != F.col("dst"))
+    prev_cnt = -1
+    for _ in range(max_iter):
+        # large-star over the symmetric closure of the current edges
+        sym = cur.select("src", "dst").union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("_mn", "src").alias("m"))
+        )
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star over larger→smaller orientation
+        ori = large.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        smins = ori.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = ori.join(smins, "src")
+        nxt = (
+            joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(smins.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cnt = nxt.count()
+        if cnt == prev_cnt:
+            # same size: equal iff nothing in nxt is new
+            diff = (
+                nxt.join(cur, ["src", "dst"], "left_anti").limit(1).count()
+            )
+            if diff == 0:
+                cur = nxt
+                break
+        cur, prev_cnt = nxt, cnt
+    # at fixpoint every component is a star rooted at its minimum:
+    # members point at the root, the root points nowhere. min() guards
+    # a non-converged max_iter cutoff (still a valid label choice).
+    labels = cur.groupBy("src").agg(F.min("dst").alias("label"))
+    return (
+        nodes.join(labels, nodes.id == labels.src, "left")
+        .select(
+            F.col("id").alias("member_id"),
+            F.coalesce("label", "id").alias("cluster_id"),
+        )
     )
 
 

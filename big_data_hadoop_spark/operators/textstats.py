@@ -8,7 +8,9 @@ the DuckDB oracle matches bit-for-bit without rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_hadoop_spark.functions.text import categorize, kept_tokens, split_tokens
@@ -309,4 +311,142 @@ def hashed_linear_scores(
     return staged.select(
         F.col(id_col),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
+    )
+
+
+class HashedLinearModel(NamedTuple):
+    """A trained hashed-linear quality head: the weight vector (length =
+    hash dimension) plus bias, exactly the inputs
+    :func:`hashed_linear_scores` takes — train → score with no format
+    conversion in between."""
+
+    weights: list[float]
+    bias: float
+
+
+def train_hashed_linear(
+    df: DataFrame,
+    label_col: str = "label",
+    dim: int = 1 << 12,
+    text_col: str = "text",
+    epochs: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> HashedLinearModel:
+    """Distributed training for the :func:`hashed_linear_scores` quality
+    head: full-batch gradient descent on logistic loss over the SAME
+    featurization the scorer uses (hashing trick, mean of per-token
+    bucket weights — Joulin et al. 2016's supervised fastText shape, a
+    public paper), so the learned ``(weights, bias)`` plug straight
+    into the scorer. ``label_col`` holds 0/1 quality labels (e.g. from
+    a human-rated or heuristic-gated sample).
+
+    Per epoch, ONE distributed pass, no UDFs anywhere:
+
+    1. the current weights ride in on a broadcast single-row array
+       (same plan shape as the scorer — never shuffled);
+    2. each doc's margin/error is a narrow ``aggregate`` fold over its
+       tokens (whole-stage codegen);
+    3. gradients come back as ONE hash-keyed aggregation: every token
+       contributes ``error/n_tokens`` to its bucket, plus a sentinel
+       bucket ``-1`` carrying the bias gradient — map-side partial
+       aggregation collapses the explode to ≤ ``dim + 1`` rows per
+       task, so the shuffle carries the GRADIENT, not the corpus.
+
+    Driver state is the weight vector itself — O(dim) doubles, the
+    same bounded-state contract as BPE's vocab and KMeans' centroids;
+    the corpus never leaves the executors. At 100 TB the cost is
+    ``epochs`` scans of the tokenized frame (checkpointed once here;
+    cache/persist it on a real cluster).
+
+    ``l2`` adds ridge shrinkage (applied to every bucket each epoch,
+    not just touched ones). Gradients are exact full-batch, so given
+    the same data, epochs, and lr the result is reproducible up to
+    float summation order — pinned against a numpy replication in
+    tests.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    spark = df.sparkSession
+    staged = (
+        df.select(
+            kept_tokens(F.col(text_col)).alias("_tk"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .withColumn(
+            "_n", F.greatest(F.size("_tk"), F.lit(1)).cast("double")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = staged.count()
+    if n_docs == 0:
+        raise ValueError("cannot train on an empty frame")
+
+    bucket = lambda t: (F.pmod(F.xxhash64(t), F.lit(dim)) + 1).cast("int")  # noqa: E731
+
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(epochs):
+        wdf = spark.createDataFrame(
+            [([float(x) for x in w],)], "_w array<double>"
+        )
+        total = F.aggregate(
+            F.col("_tk"),
+            F.lit(0.0),
+            lambda acc, t: acc + F.element_at(F.col("_w"), bucket(t)),
+        )
+        z = total / F.col("_n") + F.lit(float(b))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = staged.join(F.broadcast(wdf)).select(
+            "_tk", "_n", (p - F.col("_y")).alias("_e")
+        )
+        # tokens contribute error/n to their bucket; sentinel -1 is the
+        # bias gradient — one explode, one hash aggregation, one job
+        contrib = F.concat(
+            F.transform(
+                "_tk",
+                lambda t: F.struct(
+                    (bucket(t) - 1).alias("k"),
+                    (F.col("_e") / F.col("_n")).alias("v"),
+                ),
+            ),
+            F.array(
+                F.struct(F.lit(-1).alias("k"), F.col("_e").alias("v"))
+            ),
+        )
+        grads = {
+            r.k: r.g
+            for r in err.select(F.explode(contrib).alias("c"))
+            .groupBy(F.col("c.k").alias("k"))
+            .agg(F.sum("c.v").alias("g"))
+            .collect()
+        }
+        gb = grads.pop(-1, 0.0) / n_docs
+        if l2:
+            w = [wi - lr * l2 * wi for wi in w]
+        for k, g in grads.items():
+            w[k] -= lr * g / n_docs
+        b -= lr * gb
+    return HashedLinearModel(weights=w, bias=b)
+
+
+def hashed_linear_save(model: HashedLinearModel, path: str) -> None:
+    """Persist a trained model as a one-row parquet ``(weights, bias)``
+    — same nothing-lives-only-in-driver-memory contract as
+    ``similarity.ivf_save``: a separate serving job reloads and scores
+    without retraining."""
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    spark.createDataFrame(
+        [([float(x) for x in model.weights], float(model.bias))],
+        "weights array<double>, bias double",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def hashed_linear_load(spark, path: str) -> HashedLinearModel:
+    """Reload an :func:`hashed_linear_save`-persisted model."""
+    row = spark.read.parquet(path).collect()[0]
+    return HashedLinearModel(
+        weights=[float(x) for x in row.weights], bias=float(row.bias)
     )

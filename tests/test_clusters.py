@@ -58,6 +58,66 @@ def test_matches_union_find_on_adversarial_shapes(spark):
     assert _clusters_of(spark, pairs) == _union_find(pairs)
 
 
+def test_star_matches_union_find_on_adversarial_shapes(spark):
+    """The small-star/large-star method must produce IDENTICAL clusters
+    to union-find on the same shapes the jump method is pinned on, plus
+    star-hostile extras: a long chain whose minimum sits at the far
+    end, a binary tree, and a barbell (two cliques + long bridge)."""
+    chain = [(i, i + 1) for i in range(100, 400)] + [(400, 7)]
+    tree = [((i - 1) // 2 + 1000, i + 1000) for i in range(1, 64)]
+    barbell = (
+        [(500 + a, 500 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(600 + a, 600 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(504, 550), (550, 551), (551, 600)]
+    )
+    pairs = chain + tree + barbell + [(9000, 9000)]  # self-pair too
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.member_id: r.cluster_id
+        for r in duplicate_clusters(df, method="star").collect()
+    }
+    expect = _union_find([(a, b) for a, b in pairs if a != b])
+    expect[9000] = 9000  # self-pair id is its own cluster
+    assert got == expect
+
+
+def test_star_converges_in_log_rounds_on_10k_chain(spark):
+    """A 10,000-node chain with the minimum at the far end: diameter
+    10k, the shape that breaks plain propagation. Each alternation
+    halves the remaining stride on a path, so convergence takes
+    ~log2(10000) ≈ 14 alternations (O(log n), SoCC'14) — max_iter is
+    capped at 16, so diameter-bound convergence (10,000 rounds needed)
+    produces wrong labels and fails the equality check."""
+    n = 10_000
+    pairs = [(i, i + 1) for i in range(1, n)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = duplicate_clusters(df, method="star", max_iter=16)
+    assert got.filter(F.col("cluster_id") != 1).count() == 0
+    assert got.count() == n
+
+
+def test_star_and_jump_agree_on_minhash_pairs(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairs_df = minhash_lsh_pairs(docs, threshold=0.7)
+    jump = {
+        r.member_id: r.cluster_id
+        for r in duplicate_clusters(pairs_df, method="jump").collect()
+    }
+    star = {
+        r.member_id: r.cluster_id
+        for r in duplicate_clusters(pairs_df, method="star").collect()
+    }
+    assert star == jump and jump
+
+
+def test_unknown_cluster_method_rejected(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="method"):
+        duplicate_clusters(df, method="propagate")
+
+
 def test_matches_union_find_on_minhash_pairs_sf001(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     pairs_df = minhash_lsh_pairs(docs, threshold=0.7)
