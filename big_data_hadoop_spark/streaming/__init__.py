@@ -2,6 +2,7 @@
 
 from big_data_hadoop_spark.streaming.pipelines import (
     read_events_stream,
+    read_files_stream,
     streaming_exact_dedup,
     streaming_curate,
     streaming_interval_join,
@@ -17,6 +18,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
 
 __all__ = [
     "read_events_stream",
+    "read_files_stream",
     "streaming_exact_dedup",
     "streaming_curate",
     "streaming_interval_join",

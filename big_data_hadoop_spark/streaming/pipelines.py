@@ -47,6 +47,54 @@ def read_events_stream(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def read_files_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    glob: str = "*.parquet",
+    **options: str,
+) -> DataFrame:
+    """File-source stream over a landing directory — the streaming twin
+    of the batch manifest contract (``sources.io.read_incremental``):
+    Structured Streaming's file source keeps its own processed-files
+    log inside the CHECKPOINT, so each trigger reads exactly the files
+    no earlier trigger has, with the same at-least-once semantics the
+    batch manifest provides (an epoch that fails before its sink
+    commits is replayed whole; compose with the epoch-marker
+    idempotence in ``operators.sketches.maintain_state`` for
+    effectively-once folds — the drained-equivalence test pins stream
+    ≡ batch-ingest+fold on the same file drops).
+
+    One DOCUMENTED divergence from the batch manifest: the file
+    source's log keys on PATH only, so an in-place overwrite of an
+    already-seen path (same name, new bytes) is NOT re-ingested,
+    while the batch manifest keys ``(path, length, mtime)`` and
+    re-ingests it. Landing zones that append new files (the layout
+    every streaming ingest assumes) behave identically under both.
+
+    Schema comes from a batch footer read of the files already
+    present (metadata-only scan), matching ``read_events_stream``'s
+    layout-drift defense; the directory must hold at least one file
+    when the stream is DEFINED — the standard file-source bootstrap
+    requirement. ``options`` forward to the reader (e.g.
+    ``maxFilesPerTrigger="1"`` for deterministic replay).
+    """
+    schema = (
+        spark.read.format(fmt)
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .schema
+    )
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def streaming_windowed_event_agg(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

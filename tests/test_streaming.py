@@ -732,3 +732,85 @@ def test_streaming_interval_join_rejects_unknown_how(spark):
     )
     with _pytest.raises(ValueError):
         streaming_interval_join(df, df, how="full_outer")
+
+
+def test_streaming_ingest_bridge_equals_batch_manifest_fold(spark, tmp_path):
+    """The ingest bridge end-to-end (VERDICT r5 #7): file drops →
+    ``read_files_stream`` → continuous agg-state fold must produce the
+    SAME state as the batch manifest path (``read_incremental`` →
+    ``maintain_agg_state``) over the same drops — the file source's
+    checkpoint log and the batch manifest are twins of one contract
+    (each file folded exactly once across restarts)."""
+    import shutil
+
+    from big_data_hadoop_spark.operators.sketches import (
+        agg_state_finalize,
+        maintain_agg_state,
+        streaming_agg_state,
+    )
+    from big_data_hadoop_spark.sources.io import read_incremental
+    from big_data_hadoop_spark.streaming import read_files_stream
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    s_src, b_src = tmp_path / "br_s_src", tmp_path / "br_b_src"
+    s_src.mkdir(), b_src.mkdir()
+    s_state = str(tmp_path / "br_s_state")
+    b_state = str(tmp_path / "br_b_state")
+    ckpt = str(tmp_path / "br_ckpt")
+    manifest = str(tmp_path / "br_manifest")
+
+    def add(name, pred):
+        staged = tmp_path / f"_br_{name}"
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(staged)
+        )
+        part = next(staged.glob("part-*.parquet"))
+        shutil.copy(part, s_src / f"{name}.parquet")
+        shutil.copy(part, b_src / f"{name}.parquet")
+
+    def drain_stream():
+        stream = read_files_stream(spark, str(s_src))
+        q = streaming_agg_state(
+            stream, s_state, ckpt, ["source"], "n_chars",
+            distinct_col="doc_id",
+        )
+        q.awaitTermination(120)
+
+    def batch_ingest():
+        df, commit = read_incremental(spark, str(b_src), manifest)
+        if df is None:
+            return
+        maintain_agg_state(
+            df.select("doc_id", "source", "n_chars"),
+            b_state,
+            ["source"],
+            "n_chars",
+            distinct_col="doc_id",
+        )
+        commit()
+
+    add("b1", F.col("doc_id") < 200)
+    drain_stream()
+    batch_ingest()
+    add("b2", F.col("doc_id") >= 200)
+    drain_stream()
+    batch_ingest()
+    batch_ingest()  # idle poll: nothing new, state untouched
+
+    got = {
+        r.source: r
+        for r in agg_state_finalize(spark.read.parquet(s_state)).collect()
+    }
+    want = {
+        r.source: r
+        for r in agg_state_finalize(spark.read.parquet(b_state)).collect()
+    }
+    assert got.keys() == want.keys() and len(got) > 1
+    for k in got:
+        assert got[k].n_rows == want[k].n_rows, k
+        assert got[k].total == want[k].total, k
+        assert got[k].vmin == want[k].vmin and got[k].vmax == want[k].vmax
+        assert got[k].n_distinct_approx == want[k].n_distinct_approx, k
