@@ -1578,6 +1578,70 @@ def q83_array_hof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q84_trained_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained hashed-linear quality head end-to-end (rows-only check —
+    full-batch logistic GD is float-summation-order sensitive across
+    partitions, so scores carry no stable hash; the training math is
+    pinned to 1e-9 against a numpy replication in
+    tests/test_train_hashed.py, and the probe's separation quality in
+    tests/test_train_hashed.py::test_q84_probe_learns_the_signal).
+    The labeled set derives deterministically from ``documents``:
+    balanced classes by doc_id parity, each class carrying a marker
+    token over shared filler (the standard synthetic-separability
+    construction — full-batch GD recovers the marker's sign within a
+    few epochs, keeping the probe's bench cost to one small job per
+    epoch); output is one (score, label) row per doc, the trained
+    head scoring through the UDF-free scorer."""
+    from big_data_hadoop_spark.operators.textstats import (
+        hashed_linear_scores,
+        train_hashed_linear,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    labeled = docs.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(2)).cast("int").alias("label"),
+        F.concat_ws(
+            " ",
+            F.when(F.pmod("doc_id", F.lit(2)) == 1, F.lit("qgood"))
+            .otherwise(F.lit("qbad")),
+            F.concat_ws(
+                " ", F.slice(F.split(F.lower("text"), " ", -1), 1, 10)
+            ),
+        ).alias("text"),
+    )
+    model = train_hashed_linear(
+        labeled, label_col="label", dim=512, epochs=6, lr=2.0
+    )
+    return (
+        hashed_linear_scores(labeled, model.weights, bias=model.bias)
+        .join(labeled.select("doc_id", "label"), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q85_star_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-star/large-star connected components (rows-only check —
+    iterative fixpoint, no ANSI-SQL form; pinned equal to union-find
+    AND to the jump method on these exact pairs in
+    tests/test_clusters.py). Same pair relation as q58, resolved with
+    ``method='star'`` — the O(log n)-alternation planet-scale scheme —
+    then aggregated to (cluster_id, n_members)."""
+    from big_data_hadoop_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    return (
+        duplicate_clusters(pairs, method="star")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1678,6 +1742,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_cms_counts": q81_cms_counts,
     "q82_unpivot": q82_unpivot,
     "q83_array_hof": q83_array_hof,
+    "q84_trained_quality": q84_trained_quality,
+    "q85_star_clusters": q85_star_clusters,
 }
 
 _EN = ts.STOPWORDS["en"]

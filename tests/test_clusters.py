@@ -207,3 +207,24 @@ def test_q58_probe_matches_union_find(spark):
         c: (len(ms), ",".join(str(m) for m in sorted(ms)))
         for c, ms in comps.items()
     }
+
+
+def test_q85_probe_matches_union_find(spark):
+    """The q85 star-method registry probe's (cluster_id, n_members)
+    must equal the union-find component sizes of the same pairs."""
+    from big_data_hadoop_spark.probes import QUERIES
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    ]
+    uf = _union_find(pairs)
+    sizes: dict[int, int] = {}
+    for _, root in uf.items():
+        sizes[root] = sizes.get(root, 0) + 1
+    got = {
+        r.cluster_id: r.n_members
+        for r in QUERIES["q85_star_clusters"](spark, SF_ORACLE).collect()
+    }
+    assert got == sizes and got

@@ -144,3 +144,18 @@ def test_l2_shrinks_weights(spark):
     assert float(np.abs(ridge.weights).sum()) < float(
         np.abs(plain.weights).sum()
     )
+
+
+def test_q84_probe_learns_the_signal(spark):
+    """The q84 registry probe trains on a deterministic learnable label
+    (token 'sort' present) — the returned scores must separate the two
+    classes on the training corpus itself (in-sample, so high accuracy
+    is the correctness bar, not a generalization claim)."""
+    from big_data_hadoop_spark.probes import QUERIES
+
+    rows = QUERIES["q84_trained_quality"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    correct = sum(1 for r in rows if (r.score >= 0.5) == (r.label == 1))
+    assert correct >= 0.9 * len(rows), (correct, len(rows))
