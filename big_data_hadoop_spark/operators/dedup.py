@@ -873,10 +873,22 @@ def _star_clusters(edges: DataFrame, max_iter: int) -> DataFrame:
     )
     cur = edges.filter(F.col("src") != F.col("dst"))
     prev_cnt = -1
-    for _ in range(max_iter):
-        # large-star over the symmetric closure of the current edges
-        sym = cur.select("src", "dst").union(
-            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    for it in range(max_iter):
+        # large-star over the symmetric closure of the current edges.
+        # Round 1's input is ALREADY symmetric (duplicate_clusters
+        # hands over the exploded both-directions set), so unioning
+        # the swap would double every edge through the heaviest
+        # round's aggregation and self-join (review finding); later
+        # rounds consume small-star output, which is oriented and
+        # does need the closure.
+        sym = (
+            cur
+            if it == 0
+            else cur.select("src", "dst").union(
+                cur.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
         )
         mins = (
             sym.groupBy("src")

@@ -300,18 +300,35 @@ def hashed_linear_scores(
         kept_tokens(F.col(text_col)).alias("_tk"),
         F.col("_w"),
     )
-    bucket = lambda t: (F.pmod(F.xxhash64(t), F.lit(dim)) + 1).cast("int")  # noqa: E731
-    total = F.aggregate(
-        F.col("_tk"),
-        F.lit(0.0),
-        lambda acc, t: acc + F.element_at(F.col("_w"), bucket(t)),
+    z = _hashed_mean_margin(F.col("_tk"), F.col("_w"), dim) + F.lit(
+        float(bias)
     )
-    mean = total / F.greatest(F.size("_tk"), F.lit(1)).cast("double")
-    z = mean + F.lit(float(bias))
     return staged.select(
         F.col(id_col),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out_col),
     )
+
+
+def _hashed_bucket(t: Column, dim: int) -> Column:
+    """1-based hashing-trick bucket of token ``t`` (``element_at``
+    indexing). SHARED by scoring and training — the model is only
+    valid if both hash identically, so there is exactly one definition
+    (review finding: a copy in each function could silently
+    desynchronize)."""
+    return (F.pmod(F.xxhash64(t), F.lit(dim)) + 1).cast("int")
+
+
+def _hashed_mean_margin(tk: Column, w: Column, dim: int) -> Column:
+    """Mean of the tokens' bucket weights (empty docs → 0) — the
+    linear margin both :func:`hashed_linear_scores` and
+    :func:`train_hashed_linear` compute, defined once for the same
+    reason as :func:`_hashed_bucket`."""
+    total = F.aggregate(
+        tk,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(w, _hashed_bucket(t, dim)),
+    )
+    return total / F.greatest(F.size(tk), F.lit(1)).cast("double")
 
 
 class HashedLinearModel(NamedTuple):
@@ -384,20 +401,15 @@ def train_hashed_linear(
     if n_docs == 0:
         raise ValueError("cannot train on an empty frame")
 
-    bucket = lambda t: (F.pmod(F.xxhash64(t), F.lit(dim)) + 1).cast("int")  # noqa: E731
-
     w = [0.0] * dim
     b = 0.0
     for _ in range(epochs):
         wdf = spark.createDataFrame(
             [([float(x) for x in w],)], "_w array<double>"
         )
-        total = F.aggregate(
-            F.col("_tk"),
-            F.lit(0.0),
-            lambda acc, t: acc + F.element_at(F.col("_w"), bucket(t)),
+        z = _hashed_mean_margin(F.col("_tk"), F.col("_w"), dim) + F.lit(
+            float(b)
         )
-        z = total / F.col("_n") + F.lit(float(b))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         err = staged.join(F.broadcast(wdf)).select(
             "_tk", "_n", (p - F.col("_y")).alias("_e")
@@ -408,7 +420,7 @@ def train_hashed_linear(
             F.transform(
                 "_tk",
                 lambda t: F.struct(
-                    (bucket(t) - 1).alias("k"),
+                    (_hashed_bucket(t, dim) - 1).alias("k"),
                     (F.col("_e") / F.col("_n")).alias("v"),
                 ),
             ),

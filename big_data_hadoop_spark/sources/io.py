@@ -746,22 +746,25 @@ def versioned_vacuum(
     keep_last: int = 2,
     grace_seconds: float = 24 * 3600.0,
 ) -> list[int]:
-    """Drop old snapshots, keeping the newest ``keep_last`` COMPLETED
-    versions (``_PUBLISHED``-marked — crashed, incomplete directories
-    don't count toward the quota; review finding: they displaced real
-    pinnable history), and always keeping (a) the published version
-    itself, whatever its age, and (b) the single highest version on
-    disk. A directory WITHOUT the completion marker may be a concurrent
-    writer mid-flight at ANY version number, not just the highest
-    (review finding: with writers on v5 and v6, the v6 writer finishing
-    first left the v5 writer's claim looking like "superseded residue"
-    — vacuuming it mid-write, then v5's pointer flip published a
-    deleted snapshot). Unmarked directories are therefore only
-    collected once untouched for ``grace_seconds`` (default one day —
-    longer than any sane snapshot write; a directory's mtime refreshes
-    on every part file its writer lands). Returns the versions actually
-    removed (a directory that could not be deleted is not reported
-    removed)."""
+    """Drop old snapshots, keeping the newest ``keep_last`` versions of
+    the published history (everything at or below the pointer — the
+    pre-marker definition, so tables upgraded from the marker-less
+    format keep their full quota; review finding: counting only marked
+    dirs collapsed the quota on upgrade and mass-deleted legacy
+    history), and always keeping (a) the published version itself,
+    whatever its age, and (b) the single highest version on disk. A
+    directory WITHOUT the ``_PUBLISHED`` completion marker may be a
+    concurrent writer mid-flight at ANY version number, not just the
+    highest (review finding: with writers on v5 and v6, the v6 writer
+    finishing first left the v5 writer's claim looking like
+    "superseded residue" — vacuuming it mid-write, then v5's pointer
+    flip published a deleted snapshot). Unmarked directories outside
+    the keep set are therefore only collected once NOTHING in their
+    tree has been modified for ``grace_seconds`` (default one day);
+    the tree-deep check matters because Spark's committer writes under
+    ``_temporary`` without refreshing the top-level mtime. Returns the
+    versions actually removed (a directory that could not be deleted
+    is not reported removed)."""
     import shutil
     import time
 
@@ -782,11 +785,15 @@ def versioned_vacuum(
         for v in versions
         if os.path.exists(os.path.join(path, f"v={v}", _PUBLISHED_MARK))
     }
-    eligible = [
-        v
-        for v in versions
-        if v in completed and (published is None or v <= published)
-    ]
+    # Quota counting keeps the PRE-MARKER definition — every version at
+    # or below the pointer counts as history — so upgrading a table
+    # whose snapshots predate the marker does not collapse keep_last to
+    # nothing and mass-delete real published history after the grace
+    # window (review finding). The marker's job is narrower: deciding
+    # whether a non-kept directory can be deleted IMMEDIATELY (marked =
+    # durably complete) or only after the grace window (unmarked =
+    # possibly a live writer, or pre-marker legacy).
+    eligible = [v for v in versions if published is None or v <= published]
     keep = set(eligible[-keep_last:])
     keep.add(max(versions))  # possibly an in-flight writer's claim
     if published is not None:
@@ -800,12 +807,36 @@ def versioned_vacuum(
         if v not in completed:
             # possibly a live writer (or a pre-marker legacy snapshot):
             # collect only after the grace window of no modification
-            try:
-                if os.path.getmtime(vdir) > cutoff:
-                    continue
-            except OSError:
+            # ANYWHERE in the tree — Spark's committer writes under
+            # vdir/_temporary/..., leaving the top-level mtime at
+            # claim time for the whole job (review finding: a write
+            # outlasting the grace window was collectable mid-flight
+            # under a top-level-only mtime check)
+            if _latest_mtime(vdir) > cutoff:
                 continue
         shutil.rmtree(vdir, ignore_errors=True)
         if not os.path.exists(vdir):
             removed.append(v)
     return removed
+
+
+def _latest_mtime(root: str) -> float:
+    """Newest modification time anywhere under ``root`` (the path
+    itself, every directory, every file). Liveness signal for the
+    vacuum grace window: an in-flight writer keeps SOMETHING fresh in
+    its tree even when the committer only touches ``_temporary``
+    subpaths. Unreadable entries count as fresh (+inf) — failing
+    toward keeping a possibly-live writer's data, never deleting it."""
+    try:
+        newest = os.path.getmtime(root)
+    except OSError:
+        return float("inf")
+    for dirpath, dirnames, filenames in os.walk(root):
+        for n in dirnames + filenames:
+            try:
+                t = os.path.getmtime(os.path.join(dirpath, n))
+            except OSError:
+                return float("inf")
+            if t > newest:
+                newest = t
+    return newest

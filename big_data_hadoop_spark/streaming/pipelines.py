@@ -71,25 +71,38 @@ def read_files_stream(
     while the batch manifest keys ``(path, length, mtime)`` and
     re-ingests it. Landing zones that append new files (the layout
     every streaming ingest assumes) behave identically under both.
+    Two further file-source defaults are overridden here to HOLD the
+    manifest contract (review finding: both silently diverged):
 
-    Schema comes from a batch footer read of the files already
-    present (metadata-only scan), matching ``read_events_stream``'s
-    layout-drift defense; the directory must hold at least one file
-    when the stream is DEFINED — the standard file-source bootstrap
-    requirement. ``options`` forward to the reader (e.g.
-    ``maxFilesPerTrigger="1"`` for deterministic replay).
+    - ``maxFileAge`` defaults to effectively-unbounded — Spark's 7-day
+      default silently skips files whose mtime trails the newest by
+      more than the age (an mtime-preserving backfill copy of old
+      files would never be ingested). The seen-files log then grows
+      O(files), the same driver state the batch manifest holds; pass
+      a finite ``maxFileAge`` to trade the blind spot back for a
+      bounded log.
+    - the schema footer read merges ALL present footers
+      (``mergeSchema`` for parquet/orc) instead of trusting one
+      arbitrary file — a landing dir mid-schema-evolution would
+      otherwise silently drop the newer columns from every trigger
+      (the same footgun ``read_parquet_evolving`` exists to fix).
+
+    The directory must hold at least one file when the stream is
+    DEFINED — the standard file-source bootstrap requirement.
+    ``options`` forward to the reader (e.g. ``maxFilesPerTrigger="1"``
+    for deterministic replay).
     """
-    schema = (
-        spark.read.format(fmt)
-        .option("pathGlobFilter", glob)
-        .load(path)
-        .schema
-    )
+    schema_reader = spark.read.format(fmt).option("pathGlobFilter", glob)
+    if fmt in ("parquet", "orc"):
+        schema_reader = schema_reader.option("mergeSchema", "true")
+    schema = schema_reader.load(path).schema
     reader = (
         spark.readStream.format(fmt)
         .schema(schema)
         .option("pathGlobFilter", glob)
     )
+    if "maxFileAge" not in options:
+        reader = reader.option("maxFileAge", "36500d")
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)

@@ -920,3 +920,63 @@ def test_versioned_write_claims_skip_existing_dirs(spark, tmp_path):
     assert v == 2
     assert versioned_read(spark, path).collect()[0].id == 2
     assert os.listdir(os.path.join(path, "v=1")) == []  # untouched
+
+
+def test_versioned_vacuum_legacy_unmarked_history_keeps_quota(spark, tmp_path):
+    """Upgrade path (review finding): snapshots written BEFORE the
+    _PUBLISHED marker existed must still count toward keep_last — a
+    marker-only quota collapsed to nothing on upgrade and mass-deleted
+    real published history once past the grace window."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import (
+        versioned_vacuum,
+        versioned_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vleg")
+    for i in range(3):
+        versioned_write(spark.createDataFrame([(i,)], "id long"), path)
+    # simulate the pre-marker format: strip markers, age everything
+    for v in range(3):
+        os.remove(os.path.join(path, f"v={v}", "_PUBLISHED"))
+    for root, dirs, files in os.walk(path):
+        for n in dirs + files:
+            p = os.path.join(root, n)
+            old = os.path.getmtime(p) - 48 * 3600
+            os.utime(p, (old, old))
+    removed = versioned_vacuum(path, keep_last=2)
+    assert removed == [0]  # quota {1,2} honored, not collapsed
+    assert versioned_versions(path) == [1, 2]
+
+
+def test_versioned_vacuum_grace_sees_deep_writer_activity(spark, tmp_path):
+    """A long-running writer whose committer only touches
+    vdir/_temporary/... (top-level mtime stuck at claim time) must
+    still be inside the grace window — the liveness check walks the
+    tree (review finding: a top-level-only mtime check collected a
+    slow write mid-flight)."""
+    import os
+
+    from big_data_hadoop_spark.sources.io import (
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vdeep")
+    for i in range(2):
+        versioned_write(spark.createDataFrame([(i,)], "id long"), path)
+    # slow writer claimed v=2 LONG ago; job is still writing under
+    # _temporary (fresh file there), top-level dir mtime is stale
+    vdir = os.path.join(path, "v=2")
+    tmpdir = os.path.join(vdir, "_temporary", "0")
+    os.makedirs(tmpdir)
+    with open(os.path.join(tmpdir, "part-000.parquet.inprogress"), "w"):
+        pass
+    old = os.path.getmtime(vdir) - 48 * 3600
+    os.utime(vdir, (old, old))
+    os.utime(os.path.join(vdir, "_temporary"), (old, old))
+    # the deep file stays FRESH -> grace must protect the claim
+    versioned_vacuum(path, keep_last=1)
+    assert os.path.isdir(vdir)

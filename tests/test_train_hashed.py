@@ -148,14 +148,15 @@ def test_l2_shrinks_weights(spark):
 
 def test_q84_probe_learns_the_signal(spark):
     """The q84 registry probe trains on a deterministic learnable label
-    (token 'sort' present) — the returned scores must separate the two
-    classes on the training corpus itself (in-sample, so high accuracy
-    is the correctness bar, not a generalization claim)."""
+    (balanced doc_id-parity classes, each marked by a qgood/qbad
+    marker token over shared filler) — the returned scores must
+    separate the two classes on the training corpus itself (in-sample,
+    so high accuracy is the correctness bar, not a generalization
+    claim)."""
     from big_data_hadoop_spark.probes import QUERIES
+    from tests.conftest import SF_ORACLE
 
-    rows = QUERIES["q84_trained_quality"](
-        spark, "/root/testdata/sf0.01"
-    ).collect()
+    rows = QUERIES["q84_trained_quality"](spark, SF_ORACLE).collect()
     assert rows
     correct = sum(1 for r in rows if (r.score >= 0.5) == (r.label == 1))
     assert correct >= 0.9 * len(rows), (correct, len(rows))
