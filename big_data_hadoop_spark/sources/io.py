@@ -494,6 +494,104 @@ def overwrite_partitions(
     )
 
 
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+    validate_keys: bool = True,
+) -> None:
+    """Keyed MERGE (upsert) into a parquet dataset: rows of ``updates``
+    replace same-key rows and insert new keys — the table-format verb
+    (Delta/Iceberg ``MERGE INTO``) expressed as anti-join ∪ updates
+    over the plain-parquet layout this module maintains.
+
+    Unpartitioned datasets rewrite whole via the shared stage-and-swap
+    (crash leaves the previous generation; ``_recover_generation``
+    restores a killed swap). Hive-partitioned datasets (pass
+    ``partition_cols``; ``updates`` must carry them) rewrite ONLY the
+    partitions containing updated keys, through
+    :func:`overwrite_partitions`' dynamic mode — upserting one day of
+    a year-partitioned 100 TB dataset costs one day's rewrite, the
+    property that makes MERGE usable at scale. The affected-partition
+    values pass through the driver (O(affected partitions) — planner-
+    sized state) to build a PRUNING filter, so untouched partitions
+    are never even scanned.
+
+    ``updates`` must be key-unique: with two rows per key the merged
+    table's content would depend on shuffle order — refused loudly
+    (``validate_keys=False`` skips the one aggregate job for callers
+    who already guarantee it). ``updates`` columns must equal the
+    stored schema (unionByName would otherwise silently NULL-fill a
+    typo'd column)."""
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if partition_cols:
+        missing = [c for c in partition_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(
+                f"updates lack partition columns {missing}"
+            )
+    if validate_keys:
+        dup = (
+            updates.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "updates contain duplicate keys; MERGE semantics would "
+                "depend on shuffle order — dedupe first or pass "
+                "validate_keys=False if keys are guaranteed unique"
+            )
+    _recover_generation(path)
+    if not os.path.exists(path):
+        w = updates.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
+        return
+    prior = spark.read.parquet(path)
+    if set(prior.columns) != set(updates.columns):
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} != stored "
+            f"{sorted(prior.columns)}"
+        )
+    upd_keys = updates.select(*key_cols).distinct()
+    if partition_cols:
+        # bounded driver state: one row per AFFECTED partition combo,
+        # turned into a pruning predicate (a semi-join alone would scan
+        # every partition; this reaches the scan's PartitionFilters)
+        combos = updates.select(*partition_cols).distinct().collect()
+        pred = None
+        for row in combos:
+            conj = None
+            for c in partition_cols:
+                term = (
+                    F.col(c).isNull()
+                    if row[c] is None
+                    else (F.col(c) == F.lit(row[c]))
+                )
+                conj = term if conj is None else conj & term
+            pred = conj if pred is None else pred | conj
+        affected = prior.filter(pred)
+        merged = affected.join(upd_keys, key_cols, "left_anti").unionByName(
+            updates.select(*affected.columns)
+        )
+        overwrite_partitions(merged, path, partition_cols)
+    else:
+        merged = prior.join(upd_keys, key_cols, "left_anti").unionByName(
+            updates.select(*prior.columns)
+        )
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        _swap_in(staging, path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
