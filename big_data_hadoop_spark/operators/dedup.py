@@ -968,6 +968,12 @@ def _bloom_probes(n_bits: int, n_hashes: int, i: int) -> tuple[str, str]:
     )
 
 
+#: Hard ceiling on Bloom driver state (bits): 2^30 bits = 128 MB of
+#: words on the driver and per-executor after broadcast. See
+#: :func:`build_digest_bloom` for the past-the-cap alternatives.
+_BLOOM_MAX_BITS = 1 << 30
+
+
 class DigestBloom(NamedTuple):
     """A built digest Bloom filter: the dense word list PLUS the probe
     count it was built with — carrying ``n_hashes`` in the value makes a
@@ -994,9 +1000,27 @@ def build_digest_bloom(
     for ~1% false positives; false positives cost only verification work
     here, never correctness). The returned words are plain ints — persist
     them wherever run state lives and hand them back to
-    :func:`bloom_dedup_against` to skip the rebuild."""
+    :func:`bloom_dedup_against` to skip the rebuild.
+
+    DRIVER-STATE GOVERNANCE: the word list lives on the driver and is
+    broadcast whole, so ``n_bits`` is capped at ``_BLOOM_MAX_BITS``
+    (2^30 → 128 MB of words — already generous for ~10^8 historical
+    digests at the 10-bits-per-digest budget). Past that the filter is
+    the wrong tool, not a bigger buffer: use
+    :func:`exact_dedup_against` (two-sided digest shuffle, unbounded,
+    exact) or shard the history by digest prefix and run one
+    budget-sized filter per shard. An over-SATURATED filter within the
+    cap degrades gracefully (more verification work, never wrong
+    results) — sizing guidance above."""
     if n_bits <= 0 or n_bits % 64:
         raise ValueError(f"n_bits must be a positive multiple of 64: {n_bits}")
+    if n_bits > _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"n_bits={n_bits} exceeds the driver-state budget "
+            f"{_BLOOM_MAX_BITS} (2^30 bits = 128 MB). At that history "
+            "cardinality use exact_dedup_against (unbounded shuffle "
+            "anti-join) or shard the digest history by prefix."
+        )
     probes = [
         _bloom_probes(n_bits, n_hashes, i) for i in range(n_hashes)
     ]
