@@ -388,6 +388,72 @@ def cmd_ingest(args: argparse.Namespace) -> None:
     print(f"[ingest] appended {obs.get['n']} rows from new files")
 
 
+def cmd_upsert(args: argparse.Namespace) -> None:
+    """Keyed MERGE of an updates parquet into a dataset
+    (``sources.io.upsert_parquet``): same-key rows replaced, new keys
+    inserted; partitioned datasets rewrite only affected partitions."""
+    from big_data_hadoop_spark.sources.io import upsert_parquet
+
+    spark = _spark("upsert")
+    updates = spark.read.parquet(args.updates)
+    upsert_parquet(
+        spark,
+        args.dataset,
+        updates,
+        key_cols=args.keys.split(","),
+        partition_cols=(
+            args.partition_by.split(",") if args.partition_by else None
+        ),
+    )
+    print(f"[upsert] merged into {args.dataset}")
+
+
+def cmd_train_quality(args: argparse.Namespace) -> None:
+    """Train the hashed-linear quality head on a labeled parquet
+    (columns: text + 0/1 label) and persist the model
+    (``textstats.train_hashed_linear`` / ``hashed_linear_save``)."""
+    from big_data_hadoop_spark.operators.textstats import (
+        hashed_linear_save,
+        train_hashed_linear,
+    )
+
+    spark = _spark("train-quality")
+    df = spark.read.parquet(args.input)
+    model = train_hashed_linear(
+        df,
+        label_col=args.label_col,
+        text_col=args.text_col,
+        dim=args.dim,
+        epochs=args.epochs,
+        lr=args.lr,
+        l2=args.l2,
+    )
+    hashed_linear_save(model, args.model)
+    print(
+        f"[train-quality] dim={args.dim} epochs={args.epochs} "
+        f"bias={model.bias:.6f} -> {args.model}"
+    )
+
+
+def cmd_score_quality(args: argparse.Namespace) -> None:
+    """Score a corpus with a saved quality model — the UDF-free batch
+    scoring pass (``textstats.hashed_linear_scores``)."""
+    from big_data_hadoop_spark.operators.textstats import (
+        hashed_linear_load,
+        hashed_linear_scores,
+    )
+
+    spark = _spark("score-quality")
+    model = hashed_linear_load(spark, args.model)
+    docs = spark.read.parquet(args.input)
+    scored = hashed_linear_scores(
+        docs, model.weights, bias=model.bias,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    scored.write.mode("overwrite").parquet(args.output)
+    print(f"[score-quality] scored {args.input} -> {args.output}")
+
+
 def cmd_compact(args: argparse.Namespace) -> None:
     """Small-file compaction of a parquet dataset in place."""
     from big_data_hadoop_spark.sources.io import compact_parquet
@@ -592,6 +658,33 @@ def main(argv: list[str] | None = None) -> None:
     ig.add_argument("--glob", default="*.parquet")
     ig.add_argument("--format", default="parquet")
 
+    up = sub.add_parser("upsert", help="keyed MERGE of updates into a dataset")
+    up.add_argument("updates")
+    up.add_argument("dataset")
+    up.add_argument("--keys", required=True, help="comma-separated key columns")
+    up.add_argument("--partition-by", default=None)
+
+    tq = sub.add_parser(
+        "train-quality", help="train the hashed-linear quality head"
+    )
+    tq.add_argument("input")
+    tq.add_argument("model")
+    tq.add_argument("--label-col", default="label")
+    tq.add_argument("--text-col", default="text")
+    tq.add_argument("--dim", type=int, default=1 << 12)
+    tq.add_argument("--epochs", type=int, default=30)
+    tq.add_argument("--lr", type=float, default=1.0)
+    tq.add_argument("--l2", type=float, default=0.0)
+
+    sq = sub.add_parser(
+        "score-quality", help="score a corpus with a saved quality model"
+    )
+    sq.add_argument("input")
+    sq.add_argument("model")
+    sq.add_argument("output")
+    sq.add_argument("--text-col", default="text")
+    sq.add_argument("--id-col", default="doc_id")
+
     args = p.parse_args(argv)
     t0 = time.monotonic()
     {
@@ -609,6 +702,9 @@ def main(argv: list[str] | None = None) -> None:
         "split": cmd_split,
         "search": cmd_search,
         "ingest": cmd_ingest,
+        "upsert": cmd_upsert,
+        "train-quality": cmd_train_quality,
+        "score-quality": cmd_score_quality,
         "clean": cmd_clean,
         "compact": cmd_compact,
         "diff": cmd_diff,

@@ -297,3 +297,49 @@ def test_cli_compact_and_diff(tmp_path, spark, capsys):
     assert "[diff] removed: 1" in out
     assert "[diff] changed: 1" in out
     assert "[diff] unchanged: 1" in out
+
+
+def test_cli_upsert(tmp_path, spark):
+    """e2e: keyed MERGE through the CLI — update, insert, untouched."""
+    from big_data_hadoop_spark.cli import main
+
+    ds = str(tmp_path / "ups_ds")
+    upd = str(tmp_path / "ups_upd")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(ds)
+    spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "id long, v string"
+    ).write.parquet(upd)
+    main(["upsert", upd, ds, "--keys", "id"])
+    got = {(r.id, r.v) for r in spark.read.parquet(ds).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}
+
+
+def test_cli_train_and_score_quality(tmp_path, spark, capsys):
+    """e2e: train the quality head on a labeled parquet, persist it,
+    score a corpus with the saved model — scores must separate the
+    marker classes."""
+    from big_data_hadoop_spark.cli import main
+
+    labeled = str(tmp_path / "tq_in")
+    model = str(tmp_path / "tq_model")
+    scored = str(tmp_path / "tq_scored")
+    rows = [
+        (i, ("good clean text" if i % 2 else "bad spam text"), i % 2)
+        for i in range(80)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    ).write.parquet(labeled)
+    main([
+        "train-quality", labeled, model,
+        "--dim", "128", "--epochs", "12", "--lr", "2.0",
+    ])
+    assert "[train-quality]" in capsys.readouterr().out
+    main(["score-quality", labeled, model, scored])
+    got = {r.doc_id: r.score for r in spark.read.parquet(scored).collect()}
+    assert len(got) == 80
+    pos = [got[i] for i in range(80) if i % 2 == 1]
+    neg = [got[i] for i in range(80) if i % 2 == 0]
+    assert min(pos) > max(neg)  # clean separation of the two classes
