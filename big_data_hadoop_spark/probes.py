@@ -1642,6 +1642,20 @@ def q85_star_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q86_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered event-funnel (view → click → purchase) per-user progress
+    + drop-off counts under a 6-hour first-touch budget (rows-only —
+    the greedy walk is a fold, not ANSI SQL; replicated pair-for-pair
+    in pure Python in tests/test_funnel.py). One shuffle (the user
+    groupBy), no window function, no per-step self-join — plan-pinned."""
+    from big_data_hadoop_spark.operators.relational import funnel_counts
+
+    ev = load_table(spark, sf, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within_seconds=6 * 3600
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1744,6 +1758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_array_hof": q83_array_hof,
     "q84_trained_quality": q84_trained_quality,
     "q85_star_clusters": q85_star_clusters,
+    "q86_event_funnel": q86_event_funnel,
 }
 
 _EN = ts.STOPWORDS["en"]
