@@ -527,3 +527,53 @@ def funnel_counts(
         )
         .orderBy("step")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    period: str = "week",
+    max_offset: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST activity (the cohort), counted once per later period they
+    were active in — ``(cohort, offset, n_users)`` with ``offset`` in
+    periods since the cohort period (0 = the cohort's own size).
+    ``period`` is ``day`` or ``week`` (fixed-length periods, so the
+    offset is an exact integer day-difference division; months vary in
+    length and would need `months_between` semantics — unsupported
+    here rather than subtly wrong).
+
+    ONE wide shuffle: groupBy user computes the cohort (min ts) AND the
+    distinct active periods in the same aggregation; a narrow explode
+    then a small (cohorts × offsets)-cardinality count. No self-join of
+    the events table against per-user first-activity (the textbook
+    formulation — a second full shuffle of the fact table)."""
+    if period not in ("day", "week"):
+        raise ValueError(f"period must be 'day' or 'week', got {period!r}")
+    days = 1 if period == "day" else 7
+    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    per_user = (
+        events.select(F.col(user_col).alias("user"), p.alias("p"))
+        .groupBy("user")
+        .agg(
+            F.min("p").alias("cohort"),
+            F.collect_set("p").alias("actives"),
+        )
+    )
+    exploded = per_user.select(
+        F.to_date("cohort").alias("cohort"),
+        F.explode("actives").alias("active"),
+    ).select(
+        "cohort",
+        (
+            F.datediff(F.to_date("active"), F.col("cohort")) / days
+        ).cast("int").alias("offset"),
+    )
+    return (
+        exploded.filter(F.col("offset") <= max_offset)
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "offset")
+    )

@@ -1656,6 +1656,19 @@ def q86_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q87_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix over events (rows-only slot —
+    the driver's oracle cap is full; the FULL DuckDB date_trunc/
+    datediff oracle runs in tests/test_cohort.py for week AND day
+    periods). One wide shuffle: cohort and active periods come out of
+    the same per-user aggregation — no events-vs-first-activity
+    self-join."""
+    from big_data_hadoop_spark.operators.relational import cohort_retention
+
+    ev = load_table(spark, sf, "events")
+    return cohort_retention(ev, period="week", max_offset=6)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1759,6 +1772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_trained_quality": q84_trained_quality,
     "q85_star_clusters": q85_star_clusters,
     "q86_event_funnel": q86_event_funnel,
+    "q87_cohort_retention": q87_cohort_retention,
 }
 
 _EN = ts.STOPWORDS["en"]
