@@ -968,10 +968,16 @@ def _bloom_probes(n_bits: int, n_hashes: int, i: int) -> tuple[str, str]:
     )
 
 
-#: Hard ceiling on Bloom driver state (bits): 2^30 bits = 128 MB of
-#: words on the driver and per-executor after broadcast. See
-#: :func:`build_digest_bloom` for the past-the-cap alternatives.
-_BLOOM_MAX_BITS = 1 << 30
+#: Hard ceiling on Bloom driver state (bits). The words live in a
+#: Python list of ints, whose REAL footprint is ~5x the raw bits
+#: (8-byte pointer + ~28-byte int object per 64-bit word — review
+#: finding: quoting only the raw 128 MB understated the heap the cap
+#: was supposed to bound). 2^28 bits = 4 Mi words ≈ 32 MB raw,
+#: ~150 MB as Python objects on the driver, one JVM long[] copy per
+#: broadcast — and ~26 M historical digests at the 10-bits-per-digest
+#: budget. See :func:`build_digest_bloom` for past-the-cap
+#: alternatives.
+_BLOOM_MAX_BITS = 1 << 28
 
 
 class DigestBloom(NamedTuple):
@@ -1004,8 +1010,9 @@ def build_digest_bloom(
 
     DRIVER-STATE GOVERNANCE: the word list lives on the driver and is
     broadcast whole, so ``n_bits`` is capped at ``_BLOOM_MAX_BITS``
-    (2^30 → 128 MB of words — already generous for ~10^8 historical
-    digests at the 10-bits-per-digest budget). Past that the filter is
+    (2^28 — ~150 MB of actual Python-list heap, see the constant's
+    accounting; ~26 M historical digests at the 10-bits-per-digest
+    budget). Past that the filter is
     the wrong tool, not a bigger buffer: use
     :func:`exact_dedup_against` (two-sided digest shuffle, unbounded,
     exact) or shard the history by digest prefix and run one
@@ -1017,9 +1024,10 @@ def build_digest_bloom(
     if n_bits > _BLOOM_MAX_BITS:
         raise ValueError(
             f"n_bits={n_bits} exceeds the driver-state budget "
-            f"{_BLOOM_MAX_BITS} (2^30 bits = 128 MB). At that history "
-            "cardinality use exact_dedup_against (unbounded shuffle "
-            "anti-join) or shard the digest history by prefix."
+            f"{_BLOOM_MAX_BITS} (2^28 bits — ~150 MB of Python-list "
+            "heap). At that history cardinality use "
+            "exact_dedup_against (unbounded shuffle anti-join) or "
+            "shard the digest history by prefix."
         )
     probes = [
         _bloom_probes(n_bits, n_hashes, i) for i in range(n_hashes)

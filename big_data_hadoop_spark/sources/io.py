@@ -494,6 +494,23 @@ def overwrite_partitions(
     )
 
 
+def _hive_layout_col(path: str) -> str | None:
+    """First-level hive partition column name of an on-disk dataset
+    (``day`` for ``path/day=.../``), or None for a flat layout."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return None
+    for n in names:
+        if (
+            "=" in n
+            and not n.startswith((".", "_"))
+            and os.path.isdir(os.path.join(path, n))
+        ):
+            return n.split("=", 1)[0]
+    return None
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
@@ -501,11 +518,15 @@ def upsert_parquet(
     key_cols: Sequence[str],
     partition_cols: Sequence[str] | None = None,
     validate_keys: bool = True,
+    assume_keys_colocated: bool = False,
 ) -> None:
     """Keyed MERGE (upsert) into a parquet dataset: rows of ``updates``
     replace same-key rows and insert new keys — the table-format verb
     (Delta/Iceberg ``MERGE INTO``) expressed as anti-join ∪ updates
-    over the plain-parquet layout this module maintains.
+    over the plain-parquet layout this module maintains. Key equality
+    is NULL-safe (a NULL-keyed prior row IS replaced by a NULL-keyed
+    update — plain join equality silently duplicated it; review
+    finding).
 
     Unpartitioned datasets rewrite whole via the shared stage-and-swap
     (crash leaves the previous generation; ``_recover_generation``
@@ -517,23 +538,36 @@ def upsert_parquet(
     property that makes MERGE usable at scale. The affected-partition
     values pass through the driver (O(affected partitions) — planner-
     sized state) to build a PRUNING filter, so untouched partitions
-    are never even scanned.
+    are never rewritten. The layout on disk must MATCH
+    ``partition_cols`` — a partitioned dataset upserted without them
+    would be silently rewritten flat, destroying the layout (review
+    finding) — so a mismatch in either direction is refused.
 
-    ``updates`` must be key-unique: with two rows per key the merged
-    table's content would depend on shuffle order — refused loudly
-    (``validate_keys=False`` skips the one aggregate job for callers
-    who already guarantee it). ``updates`` columns must equal the
-    stored schema (unionByName would otherwise silently NULL-fill a
-    typo'd column)."""
+    A key whose PARTITION VALUE CHANGED in ``updates`` must have its
+    old row removed from its old partition: by default the keys'
+    current partitions are located with one column-pruned, broadcast
+    semi-join scan of (key + partition) columns — the only part of the
+    merge that touches unaffected partitions, and it reads two columns,
+    not data. When partition values are functionally determined by the
+    key (the common day-of-event case), pass
+    ``assume_keys_colocated=True`` to skip that scan — under that
+    contract a violating update leaves a stale duplicate, which is why
+    it is opt-in (review finding: silently assuming it corrupted the
+    merge).
+
+    ``updates`` must be key-unique (two rows per key → shuffle-order-
+    dependent results; refused loudly, ``validate_keys=False`` skips
+    the check) and must match the stored schema in names AND types
+    (unionByName would silently widen a retyped column across the
+    whole rewrite; review finding)."""
     key_cols = list(key_cols)
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     if partition_cols:
+        partition_cols = list(partition_cols)
         missing = [c for c in partition_cols if c not in updates.columns]
         if missing:
-            raise ValueError(
-                f"updates lack partition columns {missing}"
-            )
+            raise ValueError(f"updates lack partition columns {missing}")
     if validate_keys:
         dup = (
             updates.groupBy(*key_cols)
@@ -555,38 +589,95 @@ def upsert_parquet(
             w = w.partitionBy(*partition_cols)
         w.parquet(path)
         return
-    prior = spark.read.parquet(path)
-    if set(prior.columns) != set(updates.columns):
+    layout = _hive_layout_col(path)
+    if layout is not None and not partition_cols:
         raise ValueError(
-            f"updates schema {sorted(updates.columns)} != stored "
-            f"{sorted(prior.columns)}"
+            f"dataset at {path} is hive-partitioned by {layout!r}; "
+            "upserting without partition_cols would rewrite it FLAT "
+            "and destroy the layout — pass partition_cols"
         )
-    upd_keys = updates.select(*key_cols).distinct()
+    if partition_cols and layout != partition_cols[0]:
+        raise ValueError(
+            f"partition_cols {partition_cols} do not match the on-disk "
+            f"layout (first-level: {layout!r})"
+        )
+    prior = spark.read.parquet(path)
+    if dict(prior.dtypes) != dict(updates.dtypes):
+        raise ValueError(
+            f"updates schema {sorted(updates.dtypes)} != stored "
+            f"{sorted(prior.dtypes)} (names AND types must match)"
+        )
+    # NULL-safe key equality throughout (review finding)
+    upd_keys = updates.select(
+        *[F.col(k).alias(f"_uk_{k}") for k in key_cols]
+    ).distinct()
+
+    def _key_cond(frame):
+        cond = None
+        for k in key_cols:
+            term = frame[k].eqNullSafe(F.col(f"_uk_{k}"))
+            cond = term if cond is None else cond & term
+        return cond
+
     if partition_cols:
-        # bounded driver state: one row per AFFECTED partition combo,
-        # turned into a pruning predicate (a semi-join alone would scan
-        # every partition; this reaches the scan's PartitionFilters)
-        combos = updates.select(*partition_cols).distinct().collect()
-        pred = None
-        for row in combos:
-            conj = None
-            for c in partition_cols:
-                term = (
-                    F.col(c).isNull()
-                    if row[c] is None
-                    else (F.col(c) == F.lit(row[c]))
+        combos = {
+            tuple(row[c] for c in partition_cols)
+            for row in updates.select(*partition_cols).distinct().collect()
+        }
+        if not assume_keys_colocated:
+            # where do the updated keys live NOW? One scan, pruned to
+            # (key + partition) columns, one semi-join (AQE picks
+            # broadcast for batch-sized key sets) — finds
+            # the old partition of any key that moved (review finding:
+            # skipping this left the stale row in its old partition)
+            slim = prior.select(*key_cols, *partition_cols)
+            current = (
+                slim.join(upd_keys, _key_cond(slim), "left_semi")
+                .select(*partition_cols)
+                .distinct()
+                .collect()
+            )
+            combos |= {
+                tuple(row[c] for c in partition_cols) for row in current
+            }
+        if len(partition_cols) == 1:
+            c = partition_cols[0]
+            vals = [v for (v,) in combos if v is not None]
+            pred = F.col(c).isin(vals) if vals else F.lit(False)
+            if any(v is None for (v,) in combos):
+                pred = pred | F.col(c).isNull()
+        else:
+            # multi-column combos keep the explicit OR-of-AND form
+            # (struct IN-lists don't match NULL partition values);
+            # capped so a pathological batch can't build a
+            # planner-breaking expression tree (review finding)
+            if len(combos) > 1000:
+                raise ValueError(
+                    f"{len(combos)} affected partition combinations "
+                    "exceed the 1000-combo predicate budget — split "
+                    "the updates batch (e.g. by the first partition "
+                    "column) and upsert per split"
                 )
-                conj = term if conj is None else conj & term
-            pred = conj if pred is None else pred | conj
+            pred = None
+            for combo in combos:
+                conj = None
+                for c, v in zip(partition_cols, combo):
+                    term = (
+                        F.col(c).isNull()
+                        if v is None
+                        else (F.col(c) == F.lit(v))
+                    )
+                    conj = term if conj is None else conj & term
+                pred = conj if pred is None else pred | conj
         affected = prior.filter(pred)
-        merged = affected.join(upd_keys, key_cols, "left_anti").unionByName(
-            updates.select(*affected.columns)
-        )
+        merged = affected.join(
+            upd_keys, _key_cond(affected), "left_anti"
+        ).unionByName(updates.select(*affected.columns))
         overwrite_partitions(merged, path, partition_cols)
     else:
-        merged = prior.join(upd_keys, key_cols, "left_anti").unionByName(
-            updates.select(*prior.columns)
-        )
+        merged = prior.join(
+            upd_keys, _key_cond(prior), "left_anti"
+        ).unionByName(updates.select(*prior.columns))
         staging = path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
         _swap_in(staging, path)

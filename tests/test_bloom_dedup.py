@@ -126,7 +126,7 @@ def test_bloom_driver_state_budget_enforced(spark):
 
     digests = spark.createDataFrame([("aa",)], "h string")
     with _pytest.raises(ValueError, match="exceeds the driver-state"):
-        build_digest_bloom(digests, n_bits=1 << 31)
+        build_digest_bloom(digests, n_bits=1 << 29)
     # at the cap itself the build is legal (not exercised at full size
     # here — the cap is an argument check, not an allocation)
     with _pytest.raises(ValueError, match="multiple of 64"):

@@ -1072,3 +1072,94 @@ def test_upsert_parquet_null_partition_value(spark, tmp_path):
     upsert_parquet(spark, path, upd, ["id"], partition_cols=["day"])
     got = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, None, "A2"), (2, "d1", "b")}
+
+
+def test_upsert_removes_moved_key_from_old_partition(spark, tmp_path):
+    """A key whose partition value changed must have its old row
+    REMOVED from the old partition (review finding: computing affected
+    partitions from the updates alone left a stale duplicate); with
+    assume_keys_colocated=True that scan is skipped and the documented
+    stale-duplicate contract applies."""
+    from big_data_hadoop_spark.sources.io import upsert_parquet
+
+    def fresh(name):
+        path = str(tmp_path / name)
+        base = spark.createDataFrame(
+            [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")],
+            "id long, day string, v string",
+        )
+        upsert_parquet(spark, path, base, ["id"], partition_cols=["day"])
+        return path
+
+    moved = spark.createDataFrame(
+        [(2, "d9", "moved")], "id long, day string, v string"
+    )
+    safe = fresh("upmv_safe")
+    upsert_parquet(spark, safe, moved, ["id"], partition_cols=["day"])
+    got = {(r.id, r.day, r.v) for r in spark.read.parquet(safe).collect()}
+    assert got == {(1, "d1", "a"), (2, "d9", "moved"), (3, "d2", "c")}
+
+    fast = fresh("upmv_fast")
+    upsert_parquet(
+        spark, fast, moved, ["id"], partition_cols=["day"],
+        assume_keys_colocated=True,
+    )
+    got = {(r.id, r.day, r.v) for r in spark.read.parquet(fast).collect()}
+    # documented trade: the old row survives under the colocated flag
+    assert (2, "d1", "b") in got and (2, "d9", "moved") in got
+
+
+def test_upsert_null_key_is_replaced(spark, tmp_path):
+    """NULL-safe key equality: a NULL-keyed update REPLACES the
+    NULL-keyed prior row (review finding: plain join equality
+    duplicated it)."""
+    from big_data_hadoop_spark.sources.io import upsert_parquet
+
+    path = str(tmp_path / "upnk")
+    base = spark.createDataFrame(
+        [(None, "a"), (2, "b")], "id long, v string"
+    )
+    upsert_parquet(spark, path, base, ["id"])
+    upd = spark.createDataFrame([(None, "A2")], "id long, v string")
+    upsert_parquet(spark, path, upd, ["id"])
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(None, "A2"), (2, "b")}
+
+
+def test_upsert_refuses_type_drift_and_layout_mismatch(spark, tmp_path):
+    """(a) Same column names with a retyped column are refused (review
+    finding: name-set comparison let unionByName silently widen the
+    stored column); (b) upserting a partitioned dataset WITHOUT
+    partition_cols is refused instead of silently rewriting it flat."""
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.sources.io import upsert_parquet
+
+    flat = str(tmp_path / "uptd")
+    upsert_parquet(
+        spark,
+        flat,
+        spark.createDataFrame([(1, 5)], "id long, v int"),
+        ["id"],
+    )
+    retyped = spark.createDataFrame([(2, "s")], "id long, v string")
+    with _pytest.raises(ValueError, match="types"):
+        upsert_parquet(spark, flat, retyped, ["id"])
+
+    part = str(tmp_path / "uplm")
+    upsert_parquet(
+        spark,
+        part,
+        spark.createDataFrame([(1, "d1", "a")], "id long, day string, v string"),
+        ["id"],
+        partition_cols=["day"],
+    )
+    upd = spark.createDataFrame(
+        [(1, "d1", "A")], "id long, day string, v string"
+    )
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        upsert_parquet(spark, part, upd, ["id"])
+    with _pytest.raises(ValueError, match="layout"):
+        upsert_parquet(spark, part, upd, ["id"], partition_cols=["id"])
+    with _pytest.raises(ValueError, match="layout"):
+        upsert_parquet(spark, flat, upd, ["id"], partition_cols=["day"])
