@@ -4,6 +4,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
     read_events_stream,
     read_files_stream,
     streaming_exact_dedup,
+    streaming_funnel,
     streaming_curate,
     streaming_interval_join,
     streaming_neighbor_counts,
@@ -20,6 +21,7 @@ __all__ = [
     "read_events_stream",
     "read_files_stream",
     "streaming_exact_dedup",
+    "streaming_funnel",
     "streaming_curate",
     "streaming_interval_join",
     "streaming_neighbor_counts",

@@ -509,3 +509,157 @@ try:  # pragma: no cover - vendored cloudpickle without the API
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except (ImportError, AttributeError):
     pass
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.LongType(), False),
+        T.StructField("reached", T.IntegerType(), False),
+        T.StructField("completed", T.BooleanType(), False),
+        T.StructField("first_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("final", T.BooleanType(), False),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType(), False),
+        T.StructField("first_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("buf_ts", T.ArrayType(T.LongType()), False),
+        T.StructField("buf_ty", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps,
+    within_seconds: float | None = None,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``relational.funnel_progress`` — the greedy
+    first-touch funnel walk over an unbounded event stream, with the
+    SAME event-time semantics as the batch fold: out-of-order arrivals
+    within the watermark horizon are handled by BUFFERING each user's
+    step events in state and folding them only once the watermark
+    passes their timestamps (so the fold always consumes events in
+    event-time order, exactly like the batch sort). This is the
+    opposite trade from ``streaming_sessionize``, which folds in
+    arrival order for O(1) state — here per-user state is O(events
+    within the watermark horizon), the price of exact batch
+    equivalence.
+
+    Emissions (append mode): a ``final=false`` milestone row the
+    moment a user's fold COMPLETES the funnel, and one ``final=true``
+    row per user when their event-time timeout fires (no step events
+    for a full watermark horizon) — at which point every buffered
+    event has been folded and the row equals the batch result on the
+    same events (pinned by the drained-equivalence test). State is
+    removed on timeout; a user who resumes later starts a fresh walk.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    budget_us = (
+        None if within_seconds is None else int(within_seconds * 1_000_000)
+    )
+
+    def fold(evs, stage, first_us, last_us):
+        for t, y in evs:
+            if stage >= len(steps) or y != steps[stage]:
+                continue
+            if (
+                budget_us is not None
+                and first_us is not None
+                and t - first_us > budget_us
+            ):
+                continue
+            stage += 1
+            if first_us is None:
+                first_us = t
+            last_us = t
+        return stage, first_us, last_us
+
+    def row(user, stage, first_us, last_us, final):
+        return [
+            user,
+            stage,
+            stage == len(steps),
+            first_us,
+            last_us,
+            final,
+        ]
+
+    def update(key, pdfs, state: GroupState):
+        (user,) = key
+        cols = [f.name for f in FUNNEL_OUTPUT_SCHEMA]
+        if state.hasTimedOut:
+            stage, first_us, last_us, buf_ts, buf_ty = state.get
+            stage, first_us, last_us = fold(
+                sorted(zip(buf_ts, buf_ty)), stage, first_us, last_us
+            )
+            state.remove()
+            yield pd.DataFrame(
+                [row(user, stage, first_us, last_us, True)], columns=cols
+            )
+            return
+        new = []
+        for p in pdfs:
+            ts_us = p[ts_col].astype("datetime64[us]").astype("int64")
+            new.extend(zip(ts_us.tolist(), p[type_col].tolist()))
+        if state.exists:
+            stage, first_us, last_us, buf_ts, buf_ty = state.get
+            buf = list(zip(buf_ts, buf_ty)) + new
+        else:
+            stage, first_us, last_us = 0, None, None
+            buf = new
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = [e for e in buf if e[0] <= wm_us]
+        hold = buf[len(ready):]
+        was_done = stage == len(steps)
+        stage, first_us, last_us = fold(ready, stage, first_us, last_us)
+        state.update(
+            (
+                stage,
+                first_us,
+                last_us,
+                [t for t, _ in hold],
+                [y for _, y in hold],
+            )
+        )
+        # flush once the watermark has passed every event seen so far
+        # (no earlier event can still arrive); must exceed the current
+        # watermark or Spark rejects the timestamp
+        max_ms = max((t for t, _ in buf), default=wm_us) // 1000
+        state.setTimeoutTimestamp(max(max_ms + 1, wm_us // 1000 + 1))
+        if stage == len(steps) and not was_done:
+            yield pd.DataFrame(
+                [row(user, stage, first_us, last_us, False)], columns=cols
+            )
+
+    relevant = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            F.col(type_col),
+        )
+        .filter(F.col(type_col).isin(steps))
+        .withWatermark(ts_col, watermark)
+    )
+    return relevant.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -814,3 +814,96 @@ def test_streaming_ingest_bridge_equals_batch_manifest_fold(spark, tmp_path):
         assert got[k].total == want[k].total, k
         assert got[k].vmin == want[k].vmin and got[k].vmax == want[k].vmax
         assert got[k].n_distinct_approx == want[k].n_distinct_approx, k
+
+
+def test_streaming_funnel_drained_equals_batch(spark, tmp_path):
+    """Watermark-buffered streaming funnel == batch funnel_progress on
+    the same events, exactly, for every user whose event-time timeout
+    fired (a far-future sentinel event pushes the watermark so ALL real
+    users flush). The buffering design folds in event-time order, so
+    unlike sessionization there is no arrival-order tolerance band —
+    equality is row-for-row, including first/last step timestamps."""
+    import shutil
+    import time
+    from datetime import datetime, timedelta, timezone
+
+    import duckdb
+
+    from pyspark.sql import functions as F2
+
+    from big_data_hadoop_spark.operators.relational import funnel_progress
+    from big_data_hadoop_spark.streaming import (
+        read_events_stream,
+        streaming_funnel,
+    )
+    from tests.conftest import SF_SMOKE
+
+    steps = ["view", "click", "purchase"]
+    within = 6 * 3600
+    src = tmp_path / "fun_src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
+    # sentinel: one far-future view for a dummy user pushes the
+    # watermark past every real event + horizon in the final
+    # micro-batch (same layout as the real file)
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    max_us = duckdb.sql(
+        f"SELECT max(epoch_us(ts)) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    max_dt = datetime.fromtimestamp(max_us / 1e6, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    time.sleep(1.1)  # distinct mtime -> the sentinel batches LAST
+    spark.createDataFrame(
+        [(10**6, max_dt + timedelta(days=30), 999999, "view", 0.0, "{}")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_sen"))
+    shutil.copy(
+        next((tmp_path / "_sen").glob("part-*.parquet")),
+        src / "part-1.parquet",
+    )
+
+    q = (
+        streaming_funnel(
+            read_events_stream(spark, str(src), maxFilesPerTrigger="1"),
+            steps,
+            within_seconds=within,
+            watermark="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fun_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    finals = {
+        r.user: (r.reached, r.completed, r.first_us, r.last_us)
+        for r in spark.sql(
+            "SELECT * FROM funnel_out WHERE final AND user != 999999"
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    prog = funnel_progress(ev, steps, within_seconds=within).select(
+        "user",
+        "reached",
+        "completed",
+        F2.unix_micros("first_ts").alias("fu"),
+        F2.unix_micros("last_ts").alias("lu"),
+    )
+    batch = {
+        r.user: (r.reached, r.completed, r.fu, r.lu) for r in prog.collect()
+    }
+    assert set(finals) == set(batch)
+    assert finals == batch
+    # completion milestones fired for completed users before the flush
+    milestones = {
+        r.user
+        for r in spark.sql(
+            "SELECT user FROM funnel_out WHERE NOT final"
+        ).collect()
+    }
+    completed = {u for u, (_, c, _, _) in batch.items() if c}
+    assert milestones <= completed  # only completed users fire milestones
