@@ -554,13 +554,18 @@ def streaming_funnel(
     within the watermark horizon), the price of exact batch
     equivalence.
 
-    Emissions (append mode): a ``final=false`` milestone row the
-    moment a user's fold COMPLETES the funnel, and one ``final=true``
-    row per user when their event-time timeout fires (no step events
-    for a full watermark horizon) — at which point every buffered
-    event has been folded and the row equals the batch result on the
-    same events (pinned by the drained-equivalence test). State is
-    removed on timeout; a user who resumes later starts a fresh walk.
+    Emissions (append mode): a ``final=false`` milestone row when a
+    user's fold COMPLETES the funnel while the stream is still
+    delivering their data (a completion discovered only at the timeout
+    flush appears solely in its final row), and exactly one
+    ``final=true`` row per user when their event-time timeout fires —
+    at which point every buffered event has been folded and the row
+    equals the batch result on the same events (pinned by the
+    drained-equivalence test). State is removed on timeout; a user who
+    resumes later starts a fresh walk. Once a user completes, their
+    subsequent events are DROPPED rather than buffered (they cannot
+    change the result), so completed-but-active users carry O(1)
+    state instead of a horizon's worth of events (review finding).
     """
     import pandas as pd
 
@@ -622,12 +627,19 @@ def streaming_funnel(
         else:
             stage, first_us, last_us = 0, None, None
             buf = new
-        buf.sort()
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        ready = [e for e in buf if e[0] <= wm_us]
-        hold = buf[len(ready):]
         was_done = stage == len(steps)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if was_done:
+            # post-completion events cannot change the result — drop
+            # them so a completed-but-active user holds O(1) state
+            buf, ready, hold = [], [], []
+        else:
+            buf.sort()
+            ready = [e for e in buf if e[0] <= wm_us]
+            hold = buf[len(ready):]
         stage, first_us, last_us = fold(ready, stage, first_us, last_us)
+        if stage == len(steps):
+            hold = []  # same reasoning once completion happens NOW
         state.update(
             (
                 stage,

@@ -818,11 +818,13 @@ def test_streaming_ingest_bridge_equals_batch_manifest_fold(spark, tmp_path):
 
 def test_streaming_funnel_drained_equals_batch(spark, tmp_path):
     """Watermark-buffered streaming funnel == batch funnel_progress on
-    the same events, exactly, for every user whose event-time timeout
-    fired (a far-future sentinel event pushes the watermark so ALL real
-    users flush). The buffering design folds in event-time order, so
-    unlike sessionization there is no arrival-order tolerance band —
-    equality is row-for-row, including first/last step timestamps."""
+    the same events, exactly, for every user (a far-future sentinel
+    event pushes the watermark so ALL users flush). Events arrive in
+    THREE time-ordered files with one file per micro-batch, so later
+    batches find the watermark already past earlier events — the
+    incremental ready/hold fold and milestone emission genuinely run
+    (review finding: a single-file layout buffered everything and only
+    ever exercised the timeout branch)."""
     import shutil
     import time
     from datetime import datetime, timedelta, timezone
@@ -842,25 +844,43 @@ def test_streaming_funnel_drained_equals_batch(spark, tmp_path):
     within = 6 * 3600
     src = tmp_path / "fun_src"
     src.mkdir()
-    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
+    ev_all = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    lo, hi = ev_all.agg(
+        F2.min("ts").cast("timestamp"), F2.max("ts").cast("timestamp")
+    ).collect()[0]
+    span = hi - lo
+    cuts = [lo + span / 3, lo + 2 * span / 3]
+    slices = [
+        ev_all.filter(F2.col("ts").cast("timestamp") <= F2.lit(cuts[0])),
+        ev_all.filter(
+            (F2.col("ts").cast("timestamp") > F2.lit(cuts[0]))
+            & (F2.col("ts").cast("timestamp") <= F2.lit(cuts[1]))
+        ),
+        ev_all.filter(F2.col("ts").cast("timestamp") > F2.lit(cuts[1])),
+    ]
+    for i, part in enumerate(slices):
+        staged = tmp_path / f"_slice{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"part-{i}.parquet"
+        )
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
     # sentinel: one far-future view for a dummy user pushes the
-    # watermark past every real event + horizon in the final
-    # micro-batch (same layout as the real file)
-    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    # watermark past every real event + horizon in the final batch
+    schema = ev_all.schema
     max_us = duckdb.sql(
         f"SELECT max(epoch_us(ts)) FROM '{SF_SMOKE}/events.parquet'"
     ).fetchone()[0]
     max_dt = datetime.fromtimestamp(max_us / 1e6, tz=timezone.utc).replace(
         tzinfo=None
     )
-    time.sleep(1.1)  # distinct mtime -> the sentinel batches LAST
     spark.createDataFrame(
         [(10**6, max_dt + timedelta(days=30), 999999, "view", 0.0, "{}")],
         schema,
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_sen"))
     shutil.copy(
         next((tmp_path / "_sen").glob("part-*.parquet")),
-        src / "part-1.parquet",
+        src / "part-9.parquet",
     )
 
     q = (
@@ -879,14 +899,29 @@ def test_streaming_funnel_drained_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(300)
 
+    # the incremental path must actually have run: completions
+    # discovered while data was still flowing emit final=false rows
+    milestones = {
+        r.user
+        for r in spark.sql(
+            "SELECT user FROM funnel_out WHERE NOT final"
+        ).collect()
+    }
+    assert milestones, "incremental fold never fired a milestone"
+    # exactly one final row per user (review finding: a dict would
+    # silently collapse a double-final regression)
+    dupes = spark.sql(
+        "SELECT user FROM funnel_out WHERE final "
+        "GROUP BY user HAVING count(*) > 1"
+    ).collect()
+    assert not dupes, dupes
     finals = {
         r.user: (r.reached, r.completed, r.first_us, r.last_us)
         for r in spark.sql(
             "SELECT * FROM funnel_out WHERE final AND user != 999999"
         ).collect()
     }
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    prog = funnel_progress(ev, steps, within_seconds=within).select(
+    prog = funnel_progress(ev_all, steps, within_seconds=within).select(
         "user",
         "reached",
         "completed",
@@ -898,12 +933,4 @@ def test_streaming_funnel_drained_equals_batch(spark, tmp_path):
     }
     assert set(finals) == set(batch)
     assert finals == batch
-    # completion milestones fired for completed users before the flush
-    milestones = {
-        r.user
-        for r in spark.sql(
-            "SELECT user FROM funnel_out WHERE NOT final"
-        ).collect()
-    }
-    completed = {u for u, (_, c, _, _) in batch.items() if c}
-    assert milestones <= completed  # only completed users fire milestones
+    assert milestones <= {u for u, (_, c, _, _) in batch.items() if c}
