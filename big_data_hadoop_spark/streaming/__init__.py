@@ -5,6 +5,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
     read_files_stream,
     streaming_exact_dedup,
     streaming_funnel,
+    streaming_upsert,
     streaming_curate,
     streaming_interval_join,
     streaming_neighbor_counts,
@@ -22,6 +23,7 @@ __all__ = [
     "read_files_stream",
     "streaming_exact_dedup",
     "streaming_funnel",
+    "streaming_upsert",
     "streaming_curate",
     "streaming_interval_join",
     "streaming_neighbor_counts",

@@ -675,3 +675,99 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_upsert(
+    stream: DataFrame,
+    path: str,
+    key_cols,
+    order_col: str,
+    checkpoint: str,
+    partition_cols=None,
+    available_now: bool = True,
+):
+    """CDC-style streaming MERGE sink: a stream of keyed CHANGE rows
+    continuously upserted into the parquet dataset at ``path`` via
+    ``sources.io.upsert_parquet`` — the change-capture half of the
+    storage layer (the batch MERGE's unbounded twin).
+
+    Per micro-batch: changes reduce to the LATEST row per key by
+    ``order_col`` (a version/timestamp column; ties break
+    deterministically on the remaining columns via struct max), rows
+    not NEWER than the stored row for their key are dropped (so an
+    out-of-order micro-batch or an at-least-once REPLAY cannot regress
+    a row — replayed rows tie with what they already wrote and filter
+    out, which is what makes ``foreachBatch``'s at-least-once contract
+    effectively-once here), and the survivors MERGE through the
+    NULL-safe, partition-pruned upsert. NULL ``order_col`` values are
+    treated as older-than-everything. Keys must be non-null in the
+    CHANGE stream (the stored-row comparison joins on plain key
+    equality; the batch upsert underneath would handle NULL keys, the
+    newer-than filter here would not — documented limit).
+
+    At scale each micro-batch pays one column-pruned read of the
+    stored keys' order values plus the upsert's affected-partition
+    rewrite — the same shape every table-format streaming MERGE pays.
+    """
+    import os as _os
+
+    from big_data_hadoop_spark.sources.io import upsert_parquet
+
+    key_cols = list(key_cols)
+    if order_col in key_cols:
+        raise ValueError("order_col cannot be a key column")
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        cols = batch.columns
+        rest = [c for c in cols if c not in key_cols]
+        latest = (
+            batch.groupBy(*key_cols)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(order_col),
+                        *[F.col(c) for c in rest if c != order_col],
+                    )
+                ).alias("_s")
+            )
+            .select(
+                *key_cols,
+                *[F.col(f"_s.{c}").alias(c) for c in rest],
+            )
+            .select(*cols)
+        )
+        if _os.path.exists(path):
+            stored = spark.read.parquet(path).select(
+                *key_cols, F.col(order_col).alias("_cur")
+            )
+            latest = (
+                latest.join(stored, key_cols, "left")
+                .filter(
+                    F.col("_cur").isNull()
+                    | (F.col(order_col) > F.col("_cur"))
+                )
+                .drop("_cur")
+                .select(*cols)
+            )
+            if latest.isEmpty():
+                return
+        upsert_parquet(
+            spark,
+            path,
+            latest,
+            key_cols,
+            partition_cols=partition_cols,
+            validate_keys=False,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

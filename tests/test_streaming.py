@@ -934,3 +934,57 @@ def test_streaming_funnel_drained_equals_batch(spark, tmp_path):
     assert set(finals) == set(batch)
     assert finals == batch
     assert milestones <= {u for u, (_, c, _, _) in batch.items() if c}
+
+
+def test_streaming_upsert_cdc_equals_latest_per_key(spark, tmp_path):
+    """CDC MERGE sink end-to-end: change rows dropped as files across
+    two drains (including an OUT-OF-ORDER late file carrying older
+    versions) must leave the table equal to the newest-version row per
+    key over ALL input — the out-of-order batch cannot regress a row,
+    and a re-drain over the same checkpoint is a no-op."""
+    import shutil
+    import time
+
+    from big_data_hadoop_spark.streaming import streaming_upsert
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "id long, ver long, v string"
+
+    def add(name, rows):
+        staged = tmp_path / f"_cdc_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+        time.sleep(1.1)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_upsert(
+            stream, table, ["id"], "ver", ckpt
+        )
+        q.awaitTermination(120)
+
+    # batch 1: initial inserts, including an in-batch double change
+    # for id=1 (ver 1 then 2 -> 2 must win)
+    add("b1", [(1, 1, "a1"), (1, 2, "a2"), (2, 1, "b1"), (3, 1, "c1")])
+    drain()
+    got = {(r.id, r.ver, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, 2, "a2"), (2, 1, "b1"), (3, 1, "c1")}
+
+    # batch 2: a newer change for id=2, a LATE/out-of-order older
+    # change for id=1 (must NOT regress), and a new key
+    add("b2", [(2, 5, "b5"), (1, 1, "stale"), (4, 1, "d1")])
+    drain()
+    got = {(r.id, r.ver, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, 2, "a2"), (2, 5, "b5"), (3, 1, "c1"), (4, 1, "d1")}
+
+    # idle re-drain: nothing new, table untouched
+    drain()
+    got2 = {(r.id, r.ver, r.v) for r in spark.read.parquet(table).collect()}
+    assert got2 == got
