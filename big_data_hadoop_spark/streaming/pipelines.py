@@ -711,18 +711,50 @@ def streaming_upsert(
     """
     import os as _os
 
-    from big_data_hadoop_spark.sources.io import upsert_parquet
+    from big_data_hadoop_spark.sources.io import (
+        _recover_generation,
+        upsert_parquet,
+    )
 
     key_cols = list(key_cols)
     if order_col in key_cols:
         raise ValueError("order_col cannot be a key column")
+    missing = [
+        c for c in [*key_cols, order_col] if c not in stream.columns
+    ]
+    if missing:
+        # fail at wiring time, not inside the first micro-batch after
+        # the checkpoint directory already exists (review finding)
+        raise ValueError(
+            f"stream lacks columns {missing}; has {stream.columns}"
+        )
+    if "_cdc_cur" in stream.columns:
+        raise ValueError(
+            "streaming_upsert reserves the column name '_cdc_cur'"
+        )
 
     def fold(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # a crash inside the upsert's swap leaves only path+'.old'; the
+        # exists() probe below would then SKIP the newer-than filter and
+        # let a replayed older row regress the recovered table (review
+        # finding) — recover BEFORE looking
+        _recover_generation(path)
         cols = batch.columns
         rest = [c for c in cols if c not in key_cols]
+        null_key = None
+        for k in key_cols:
+            t = F.col(k).isNull()
+            null_key = t if null_key is None else null_key | t
+        if batch.filter(null_key).limit(1).count():
+            # the newer-than join below is plain-equality; a NULL key
+            # would bypass it and regress the stored row (review
+            # finding) — refuse loudly like the batch API does
+            raise ValueError(
+                "streaming_upsert: NULL key values in the change stream"
+            )
         latest = (
             batch.groupBy(*key_cols)
             .agg(
@@ -741,19 +773,28 @@ def streaming_upsert(
         )
         if _os.path.exists(path):
             stored = spark.read.parquet(path).select(
-                *key_cols, F.col(order_col).alias("_cur")
+                *key_cols, F.col(order_col).alias("_cdc_cur")
             )
             latest = (
                 latest.join(stored, key_cols, "left")
                 .filter(
-                    F.col("_cur").isNull()
-                    | (F.col(order_col) > F.col("_cur"))
+                    F.col("_cdc_cur").isNull()
+                    | (F.col(order_col) > F.col("_cdc_cur"))
                 )
-                .drop("_cur")
+                # a stored table that is not key-unique (foreign
+                # writer / corruption) fans the join out; collapse the
+                # identical copies so they can't persist as duplicate
+                # rows past validate_keys=False (review finding)
+                .dropDuplicates(key_cols)
+                .drop("_cdc_cur")
                 .select(*cols)
             )
-            if latest.isEmpty():
-                return
+        # evaluated up to four times downstream (isEmpty, the upsert's
+        # partition collect + moved-keys scan + merge write) — pin it
+        # once (review finding)
+        latest = latest.localCheckpoint(eager=True)
+        if latest.isEmpty():
+            return
         upsert_parquet(
             spark,
             path,

@@ -988,3 +988,87 @@ def test_streaming_upsert_cdc_equals_latest_per_key(spark, tmp_path):
     drain()
     got2 = {(r.id, r.ver, r.v) for r in spark.read.parquet(table).collect()}
     assert got2 == got
+
+
+def test_streaming_upsert_guards(spark, tmp_path):
+    """Review-batch pins for the CDC sink: (a) a crash that left only
+    the '.old' generation is recovered BEFORE the newer-than filter
+    decides anything, so a replayed older row still cannot regress;
+    (b) NULL keys in the change stream are refused loudly; (c) a
+    non-key-unique stored table (foreign writer) does not fan out into
+    persistent duplicate rows; (d) missing columns fail at wiring
+    time."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.streaming import streaming_upsert
+
+    schema = "id long, ver long, v string"
+
+    def drop(src, name, rows):
+        staged = tmp_path / f"_g_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staged))
+        shutil.copy(
+            next(staged.glob("part-*.parquet")), src / f"{name}.parquet"
+        )
+
+    # (a) crash-window recovery before the exists() probe
+    src = tmp_path / "g1_src"
+    src.mkdir()
+    table = str(tmp_path / "g1_table")
+    spark.createDataFrame(
+        [(1, 5, "current")], schema
+    ).write.parquet(table)
+    os.rename(table, table + ".old")  # killed inside _swap_in
+    drop(src, "late", [(1, 1, "stale")])
+    q = streaming_upsert(
+        spark.readStream.schema(schema).parquet(str(src)),
+        table, ["id"], "ver", str(tmp_path / "g1_ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {(r.id, r.ver, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, 5, "current")}  # recovered, not regressed
+
+    # (b) NULL keys refused (the query fails rather than corrupting)
+    src2 = tmp_path / "g2_src"
+    src2.mkdir()
+    drop(src2, "n", [(None, 1, "x")])
+    q2 = streaming_upsert(
+        spark.readStream.schema(schema).parquet(str(src2)),
+        str(tmp_path / "g2_table"), ["id"], "ver",
+        str(tmp_path / "g2_ckpt"),
+    )
+    with _pytest.raises(Exception, match="NULL key"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+
+    # (c) stored duplicates collapse instead of persisting
+    src3 = tmp_path / "g3_src"
+    src3.mkdir()
+    table3 = str(tmp_path / "g3_table")
+    spark.createDataFrame(
+        [(1, 1, "dupA"), (1, 2, "dupB")], schema  # foreign writer
+    ).write.parquet(table3)
+    drop(src3, "c", [(1, 9, "fix")])
+    q3 = streaming_upsert(
+        spark.readStream.schema(schema).parquet(str(src3)),
+        table3, ["id"], "ver", str(tmp_path / "g3_ckpt"),
+    )
+    q3.awaitTermination(120)
+    got3 = [tuple(r) for r in spark.read.parquet(table3).collect()]
+    assert got3 == [(1, 9, "fix")]
+
+    # (d) wiring-time validation
+    stream = spark.readStream.schema(schema).parquet(str(src3))
+    with _pytest.raises(ValueError, match="lacks columns"):
+        streaming_upsert(
+            stream, table3, ["id"], "version", str(tmp_path / "g4")
+        )
+    with _pytest.raises(ValueError, match="key column"):
+        streaming_upsert(
+            stream, table3, ["id"], "id", str(tmp_path / "g5")
+        )
