@@ -392,6 +392,7 @@ def funnel_progress(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered event-funnel progress per user (view → click → purchase
     analytics): how far each user advanced through ``steps`` under
@@ -414,10 +415,27 @@ def funnel_progress(
     shuffles the events table k times; this shuffles once). Per-user
     state is the matching-event array — bounded by the user's events
     OF THE FUNNEL TYPES, the same per-group bound sessionization
-    carries."""
+    carries.
+
+    ``max_events_per_user`` is the per-group state VALVE (the
+    ``max_doc_freq`` / ``max_df`` pattern the winnow and BM25 operators
+    carry): a bot user with 10\\ :sup:`7` funnel-type events would
+    otherwise materialize one unbounded sorted-array row — a straggler
+    task or executor OOM at 100 TB. With the valve set, each user is
+    evaluated over their EARLIEST ``max_events_per_user`` funnel-type
+    events (rank via a sort-based window in (t, type) order — the
+    exact order the fold walks — which spills to disk instead of
+    building the array; the filter lands BEFORE collect_list, so no
+    row ever exceeds the cap). Semantics: identical for every user at
+    or under the cap; a capped user's walk simply cannot see events
+    past their first N — deterministic truncation, stated rather than
+    silent. The window reuses the groupBy's hash partitioning, so the
+    plan keeps its single Exchange (pinned by test)."""
     steps = list(steps)
     if not steps:
         raise ValueError("steps must be non-empty")
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1")
     step_arr = F.array(*[F.lit(s) for s in steps])
     micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
     budget = (
@@ -431,6 +449,18 @@ def funnel_progress(
         F.col(user_col).alias("user"),
         F.struct(micros.alias("t"), F.col(type_col).alias("y")).alias("e"),
     )
+    if max_events_per_user is not None:
+        # earliest-N per user in (t, y) order — the same lexicographic
+        # struct order array_sort walks below, so the capped array is
+        # exactly the first N elements of the uncapped one
+        rank_w = Window.partitionBy("user").orderBy(
+            F.col("e.t"), F.col("e.y")
+        )
+        relevant = (
+            relevant.withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") <= max_events_per_user)
+            .drop("_rn")
+        )
     per_user = relevant.groupBy("user").agg(
         F.array_sort(F.collect_list("e")).alias("evs")
     )
@@ -492,6 +522,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """The drop-off table over :func:`funnel_progress`: one row per
     step with the number of users who reached AT LEAST that step —
@@ -508,6 +539,7 @@ def funnel_counts(
         user_col=user_col,
         ts_col=ts_col,
         type_col=type_col,
+        max_events_per_user=max_events_per_user,
     )
     ks = F.explode(F.sequence(F.lit(1), F.lit(len(steps)))).alias("step")
     reached = prog.select("reached", ks).filter(

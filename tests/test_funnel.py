@@ -171,3 +171,89 @@ def test_q86_probe_matches_python(spark):
     }
     for k in range(1, len(STEPS) + 1):
         assert got[k] == sum(1 for s, _, _ in prog.values() if s >= k)
+
+
+def test_funnel_valve_equality_on_normal_data(spark):
+    """The max_events_per_user valve is a no-op for every user at or
+    under the cap — valved and unvalved results identical on the real
+    events table (whose per-user funnel-type counts are far below the
+    cap)."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    base = {
+        r.user: (r.reached, r.first_ts, r.last_ts)
+        for r in funnel_progress(ev, STEPS, within_seconds=6 * 3600).collect()
+    }
+    valved = {
+        r.user: (r.reached, r.first_ts, r.last_ts)
+        for r in funnel_progress(
+            ev, STEPS, within_seconds=6 * 3600, max_events_per_user=10_000
+        ).collect()
+    }
+    assert base == valved
+
+
+def test_funnel_valve_bounds_hot_user(spark):
+    """An adversarial bot user with funnel-type events past the cap is
+    evaluated over their EARLIEST cap events only — exactly the python
+    walk over the truncated list — while normal users are untouched."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # bot: 500 'view' events, then the click/purchase arrive AFTER the
+    # cap boundary — a cap of 100 must not see them
+    for i in range(500):
+        rows.append((99, t0 + timedelta(seconds=i), "view"))
+    rows.append((99, t0 + timedelta(seconds=1000), "click"))
+    rows.append((99, t0 + timedelta(seconds=1001), "purchase"))
+    # normal user completes
+    rows.append((1, t0, "view"))
+    rows.append((1, t0 + timedelta(seconds=1), "click"))
+    rows.append((1, t0 + timedelta(seconds=2), "purchase"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user: r.reached
+        for r in funnel_progress(
+            ev, STEPS, max_events_per_user=100
+        ).collect()
+    }
+    # python replication over each user's earliest-100 events
+    class R:
+        def __init__(self, u, t, y):
+            self.user_id, self.ts, self.event_type = u, t, y
+
+    capped = []
+    by_user: dict[int, list] = {}
+    for u, t, y in rows:
+        by_user.setdefault(u, []).append((t, y))
+    for u, evs in by_user.items():
+        evs.sort()
+        capped.extend(R(u, t, y) for t, y in evs[:100])
+    expect = {u: s for u, (s, _, _) in _py_funnel(capped, STEPS).items()}
+    assert got == expect
+    assert got[99] == 1  # bot saw only views inside the cap
+    assert got[1] == 3  # normal user untouched
+
+
+def test_funnel_valve_plan_keeps_single_exchange(spark):
+    """The valve's row_number window reuses the groupBy's hash
+    partitioning — the plan stays at ONE Exchange (the round-6 pin),
+    with the state-bounding Window added before the fold."""
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    import re
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    plan = formatted_plan(
+        funnel_progress(ev, STEPS, max_events_per_user=1000)
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "Join" not in plan
+
+
+def test_funnel_valve_rejects_nonpositive(spark):
+    import pytest as _pytest
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    with _pytest.raises(ValueError, match="max_events_per_user"):
+        funnel_progress(ev, STEPS, max_events_per_user=0)
