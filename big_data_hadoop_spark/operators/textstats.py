@@ -341,6 +341,12 @@ class HashedLinearModel(NamedTuple):
     bias: float
 
 
+#: Widest trainable hashed-feature space: the gradient collect is
+#: dim+1 driver rows per epoch and the weights broadcast dim doubles,
+#: so the budget keeps "O(dim) driver state" honest (~34 MB at the cap).
+_MAX_TRAIN_DIM = 1 << 22
+
+
 def train_hashed_linear(
     df: DataFrame,
     label_col: str = "label",
@@ -381,9 +387,27 @@ def train_hashed_linear(
     the same data, epochs, and lr the result is reproducible up to
     float summation order — pinned against a numpy replication in
     tests.
+
+    ``dim`` is capped at ``2**22`` (~4.2M buckets): the per-epoch
+    gradient collect is ≤ ``dim + 1`` driver rows, and the broadcast
+    weight array is ``dim`` doubles — fine at the default ``2**12``,
+    but a 2**24 request would quietly turn "O(dim) driver state" into
+    a ~16M-row collect per epoch. Past the cap, refuse loudly (the
+    same budget pattern as the Bloom dedup's 2**30-bit cap): shrink
+    ``dim`` (hash collisions degrade gracefully — the point of the
+    hashing trick), or train with a parameter-server-style framework
+    built for models that exceed driver memory.
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
+    if dim > _MAX_TRAIN_DIM:
+        raise ValueError(
+            f"dim={dim} exceeds the 2**22 training budget — the "
+            "gradient aggregation collects dim+1 rows to the driver "
+            "and broadcasts dim doubles back per epoch. Use a smaller "
+            "dim (hashing-trick collisions degrade quality gracefully) "
+            "or a parameter-server trainer for models this wide."
+        )
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
     spark = df.sparkSession

@@ -692,9 +692,15 @@ def streaming_upsert(
     storage layer (the batch MERGE's unbounded twin).
 
     Per micro-batch: changes reduce to the LATEST row per key by
-    ``order_col`` (a version/timestamp column; ties break
-    deterministically on the remaining columns via struct max), rows
-    not NEWER than the stored row for their key are dropped (so an
+    ``order_col`` (a version/timestamp column). Tie rule, stated
+    explicitly: two change rows with EQUAL ``order_col`` for the same
+    key resolve by lexicographic max over the remaining payload
+    columns (struct max) — deterministic across retries and shuffle
+    orders, but an arbitrary pick among genuinely different payloads;
+    a CDC feed should carry a unique, monotone version (an LSN or
+    per-key sequence number) as ``order_col`` so true ties never
+    occur. Rows not NEWER than the stored row for their key are
+    dropped (so an
     out-of-order micro-batch or an at-least-once REPLAY cannot regress
     a row — replayed rows tie with what they already wrote and filter
     out, which is what makes ``foreachBatch``'s at-least-once contract

@@ -131,6 +131,10 @@ def test_trainer_rejects_degenerate_inputs(spark):
         train_hashed_linear(df, dim=0)
     with pytest.raises(ValueError):
         train_hashed_linear(df, epochs=0)
+    with pytest.raises(ValueError, match="2\\*\\*22 training budget"):
+        # past-budget dim refuses BEFORE touching the data — the
+        # gradient collect would be dim+1 driver rows per epoch
+        train_hashed_linear(df, dim=1 << 24)
     empty = df.filter("doc_id < 0")
     with pytest.raises(ValueError, match="empty"):
         train_hashed_linear(empty)
