@@ -3,6 +3,7 @@
 from big_data_hadoop_spark.streaming.pipelines import (
     read_events_stream,
     read_files_stream,
+    reconcile_files_stream,
     streaming_exact_dedup,
     streaming_funnel,
     streaming_upsert,
@@ -21,6 +22,7 @@ from big_data_hadoop_spark.streaming.pipelines import (
 __all__ = [
     "read_events_stream",
     "read_files_stream",
+    "reconcile_files_stream",
     "streaming_exact_dedup",
     "streaming_funnel",
     "streaming_upsert",

@@ -70,7 +70,9 @@ def read_files_stream(
     already-seen path (same name, new bytes) is NOT re-ingested,
     while the batch manifest keys ``(path, length, mtime)`` and
     re-ingests it. Landing zones that append new files (the layout
-    every streaming ingest assumes) behave identically under both.
+    every streaming ingest assumes) behave identically under both;
+    :func:`reconcile_files_stream` audits the contract and reports any
+    silently-skipped overwrite.
     Two further file-source defaults are overridden here to HOLD the
     manifest contract (review finding: both silently diverged):
 
@@ -106,6 +108,79 @@ def read_files_stream(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def reconcile_files_stream(
+    spark: SparkSession,
+    path: str,
+    checkpoint: str,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Detect the batch↔stream ingest divergence: files a
+    :func:`read_files_stream` pipeline has SILENTLY SKIPPED because
+    they were overwritten IN PLACE after ingestion. The file source's
+    checkpoint log keys on PATH only, so a same-name overwrite (new
+    bytes, new mtime) is never re-ingested — while the batch manifest
+    (``sources.io.read_incremental``) keys ``(path, length, mtime)``
+    and re-ingests it. Acceptable for append-only landing zones; silent
+    data loss if that contract is violated. Run this on a schedule (or
+    after any backfill) to turn the silent divergence into a report.
+
+    Mechanics: the stream's processed-files log
+    (``<checkpoint>/sources/*/...`` — "v1"-headed JSON-lines, compacts
+    included) records each ingested path with the file's modification
+    time at ingest. Flagged = paths whose CURRENT on-disk mtime is
+    newer than the LATEST logged mtime for that path. Both sides are
+    metadata-only and distributed (the log is a text read; the listing
+    is the pruned ``binaryFile`` scan) — no data pages are touched, so
+    the reconcile costs O(files), not O(bytes), at any scale.
+
+    Returns ``(path, length, logged_mtime_ms, current_mtime_ms)`` —
+    empty means the contract held. Remediation is caller policy:
+    re-copy the file under a NEW name (the append-only fix, picked up
+    by the next trigger) or replay through the batch manifest path.
+
+    Blind spot, stated: an overwrite that preserves BOTH mtime and
+    path is indistinguishable from no-op by any metadata check; the
+    batch manifest shares this (it would also need a content digest).
+    """
+    import os
+
+    from big_data_hadoop_spark.sources.io import list_data_files
+
+    log_glob = os.path.join(checkpoint, "sources", "*", "*")
+    entry = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("batchId", T.LongType()),
+        ]
+    )
+    # strip the "v1" header lines; compact files repeat entries, the
+    # max() below collapses them
+    logged = (
+        spark.read.text(log_glob)
+        .filter(F.col("value").startswith("{"))
+        .select(F.from_json("value", entry).alias("e"))
+        .select(
+            # normalize file:///x vs file:/x URI spellings to a bare
+            # absolute path so the two listings join
+            F.regexp_replace("e.path", "^file:/+", "/").alias("path"),
+            F.col("e.timestamp").alias("logged_mtime_ms"),
+        )
+        .groupBy("path")
+        .agg(F.max("logged_mtime_ms").alias("logged_mtime_ms"))
+    )
+    current = list_data_files(spark, path, glob=glob).select(
+        F.regexp_replace("path", "^file:/+", "/").alias("path"),
+        "length",
+        F.unix_millis("modificationTime").alias("current_mtime_ms"),
+    )
+    return (
+        current.join(logged, "path")
+        .filter(F.col("current_mtime_ms") > F.col("logged_mtime_ms"))
+        .select("path", "length", "logged_mtime_ms", "current_mtime_ms")
+    )
 
 
 def streaming_windowed_event_agg(

@@ -1072,3 +1072,62 @@ def test_streaming_upsert_guards(spark, tmp_path):
         streaming_upsert(
             stream, table3, ["id"], "id", str(tmp_path / "g5")
         )
+
+
+def test_reconcile_flags_inplace_overwrite_not_appends(spark, tmp_path):
+    """``reconcile_files_stream`` turns the documented batch↔stream
+    ingest divergence into a report: a same-path in-place overwrite
+    (which the file source's path-keyed log silently skips forever) is
+    flagged; appended-then-ingested files and not-yet-overwritten files
+    are not."""
+    import os
+    import shutil
+    import time
+
+    from big_data_hadoop_spark.streaming import (
+        read_files_stream,
+        reconcile_files_stream,
+    )
+
+    src = tmp_path / "rc_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "rc_ckpt")
+    sink = str(tmp_path / "rc_sink")
+
+    def stage(name, ids):
+        staged = tmp_path / f"_rc_{name}"
+        spark.createDataFrame(
+            [(i,) for i in ids], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staged))
+        part = next(staged.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def drain():
+        q = (
+            read_files_stream(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stage("a", [1, 2])
+    stage("b", [3])
+    drain()
+    # clean landing zone: nothing to report
+    assert reconcile_files_stream(spark, str(src), ckpt).count() == 0
+
+    # violate the append-only contract: overwrite a.parquet in place
+    # with new bytes and a clearly newer mtime
+    stage("a", [1, 2, 4, 5])
+    future = time.time() + 30
+    os.utime(src / "a.parquet", (future, future))
+    stage("c", [6])  # a legitimate append alongside the violation
+    drain()
+    # the stream picked up c but silently skipped the overwritten a
+    assert spark.read.parquet(sink).count() == 2 + 1 + 1  # a(v1)+b+c
+    flagged = reconcile_files_stream(spark, str(src), ckpt).collect()
+    assert [os.path.basename(r.path) for r in flagged] == ["a.parquet"]
+    assert flagged[0].current_mtime_ms > flagged[0].logged_mtime_ms
