@@ -704,6 +704,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iter: int = 20,
     method: str = "jump",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS:
     ``(member_id, cluster_id)`` where ``cluster_id`` is the minimum id in
@@ -749,6 +750,12 @@ def duplicate_clusters(
 
     Only ids that appear in ``pairs`` are emitted — singletons are their
     own cluster implicitly.
+
+    Pass a ``stats`` dict to observe convergence: on return it carries
+    ``{"rounds": <iterations executed>}`` (jump rounds or star
+    alternations). The scaling claim both methods make — O(log n)
+    rounds, flat as data grows — is measurable through this hook (the
+    sf1 exhibit reports it), not just argued from the papers.
     """
     # Symmetrize with ONE explode pass, not union-of-swapped-self: the
     # union form duplicates the whole upstream lineage inside a single
@@ -773,7 +780,7 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     if method == "star":
-        return _star_clusters(edges, max_iter)
+        return _star_clusters(edges, max_iter, stats=stats)
     if method != "jump":
         raise ValueError(f"unknown method {method!r}; use 'jump' or 'star'")
     labels = (
@@ -782,7 +789,9 @@ def duplicate_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             edges.join(
                 labels.select(
@@ -833,12 +842,16 @@ def duplicate_clusters(
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
     )
 
 
-def _star_clusters(edges: DataFrame, max_iter: int) -> DataFrame:
+def _star_clusters(
+    edges: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
     """Alternating small-star/large-star connected components (Kiveris
     et al., SoCC'14 §3 — public paper; no reference-repo counterpart:
     the reference has no graph operator at all). Operates purely on the
@@ -873,7 +886,9 @@ def _star_clusters(edges: DataFrame, max_iter: int) -> DataFrame:
     )
     cur = edges.filter(F.col("src") != F.col("dst"))
     prev_cnt = -1
+    alternations = 0
     for it in range(max_iter):
+        alternations += 1
         # large-star over the symmetric closure of the current edges.
         # Round 1's input is ALREADY symmetric (duplicate_clusters
         # hands over the exploded both-directions set), so unioning
@@ -926,6 +941,8 @@ def _star_clusters(edges: DataFrame, max_iter: int) -> DataFrame:
                 cur = nxt
                 break
         cur, prev_cnt = nxt, cnt
+    if stats is not None:
+        stats["rounds"] = alternations
     # at fixpoint every component is a star rooted at its minimum:
     # members point at the root, the root points nowhere. min() guards
     # a non-converged max_iter cutoff (still a valid label choice).
@@ -946,15 +963,46 @@ def dedup_by_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    keep_best_col: str | None = None,
 ) -> DataFrame:
     """The cluster-resolved dedup ACTION: keep every doc that is either
-    untouched by ``pairs`` or its component's canonical representative
-    (minimum id). One anti-join against the non-representative members —
-    the exact cluster-safe analog of the keep-first rule."""
+    untouched by ``pairs`` or its component's canonical representative.
+    One anti-join against the non-representative members — the exact
+    cluster-safe analog of the keep-first rule.
+
+    Default representative: minimum id (stable, cheap). Pass
+    ``keep_best_col`` (a numeric column of ``docs`` — a quality score,
+    a PageRank from ``operators.graph.pagerank``, a length) to keep
+    each cluster's HIGHEST-scoring member instead (ties break to the
+    minimum id, so the choice stays deterministic) — the curation
+    pipelines' "keep the best duplicate, not the first" rule. Costs
+    one extra keyed join (scores onto members) and a per-cluster
+    sort-window; clusters are tiny (near-dup components), so the
+    window is a local per-group sort after the clustering's existing
+    shuffle."""
     clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
-    losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
-        F.col("member_id").alias(id_col)
-    )
+    if keep_best_col is None:
+        losers = clusters.filter(
+            F.col("member_id") != F.col("cluster_id")
+        ).select(F.col("member_id").alias(id_col))
+    else:
+        from pyspark.sql.window import Window
+
+        scored = clusters.join(
+            docs.select(
+                F.col(id_col).alias("member_id"),
+                F.col(keep_best_col).alias("_score"),
+            ),
+            "member_id",
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("_score").desc_nulls_last(), F.col("member_id").asc()
+        )
+        losers = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col("member_id").alias(id_col))
+        )
     return docs.join(losers, id_col, "left_anti")
 
 

@@ -228,3 +228,57 @@ def test_q85_probe_matches_union_find(spark):
         for r in QUERIES["q85_star_clusters"](spark, SF_ORACLE).collect()
     }
     assert got == sizes and got
+
+
+def test_stats_hook_reports_log_rounds(spark):
+    """The stats out-param reports iterations for both methods: on a
+    1000-node chain the star method must converge in O(log n)
+    alternations (≤ 12 for n=1000), and the jump method's pointer
+    jumping likewise in O(log diameter) — the hook the sf1 exhibit
+    uses to show rounds stay FLAT as data grows."""
+    pairs = [(i, i + 1) for i in range(1, 1000)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    star_stats: dict = {}
+    got = duplicate_clusters(
+        df, method="star", max_iter=16, stats=star_stats
+    )
+    assert got.filter(F.col("cluster_id") != 1).count() == 0
+    assert 2 <= star_stats["rounds"] <= 12
+    jump_stats: dict = {}
+    duplicate_clusters(df, method="jump", stats=jump_stats).collect()
+    assert 2 <= jump_stats["rounds"] <= 14
+
+
+def test_dedup_keep_best_col_keeps_argmax_per_cluster(spark):
+    """keep_best_col switches the representative rule from minimum id
+    to highest score (ties → minimum id): components (1,2,3) and
+    (10,11) with scores making 2 and 11 the best must keep exactly
+    {2, 11} plus the untouched singleton 99."""
+    from big_data_hadoop_spark.operators.dedup import dedup_by_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5),
+            (2, 0.9),
+            (3, 0.9),  # ties with... no: 2 and 3 tie — min id 2 wins
+            (10, 0.1),
+            (11, 0.7),
+            (99, 0.0),
+        ],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_by_clusters(
+            docs, pairs, keep_best_col="score"
+        ).collect()
+    )
+    assert kept == [2, 11, 99]
+    # default rule unchanged: minimum id per component
+    kept_min = sorted(
+        r.doc_id for r in dedup_by_clusters(docs, pairs).collect()
+    )
+    assert kept_min == [1, 10, 99]
