@@ -956,6 +956,172 @@ def _star_clusters(
     )
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs within Levenshtein edit distance ``max_dist`` (τ) —
+    ``(id_a, id_b, dist)``, ``id_a < id_b`` — the character-level
+    near-dup tier (typo'd titles, OCR'd reprints) between exact dedup
+    and the token-level Jaccard/MinHash tiers. No reference-repo
+    counterpart; the algorithm is PassJoin's segment-filter scheme
+    (Li, Deng, Feng, "PASS-JOIN: A Partition-based Method for
+    Similarity Joins", VLDB'11 — public paper), simplified to a
+    uniform ±τ position window.
+
+    Why not a cartesian ``levenshtein ≤ τ`` filter: that's O(n²)
+    verification calls. The pigeonhole filter: split each string into
+    τ+1 contiguous segments — τ edits can touch at most τ of them, so
+    two strings within distance τ share at least one segment VERBATIM,
+    and (because any prefix carries at most τ edits) that segment's
+    position in the partner shifts by at most τ. Candidates are
+    therefore an EQUI-JOIN on ``(source_length, segment_index,
+    segment_text)``: the index side emits each string's τ+1 segments;
+    the probe side emits, for each candidate partner length l within
+    ±τ of its own and each segment of l's layout, the substrings at
+    the ≤ 2τ+1 admissible start positions — ≤ (2τ+1)²(τ+1) short keys
+    per string (75 at τ=2), each carrying only ids (texts rejoin for
+    verification AFTER the candidate set is distinct). Verification
+    uses the banded ``levenshtein(a, b, τ)`` (O(len·τ), returns -1
+    past the threshold). Both emissions are native explodes; the join
+    is a keyed shuffle on short segment keys — no UDF, no cartesian.
+
+    Strings shorter than τ+1 characters can't fill τ+1 segments; they
+    route through a single "short" bucket (length ≤ 2τ partners,
+    verified the same way) — a tiny cardinality class by construction.
+
+    Pinned against a full DuckDB ``levenshtein`` oracle (with the
+    exact ``|len(a)-len(b)| ≤ τ`` prefilter) and a seeded
+    mutation-recall property test.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    tau = int(max_dist)
+    k = tau + 1
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_l"),
+    ).filter(F.col("_txt").isNotNull())
+
+    long_side = base.filter(F.col("_l") >= k)
+    i_col = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("i")
+
+    def seg_geometry(length_col, i):
+        """(start, len) of segment ``i`` (1-based) in PassJoin's
+        even-partition layout: the first k-rem segments take ⌊l/k⌋
+        chars, the rest ⌈l/k⌉."""
+        b = F.floor(length_col / k)
+        rem = length_col % k
+        short_cnt = F.lit(k) - rem
+        seg_len = F.when(i <= short_cnt, b).otherwise(b + 1)
+        start = (
+            F.when(i <= short_cnt, (i - 1) * b)
+            .otherwise(short_cnt * b + (i - 1 - short_cnt) * (b + 1))
+            + 1
+        )
+        return start.cast("int"), seg_len.cast("int")
+
+    idx_start, idx_len = seg_geometry(F.col("_l"), F.col("i"))
+    indexed = long_side.select("_id", "_txt", "_l", i_col).select(
+        F.col("_id").alias("_iid"),
+        F.col("_l").alias("_il"),
+        "i",
+        F.col("_txt").substr(idx_start, idx_len).alias("_seg"),
+    )
+
+    # probe: candidate partner lengths L ∈ [l-τ, l+τ] with L ≥ k, the
+    # partner's segment layout for each i, start positions within ±τ
+    # clamped to the probe string
+    probe = (
+        long_side.select(
+            "_id",
+            "_txt",
+            "_l",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_l") - tau, F.lit(k)),
+                    F.col("_l") + tau,
+                )
+            ).alias("_pl"),
+        )
+        .select("_id", "_txt", "_l", "_pl", i_col)
+    )
+    p_start, p_len = seg_geometry(F.col("_pl"), F.col("i"))
+    lo = F.greatest(p_start - tau, F.lit(1))
+    hi = F.least(p_start + tau, F.col("_l") - p_len + 1)
+    probe = probe.select(
+        F.col("_id").alias("_pid"),
+        "_pl",
+        "i",
+        p_len.alias("_plen"),
+        F.col("_txt").alias("_ptxt"),
+        F.explode(
+            # an empty admissible window must yield NO rows, not a
+            # descending sequence (Spark's sequence(5,3) counts down)
+            F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_q"),
+    ).select(
+        "_pid",
+        "_pl",
+        "i",
+        F.col("_ptxt").substr(F.col("_q"), F.col("_plen")).alias("_seg"),
+    )
+
+    cand = (
+        indexed.join(
+            probe,
+            (F.col("_il") == F.col("_pl"))
+            & (indexed.i == probe.i)
+            & (indexed._seg == probe._seg)
+            & (F.col("_iid") != F.col("_pid")),
+        )
+        .select(
+            F.least("_iid", "_pid").alias("id_a"),
+            F.greatest("_iid", "_pid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # short-string bucket: l < k on either side; partners within ±τ
+    shorts = base.filter(F.col("_l") < k)
+    near_short = base.filter(F.col("_l") < k + tau)
+    short_cand = (
+        shorts.select(F.col("_id").alias("_iid"))
+        .crossJoin(
+            F.broadcast(near_short.select(F.col("_id").alias("_pid")))
+        )
+        .filter(F.col("_iid") != F.col("_pid"))
+        .select(
+            F.least("_iid", "_pid").alias("id_a"),
+            F.greatest("_iid", "_pid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    all_cand = cand.unionByName(short_cand).distinct()
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_txt").alias("_ta")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_txt").alias("_tb")
+    )
+    return (
+        all_cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb", tau).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+
+
 def dedup_by_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -1669,6 +1669,66 @@ def q87_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     return cohort_retention(ev, period="week", max_offset=6)
 
 
+def q88_pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank centrality over the minhash near-dup pair graph
+    (rows-only slot — iterative power method, no ANSI-SQL form; pinned
+    to 1e-6 against a numpy power iteration with identical damping and
+    dangling handling in tests/test_pagerank.py). The curation use:
+    rank duplicate-cluster members so `dedup_by_clusters` can keep the
+    most-central doc (`keep_best_col`) rather than the minimum id.
+    Per round ONE edge-vs-rank equi-join + ONE keyed sum (state
+    O(nodes+edges), rounds localCheckpointed); probe runs a bounded
+    15-round / 1e-4 budget — the near-dup graph is shallow stars, so
+    it converges far earlier. Rank rounded to 8 digits for a stable
+    presentation (float fold order is partition-dependent past that)."""
+    from big_data_hadoop_spark.operators.dedup import minhash_lsh_pairs
+    from big_data_hadoop_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    return (
+        pagerank(pairs, tol=1e-4, max_iter=15)
+        .select("id", F.round("rank", 8).alias("rank"))
+        .orderBy("id")
+    )
+
+
+def q89_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level near-dup pairs within Levenshtein distance 2
+    via the PassJoin segment filter (rows-only slot — the full DuckDB
+    ``levenshtein`` oracle runs in tests/test_edit_distance.py on this
+    exact construction, plus a seeded mutation-recall property).
+    Candidates come from an equi-join on (length, segment_index,
+    segment_text) — τ edits can't touch all τ+1 segments, so a
+    verbatim segment match is guaranteed — then the banded
+    ``levenshtein(a, b, τ)`` verifies. No cartesian product, no UDF.
+
+    The corpus's duplicates are TOKEN-level (the MinHash/Jaccard
+    tiers' job); character-level twins are planted deterministically —
+    every third doc gets a copy at ``doc_id + 10**7`` with one
+    substitution + one deletion (the q84 synthetic-construction
+    pattern) — so the probe's output exercises the operator
+    non-vacuously at every sf."""
+    from big_data_hadoop_spark.operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    twins = docs.filter(
+        (F.pmod("doc_id", F.lit(3)) == 0) & (F.length("text") >= 25)
+    ).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 9),
+            F.lit("\x01"),  # substitution outside the corpus alphabet
+            F.expr("substring(text, 11, 9)"),
+            F.expr("substring(text, 21, length(text))"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    return edit_distance_pairs(corpus, max_dist=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1773,6 +1833,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_star_clusters": q85_star_clusters,
     "q86_event_funnel": q86_event_funnel,
     "q87_cohort_retention": q87_cohort_retention,
+    "q88_pagerank_neardup": q88_pagerank_neardup,
+    "q89_edit_distance": q89_edit_distance,
 }
 
 _EN = ts.STOPWORDS["en"]

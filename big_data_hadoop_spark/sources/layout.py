@@ -35,7 +35,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "write_zordered", "write_sorted"]
+__all__ = [
+    "zorder_value",
+    "write_zordered",
+    "write_sorted",
+    "build_file_stats",
+    "read_pruned",
+]
 
 
 def zorder_value(
@@ -178,3 +184,134 @@ def write_sorted(
         else df.repartitionByRange(*cols)
     )
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def build_file_stats(
+    spark, path: str, cols: Sequence[str], glob: str = "*.parquet"
+) -> DataFrame:
+    """Per-FILE zone map over ``cols``: ``(file, length, mtime, n_rows,
+    <col>_min, <col>_max, <col>_nulls …)`` — the file-level analog of
+    parquet's row-group statistics, and the companion that makes
+    :func:`write_zordered` / :func:`write_sorted` pay off twice.
+
+    Why file-level when parquet already has row-group stats: row-group
+    stats prune AFTER a task opens the footer — the scheduler still
+    lists, plans, and launches a task per file. At 10**6 files × 100 TB,
+    scheduling is its own cost; a zone map consulted BEFORE the read
+    (:func:`read_pruned`) shrinks the file LIST, which is what table
+    formats keep min/max per data file in the manifest for. On a
+    clustered layout (z-order/sort) the per-file ranges are narrow and
+    most files drop.
+
+    One distributed columnar pass builds it: read ONLY ``cols``
+    (column-pruned scan), group by ``input_file_name()``. The
+    ``(length, mtime)`` captured from the listing lets
+    :func:`read_pruned` detect a stale index instead of trusting it.
+    Persist with plain ``.write.parquet`` wherever convenient — the
+    frame is O(files) rows of metadata."""
+    from big_data_hadoop_spark.sources.io import list_data_files
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    data = (
+        spark.read.parquet(path)
+        .select(*cols)
+        .withColumn("_file", F.input_file_name())
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+        ]
+    stats = data.groupBy(F.col("_file").alias("file")).agg(*aggs)
+    listing = list_data_files(spark, path, glob=glob).select(
+        F.col("path").alias("file"),
+        "length",
+        F.unix_millis("modificationTime").alias("mtime"),
+    )
+    # input_file_name() and the binaryFile listing may spell the URI
+    # differently (file:/ vs file:///) — normalize both join sides
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    return (
+        stats.withColumn("file", norm(F.col("file")))
+        .join(listing.withColumn("file", norm(F.col("file"))), "file")
+    )
+
+
+def read_pruned(
+    spark,
+    path: str,
+    stats: DataFrame,
+    col: str,
+    lo=None,
+    hi=None,
+    strict: bool = True,
+) -> DataFrame:
+    """Read the dataset at ``path`` touching ONLY the files whose
+    ``[min, max]`` zone (from :func:`build_file_stats`) can contain a
+    row with ``lo <= col <= hi`` (either bound may be None for a
+    half-open range), then re-apply the row-level filter — the zone map
+    prunes files, parquet row-group stats prune within them, the
+    filter settles the rows. An all-NULL zone (min/max NULL) cannot
+    satisfy a range predicate and is pruned.
+
+    Staleness contract: the index describes the files it was built
+    from. With ``strict=True`` (default) any drift — a file added,
+    removed, or rewritten (length/mtime changed) since the build —
+    raises, because pruning with a stale map silently DROPS rows of
+    new files; pass ``strict=False`` only when the dataset is
+    immutable-by-convention and the check's listing cost matters.
+    The driver holds the matching file list (O(matching files) — the
+    same planner-sized state every format's pruning step holds)."""
+    from big_data_hadoop_spark.sources.io import list_data_files
+
+    if lo is None and hi is None:
+        raise ValueError("at least one of lo/hi is required")
+    if strict:
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        current = list_data_files(spark, path).select(
+            norm(F.col("path")).alias("file"),
+            "length",
+            F.unix_millis("modificationTime").alias("mtime"),
+        )
+        indexed = stats.select("file", "length", "mtime").withColumn(
+            "_in_index", F.lit(1)
+        )
+        # USING-join coalesces the key columns, so drift shows up as a
+        # NULL side MARKER, not a NULL key
+        drift = (
+            current.withColumn("_on_disk", F.lit(1))
+            .join(indexed, ["file", "length", "mtime"], "full_outer")
+            .filter(
+                F.col("_in_index").isNull() | F.col("_on_disk").isNull()
+            )
+            .limit(1)
+            .count()
+        )
+        if drift:
+            raise ValueError(
+                f"file-stats index is STALE for {path} — files were "
+                "added/removed/rewritten since build_file_stats; "
+                "rebuild the index (pruning with it would silently "
+                "drop rows)"
+            )
+    cond = F.col(f"{col}_min").isNotNull()
+    if lo is not None:
+        cond = cond & (F.col(f"{col}_max") >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(f"{col}_min") <= F.lit(hi))
+    files = [r.file for r in stats.filter(cond).select("file").collect()]
+    row_filter = None
+    if lo is not None:
+        row_filter = F.col(col) >= F.lit(lo)
+    if hi is not None:
+        t = F.col(col) <= F.lit(hi)
+        row_filter = t if row_filter is None else row_filter & t
+    if not files:
+        return (
+            spark.read.parquet(path).filter(F.lit(False))
+        )  # schema-preserving empty
+    return spark.read.parquet(*files).filter(row_filter)

@@ -1,0 +1,148 @@
+"""PassJoin edit-distance pairs (``dedup.edit_distance_pairs``):
+full DuckDB ``levenshtein`` oracle on the real documents table (with
+the exact ``|Δlen| ≤ τ`` prefilter), a seeded mutation-recall property
+(every planted ≤τ-edit twin is found — the completeness lemma
+exercised, not assumed), and the short-string bucket."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from big_data_hadoop_spark.operators.dedup import edit_distance_pairs
+from big_data_hadoop_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("tau", [1, 2])
+def test_matches_duckdb_on_documents_with_twins(spark, tau):
+    """Full DuckDB levenshtein oracle over the q89 construction: real
+    documents plus deterministically planted character twins (the raw
+    corpus's duplicates are token-level — its char-level pair set is
+    empty, which would make this oracle vacuous without the twins).
+    The |Δlen| ≤ τ prefilter in the oracle SQL is exact (edit distance
+    lower-bounds at the length difference)."""
+    import duckdb
+
+    from big_data_hadoop_spark.probes import QUERIES
+
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in QUERIES["q89_edit_distance"](spark, SF_SMOKE).collect()
+    }
+    if tau == 2:
+        assert got, "planted twins must make the probe non-vacuous"
+    # rebuild the same corpus pandas-side and oracle it in DuckDB
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    twins = docs[(docs.doc_id % 3 == 0) & (docs.text.str.len() >= 25)].copy()
+    twins["text"] = (
+        twins.text.str[:9] + "\x01" + twins.text.str[10:19] + twins.text.str[20:]
+    )
+    twins["doc_id"] = twins.doc_id + 10_000_000
+    import pandas as pd
+
+    corpus = pd.concat([docs, twins], ignore_index=True)
+    con = duckdb.connect()
+    con.register("corpus", corpus)
+    want = {
+        (a, b): d
+        for a, b, d in con.sql(
+            f"""
+            SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)
+            FROM corpus a JOIN corpus b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= {tau}
+            WHERE levenshtein(a.text, b.text) <= {tau}
+            """
+        ).fetchall()
+    }
+    if tau == 2:
+        assert got == want
+    else:
+        sdf = spark.createDataFrame(corpus)
+        got1 = {
+            (r.id_a, r.id_b): r.dist
+            for r in edit_distance_pairs(sdf, max_dist=tau).collect()
+        }
+        assert got1 == want
+
+
+def test_mutation_recall_seeded(spark):
+    """Plant ≤τ-edit twins of random base strings; EVERY planted pair
+    must be found (completeness), and no reported pair may exceed τ
+    (soundness is the levenshtein verify, but check anyway)."""
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    tau = 2
+    rows = []
+    planted = []
+    for i in range(60):
+        base_id = 2 * i
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 40)))
+        rows.append((base_id, s))
+        t = list(s)
+        for _ in range(rng.randint(1, tau)):
+            op = rng.choice(["sub", "ins", "del"])
+            pos = rng.randrange(len(t)) if t else 0
+            if op == "sub" and t:
+                t[pos] = rng.choice(alphabet)
+            elif op == "ins":
+                t.insert(pos, rng.choice(alphabet))
+            elif t:
+                del t[pos]
+        mut = "".join(t)
+        rows.append((base_id + 1, mut))
+        if mut != s:
+            planted.append((base_id, base_id + 1))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(docs, max_dist=tau).collect()
+    }
+    for pair in planted:
+        assert pair in got, pair
+        assert 1 <= got[pair] <= tau
+    assert all(d <= tau for d in got.values())
+    assert all(a < b for a, b in got)
+
+
+def test_short_string_bucket(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "ab"), (4, "abcdxyzm"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(docs, max_dist=2).collect()
+    }
+    # exhaustive truth for 5 tiny strings
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    texts = {1: "a", 2: "b", 3: "ab", 4: "abcdxyzm", 5: ""}
+    want = {
+        (a, b): lev(texts[a], texts[b])
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if lev(texts[a], texts[b]) <= 2
+    }
+    assert got == want
+
+
+def test_rejects_nonpositive_tau(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(docs, max_dist=0)

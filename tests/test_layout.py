@@ -209,3 +209,82 @@ def test_write_sorted_disjoint_file_ranges(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         write_sorted(df, path, [])
+
+
+def test_file_stats_prune_zordered_dataset(spark, tmp_path):
+    """Zone map over a z-ordered write: a narrow range predicate must
+    read a strict subset of files, return exactly the rows the full
+    scan's filter returns, and an all-NULL zone is pruned."""
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+        write_zordered,
+    )
+
+    path = str(tmp_path / "zm")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 61).alias("x"),
+        (F.pmod(F.col("id") * 37, F.lit(101))).alias("y"),
+    )
+    write_zordered(df, path, ["x", "y"], n_files=8)
+    stats = build_file_stats(spark, path, ["x", "y"])
+    assert stats.count() == 8
+    got = sorted(
+        r.id for r in read_pruned(spark, path, stats, "x", lo=5, hi=9).collect()
+    )
+    want = sorted(
+        r.id
+        for r in spark.read.parquet(path)
+        .filter((F.col("x") >= 5) & (F.col("x") <= 9))
+        .collect()
+    )
+    assert got == want and got
+    # the zone map must actually prune: matching files < all files
+    cond = (F.col("x_max") >= 5) & (F.col("x_min") <= 9)
+    n_match = stats.filter(cond).count()
+    assert n_match < 8, "no pruning on a z-ordered layout"
+
+
+def test_file_stats_strict_staleness(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "st")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("x")
+    ).repartition(4).write.parquet(path)
+    stats = build_file_stats(spark, path, ["x"]).cache()
+    stats.count()
+    ok = read_pruned(spark, path, stats, "x", lo=0, hi=3)
+    assert ok.count() > 0
+    # drift: add a file after the build
+    spark.range(100, 120).select(
+        F.col("id"), (F.col("id") % 7).alias("x")
+    ).coalesce(1).write.mode("append").parquet(path)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="STALE"):
+        read_pruned(spark, path, stats, "x", lo=0, hi=3).count()
+    # non-strict proceeds on the indexed subset (documented escape hatch)
+    assert read_pruned(
+        spark, path, stats, "x", lo=0, hi=3, strict=False
+    ).count() == ok.count()
+
+
+def test_file_stats_empty_match_keeps_schema(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "em")
+    spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 5).alias("x")
+    ).write.parquet(path)
+    stats = build_file_stats(spark, path, ["x"])
+    out = read_pruned(spark, path, stats, "x", lo=100, hi=200)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "x"}

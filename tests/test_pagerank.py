@@ -1,0 +1,106 @@
+"""PageRank (``operators.graph.pagerank``): pinned against a pure-numpy
+power iteration with identical damping and dangling-mass handling, on
+directed graphs with dangling nodes and on the undirected near-dup pair
+graph; ranks sum to 1; the stats hook reports convergence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_hadoop_spark.operators.graph import pagerank
+
+
+def _np_pagerank(edges, n_ids, damping=0.85, tol=1e-6, max_iter=40,
+                 directed=True):
+    """Reference power iteration over a dense matrix (test-sized)."""
+    ids = sorted(n_ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    adj = np.zeros((n, n))
+    es = set()
+    for a, b in edges:
+        es.add((a, b))
+        if not directed:
+            es.add((b, a))
+    for a, b in es:
+        adj[idx[a]][idx[b]] = 1.0
+        out[idx[a]] += 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = r[out == 0].sum()
+        inflow = np.zeros(n)
+        for (a, b) in es:
+            inflow[idx[b]] += r[idx[a]] / out[idx[a]]
+        nr = (1 - damping) / n + damping * (inflow + dangling / n)
+        if np.abs(nr - r).sum() < tol:
+            r = nr
+            break
+        r = nr
+    return {v: r[idx[v]] for v in ids}
+
+
+DIRECTED_EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4), (6, 4), (4, 6),
+    (7, 1),  # 7 has out-edges but no in-edges
+    (3, 8),  # 8 is dangling (no out-edges)
+]
+
+
+def test_directed_matches_numpy_with_dangling(spark):
+    df = spark.createDataFrame(DIRECTED_EDGES, "id_a long, id_b long")
+    got = {
+        r.id: r.rank for r in pagerank(df, directed=True).collect()
+    }
+    want = _np_pagerank(
+        DIRECTED_EDGES, set(got), directed=True
+    )
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_undirected_matches_numpy(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.rank for r in pagerank(df).collect()}
+    want = _np_pagerank(edges, set(got), directed=False)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+    # chain interior nodes outrank endpoints; the 2-clique splits evenly
+    assert got[2] > got[1] and got[3] > got[4]
+    assert got[10] == pytest.approx(got[11], abs=1e-9)
+
+
+def test_stats_and_convergence(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]  # 3-cycle: uniform fixpoint
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats: dict = {}
+    got = {
+        r.id: r.rank
+        for r in pagerank(df, directed=True, stats=stats).collect()
+    }
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, abs=1e-9)
+    assert stats["rounds"] <= 3 and stats["delta"] < 1e-6
+
+
+def test_ranks_near_dup_graph_and_rejects_bad_params(spark):
+    from big_data_hadoop_spark.operators.dedup import minhash_lsh_pairs
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    ranks = pagerank(pairs, tol=1e-4, max_iter=15)
+    total = ranks.groupBy().sum("rank").first()[0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert ranks.count() > 0
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(pairs, damping=1.5)
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(pairs, max_iter=0)
