@@ -1000,11 +1000,20 @@ def edit_distance_pairs(
         raise ValueError("max_dist must be >= 1")
     tau = int(max_dist)
     k = tau + 1
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_txt"),
-        F.length(text_col).alias("_l"),
-    ).filter(F.col("_txt").isNotNull())
+    # the (id, text, length) projection feeds SIX plan subtrees
+    # (indexed, probe, shorts, near_short, and both verification
+    # rejoins) — localCheckpoint pays the source scan once instead of
+    # re-reading the corpus per subtree, the same reused-frame rule
+    # duplicate_clusters/_star_clusters follow (review finding)
+    base = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_txt"),
+            F.length(text_col).alias("_l"),
+        )
+        .filter(F.col("_txt").isNotNull())
+        .localCheckpoint(eager=True)
+    )
 
     long_side = base.filter(F.col("_l") >= k)
     i_col = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("i")

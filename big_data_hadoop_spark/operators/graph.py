@@ -75,8 +75,22 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["delta"] = 0.0
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Dangling nodes exist only in directed mode (undirected
+    # symmetrization gives every node an out-edge); membership is
+    # round-invariant, so decide ONCE whether the per-round dangling
+    # aggregate is needed instead of paying a join+collect each round.
+    has_dangling = directed and bool(
+        nodes.join(
+            out_deg.select(F.col("src").alias("id")), "id", "left_anti"
+        )
+        .limit(1)
+        .count()
+    )
     # contribution edges carry 1/deg once — computed a single time, the
     # per-round join then touches only (src, dst, w) and ranks
     weighted = (
@@ -92,14 +106,19 @@ def pagerank(
     for _ in range(max_iter):
         rounds += 1
         # mass on nodes with no out-edges (directed dangling) — one
-        # single-row aggregate via an anti-join against out_deg
-        dangling = (
-            ranks.join(
-                out_deg.select(F.col("src").alias("id")), "id", "left_anti"
+        # single-row aggregate via an anti-join against out_deg,
+        # skipped entirely when the one-time check proved none exist
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.join(
+                    out_deg.select(F.col("src").alias("id")),
+                    "id",
+                    "left_anti",
+                )
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
             )
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
         contrib = (
             weighted.join(
                 ranks.select(F.col("id").alias("src"), "rank"), "src"

@@ -311,20 +311,51 @@ def _recover_generation(path: str) -> None:
         os.rename(old, path)
 
 
-def _swap_in(staging: str, path: str) -> None:
+def _swap_in(staging: str, path: str, lock=None) -> None:
     """Atomically-enough replace ``path`` with ``staging``:
     rename-old → rename-new → drop-old. A crash at any point leaves
     either the old or the new generation on disk for
     :func:`_recover_generation` to restore — never neither (the
-    delete-then-rename form had a window that lost the table)."""
+    delete-then-rename form had a window that lost the table).
+
+    With ``lock`` (a held :class:`_TableWriteLock`), ownership is
+    re-verified at each rename boundary AND after publishing, and a
+    detected mid-swap steal UNDOES the renames (the stolen-from
+    writer's generation goes back) before raising — so a holder
+    suspended past ``grace_seconds`` between staging and swapping
+    (GC/VM pause, NFS hang) cannot silently replace the stealing
+    writer's published rows. The verify-to-publish window shrinks
+    from the whole merge duration to one rename syscall; a steal
+    landing its OWN publish inside that instant is the residual race
+    (review finding on the earlier verify-then-swap sequencing)."""
     import shutil
 
     old = path + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
-    if os.path.exists(path):
+    if lock is not None:
+        lock.verify()
+    had_prev = os.path.exists(path)
+    if had_prev:
         os.rename(path, old)
+        if lock is not None:
+            try:
+                lock.verify()
+            except ConcurrentWriterError:
+                os.rename(old, path)  # undo: restore the other writer
+                raise
     os.rename(staging, path)
+    if lock is not None:
+        try:
+            lock.verify()
+        except ConcurrentWriterError:
+            # stolen between the pre-publish check and here — put the
+            # previous (possibly the stealer's) generation back and
+            # surface our staged one for manual recovery
+            os.rename(path, staging)
+            if had_prev:
+                os.rename(old, path)
+            raise
     shutil.rmtree(old, ignore_errors=True)
 
 
@@ -376,7 +407,7 @@ class _TableWriteLock:
         self,
         path: str,
         grace_seconds: float = 600.0,
-        timeout_seconds: float = 300.0,
+        timeout_seconds: float = 900.0,
         poll_seconds: float = 0.05,
     ) -> None:
         self.lockdir = os.path.abspath(path).rstrip(os.sep) + ".lock"
@@ -547,18 +578,23 @@ class _TableWriteLock:
 def table_write_lock(
     path: str,
     grace_seconds: float = 600.0,
-    timeout_seconds: float = 300.0,
+    timeout_seconds: float = 900.0,
 ) -> _TableWriteLock:
     """Acquire the single-writer claim for the mutable dataset at
     ``path`` (see :class:`_TableWriteLock`). Context manager::
 
         with table_write_lock(path) as lock:
             ...stage...
-            lock.verify()   # before the swap
-            _swap_in(staging, path)
+            _swap_in(staging, path, lock)  # verifies at each rename
 
     Contending live writers serialize; a claim whose heartbeat has been
-    silent for ``grace_seconds`` is presumed dead and stolen."""
+    silent for ``grace_seconds`` is presumed dead and stolen. The
+    default ``timeout_seconds`` EXCEEDS ``grace_seconds`` on purpose:
+    staleness is measured from the holder's last heartbeat, so a
+    timeout shorter than the grace window would mean a crashed
+    holder's claim can never go stale within a single acquire — every
+    contender would stall its full timeout and fail instead of
+    self-healing by steal (review finding on the 300s/600s defaults)."""
     return _TableWriteLock(
         path, grace_seconds=grace_seconds, timeout_seconds=timeout_seconds
     ).acquire()
@@ -731,8 +767,7 @@ def read_incremental(
         # the staging write reads the prior generation lazily while it
         # still exists on disk; only after it lands does the swap flip
         next_gen.write.mode("overwrite").parquet(staging)
-        lock.verify()
-        _swap_in(staging, manifest)
+        _swap_in(staging, manifest, lock)
 
     return df, commit
 
@@ -980,8 +1015,7 @@ def _upsert_locked(
         ).unionByName(updates.select(*prior.columns))
         staging = path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        lock.verify()
-        _swap_in(staging, path)
+        _swap_in(staging, path, lock)
 
 
 def compact_parquet(
@@ -1075,8 +1109,7 @@ def _compact_locked(
             spark.read.parquet(sub).repartition(k).write.mode(
                 "overwrite"
             ).parquet(staging)
-            lock.verify()
-            _swap_in(staging, sub)
+            _swap_in(staging, sub, lock)
     else:
         total = sum(r.length for r in files)
         n_after = max(1, math.ceil(total / target_file_bytes))
@@ -1086,8 +1119,7 @@ def _compact_locked(
         spark.read.parquet(path).repartition(n_after).write.mode(
             "overwrite"
         ).parquet(staging)
-        lock.verify()
-        _swap_in(staging, path)
+        _swap_in(staging, path, lock)
     return n_before, len(list_data_files(spark, path).collect())
 
 

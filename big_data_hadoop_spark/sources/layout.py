@@ -208,7 +208,21 @@ def build_file_stats(
     ``(length, mtime)`` captured from the listing lets
     :func:`read_pruned` detect a stale index instead of trusting it.
     Persist with plain ``.write.parquet`` wherever convenient — the
-    frame is O(files) rows of metadata."""
+    frame is O(files) rows of metadata.
+
+    The returned frame is a SNAPSHOT (both the data pass and the
+    listing are eagerly ``localCheckpoint``-ed at build): a later
+    write to ``path`` cannot silently refresh it through Spark's
+    cache-invalidation-by-path, so the strict staleness check in
+    :func:`read_pruned` compares the build-time state against the
+    CURRENT listing, as intended (review finding: a lineage-bearing
+    index re-listed after an append and waved the drift through).
+    Files present in the listing but absent from the data pass are
+    verified ZERO-ROW by a driver-side footer read — a zero-row part
+    file belongs in the index (its NULL zone correctly never
+    matches), while a file ADDED between the two scans has rows and
+    must fail the build loudly instead of entering the index as an
+    unprunable-looking-but-pruned entry (silent row loss)."""
     from big_data_hadoop_spark.sources.io import list_data_files
 
     cols = list(cols)
@@ -226,19 +240,40 @@ def build_file_stats(
             F.max(c).alias(f"{c}_max"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
         ]
-    stats = data.groupBy(F.col("_file").alias("file")).agg(*aggs)
-    listing = list_data_files(spark, path, glob=glob).select(
-        F.col("path").alias("file"),
-        "length",
-        F.unix_millis("modificationTime").alias("mtime"),
-    )
     # input_file_name() and the binaryFile listing may spell the URI
     # differently (file:/ vs file:///) — normalize both join sides
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    return (
-        stats.withColumn("file", norm(F.col("file")))
-        .join(listing.withColumn("file", norm(F.col("file"))), "file")
+    stats = (
+        data.groupBy(norm(F.col("_file")).alias("file"))
+        .agg(*aggs)
+        .localCheckpoint(eager=True)
     )
+    listing = (
+        list_data_files(spark, path, glob=glob)
+        .select(
+            norm(F.col("path")).alias("file"),
+            "length",
+            F.unix_millis("modificationTime").alias("mtime"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    joined = listing.join(stats, "file", "left")
+    extras = [
+        r.file for r in joined.filter(F.col("n_rows").isNull()).collect()
+    ]
+    if extras:
+        import pyarrow.parquet as pq
+
+        for f in extras:
+            n = pq.ParquetFile(f).metadata.num_rows
+            if n:
+                raise ValueError(
+                    f"dataset at {path} changed while build_file_stats "
+                    f"ran: {f} holds {n} rows but was missed by the "
+                    "stats pass — rebuild the index (indexing it with "
+                    "an empty zone would silently prune its rows)"
+                )
+    return joined.withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
 
 
 def read_pruned(
@@ -249,6 +284,7 @@ def read_pruned(
     lo=None,
     hi=None,
     strict: bool = True,
+    glob: str = "*.parquet",
 ) -> DataFrame:
     """Read the dataset at ``path`` touching ONLY the files whose
     ``[min, max]`` zone (from :func:`build_file_stats`) can contain a
@@ -264,15 +300,23 @@ def read_pruned(
     raises, because pruning with a stale map silently DROPS rows of
     new files; pass ``strict=False`` only when the dataset is
     immutable-by-convention and the check's listing cost matters.
+    ``glob`` must match the one given to :func:`build_file_stats`
+    (both default to ``*.parquet``) — a mismatched pair makes the
+    strict check compare different listings and raise spuriously.
     The driver holds the matching file list (O(matching files) — the
-    same planner-sized state every format's pruning step holds)."""
+    same planner-sized state every format's pruning step holds).
+
+    The pruned read passes ``basePath`` so hive-style partition
+    directories (``day=.../part-*.parquet``) keep contributing their
+    partition columns — the schema matches the unpruned read exactly,
+    and ``col`` may itself be a partition column."""
     from big_data_hadoop_spark.sources.io import list_data_files
 
     if lo is None and hi is None:
         raise ValueError("at least one of lo/hi is required")
     if strict:
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        current = list_data_files(spark, path).select(
+        current = list_data_files(spark, path, glob=glob).select(
             norm(F.col("path")).alias("file"),
             "length",
             F.unix_millis("modificationTime").alias("mtime"),
@@ -314,4 +358,8 @@ def read_pruned(
         return (
             spark.read.parquet(path).filter(F.lit(False))
         )  # schema-preserving empty
-    return spark.read.parquet(*files).filter(row_filter)
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*files)
+        .filter(row_filter)
+    )

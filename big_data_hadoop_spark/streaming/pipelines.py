@@ -144,11 +144,22 @@ def reconcile_files_stream(
     path is indistinguishable from no-op by any metadata check; the
     batch manifest shares this (it would also need a content digest).
     """
+    import glob as globmod
     import os
 
     from big_data_hadoop_spark.sources.io import list_data_files
 
     log_glob = os.path.join(checkpoint, "sources", "*", "*")
+    if not globmod.glob(log_glob):
+        # the stream has not completed a first trigger yet (no
+        # processed-files log) — "nothing ingested, nothing diverged"
+        # is an EMPTY report, not an AnalysisException; this function
+        # is documented to run on a schedule, which can fire first
+        return spark.createDataFrame(
+            [],
+            "path string, length long, logged_mtime_ms long, "
+            "current_mtime_ms long",
+        )
     entry = T.StructType(
         [
             T.StructField("path", T.StringType()),

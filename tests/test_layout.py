@@ -288,3 +288,102 @@ def test_file_stats_empty_match_keeps_schema(spark, tmp_path):
     out = read_pruned(spark, path, stats, "x", lo=100, hi=200)
     assert out.count() == 0
     assert set(out.columns) == {"id", "x"}
+
+
+def test_file_stats_zero_row_file_not_false_stale(spark, tmp_path):
+    """A zero-row part file must enter the index (NULL zone, n_rows 0)
+    instead of triggering a permanent false-STALE loop in strict
+    read_pruned (review finding: the inner join dropped it)."""
+    from pyspark.sql import types as T
+
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "zr")
+    spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 5).alias("x")
+    ).coalesce(1).write.parquet(path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.LongType()),
+        ]
+    )
+    spark.createDataFrame([], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    stats = build_file_stats(spark, path, ["x"])
+    by_rows = {r.file: r.n_rows for r in stats.collect()}
+    assert sorted(by_rows.values()) == [0, 40]
+    # strict passes on a freshly built index and returns correct rows
+    got = sorted(
+        r.id for r in read_pruned(spark, path, stats, "x", lo=1, hi=2).collect()
+    )
+    want = sorted(
+        r.id
+        for r in spark.read.parquet(path)
+        .filter(F.col("x").between(1, 2))
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_file_stats_snapshot_without_cache(spark, tmp_path):
+    """The index is a build-time snapshot even UNCACHED: an append
+    after the build must raise STALE in strict mode, not be silently
+    absorbed by Spark's cache-invalidation-by-path re-listing the
+    lineage (review finding)."""
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "snap")
+    spark.range(0, 60).select(
+        F.col("id"), (F.col("id") % 3).alias("x")
+    ).repartition(2).write.parquet(path)
+    stats = build_file_stats(spark, path, ["x"])  # no .cache()
+    spark.range(60, 90).select(
+        F.col("id"), (F.col("id") % 3).alias("x")
+    ).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="STALE"):
+        read_pruned(spark, path, stats, "x", lo=0, hi=1).count()
+
+
+def test_read_pruned_keeps_partition_columns(spark, tmp_path):
+    """Hive-partitioned dataset: the pruned read passes basePath so
+    partition columns survive, matching the unpruned schema — and the
+    range column may itself be the partition column (review finding:
+    spark.read.parquet(*files) silently dropped them)."""
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "hive")
+    spark.range(0, 90).select(
+        F.col("id"),
+        (F.col("id") % 9).alias("x"),
+        (F.col("id") % 3).cast("string").alias("day"),
+    ).repartition(3).write.partitionBy("day").parquet(path)
+    stats = build_file_stats(spark, path, ["x"])
+    out = read_pruned(spark, path, stats, "x", lo=2, hi=4)
+    assert set(out.columns) == {"id", "x", "day"}
+    got = sorted((r.id, r.day) for r in out.collect())
+    want = sorted(
+        (r.id, r.day)
+        for r in spark.read.parquet(path)
+        .filter(F.col("x").between(2, 4))
+        .collect()
+    )
+    assert got == want and got
+    # range column == partition column: zones come from directory
+    # values, the row filter resolves against basePath-derived cols
+    pstats = build_file_stats(spark, path, ["day"])
+    pd_out = read_pruned(spark, path, pstats, "day", lo="2", hi="2")
+    assert sorted(r.id for r in pd_out.collect()) == sorted(
+        r.id
+        for r in spark.read.parquet(path).filter(F.col("day") == "2").collect()
+    )

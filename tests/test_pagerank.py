@@ -104,3 +104,15 @@ def test_ranks_near_dup_graph_and_rejects_bad_params(spark):
         pagerank(pairs, damping=1.5)
     with pytest.raises(ValueError, match="max_iter"):
         pagerank(pairs, max_iter=0)
+
+
+def test_pagerank_empty_graph_populates_stats(spark):
+    """The documented stats contract {'rounds','delta'} holds on an
+    empty pair frame (review finding: the early return skipped it)."""
+    from big_data_hadoop_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    stats = {}
+    out = pagerank(empty, stats=stats)
+    assert out.count() == 0
+    assert stats == {"rounds": 0, "delta": 0.0}

@@ -1131,3 +1131,25 @@ def test_reconcile_flags_inplace_overwrite_not_appends(spark, tmp_path):
     flagged = reconcile_files_stream(spark, str(src), ckpt).collect()
     assert [os.path.basename(r.path) for r in flagged] == ["a.parquet"]
     assert flagged[0].current_mtime_ms > flagged[0].logged_mtime_ms
+
+
+def test_reconcile_before_first_trigger_is_empty(spark, tmp_path):
+    """A scheduled reconcile firing before the stream's first trigger
+    (no sources/ log yet) reports 'nothing ingested, nothing diverged'
+    instead of raising (review finding)."""
+    from big_data_hadoop_spark.streaming.pipelines import (
+        reconcile_files_stream,
+    )
+
+    land = str(tmp_path / "land")
+    spark.range(3).coalesce(1).write.parquet(land)
+    out = reconcile_files_stream(
+        spark, land, str(tmp_path / "ckpt-never-used")
+    )
+    assert out.count() == 0
+    assert out.columns == [
+        "path",
+        "length",
+        "logged_mtime_ms",
+        "current_mtime_ms",
+    ]

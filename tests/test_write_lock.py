@@ -213,3 +213,58 @@ def test_upsert_lock_released_on_error(spark, tmp_path, fast_locks):
     assert not os.path.exists(path + ".lock")
     upsert_parquet(spark, path, _rows(spark, [9]), ["k"])
     assert spark.read.parquet(path).count() == 6  # 0..4 plus new key 9
+
+
+def test_default_timeout_exceeds_grace():
+    """Staleness is measured from the holder's last heartbeat, so a
+    default timeout shorter than the grace window would mean a crashed
+    holder's claim can never go stale within one acquire — contenders
+    would stall their full timeout and fail instead of self-healing by
+    steal (review finding on the 300s/600s defaults)."""
+    lk = sio._TableWriteLock("/tmp/never-acquired")
+    assert lk.timeout_seconds > lk.grace_seconds
+
+
+def test_swap_in_detects_midswap_steal_and_restores(tmp_path):
+    """A steal landing between stage and swap must NOT let the stale
+    writer's publish silently replace the stealer's generation: the
+    in-swap verify raises and the undo puts the other writer's
+    generation back (review finding: verify-then-swap left the whole
+    merge duration as a silent-loss window)."""
+    path = str(tmp_path / "ds")
+    staging = path + ".staging"
+    os.makedirs(path)
+    with open(os.path.join(path, "gen"), "w") as f:
+        f.write("other-writer")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "gen"), "w") as f:
+        f.write("stale-writer")
+    lock = table_write_lock(path, timeout_seconds=2.0)
+    try:
+        # simulate a steal: the claim's token changes hands
+        with open(os.path.join(lock.lockdir, "token"), "w") as f:
+            f.write("thief")
+        with pytest.raises(ConcurrentWriterError):
+            sio._swap_in(staging, path, lock)
+        # the other writer's generation is restored, ours re-staged
+        with open(os.path.join(path, "gen")) as f:
+            assert f.read() == "other-writer"
+        with open(os.path.join(staging, "gen")) as f:
+            assert f.read() == "stale-writer"
+        assert not os.path.exists(path + ".old")
+    finally:
+        lock.token = "thief"  # allow teardown of the stolen claim
+        lock.release()
+
+
+def test_swap_in_without_lock_still_swaps(tmp_path):
+    path = str(tmp_path / "ds")
+    staging = path + ".staging"
+    os.makedirs(path)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "gen"), "w") as f:
+        f.write("new")
+    sio._swap_in(staging, path)
+    with open(os.path.join(path, "gen")) as f:
+        assert f.read() == "new"
+    assert not os.path.exists(staging)
