@@ -408,6 +408,43 @@ def cmd_upsert(args: argparse.Namespace) -> None:
     print(f"[upsert] merged into {args.dataset}")
 
 
+def cmd_shard(args: argparse.Namespace) -> None:
+    """Seeded deterministic shuffle-shard export
+    (``pipeline.write_shuffled_shards``): the corpus dealt into N
+    pseudo-random shards (one file each, ``shard=K/`` layout) whose
+    contents and internal order are a pure function of (id, seed) —
+    re-exports are byte-identical, a new seed re-deals everything."""
+    from big_data_hadoop_spark.pipeline import write_shuffled_shards
+
+    spark = _spark("shard")
+    docs = spark.read.parquet(args.input)
+    write_shuffled_shards(
+        docs,
+        args.output,
+        args.n_shards,
+        seed=args.seed,
+        id_col=args.id_col,
+        fmt=args.format,
+    )
+    print(f"[shard] wrote {args.n_shards} shards to {args.output}")
+
+
+def cmd_skew(args: argparse.Namespace) -> None:
+    """Pre-flight skew report for a planned groupBy/join key
+    (``operators.counts.diagnose_skew``): exact heavy hitters, key
+    distribution percentiles, and a salt-bucket recommendation."""
+    import json as _json
+
+    from big_data_hadoop_spark.operators.counts import diagnose_skew
+
+    spark = _spark("skew")
+    df = spark.read.parquet(args.input)
+    top, summary = diagnose_skew(df, args.keys.split(","), n_top=args.top)
+    for r in top.collect():
+        print("\t".join(str(v) for v in r))
+    print(_json.dumps(summary, sort_keys=True))
+
+
 def cmd_train_quality(args: argparse.Namespace) -> None:
     """Train the hashed-linear quality head on a labeled parquet
     (columns: text + 0/1 label) and persist the model
@@ -676,6 +713,23 @@ def main(argv: list[str] | None = None) -> None:
     tq.add_argument("--lr", type=float, default=1.0)
     tq.add_argument("--l2", type=float, default=0.0)
 
+    sh = sub.add_parser(
+        "shard", help="seeded deterministic shuffle-shard export"
+    )
+    sh.add_argument("input")
+    sh.add_argument("output")
+    sh.add_argument("--n-shards", type=int, required=True)
+    sh.add_argument("--seed", type=int, default=0)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--format", default="parquet", choices=["parquet", "json"])
+
+    sk = sub.add_parser(
+        "skew", help="exact skew report for a groupBy/join key"
+    )
+    sk.add_argument("input")
+    sk.add_argument("--keys", required=True, help="comma-separated key columns")
+    sk.add_argument("--top", type=int, default=20)
+
     sq = sub.add_parser(
         "score-quality", help="score a corpus with a saved quality model"
     )
@@ -703,6 +757,8 @@ def main(argv: list[str] | None = None) -> None:
         "search": cmd_search,
         "ingest": cmd_ingest,
         "upsert": cmd_upsert,
+        "shard": cmd_shard,
+        "skew": cmd_skew,
         "train-quality": cmd_train_quality,
         "score-quality": cmd_score_quality,
         "clean": cmd_clean,

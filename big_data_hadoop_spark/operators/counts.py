@@ -74,3 +74,78 @@ def salted_token_counts(
     return (
         level1.groupBy("category", "token").agg(F.sum("c1").alias("cnt"))
     )
+
+
+def diagnose_skew(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    n_top: int = 20,
+    shuffle_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Pre-flight skew report for a planned ``groupBy``/``join`` on
+    ``key_cols``: the top-``n_top`` heaviest keys plus summary numbers
+    that say whether the default hash shuffle will straggle and what to
+    do about it.
+
+    Returns ``(top_keys, summary)``: ``top_keys`` is a DataFrame of
+    ``(<key_cols...>, cnt, share)`` ordered heaviest-first;
+    ``summary`` has ``rows``, ``distinct_keys``, ``max_key_rows``,
+    ``p50_key_rows``, ``p99_key_rows``, ``avg_task_rows`` (rows /
+    shuffle partitions), ``skew_factor`` (max key ÷ avg task — >1 means
+    the hottest key alone overflows its task), and
+    ``recommended_salt_buckets`` (1 = no salting needed; else the
+    bucket count that levels the hottest key to roughly one task's
+    share, the input :func:`salted_token_counts`-style two-level aggs
+    take).
+
+    Cost: ONE map-side-combinable count per key (the combiner shrinks
+    hot keys before the shuffle — counting a skewed key is cheap even
+    when joining on it is not) + one tiny aggregate over the O(distinct
+    keys) count table. No sampling bias: exact counts.
+    """
+    import math
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    spark = df.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    per_key = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    row = per_key.agg(
+        F.sum("cnt").alias("rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr("approx_percentile(cnt, 0.5)").alias("p50_key_rows"),
+        F.expr("approx_percentile(cnt, 0.99)").alias("p99_key_rows"),
+    ).first()
+    rows = row.rows or 0
+    avg_task = rows / shuffle_partitions if rows else 0.0
+    skew = (row.max_key_rows / avg_task) if avg_task else 0.0
+    summary = {
+        "rows": rows,
+        "distinct_keys": row.distinct_keys,
+        "max_key_rows": row.max_key_rows or 0,
+        "p50_key_rows": row.p50_key_rows or 0,
+        "p99_key_rows": row.p99_key_rows or 0,
+        "avg_task_rows": round(avg_task, 1),
+        "skew_factor": round(skew, 2),
+        "recommended_salt_buckets": (
+            1 if skew <= 1.0 else min(int(math.ceil(skew)), shuffle_partitions)
+        ),
+    }
+    top = (
+        per_key.orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
+        .limit(n_top)
+        .withColumn(
+            "share",
+            F.round(F.col("cnt") / F.lit(rows if rows else 1), 6),
+        )
+    )
+    return top, summary

@@ -928,3 +928,70 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+def shuffled_shards(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global shuffle + shard assignment for
+    training-data export: adds ``shard`` (``0..n_shards-1``) and
+    returns the frame clustered one-shard-per-task, each shard
+    internally ordered by a second independent hash of ``(id, seed)``.
+    Every trainer's data loader wants exactly this — the corpus split
+    into N pseudo-randomly assigned shard files whose contents and
+    internal order are a pure function of ``(id, seed)``: independent
+    of input partitioning, cluster size, and row arrival order, so a
+    re-export reproduces byte-identical shards and changing ``seed``
+    re-deals the entire corpus.
+
+    Scale shape: shard assignment and order key are flat codegen'd
+    hash expressions; the only movement is ONE hash repartition on
+    ``shard`` (no global sort — a total ``orderBy(rand)`` would
+    range-sample and sort 100 TB for an order nobody needs across
+    shard boundaries) followed by a within-task sort. Distinct hash
+    salts decorrelate the two keys (a shared key would sort each
+    shard by the very value that assigned it — the low bits that
+    survive ``pmod`` would leak assignment structure into the order).
+
+    ``write_shuffled_shards`` materializes one file per shard.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shard = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(n_shards)
+    ).cast("int")
+    order = F.xxhash64(F.col(id_col), F.lit(int(seed)), F.lit("order"))
+    return (
+        docs.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order)
+    )
+
+
+def write_shuffled_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize :func:`shuffled_shards` as ``shard=K/`` hive
+    directories, ONE data file per shard (each shard value lives in
+    exactly one task after the repartition, and ``partitionBy`` splits
+    a task's output per shard value — so a task holding two colliding
+    shard values still writes each to its own directory). ``fmt`` is
+    ``parquet`` or ``json`` (JSONL, the trainer-facing interchange
+    form)."""
+    w = shuffled_shards(docs, n_shards, seed=seed, id_col=id_col).write.mode(
+        "overwrite"
+    ).partitionBy("shard")
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt}")

@@ -1729,6 +1729,47 @@ def q89_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q90_shuffled_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-shard summary of the seeded deterministic global shuffle
+    (rows-only slot — shard assignment is xxhash64, no ANSI-SQL form;
+    determinism across partitionings/seeds and the one-file-per-shard
+    export are pinned in tests/test_pipeline.py). Every trainer export
+    wants this: the corpus dealt into N pseudo-random shards whose
+    contents and order are a pure function of (id, seed). The probe
+    aggregates (shard, n_docs, id_sum) — identical across runs,
+    cluster sizes, and input layouts by construction."""
+    from big_data_hadoop_spark.pipeline import shuffled_shards
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return (
+        shuffled_shards(docs, 8, seed=42)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q91_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter skew report over the events table's type/user keys
+    (rows-only slot — the summary side is a dict; the top-keys frame
+    is value-replicated in tests/test_pipeline.py). The pre-flight
+    answer to "will this groupBy/join straggle": exact per-key counts
+    from ONE map-side-combinable aggregate (the combiner compacts hot
+    keys before the shuffle — counting a skewed key is cheap even when
+    joining on it is not), share of total, and a recommended salt
+    bucket count for the two-level aggregation fallback."""
+    from big_data_hadoop_spark.operators.counts import diagnose_skew
+
+    events = load_table(spark, sf, "events")
+    top, _ = diagnose_skew(
+        events, ["event_type"], n_top=20, shuffle_partitions=32
+    )
+    return top.orderBy(F.desc("cnt"), "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1835,6 +1876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_cohort_retention": q87_cohort_retention,
     "q88_pagerank_neardup": q88_pagerank_neardup,
     "q89_edit_distance": q89_edit_distance,
+    "q90_shuffled_shards": q90_shuffled_shards,
+    "q91_skew_profile": q91_skew_profile,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -40,6 +40,7 @@ __all__ = [
     "write_zordered",
     "write_sorted",
     "build_file_stats",
+    "refresh_file_stats",
     "read_pruned",
 ]
 
@@ -223,8 +224,6 @@ def build_file_stats(
     matches), while a file ADDED between the two scans has rows and
     must fail the build loudly instead of entering the index as an
     unprunable-looking-but-pruned entry (silent row loss)."""
-    from big_data_hadoop_spark.sources.io import list_data_files
-
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
@@ -233,6 +232,37 @@ def build_file_stats(
         .select(*cols)
         .withColumn("_file", F.input_file_name())
     )
+    listing = _snapshot_listing(spark, path, glob)
+    return _stats_for_listing(data, listing, cols, path)
+
+
+#: input_file_name() and the binaryFile listing may spell the URI
+#: differently (file:/ vs file:///) — normalize both join sides
+_norm_file = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+
+
+def _snapshot_listing(spark, path: str, glob: str) -> DataFrame:
+    from big_data_hadoop_spark.sources.io import list_data_files
+
+    return (
+        list_data_files(spark, path, glob=glob)
+        .select(
+            _norm_file(F.col("path")).alias("file"),
+            "length",
+            F.unix_millis("modificationTime").alias("mtime"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _stats_for_listing(
+    data: DataFrame, listing: DataFrame, cols: list[str], path: str
+) -> DataFrame:
+    """Zone-map rows for exactly the files in ``listing``, from the
+    column-pruned scan ``data`` (which must cover those files): one
+    grouped pass, checkpointed, left-joined under the listing, with
+    listing-only extras footer-verified zero-row (shared by the full
+    build and the incremental refresh)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -240,21 +270,9 @@ def build_file_stats(
             F.max(c).alias(f"{c}_max"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
         ]
-    # input_file_name() and the binaryFile listing may spell the URI
-    # differently (file:/ vs file:///) — normalize both join sides
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
     stats = (
-        data.groupBy(norm(F.col("_file")).alias("file"))
+        data.groupBy(_norm_file(F.col("_file")).alias("file"))
         .agg(*aggs)
-        .localCheckpoint(eager=True)
-    )
-    listing = (
-        list_data_files(spark, path, glob=glob)
-        .select(
-            norm(F.col("path")).alias("file"),
-            "length",
-            F.unix_millis("modificationTime").alias("mtime"),
-        )
         .localCheckpoint(eager=True)
     )
     joined = listing.join(stats, "file", "left")
@@ -268,12 +286,55 @@ def build_file_stats(
             n = pq.ParquetFile(f).metadata.num_rows
             if n:
                 raise ValueError(
-                    f"dataset at {path} changed while build_file_stats "
+                    f"dataset at {path} changed while the stats pass "
                     f"ran: {f} holds {n} rows but was missed by the "
-                    "stats pass — rebuild the index (indexing it with "
-                    "an empty zone would silently prune its rows)"
+                    "scan — rebuild/refresh the index (indexing it "
+                    "with an empty zone would silently prune its rows)"
                 )
     return joined.withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
+
+
+def refresh_file_stats(
+    spark, path: str, stats: DataFrame, glob: str = "*.parquet"
+) -> DataFrame:
+    """Incrementally refresh a :func:`build_file_stats` index after the
+    dataset at ``path`` changed: index rows for UNCHANGED files (same
+    ``(file, length, mtime)``) are kept as-is, vanished files drop, and
+    only NEW or REWRITTEN files are re-scanned. Cost is O(changed
+    bytes) + one metadata listing — after an upsert or compaction that
+    rewrote one partition of a 100 TB table, the re-index touches that
+    partition, not the table (the same incremental-manifest discipline
+    table formats use for their per-file stats).
+
+    The indexed columns are read off the old index's ``*_min`` schema,
+    so the refreshed frame unions cleanly with the kept rows and is
+    interchangeable with a fresh full build (equality pinned by test).
+    Like the build, the result is a checkpointed SNAPSHOT and a file
+    that lands mid-refresh fails loudly rather than entering with an
+    empty zone."""
+    cols = [c[: -len("_min")] for c in stats.columns if c.endswith("_min")]
+    if not cols:
+        raise ValueError(
+            "stats frame has no <col>_min columns — not a "
+            "build_file_stats index"
+        )
+    current = _snapshot_listing(spark, path, glob)
+    keys = ["file", "length", "mtime"]
+    keep = current.join(stats, keys, "inner").select(*stats.columns)
+    changed = current.join(stats.select(*keys), keys, "left_anti")
+    changed_files = [r.file for r in changed.collect()]
+    if not changed_files:
+        return keep
+    data = (
+        spark.read.option("basePath", path)
+        .parquet(*changed_files)
+        .select(*cols)
+        .withColumn("_file", F.input_file_name())
+    )
+    fresh = _stats_for_listing(
+        data, changed.localCheckpoint(eager=True), cols, path
+    )
+    return keep.unionByName(fresh.select(*stats.columns))
 
 
 def read_pruned(

@@ -343,3 +343,38 @@ def test_cli_train_and_score_quality(tmp_path, spark, capsys):
     pos = [got[i] for i in range(80) if i % 2 == 1]
     neg = [got[i] for i in range(80) if i % 2 == 0]
     assert min(pos) > max(neg)  # clean separation of the two classes
+
+
+def test_cli_shard_and_skew(tmp_path, spark, capsys):
+    """e2e: deterministic shard export (one file per shard dir) and the
+    skew report through the CLI."""
+    import json
+    import os
+
+    from big_data_hadoop_spark.cli import main
+
+    src = str(tmp_path / "sh_in")
+    spark.createDataFrame(
+        [(i, "hot" if i < 90 else f"k{i}") for i in range(100)],
+        "doc_id long, k string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "sh_out")
+    main(["shard", src, out, "--n-shards", "4", "--seed", "3"])
+    capsys.readouterr()
+    for i in range(4):
+        d = os.path.join(out, f"shard={i}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+    assert spark.read.parquet(out).count() == 100
+
+    main(["skew", src, "--keys", "k", "--top", "2"])
+    lines = [
+        ln
+        for ln in capsys.readouterr().out.splitlines()
+        if ln and not ln.startswith("[skew]")
+    ]
+    assert lines[0].startswith("hot\t90\t")
+    summary = json.loads(lines[-1])
+    assert summary["rows"] == 100 and summary["max_key_rows"] == 90
+    assert summary["recommended_salt_buckets"] >= 1

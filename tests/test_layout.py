@@ -387,3 +387,85 @@ def test_read_pruned_keeps_partition_columns(spark, tmp_path):
         r.id
         for r in spark.read.parquet(path).filter(F.col("day") == "2").collect()
     )
+
+
+def test_refresh_file_stats_incremental_matches_full_rebuild(
+    spark, tmp_path
+):
+    """After a partition rewrite + an append, the incremental refresh
+    must equal a fresh full build (unchanged rows kept verbatim, only
+    changed files re-scanned) and satisfy strict read_pruned."""
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+        refresh_file_stats,
+    )
+
+    path = str(tmp_path / "rf")
+    spark.range(0, 80).select(
+        F.col("id"), (F.col("id") % 8).alias("x")
+    ).repartition(4).write.parquet(path)
+    stats0 = build_file_stats(spark, path, ["x"])
+    # change the dataset: drop one file, append another
+    files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    os.remove(os.path.join(path, files[0]))
+    spark.range(80, 120).select(
+        F.col("id"), (F.col("id") % 8 + 100).alias("x")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    refreshed = refresh_file_stats(spark, path, stats0)
+    full = build_file_stats(spark, path, ["x"])
+    key = lambda r: r["file"]  # noqa: E731
+    got = sorted((r.asDict() for r in refreshed.collect()), key=key)
+    want = sorted((r.asDict() for r in full.collect()), key=key)
+    assert got == want
+    # kept rows were NOT re-scanned: same object-level values as stats0
+    by_file0 = {r.file: r.asDict() for r in stats0.collect()}
+    for r in got:
+        if r["file"] in by_file0 and r["mtime"] == by_file0[r["file"]]["mtime"]:
+            assert r == by_file0[r["file"]]
+    # strict pruning works against the refreshed index
+    out = sorted(
+        r.id
+        for r in read_pruned(
+            spark, path, refreshed, "x", lo=100, hi=110
+        ).collect()
+    )
+    want_rows = sorted(
+        r.id
+        for r in spark.read.parquet(path)
+        .filter(F.col("x").between(100, 110))
+        .collect()
+    )
+    assert out == want_rows and out
+
+
+def test_refresh_file_stats_noop_when_unchanged(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        refresh_file_stats,
+    )
+
+    path = str(tmp_path / "rfn")
+    spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).alias("x")
+    ).repartition(2).write.parquet(path)
+    stats0 = build_file_stats(spark, path, ["x"])
+    refreshed = refresh_file_stats(spark, path, stats0)
+    key = lambda r: r["file"]  # noqa: E731
+    assert sorted((r.asDict() for r in refreshed.collect()), key=key) == sorted(
+        (r.asDict() for r in stats0.collect()), key=key
+    )
+
+
+def test_refresh_file_stats_rejects_non_index(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import refresh_file_stats
+
+    with pytest.raises(ValueError, match="_min"):
+        refresh_file_stats(
+            spark, str(tmp_path), spark.range(3).toDF("file")
+        )

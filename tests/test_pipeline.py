@@ -713,3 +713,92 @@ def test_corpus_diff_matches_duckdb(spark, duck):
         ).fetchall()
     }
     assert got == want and "changed" in got.values() and "removed" in got.values()
+
+
+# ------------------------------------------------- shuffled shard export
+
+
+def test_shuffled_shards_deterministic_and_balanced(spark):
+    """Shard assignment and intra-shard order are a pure function of
+    (id, seed): re-running reproduces them exactly, the seed re-deals,
+    and the input partitioning/order is irrelevant."""
+    from big_data_hadoop_spark.pipeline import shuffled_shards
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    a = shuffled_shards(docs, 8, seed=1).select("doc_id", "shard").collect()
+    b = shuffled_shards(
+        docs.repartition(13).orderBy(F.desc("doc_id")), 8, seed=1
+    ).select("doc_id", "shard").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = shuffled_shards(docs, 8, seed=2).select("doc_id", "shard").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # every shard populated, no shard starved (hash balance)
+    from collections import Counter
+
+    sizes = Counter(s for _, s in map(tuple, a))
+    assert set(sizes) == set(range(8))
+    assert min(sizes.values()) > 0.5 * max(sizes.values())
+
+
+def test_write_shuffled_shards_one_file_per_shard(spark, tmp_path):
+    import os
+
+    from big_data_hadoop_spark.pipeline import write_shuffled_shards
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(docs, out, 4, seed=7)
+    for k in range(4):
+        d = os.path.join(out, f"shard={k}")
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"shard {k}: {parts}"
+    # round-trip: union of shards == corpus; order within a shard is
+    # the (id, seed, 'order') hash order — byte-stable across exports
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    first = [r.doc_id for r in spark.read.parquet(os.path.join(out, "shard=0")).collect()]
+    out2 = str(tmp_path / "shards2")
+    write_shuffled_shards(docs.repartition(17), out2, 4, seed=7)
+    second = [r.doc_id for r in spark.read.parquet(os.path.join(out2, "shard=0")).collect()]
+    assert first == second and len(first) > 0
+
+
+def test_write_shuffled_shards_rejects_bad_args(spark, tmp_path):
+    import pytest
+
+    from big_data_hadoop_spark.pipeline import (
+        shuffled_shards,
+        write_shuffled_shards,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id")
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffled_shards(docs, 0)
+    with pytest.raises(ValueError, match="format"):
+        write_shuffled_shards(docs, str(tmp_path / "x"), 2, fmt="csvx")
+
+
+# ------------------------------------------------------- skew diagnosis
+
+
+def test_diagnose_skew_flags_hot_key_and_uniform(spark):
+    from big_data_hadoop_spark.operators.counts import diagnose_skew
+
+    hot = spark.range(0, 10_000).select(
+        F.when(F.col("id") < 9_000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("k")
+    )
+    top, s = diagnose_skew(hot, "k", n_top=3, shuffle_partitions=16)
+    rows = top.collect()
+    assert rows[0].k == "hot" and rows[0].cnt == 9_000
+    assert abs(rows[0].share - 0.9) < 1e-6
+    assert s["rows"] == 10_000 and s["distinct_keys"] == 1_001
+    assert s["max_key_rows"] == 9_000
+    assert s["skew_factor"] > 1.0
+    assert 2 <= s["recommended_salt_buckets"] <= 16
+
+    uni = spark.range(0, 10_000).select((F.col("id") % 500).alias("k"))
+    _, su = diagnose_skew(uni, "k", shuffle_partitions=16)
+    assert su["skew_factor"] <= 1.0
+    assert su["recommended_salt_buckets"] == 1

@@ -371,3 +371,26 @@ def test_dynamic_partition_pruning_fires_on_partitioned_join(spark, tmp_path):
     # and the result is correct: only days 0-4 contribute
     expect = sum(i * 3 for i in range(10_000) if i % 50 < 5)
     assert joined.collect()[0].s == expect
+
+
+def test_shuffled_shards_single_exchange_no_global_sort(spark):
+    """The trainer-export shuffle must cost ONE hash repartition and a
+    within-partition sort — never a global orderBy (range sampling +
+    total sort of the corpus for an order nobody needs across shard
+    boundaries)."""
+    from big_data_hadoop_spark.pipeline import shuffled_shards
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plan = formatted_plan(shuffled_shards(docs, 8, seed=1))
+    import re
+
+    assert plan.count(") Exchange") == 1, plan
+    assert "hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # every Sort is within-partition (global flag false)
+    sorts = re.findall(
+        r"\(\d+\) Sort\b[\s\S]*?Arguments: \[[^\]]*\], (\w+)", plan
+    )
+    assert sorts and all(g == "false" for g in sorts), plan
