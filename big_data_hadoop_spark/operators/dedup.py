@@ -961,6 +961,7 @@ def edit_distance_pairs(
     max_dist: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats: dict | None = None,
 ) -> DataFrame:
     """All pairs within Levenshtein edit distance ``max_dist`` (τ) —
     ``(id_a, id_b, dist)``, ``id_a < id_b`` — the character-level
@@ -995,6 +996,13 @@ def edit_distance_pairs(
     Pinned against a full DuckDB ``levenshtein`` oracle (with the
     exact ``|len(a)-len(b)| ≤ τ`` prefilter) and a seeded
     mutation-recall property test.
+
+    Pass ``stats`` to observe ``{"candidates": n}`` — the size of the
+    distinct candidate set the verifier must score. Wall-clock is
+    linear in THIS number (the operator's real workload), which grows
+    with how often different strings share a verbatim segment at
+    matching length/position — the quantity the cross-scale exhibit
+    decomposes (costs one extra count when requested).
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
@@ -1112,13 +1120,27 @@ def edit_distance_pairs(
         .distinct()
     )
 
-    all_cand = cand.unionByName(short_cand).distinct()
+    # checkpoint the distinct candidate set (O(candidate pairs) rows):
+    # its KNOWN small size lets AQE pick broadcast verification rejoins
+    # regardless of corpus-side estimates, and the stats count below
+    # becomes free (measured timing-neutral at sf1; the load-bearing
+    # checkpoint is the one on the returned frame)
+    all_cand = (
+        cand.unionByName(short_cand).distinct().localCheckpoint(eager=True)
+    )
+    if stats is not None:
+        stats["candidates"] = all_cand.count()
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_txt").alias("_ta")
     )
     b = base.select(
         F.col("_id").alias("id_b"), F.col("_txt").alias("_tb")
     )
+    # materialize the verified pairs (O(near-dup pairs) rows — tiny by
+    # nature): a consumer's global orderBy would otherwise RANGE-SAMPLE
+    # this expensive subtree and then execute it a second time for the
+    # sort — measured 2x the whole operator at sf1 (the same trap the
+    # cluster operators avoid by returning checkpointed frames)
     return (
         all_cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1128,6 +1150,7 @@ def edit_distance_pairs(
             F.levenshtein("_ta", "_tb", tau).alias("dist"),
         )
         .filter(F.col("dist") >= 0)
+        .localCheckpoint(eager=True)
     )
 
 
