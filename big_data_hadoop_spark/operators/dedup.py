@@ -1379,3 +1379,81 @@ def bloom_dedup_against(
     # keep-first on the already-computed digest (see exact_dedup_against)
     keep = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
     return fresh.join(keep, id_col, "left_semi").drop("_h")
+
+
+def lsh_recall_audit(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    sample_docs: int = 512,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict]:
+    """MEASURE the MinHash-LSH tier's recall on a deterministic sample
+    instead of trusting the banding formula: run the exact
+    n-gram-Jaccard truth (:func:`ngram_jaccard_pairs`) and the
+    LSH tier (:func:`minhash_lsh_pairs`) over the SAME ``sample_docs``
+    documents with the SAME shingle/threshold settings, and report
+    what the banding missed. The tuning loop at 100 TB: exact truth on
+    the full corpus is quadratic and off the table, but a fixed-size
+    sample costs the same at every corpus size — so audit the (bands,
+    num_perm, threshold) choice on the sample, then run only the LSH
+    tier at scale (the "measure, don't guess" rule applied to dedup
+    configuration).
+
+    Sampling is by ``xxhash64(id, seed)`` order (a top-K, not a full
+    sort), so the sample is reproducible and independent of layout.
+    Both tiers verify with the exact Jaccard, so LSH output ⊆ truth
+    and precision is 1.0 by construction; the interesting number is
+    recall, plus WHERE the misses live (banding misses concentrate
+    just above the threshold, where ``1-(1-s^r)^b`` dips).
+
+    Returns ``(missed, summary)``: ``missed`` is the truth-pairs frame
+    the LSH tier did not produce (``id_a, id_b, jac``), ``summary``
+    has ``sample_docs`` (actual), ``truth_pairs``, ``lsh_pairs``,
+    ``missed_pairs``, ``recall``, ``theoretical_recall`` (the banding
+    formula at ``s = threshold`` — the WORST point; observed recall
+    should beat it because real pairs sit above the threshold), and
+    ``missed_max_jac`` (None when nothing was missed).
+    """
+    if sample_docs < 2:
+        raise ValueError("sample_docs must be >= 2")
+    sample = (
+        docs.select(id_col, text_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
+        .limit(int(sample_docs))
+        .localCheckpoint(eager=True)
+    )
+    n_sample = sample.count()
+    truth = ngram_jaccard_pairs(
+        sample, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    got = minhash_lsh_pairs(
+        sample,
+        n=n,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+    ).localCheckpoint(eager=True)
+    missed = truth.join(
+        got.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).localCheckpoint(eager=True)
+    n_truth, n_got, n_missed = truth.count(), got.count(), missed.count()
+    r = num_perm // bands
+    summary = {
+        "sample_docs": n_sample,
+        "truth_pairs": n_truth,
+        "lsh_pairs": n_got,
+        "missed_pairs": n_missed,
+        "recall": (n_got / n_truth) if n_truth else 1.0,
+        "theoretical_recall": 1.0 - (1.0 - threshold**r) ** bands,
+        "missed_max_jac": (
+            missed.agg(F.max("jac")).first()[0] if n_missed else None
+        ),
+    }
+    return missed, summary

@@ -308,3 +308,68 @@ def domain_counts(
         F.count("*").alias("n_links"),
         F.count_distinct(F.col(id_col)).alias("n_docs"),
     )
+
+
+#: Query parameters that identify a CLICK, not a RESOURCE — the
+#: tracking families every web-curation pipeline strips before URL
+#: dedup (utm_* is the Google Analytics convention; the rest are the
+#: major platforms' click ids).
+_TRACKING_PARAM_RE = (
+    r"^(?:utm_[a-z]+|fbclid|gclid|gclsrc|dclid|msclkid|mc_eid|igshid|"
+    r"ref|ref_src|spm|_ga)="
+)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for dedup/aggregation, pure native
+    expressions (no UDF): lowercase scheme and host, strip the
+    fragment, strip default ports (``:80`` for http, ``:443`` for
+    https), drop tracking query parameters (``utm_*``, ``fbclid``,
+    ``gclid``, ...), SORT the surviving parameters (param order is
+    non-semantic), drop a now-empty query, and normalize an empty path
+    to ``/``. The same page reached from a newsletter, a social share,
+    and a search ad collapses to one key — without this, URL-keyed
+    dedup at crawl scale undercounts duplicates by exactly the
+    tracking-decoration rate. Non-URL-shaped strings pass through
+    unchanged (NULL in, NULL out)."""
+    no_frag = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][\w+.-]*)://", 1))
+    hostport = F.regexp_extract(no_frag, r"^[A-Za-z][\w+.-]*://([^/?#]*)", 1)
+    # strip only the port that is DEFAULT for the scheme —
+    # scheme-mismatched ports (https://x:80) are preserved as-is
+    host = F.when(
+        (scheme == "http") & F.lower(hostport).endswith(":80"),
+        F.lower(F.regexp_replace(hostport, r":80$", "")),
+    ).when(
+        (scheme == "https") & F.lower(hostport).endswith(":443"),
+        F.lower(F.regexp_replace(hostport, r":443$", "")),
+    ).otherwise(F.lower(hostport))
+    rest = F.regexp_extract(no_frag, r"^[A-Za-z][\w+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        rest.contains("?"), F.regexp_extract(rest, r"\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(scheme == "", col).otherwise(canon)
+
+
+def canonical_urls(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """:func:`extract_urls` + :func:`canonical_url`: one row per URL
+    occurrence with its canonical form — the input to URL-keyed dedup
+    and to honest per-domain/per-page frequency counts."""
+    u = extract_urls(docs, id_col=id_col, text_col=text_col)
+    return u.withColumn("canonical", canonical_url(F.col("url")))

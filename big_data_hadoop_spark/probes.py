@@ -1770,6 +1770,37 @@ def q91_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
     return top.orderBy(F.desc("cnt"), "event_type")
 
 
+def q92_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-based recall audit of the MinHash-LSH tier against the
+    exact Jaccard truth (rows-only slot — xxhash64 sampling and
+    minhash internals have no ANSI-SQL form; the audit's bookkeeping
+    invariants — LSH ⊆ truth, got+missed == truth, weak banding
+    measurably misses — are pinned in tests/test_minhash_incremental).
+    The 100 TB tuning loop: exact truth is quadratic and off the table
+    at scale, but a FIXED-SIZE sample costs the same at every corpus
+    size, so (bands, num_perm, threshold) get audited on the sample
+    and only the LSH tier runs at scale. One row: the audit summary
+    for the production banding (128 perms / 32 bands) at t=0.7."""
+    from big_data_hadoop_spark.operators.dedup import lsh_recall_audit
+
+    docs = load_table(spark, sf, "documents")
+    _, s = lsh_recall_audit(docs, threshold=0.7, sample_docs=400, seed=1)
+    return spark.createDataFrame(
+        [
+            (
+                s["sample_docs"],
+                s["truth_pairs"],
+                s["lsh_pairs"],
+                s["missed_pairs"],
+                float(s["recall"]),
+                round(float(s["theoretical_recall"]), 6),
+            )
+        ],
+        "sample_docs long, truth_pairs long, lsh_pairs long, "
+        "missed_pairs long, recall double, theoretical_recall double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1878,6 +1909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_edit_distance": q89_edit_distance,
     "q90_shuffled_shards": q90_shuffled_shards,
     "q91_skew_profile": q91_skew_profile,
+    "q92_lsh_recall_audit": q92_lsh_recall_audit,
 }
 
 _EN = ts.STOPWORDS["en"]

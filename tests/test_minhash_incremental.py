@@ -126,3 +126,57 @@ def test_bands_must_divide(spark, corpus):
     sigs = minhash_signatures(prior, num_perm=NUM_PERM)
     with pytest.raises(ValueError):
         minhash_matches_against(sigs, sigs, num_perm=128, bands=33)
+
+
+# ----------------------------------------------------------- recall audit
+
+
+def test_lsh_recall_audit_full_banding_has_full_recall(spark):
+    """With the production banding (128/32) the audit's sample recall
+    on the corpus must be 1.0 — LSH output ⊆ truth, missed == 0 — and
+    the summary's bookkeeping must be internally consistent."""
+    from big_data_hadoop_spark.operators.dedup import lsh_recall_audit
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    missed, s = lsh_recall_audit(
+        docs, threshold=0.7, sample_docs=400, seed=1
+    )
+    assert s["sample_docs"] == 400
+    assert s["lsh_pairs"] + s["missed_pairs"] == s["truth_pairs"]
+    assert s["truth_pairs"] > 0, "sample found no near-dup pairs"
+    assert s["recall"] == 1.0 and missed.count() == 0
+    assert s["missed_max_jac"] is None
+    assert 0.99 < s["theoretical_recall"] <= 1.0
+
+
+def test_lsh_recall_audit_weak_banding_measures_misses(spark):
+    """A deliberately WEAK banding (4 bands of 32 rows: s^r at s=0.7
+    is ~1e-5) must measurably miss borderline pairs — the audit's
+    reason to exist — and every miss must be a true pair above the
+    threshold that the LSH tier did not emit."""
+    from big_data_hadoop_spark.operators.dedup import lsh_recall_audit
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    missed, s = lsh_recall_audit(
+        docs, threshold=0.7, num_perm=128, bands=4,
+        sample_docs=400, seed=1,
+    )
+    assert s["theoretical_recall"] < 0.01
+    assert s["missed_pairs"] == missed.count()
+    assert s["lsh_pairs"] + s["missed_pairs"] == s["truth_pairs"]
+    if s["missed_pairs"]:
+        assert s["missed_max_jac"] >= 0.7
+        assert s["recall"] < 1.0
+
+
+def test_lsh_recall_audit_rejects_tiny_sample(spark):
+    import pytest
+
+    from big_data_hadoop_spark.operators.dedup import lsh_recall_audit
+
+    with pytest.raises(ValueError, match="sample_docs"):
+        lsh_recall_audit(spark.range(5).toDF("doc_id"), sample_docs=1)

@@ -9,6 +9,8 @@ import zlib
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from big_data_hadoop_spark.operators.texthygiene import (
     compression_signals,
     normalize_text,
@@ -322,3 +324,65 @@ def test_extract_urls_uppercase_scheme(spark):
     got = {(r.url, r.domain) for r in extract_urls(docs).collect()}
     assert ("HTTP://EXAMPLE.COM/Page", "example.com") in got
     assert ("HtTpS://Mixed.Io/x", "mixed.io") in got
+
+
+# ---------------------------------------------------------- canonical URLs
+
+
+def test_canonical_url_golden(spark):
+    """Golden canonicalization pairs: scheme/host case, fragments,
+    default ports, tracking params, param sorting, empty paths."""
+    from big_data_hadoop_spark.operators.texthygiene import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM", "http://example.com/"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        # https with port 80 is NOT default — preserved
+        ("https://example.com:80/a", "https://example.com:80/a"),
+        ("http://a.com/p#frag", "http://a.com/p"),
+        (
+            "http://a.com/p?utm_source=x&utm_campaign=y",
+            "http://a.com/p",
+        ),
+        (
+            "http://a.com/p?b=2&a=1&fbclid=XYZ",
+            "http://a.com/p?a=1&b=2",
+        ),
+        (
+            "http://a.com/p?gclid=1&keep=yes&ref=tw",
+            "http://a.com/p?keep=yes",
+        ),
+        ("http://a.com?x=1", "http://a.com/?x=1"),
+        ("not a url", "not a url"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_urls_collapses_tracking_variants(spark):
+    from big_data_hadoop_spark.operators.texthygiene import canonical_urls
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see http://news.example.com/story?utm_source=mail today"),
+            (2, "see HTTP://news.Example.com/story?utm_medium=social now"),
+            (3, "see http://news.example.com/story#comments too"),
+        ],
+        "doc_id long, text string",
+    )
+    out = canonical_urls(docs)
+    assert out.select("canonical").distinct().count() == 1
+    assert (
+        out.select("canonical").first()[0]
+        == "http://news.example.com/story"
+    )
