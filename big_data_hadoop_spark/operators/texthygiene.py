@@ -314,9 +314,14 @@ def domain_counts(
 #: tracking families every web-curation pipeline strips before URL
 #: dedup (utm_* is the Google Analytics convention; the rest are the
 #: major platforms' click ids).
+#: Case-insensitive (mailers emit UTM_Source=) and the "=" is optional
+#: (bare ?fbclid decorations occur). `ref` is NOT here: on major sites
+#: it selects content (a branch, a section) — stripping it would merge
+#: genuinely different pages; only Twitter's `ref_src` is safely
+#: tracking-only (review finding).
 _TRACKING_PARAM_RE = (
-    r"^(?:utm_[a-z]+|fbclid|gclid|gclsrc|dclid|msclkid|mc_eid|igshid|"
-    r"ref|ref_src|spm|_ga)="
+    r"(?i)^(?:utm_[a-z]+|fbclid|gclid|gclsrc|dclid|msclkid|mc_eid|"
+    r"igshid|ref_src|spm|_ga)(?:=|$)"
 )
 
 

@@ -964,10 +964,13 @@ def shuffled_shards(
         F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(n_shards)
     ).cast("int")
     order = F.xxhash64(F.col(id_col), F.lit(int(seed)), F.lit("order"))
+    # id_col tie-break: at ~10**9 docs/shard an xxhash64 collision per
+    # shard is percent-level likely, and tied rows would order by
+    # shuffle arrival — breaking the byte-identical re-export promise
     return (
         docs.withColumn("shard", shard)
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", order)
+        .sortWithinPartitions("shard", order, id_col)
     )
 
 

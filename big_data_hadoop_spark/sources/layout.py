@@ -232,8 +232,14 @@ def build_file_stats(
         .select(*cols)
         .withColumn("_file", F.input_file_name())
     )
-    listing = _snapshot_listing(spark, path, glob)
-    return _stats_for_listing(data, listing, cols, path)
+    # the listing factory runs AFTER the stats scan materializes
+    # (ordering matters: a file added DURING the long scan must appear
+    # in the listing so the extras footer-check can fail loudly; a
+    # listing taken first would miss it on both sides and the file
+    # would silently never enter the index)
+    return _stats_for_listing(
+        data, lambda: _snapshot_listing(spark, path, glob), cols, path
+    )
 
 
 #: input_file_name() and the binaryFile listing may spell the URI
@@ -256,13 +262,13 @@ def _snapshot_listing(spark, path: str, glob: str) -> DataFrame:
 
 
 def _stats_for_listing(
-    data: DataFrame, listing: DataFrame, cols: list[str], path: str
+    data: DataFrame, listing_factory, cols: list[str], path: str
 ) -> DataFrame:
-    """Zone-map rows for exactly the files in ``listing``, from the
-    column-pruned scan ``data`` (which must cover those files): one
-    grouped pass, checkpointed, left-joined under the listing, with
-    listing-only extras footer-verified zero-row (shared by the full
-    build and the incremental refresh)."""
+    """Zone-map rows from the column-pruned scan ``data``, keyed under
+    the listing ``listing_factory()`` produces — invoked only AFTER
+    the scan has materialized, so a file added mid-scan shows up as a
+    listing-only extra and the footer check below can refuse loudly.
+    Shared by the full build and the incremental refresh."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -275,6 +281,7 @@ def _stats_for_listing(
         .agg(*aggs)
         .localCheckpoint(eager=True)
     )
+    listing = listing_factory()
     joined = listing.join(stats, "file", "left")
     extras = [
         r.file for r in joined.filter(F.col("n_rows").isNull()).collect()
@@ -309,9 +316,12 @@ def refresh_file_stats(
     The indexed columns are read off the old index's ``*_min`` schema,
     so the refreshed frame unions cleanly with the kept rows and is
     interchangeable with a fresh full build (equality pinned by test).
-    Like the build, the result is a checkpointed SNAPSHOT and a file
-    that lands mid-refresh fails loudly rather than entering with an
-    empty zone."""
+    Like the build, the result is a checkpointed SNAPSHOT, and the
+    refresh RE-LISTS the dataset after its scan: any concurrent change
+    (a file added, removed, or rewritten while the refresh ran — the
+    scan here is scoped to the pre-listed changed files, so a mid-scan
+    arrival would otherwise be invisible) fails loudly instead of
+    yielding an index that silently omits it."""
     cols = [c[: -len("_min")] for c in stats.columns if c.endswith("_min")]
     if not cols:
         raise ValueError(
@@ -323,18 +333,37 @@ def refresh_file_stats(
     keep = current.join(stats, keys, "inner").select(*stats.columns)
     changed = current.join(stats.select(*keys), keys, "left_anti")
     changed_files = [r.file for r in changed.collect()]
-    if not changed_files:
-        return keep
-    data = (
-        spark.read.option("basePath", path)
-        .parquet(*changed_files)
-        .select(*cols)
-        .withColumn("_file", F.input_file_name())
+    if changed_files:
+        changed = changed.localCheckpoint(eager=True)
+        data = (
+            spark.read.option("basePath", path)
+            .parquet(*changed_files)
+            .select(*cols)
+            .withColumn("_file", F.input_file_name())
+        )
+        fresh = _stats_for_listing(data, lambda: changed, cols, path)
+        out = keep.unionByName(fresh.select(*stats.columns))
+    else:
+        out = keep
+    # post-refresh guard: re-list and require exact agreement with the
+    # pre-scan listing — the refresh's scan covers only the pre-listed
+    # changed files, so anything that landed meanwhile must abort the
+    # refresh loudly, not be silently absent from the returned index
+    recheck = _snapshot_listing(spark, path, glob)
+    drift = (
+        current.withColumn("_pre", F.lit(1))
+        .join(recheck.withColumn("_post", F.lit(1)), keys, "full_outer")
+        .filter(F.col("_pre").isNull() | F.col("_post").isNull())
+        .limit(1)
+        .count()
     )
-    fresh = _stats_for_listing(
-        data, changed.localCheckpoint(eager=True), cols, path
-    )
-    return keep.unionByName(fresh.select(*stats.columns))
+    if drift:
+        raise ValueError(
+            f"dataset at {path} changed while refresh_file_stats ran — "
+            "files were added/removed/rewritten mid-refresh; re-run the "
+            "refresh (returning the index would silently omit them)"
+        )
+    return out
 
 
 def read_pruned(

@@ -469,3 +469,39 @@ def test_refresh_file_stats_rejects_non_index(spark, tmp_path):
         refresh_file_stats(
             spark, str(tmp_path), spark.range(3).toDF("file")
         )
+
+
+def test_refresh_file_stats_detects_midrefresh_change(
+    spark, tmp_path, monkeypatch
+):
+    """A file landing while the refresh runs (after the pre-scan
+    listing, before the return) must abort loudly — the refresh's scan
+    covers only the pre-listed changed files, so the arrival would
+    otherwise be silently absent from the returned index."""
+    from big_data_hadoop_spark.sources import layout
+
+    path = str(tmp_path / "mid")
+    spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 4).alias("x")
+    ).repartition(2).write.parquet(path)
+    stats0 = layout.build_file_stats(spark, path, ["x"])
+    # make one legit change so the refresh takes its scan path
+    spark.range(40, 50).select(
+        F.col("id"), (F.col("id") % 4).alias("x")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    real = layout._snapshot_listing
+    calls = {"n": 0}
+
+    def racing(spark_, p, glob):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-refresh recheck: land a file now
+            spark.range(50, 55).select(
+                F.col("id"), (F.col("id") % 4).alias("x")
+            ).coalesce(1).write.mode("append").parquet(path)
+        return real(spark_, p, glob)
+
+    monkeypatch.setattr(layout, "_snapshot_listing", racing)
+    with pytest.raises(ValueError, match="mid-refresh"):
+        layout.refresh_file_stats(spark, path, stats0)
+    assert calls["n"] == 2

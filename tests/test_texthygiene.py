@@ -351,9 +351,17 @@ def test_canonical_url_golden(spark):
             "http://a.com/p?a=1&b=2",
         ),
         (
-            "http://a.com/p?gclid=1&keep=yes&ref=tw",
+            "http://a.com/p?gclid=1&keep=yes&ref_src=twsrc",
             "http://a.com/p?keep=yes",
         ),
+        # `ref` is SEMANTIC (selects content on major sites) — kept
+        (
+            "http://a.com/raw/README.md?ref=main",
+            "http://a.com/raw/README.md?ref=main",
+        ),
+        # case-insensitive tracking match; valueless decorations strip
+        ("http://a.com/p?UTM_Source=mail", "http://a.com/p"),
+        ("http://a.com/p?fbclid", "http://a.com/p"),
         ("http://a.com?x=1", "http://a.com/?x=1"),
         ("not a url", "not a url"),
         (None, None),
