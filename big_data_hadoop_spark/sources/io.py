@@ -817,6 +817,7 @@ def upsert_parquet(
     partition_cols: Sequence[str] | None = None,
     validate_keys: bool = True,
     assume_keys_colocated: bool = False,
+    stats_path: str | None = None,
 ) -> None:
     """Keyed MERGE (upsert) into a parquet dataset: rows of ``updates``
     replace same-key rows and insert new keys — the table-format verb
@@ -852,6 +853,11 @@ def upsert_parquet(
     contract a violating update leaves a stale duplicate, which is why
     it is opt-in (review finding: silently assuming it corrupted the
     merge).
+
+    ``stats_path``: refresh the persisted zone-map index there after
+    the merge, under the same writer claim (see
+    ``layout.maintain_file_stats``; bootstrap the index once with
+    ``cols=``).
 
     ``updates`` must be key-unique (two rows per key → shuffle-order-
     dependent results; refused loudly, ``validate_keys=False`` skips
@@ -900,6 +906,8 @@ def upsert_parquet(
             assume_keys_colocated,
             lock,
         )
+        if stats_path is not None:
+            _maintain_stats_locked(spark, path, stats_path)
 
 
 def _upsert_locked(
@@ -1018,10 +1026,28 @@ def _upsert_locked(
         _swap_in(staging, path, lock)
 
 
+def _maintain_stats_locked(
+    spark: SparkSession, path: str, stats_path: str
+) -> None:
+    """Refresh the persisted zone-map index for ``path`` while the
+    dataset's writer claim is STILL HELD — the verbs' ``stats_path=``
+    hook. Serialization comes for free (index writers == dataset
+    writers under the same lock), and the refresh runs after the data
+    swap, so it sees the committed generation. Requires a bootstrapped
+    index (``layout.maintain_file_stats(..., cols=...)`` once) — a
+    missing one raises, because silently skipping would leave an index
+    that strict ``read_pruned_indexed`` correctly rejects later but
+    nothing would have said why."""
+    from big_data_hadoop_spark.sources.layout import maintain_file_stats
+
+    maintain_file_stats(spark, path, stats_path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    stats_path: str | None = None,
 ) -> tuple[int, int]:
     """Small-file compaction: rewrite the parquet dataset at ``path``
     into ``ceil(total_bytes / target_file_bytes)`` files (the
@@ -1060,7 +1086,10 @@ def compact_parquet(
     if not os.path.exists(path) and not os.path.exists(path + ".old"):
         return 0, 0  # nothing on disk — don't leave a lock on a ghost
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
-        return _compact_locked(spark, path, target_file_bytes, lock)
+        out = _compact_locked(spark, path, target_file_bytes, lock)
+        if stats_path is not None:
+            _maintain_stats_locked(spark, path, stats_path)
+        return out
 
 
 def _compact_locked(

@@ -30,6 +30,7 @@ carries only the original columns.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -41,7 +42,9 @@ __all__ = [
     "write_sorted",
     "build_file_stats",
     "refresh_file_stats",
+    "maintain_file_stats",
     "read_pruned",
+    "read_pruned_indexed",
 ]
 
 
@@ -452,4 +455,71 @@ def read_pruned(
         spark.read.option("basePath", path)
         .parquet(*files)
         .filter(row_filter)
+    )
+
+
+def maintain_file_stats(
+    spark,
+    path: str,
+    stats_path: str,
+    cols: Sequence[str] | None = None,
+    glob: str = "*.parquet",
+) -> None:
+    """Keep a PERSISTED zone-map index at ``stats_path`` in step with
+    the dataset at ``path``: load the stored index, incrementally
+    :func:`refresh_file_stats` it (only new/rewritten files re-scan),
+    and stage-and-swap the new index generation. With no stored index
+    yet, ``cols`` bootstraps a full :func:`build_file_stats` (without
+    ``cols`` that case refuses loudly — the stored index is what
+    remembers which columns are indexed).
+
+    This is the manifest-maintenance half of what table formats do on
+    every commit. The mutable-table verbs accept ``stats_path=`` and
+    call this under their single-writer claim (the index write is then
+    serialized exactly like the data write); standalone calls must be
+    externally serialized the same way — two concurrent maintainers
+    race their stage-and-swap like any unclaimed writer would.
+
+    Readers: :func:`read_pruned_indexed`. The index swap uses the same
+    rename discipline as the data layer, so a reader mid-swap sees the
+    previous complete generation, never a partial file set."""
+    from big_data_hadoop_spark.sources.io import _recover_generation, _swap_in
+
+    _recover_generation(stats_path)
+    if os.path.exists(stats_path):
+        stored = spark.read.parquet(stats_path).localCheckpoint(eager=True)
+        fresh = refresh_file_stats(spark, path, stored, glob=glob)
+    elif cols:
+        fresh = build_file_stats(spark, path, list(cols), glob=glob)
+    else:
+        raise ValueError(
+            f"no stored index at {stats_path} and no cols given — "
+            "bootstrap with maintain_file_stats(..., cols=[...]) or "
+            "build_file_stats + write.parquet once"
+        )
+    staging = stats_path + ".staging"
+    fresh.write.mode("overwrite").parquet(staging)
+    _swap_in(staging, stats_path)
+
+
+def read_pruned_indexed(
+    spark,
+    path: str,
+    stats_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    strict: bool = True,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """:func:`read_pruned` against the PERSISTED index at
+    ``stats_path`` (see :func:`maintain_file_stats`) — the end-to-end
+    read path: load O(files) index rows, prune the file list, read
+    only surviving files. ``strict`` keeps the staleness check: an
+    index that missed a mutation (the verb ran without ``stats_path``,
+    or a foreign writer bypassed the verbs) raises instead of silently
+    dropping the unindexed files' rows."""
+    stats = spark.read.parquet(stats_path)
+    return read_pruned(
+        spark, path, stats, col, lo=lo, hi=hi, strict=strict, glob=glob
     )

@@ -505,3 +505,71 @@ def test_refresh_file_stats_detects_midrefresh_change(
     with pytest.raises(ValueError, match="mid-refresh"):
         layout.refresh_file_stats(spark, path, stats0)
     assert calls["n"] == 2
+
+
+def test_maintained_index_through_upsert_and_compact(spark, tmp_path):
+    """End-to-end maintained-index story: bootstrap once, then the
+    mutable-table verbs keep the persisted index in step under their
+    writer claim — strict read_pruned_indexed stays valid across an
+    upsert and a compaction with no manual rebuild."""
+    from big_data_hadoop_spark.sources.io import (
+        compact_parquet,
+        upsert_parquet,
+    )
+    from big_data_hadoop_spark.sources.layout import (
+        maintain_file_stats,
+        read_pruned_indexed,
+    )
+
+    path = str(tmp_path / "ds")
+    idx = str(tmp_path / "idx")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("x")
+    ).repartition(4).write.parquet(path)
+    maintain_file_stats(spark, path, idx, cols=["x"])
+
+    def check():
+        got = sorted(
+            r.k
+            for r in read_pruned_indexed(
+                spark, path, idx, "x", lo=3, hi=5
+            ).collect()
+        )
+        want = sorted(
+            r.k
+            for r in spark.read.parquet(path)
+            .filter(F.col("x").between(3, 5))
+            .collect()
+        )
+        assert got == want and got
+
+    check()
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(5, 200), (100, 4)], "k long, x long"),
+        ["k"],
+        stats_path=idx,
+    )
+    check()
+    compact_parquet(spark, path, stats_path=idx)
+    check()
+    # a mutation that BYPASSES the hook leaves the index behind —
+    # strict mode must refuse rather than silently drop the new rows
+    spark.range(200, 210).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("x")
+    ).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="STALE"):
+        read_pruned_indexed(spark, path, idx, "x", lo=3, hi=5).count()
+    # one maintain call repairs it
+    maintain_file_stats(spark, path, idx)
+    check()
+
+
+def test_maintain_file_stats_requires_bootstrap(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import maintain_file_stats
+
+    path = str(tmp_path / "nb")
+    spark.range(5).write.parquet(path)
+    with pytest.raises(ValueError, match="bootstrap"):
+        maintain_file_stats(spark, path, str(tmp_path / "nb_idx"))

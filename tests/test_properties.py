@@ -461,3 +461,48 @@ def test_weighted_sample_race_property(spark, weights, k, seed):
         r.doc_id for r in weighted_sample(df, k, "w", seed=seed).collect()
     )
     assert got == sorted(expect)
+
+
+# ----------------------------------------------------- URL canonicalizer
+
+_URL_SCHEMES = st.sampled_from(["http", "HTTP", "https", "HtTpS"])
+_URL_HOSTS = st.from_regex(r"[A-Za-z](?:[A-Za-z0-9.-]{0,10}[A-Za-z0-9])?", fullmatch=True)
+_URL_PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+_URL_PATHS = st.from_regex(r"(?:/[A-Za-z0-9._~%-]{0,8}){0,3}", fullmatch=True)
+_URL_PARAMS = st.lists(
+    st.sampled_from(
+        [
+            "a=1", "b=2", "z=", "q=x%20y", "ref=main",
+            "utm_source=m", "UTM_Medium=e", "fbclid", "gclid=g",
+            "ref_src=tw", "_ga=1.2",
+        ]
+    ),
+    min_size=0,
+    max_size=5,
+)
+_URL_FRAGS = st.sampled_from(["", "#f", "#sec-2"])
+
+
+@given(
+    scheme=_URL_SCHEMES,
+    host=_URL_HOSTS,
+    port=_URL_PORTS,
+    path=_URL_PATHS,
+    params=_URL_PARAMS,
+    frag=_URL_FRAGS,
+)
+@_SETTINGS
+def test_canonical_url_idempotent(spark, scheme, host, port, path, params, frag):
+    """canonical(canonical(u)) == canonical(u) — the defining property
+    of a canonicalizer (a second pass finding more to normalize means
+    keys differ depending on how many times a pipeline cleaned them)."""
+    from big_data_hadoop_spark.operators.texthygiene import canonical_url
+
+    url = scheme + "://" + host + port + path
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    once, twice = spark.createDataFrame([(url,)], "u string").select(
+        canonical_url(F.col("u")).alias("c1"),
+    ).select("c1", canonical_url(F.col("c1")).alias("c2")).first()
+    assert once == twice, f"{url!r}: {once!r} != {twice!r}"
