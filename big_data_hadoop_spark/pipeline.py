@@ -935,6 +935,7 @@ def shuffled_shards(
     n_shards: int,
     seed: int = 0,
     id_col: str = "doc_id",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Seeded deterministic global shuffle + shard assignment for
     training-data export: adds ``shard`` (``0..n_shards-1``) and
@@ -956,6 +957,14 @@ def shuffled_shards(
     shard by the very value that assigned it — the low bits that
     survive ``pmod`` would leak assignment structure into the order).
 
+    ``order_col`` switches a shard's internal order from the shuffle
+    hash to that column ASCENDING (id tie-break) — the CURRICULUM
+    export: shard assignment stays pseudo-random (every shard is a
+    fair sample of the corpus, so data parallelism across shard
+    consumers is unbiased), but each consumer walks its shard
+    easy-to-hard by the given difficulty/quality score. Same cost:
+    the sort key changes, the one-Exchange shape doesn't.
+
     ``write_shuffled_shards`` materializes one file per shard.
     """
     if n_shards < 1:
@@ -963,10 +972,15 @@ def shuffled_shards(
     shard = F.pmod(
         F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(n_shards)
     ).cast("int")
-    order = F.xxhash64(F.col(id_col), F.lit(int(seed)), F.lit("order"))
+    order = (
+        F.col(order_col)
+        if order_col is not None
+        else F.xxhash64(F.col(id_col), F.lit(int(seed)), F.lit("order"))
+    )
     # id_col tie-break: at ~10**9 docs/shard an xxhash64 collision per
-    # shard is percent-level likely, and tied rows would order by
-    # shuffle arrival — breaking the byte-identical re-export promise
+    # shard is percent-level likely (and score ties are common), and
+    # tied rows would order by shuffle arrival — breaking the
+    # byte-identical re-export promise
     return (
         docs.withColumn("shard", shard)
         .repartition(n_shards, "shard")
@@ -981,6 +995,7 @@ def write_shuffled_shards(
     seed: int = 0,
     id_col: str = "doc_id",
     fmt: str = "parquet",
+    order_col: str | None = None,
 ) -> None:
     """Materialize :func:`shuffled_shards` as ``shard=K/`` hive
     directories, ONE data file per shard (each shard value lives in
@@ -989,9 +1004,9 @@ def write_shuffled_shards(
     shard values still writes each to its own directory). ``fmt`` is
     ``parquet`` or ``json`` (JSONL, the trainer-facing interchange
     form)."""
-    w = shuffled_shards(docs, n_shards, seed=seed, id_col=id_col).write.mode(
-        "overwrite"
-    ).partitionBy("shard")
+    w = shuffled_shards(
+        docs, n_shards, seed=seed, id_col=id_col, order_col=order_col
+    ).write.mode("overwrite").partitionBy("shard")
     if fmt == "parquet":
         w.parquet(path)
     elif fmt == "json":

@@ -802,3 +802,31 @@ def test_diagnose_skew_flags_hot_key_and_uniform(spark):
     _, su = diagnose_skew(uni, "k", shuffle_partitions=16)
     assert su["skew_factor"] <= 1.0
     assert su["recommended_salt_buckets"] == 1
+
+
+def test_shuffled_shards_curriculum_order(spark):
+    """order_col: shard assignment stays the seeded hash deal, but
+    each shard walks ascending by the score — the curriculum export."""
+    from big_data_hadoop_spark.pipeline import shuffled_shards
+
+    docs = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(200)],
+        "doc_id long, score double",
+    )
+    plain = shuffled_shards(docs, 4, seed=5)
+    curr = shuffled_shards(docs, 4, seed=5, order_col="score")
+    # same deal
+    assert sorted(
+        (r.doc_id, r.shard) for r in plain.select("doc_id", "shard").collect()
+    ) == sorted(
+        (r.doc_id, r.shard) for r in curr.select("doc_id", "shard").collect()
+    )
+    # within-shard ascending by score (toLocalIterator preserves the
+    # partition-local sort; collect() concatenates partitions in order)
+    rows = curr.collect()
+    by_shard: dict[int, list[float]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.score)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for scores in by_shard.values():
+        assert scores == sorted(scores)
