@@ -818,6 +818,7 @@ def upsert_parquet(
     validate_keys: bool = True,
     assume_keys_colocated: bool = False,
     stats_path: str | None = None,
+    stats_glob: str = "*.parquet",
 ) -> None:
     """Keyed MERGE (upsert) into a parquet dataset: rows of ``updates``
     replace same-key rows and insert new keys — the table-format verb
@@ -857,7 +858,8 @@ def upsert_parquet(
     ``stats_path``: refresh the persisted zone-map index there after
     the merge, under the same writer claim (see
     ``layout.maintain_file_stats``; bootstrap the index once with
-    ``cols=``).
+    ``cols=``). ``stats_glob`` must match the glob the index was
+    bootstrapped with.
 
     ``updates`` must be key-unique (two rows per key → shuffle-order-
     dependent results; refused loudly, ``validate_keys=False`` skips
@@ -907,7 +909,7 @@ def upsert_parquet(
             lock,
         )
         if stats_path is not None:
-            _maintain_stats_locked(spark, path, stats_path)
+            _maintain_stats_locked(spark, path, stats_path, lock, stats_glob)
 
 
 def _upsert_locked(
@@ -1027,7 +1029,11 @@ def _upsert_locked(
 
 
 def _maintain_stats_locked(
-    spark: SparkSession, path: str, stats_path: str
+    spark: SparkSession,
+    path: str,
+    stats_path: str,
+    lock: _TableWriteLock,
+    glob: str = "*.parquet",
 ) -> None:
     """Refresh the persisted zone-map index for ``path`` while the
     dataset's writer claim is STILL HELD — the verbs' ``stats_path=``
@@ -1040,7 +1046,7 @@ def _maintain_stats_locked(
     nothing would have said why."""
     from big_data_hadoop_spark.sources.layout import maintain_file_stats
 
-    maintain_file_stats(spark, path, stats_path)
+    maintain_file_stats(spark, path, stats_path, glob=glob, lock=lock)
 
 
 def compact_parquet(
@@ -1048,6 +1054,7 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_path: str | None = None,
+    stats_glob: str = "*.parquet",
 ) -> tuple[int, int]:
     """Small-file compaction: rewrite the parquet dataset at ``path``
     into ``ceil(total_bytes / target_file_bytes)`` files (the
@@ -1088,7 +1095,7 @@ def compact_parquet(
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         out = _compact_locked(spark, path, target_file_bytes, lock)
         if stats_path is not None:
-            _maintain_stats_locked(spark, path, stats_path)
+            _maintain_stats_locked(spark, path, stats_path, lock, stats_glob)
         return out
 
 

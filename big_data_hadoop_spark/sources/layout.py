@@ -305,7 +305,11 @@ def _stats_for_listing(
 
 
 def refresh_file_stats(
-    spark, path: str, stats: DataFrame, glob: str = "*.parquet"
+    spark,
+    path: str,
+    stats: DataFrame,
+    glob: str = "*.parquet",
+    info: dict | None = None,
 ) -> DataFrame:
     """Incrementally refresh a :func:`build_file_stats` index after the
     dataset at ``path`` changed: index rows for UNCHANGED files (same
@@ -336,6 +340,17 @@ def refresh_file_stats(
     keep = current.join(stats, keys, "inner").select(*stats.columns)
     changed = current.join(stats.select(*keys), keys, "left_anti")
     changed_files = [r.file for r in changed.collect()]
+    if info is not None:
+        # change accounting for callers (maintain_file_stats skips its
+        # index rewrite when BOTH are zero): files needing a re-scan,
+        # and stored rows whose file vanished/was rewritten
+        info["changed_files"] = len(changed_files)
+        info["removed_files"] = (
+            stats.select(*keys)
+            .join(current, keys, "left_anti")
+            .limit(1)
+            .count()
+        )
     if changed_files:
         changed = changed.localCheckpoint(eager=True)
         data = (
@@ -464,6 +479,7 @@ def maintain_file_stats(
     stats_path: str,
     cols: Sequence[str] | None = None,
     glob: str = "*.parquet",
+    lock=None,
 ) -> None:
     """Keep a PERSISTED zone-map index at ``stats_path`` in step with
     the dataset at ``path``: load the stored index, incrementally
@@ -480,15 +496,42 @@ def maintain_file_stats(
     externally serialized the same way — two concurrent maintainers
     race their stage-and-swap like any unclaimed writer would.
 
+    ``lock`` (a held ``_TableWriteLock`` — the verbs pass theirs)
+    extends the data layer's steal-detection to the index swap: a
+    writer suspended past the staleness grace cannot silently replace
+    a stealing writer's fresher index generation.
+
     Readers: :func:`read_pruned_indexed`. The index swap uses the same
-    rename discipline as the data layer, so a reader mid-swap sees the
-    previous complete generation, never a partial file set."""
+    rename discipline as the data layer: a killed swap strands a
+    ``.old`` generation which BOTH maintainers and readers recover
+    (:func:`read_pruned_indexed` runs the recovery too), and the
+    exposed window is the same one-syscall rename gap every swap in
+    this engine has. When nothing changed (no new/rewritten/vanished
+    files), the call is a true no-op — no index rewrite, no swap —
+    so scheduled maintenance on a quiet table costs two listings."""
     from big_data_hadoop_spark.sources.io import _recover_generation, _swap_in
 
     _recover_generation(stats_path)
     if os.path.exists(stats_path):
         stored = spark.read.parquet(stats_path).localCheckpoint(eager=True)
-        fresh = refresh_file_stats(spark, path, stored, glob=glob)
+        if cols:
+            have = sorted(
+                c[: -len("_min")]
+                for c in stored.columns
+                if c.endswith("_min")
+            )
+            if sorted(cols) != have:
+                raise ValueError(
+                    f"stored index at {stats_path} covers columns "
+                    f"{have}, not {sorted(cols)} — indexing different "
+                    "columns needs a rebuild (delete the index and "
+                    "bootstrap again); silently keeping the old set "
+                    "would fail later at read_pruned time"
+                )
+        info: dict = {}
+        fresh = refresh_file_stats(spark, path, stored, glob=glob, info=info)
+        if not info["changed_files"] and not info["removed_files"]:
+            return  # nothing changed — skip the rewrite and swap
     elif cols:
         fresh = build_file_stats(spark, path, list(cols), glob=glob)
     else:
@@ -499,7 +542,7 @@ def maintain_file_stats(
         )
     staging = stats_path + ".staging"
     fresh.write.mode("overwrite").parquet(staging)
-    _swap_in(staging, stats_path)
+    _swap_in(staging, stats_path, lock)
 
 
 def read_pruned_indexed(
@@ -518,7 +561,12 @@ def read_pruned_indexed(
     only surviving files. ``strict`` keeps the staleness check: an
     index that missed a mutation (the verb ran without ``stats_path``,
     or a foreign writer bypassed the verbs) raises instead of silently
-    dropping the unindexed files' rows."""
+    dropping the unindexed files' rows. A maintainer killed mid-swap
+    strands the index as ``.old`` — recovered here, so readers never
+    depend on the next writer to restore it."""
+    from big_data_hadoop_spark.sources.io import _recover_generation
+
+    _recover_generation(stats_path)
     stats = spark.read.parquet(stats_path)
     return read_pruned(
         spark, path, stats, col, lo=lo, hi=hi, strict=strict, glob=glob

@@ -573,3 +573,66 @@ def test_maintain_file_stats_requires_bootstrap(spark, tmp_path):
     spark.range(5).write.parquet(path)
     with pytest.raises(ValueError, match="bootstrap"):
         maintain_file_stats(spark, path, str(tmp_path / "nb_idx"))
+
+
+def test_maintain_file_stats_cols_mismatch_raises(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import maintain_file_stats
+
+    path = str(tmp_path / "cm")
+    idx = str(tmp_path / "cm_idx")
+    spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 2).alias("x"), (F.col("id") % 3).alias("y")
+    ).write.parquet(path)
+    maintain_file_stats(spark, path, idx, cols=["x"])
+    with pytest.raises(ValueError, match="rebuild"):
+        maintain_file_stats(spark, path, idx, cols=["x", "y"])
+    # same cols re-stated is fine (idempotent no-op on a quiet table)
+    maintain_file_stats(spark, path, idx, cols=["x"])
+
+
+def test_maintain_file_stats_noop_skips_rewrite(spark, tmp_path):
+    """On a quiet table the scheduled maintain must not rewrite/swap a
+    byte-equivalent index generation (mtimes stay put)."""
+    import os as _os
+
+    from big_data_hadoop_spark.sources.layout import maintain_file_stats
+
+    path = str(tmp_path / "np")
+    idx = str(tmp_path / "np_idx")
+    spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 2).alias("x")
+    ).write.parquet(path)
+    maintain_file_stats(spark, path, idx, cols=["x"])
+
+    def idx_state():
+        return sorted(
+            (f, _os.path.getmtime(_os.path.join(idx, f)))
+            for f in _os.listdir(idx)
+        )
+
+    before = idx_state()
+    maintain_file_stats(spark, path, idx)
+    assert idx_state() == before
+
+
+def test_read_pruned_indexed_recovers_stranded_old(spark, tmp_path):
+    """A maintainer killed between the swap's two renames leaves only
+    index.old — the reader restores it instead of failing until the
+    next writer shows up."""
+    import os as _os
+
+    from big_data_hadoop_spark.sources.layout import (
+        maintain_file_stats,
+        read_pruned_indexed,
+    )
+
+    path = str(tmp_path / "ro")
+    idx = str(tmp_path / "ro_idx")
+    spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).alias("x")
+    ).write.parquet(path)
+    maintain_file_stats(spark, path, idx, cols=["x"])
+    _os.rename(idx, idx + ".old")  # simulate the crash window
+    out = read_pruned_indexed(spark, path, idx, "x", lo=1, hi=1)
+    assert out.count() == 10
+    assert _os.path.exists(idx) and not _os.path.exists(idx + ".old")
