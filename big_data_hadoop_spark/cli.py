@@ -445,6 +445,24 @@ def cmd_skew(args: argparse.Namespace) -> None:
     print(_json.dumps(summary, sort_keys=True))
 
 
+def cmd_index(args: argparse.Namespace) -> None:
+    """Bootstrap or refresh the persisted zone-map index for a parquet
+    dataset (``layout.maintain_file_stats``): pass ``--cols`` once to
+    bootstrap; later calls (or the upsert/compact verbs' --stats-path)
+    refresh incrementally — only new/rewritten files re-scan."""
+    from big_data_hadoop_spark.sources.layout import maintain_file_stats
+
+    spark = _spark("index")
+    maintain_file_stats(
+        spark,
+        args.dataset,
+        args.stats_path,
+        cols=args.cols.split(",") if args.cols else None,
+    )
+    n = spark.read.parquet(args.stats_path).count()
+    print(f"[index] {args.stats_path}: {n} files indexed")
+
+
 def cmd_train_quality(args: argparse.Namespace) -> None:
     """Train the hashed-linear quality head on a labeled parquet
     (columns: text + 0/1 label) and persist the model
@@ -723,6 +741,13 @@ def main(argv: list[str] | None = None) -> None:
     sh.add_argument("--id-col", default="doc_id")
     sh.add_argument("--format", default="parquet", choices=["parquet", "json"])
 
+    ix = sub.add_parser(
+        "index", help="bootstrap/refresh a dataset's zone-map index"
+    )
+    ix.add_argument("dataset")
+    ix.add_argument("stats_path")
+    ix.add_argument("--cols", default=None, help="bootstrap columns (comma-sep)")
+
     sk = sub.add_parser(
         "skew", help="exact skew report for a groupBy/join key"
     )
@@ -759,6 +784,7 @@ def main(argv: list[str] | None = None) -> None:
         "upsert": cmd_upsert,
         "shard": cmd_shard,
         "skew": cmd_skew,
+        "index": cmd_index,
         "train-quality": cmd_train_quality,
         "score-quality": cmd_score_quality,
         "clean": cmd_clean,

@@ -378,3 +378,20 @@ def test_cli_shard_and_skew(tmp_path, spark, capsys):
     summary = json.loads(lines[-1])
     assert summary["rows"] == 100 and summary["max_key_rows"] == 90
     assert summary["recommended_salt_buckets"] >= 1
+
+
+def test_cli_index_bootstrap_and_refresh(tmp_path, spark, capsys):
+    from big_data_hadoop_spark.cli import main
+
+    ds = str(tmp_path / "ix_ds")
+    idx = str(tmp_path / "ix_idx")
+    spark.range(0, 50).selectExpr("id", "id % 5 as x").repartition(
+        2
+    ).write.parquet(ds)
+    main(["index", ds, idx, "--cols", "x"])
+    assert "2 files indexed" in capsys.readouterr().out
+    spark.range(50, 60).selectExpr("id", "id % 5 as x").coalesce(
+        1
+    ).write.mode("append").parquet(ds)
+    main(["index", ds, idx])
+    assert "3 files indexed" in capsys.readouterr().out
