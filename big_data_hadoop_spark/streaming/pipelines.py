@@ -771,6 +771,7 @@ def streaming_upsert(
     checkpoint: str,
     partition_cols=None,
     available_now: bool = True,
+    stats_path: str | None = None,
 ):
     """CDC-style streaming MERGE sink: a stream of keyed CHANGE rows
     continuously upserted into the parquet dataset at ``path`` via
@@ -800,6 +801,10 @@ def streaming_upsert(
     At scale each micro-batch pays one column-pruned read of the
     stored keys' order values plus the upsert's affected-partition
     rewrite — the same shape every table-format streaming MERGE pays.
+    ``stats_path`` forwards to the batch upsert: the persisted
+    zone-map index (bootstrapped once — ``layout.maintain_file_stats``
+    with ``cols=``) refreshes under the same writer claim after every
+    micro-batch's merge.
     """
     import os as _os
 
@@ -894,6 +899,7 @@ def streaming_upsert(
             key_cols,
             partition_cols=partition_cols,
             validate_keys=False,
+            stats_path=stats_path,
         )
 
     writer = (

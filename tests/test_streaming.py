@@ -1153,3 +1153,36 @@ def test_reconcile_before_first_trigger_is_empty(spark, tmp_path):
         "logged_mtime_ms",
         "current_mtime_ms",
     ]
+
+
+def test_streaming_upsert_maintains_index(spark, tmp_path):
+    """The CDC sink's stats_path forwards to the batch upsert: after
+    drain, the persisted zone-map index is in step and strict indexed
+    reads work with no manual refresh."""
+    from big_data_hadoop_spark.sources.layout import (
+        maintain_file_stats,
+        read_pruned_indexed,
+    )
+    from big_data_hadoop_spark.streaming.pipelines import streaming_upsert
+
+    ds = str(tmp_path / "cdcix_ds")
+    idx = str(tmp_path / "cdcix_idx")
+    land = str(tmp_path / "cdcix_land")
+    ckpt = str(tmp_path / "cdcix_ckpt")
+    spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0)], "k long, v long, x double"
+    ).write.parquet(ds)
+    maintain_file_stats(spark, ds, idx, cols=["x"])
+    spark.createDataFrame(
+        [(2, 20, 250.0), (3, 20, 300.0)], "k long, v long, x double"
+    ).coalesce(1).write.parquet(land)
+    stream = spark.readStream.schema("k long, v long, x double").parquet(land)
+    q = streaming_upsert(
+        stream, ds, ["k"], "v", ckpt, stats_path=idx
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k, r.x)
+        for r in read_pruned_indexed(spark, ds, idx, "x", lo=200.0, hi=400.0).collect()
+    )
+    assert got == [(2, 250.0), (3, 300.0)]
