@@ -404,6 +404,8 @@ def cmd_upsert(args: argparse.Namespace) -> None:
         partition_cols=(
             args.partition_by.split(",") if args.partition_by else None
         ),
+        stats_path=args.stats_path,
+        stats_glob=args.stats_glob,
     )
     print(f"[upsert] merged into {args.dataset}")
 
@@ -448,17 +450,27 @@ def cmd_skew(args: argparse.Namespace) -> None:
 def cmd_index(args: argparse.Namespace) -> None:
     """Bootstrap or refresh the persisted zone-map index for a parquet
     dataset (``layout.maintain_file_stats``): pass ``--cols`` once to
-    bootstrap; later calls (or the upsert/compact verbs' --stats-path)
-    refresh incrementally — only new/rewritten files re-scan."""
+    bootstrap; later calls (or ``upsert``/``compact`` with
+    ``--stats-path``) refresh incrementally — only new/rewritten files
+    re-scan. Runs under the dataset's writer claim so a CLI refresh
+    cannot race a verb's own index maintenance on the shared staging
+    directory (review finding)."""
+    from big_data_hadoop_spark.sources.io import (
+        _VERB_LOCK_OPTS,
+        table_write_lock,
+    )
     from big_data_hadoop_spark.sources.layout import maintain_file_stats
 
     spark = _spark("index")
-    maintain_file_stats(
-        spark,
-        args.dataset,
-        args.stats_path,
-        cols=args.cols.split(",") if args.cols else None,
-    )
+    with table_write_lock(args.dataset, **_VERB_LOCK_OPTS) as lock:
+        maintain_file_stats(
+            spark,
+            args.dataset,
+            args.stats_path,
+            cols=args.cols.split(",") if args.cols else None,
+            glob=args.glob,
+            lock=lock,
+        )
     n = spark.read.parquet(args.stats_path).count()
     print(f"[index] {args.stats_path}: {n} files indexed")
 
@@ -515,7 +527,11 @@ def cmd_compact(args: argparse.Namespace) -> None:
 
     spark = _spark("compact")
     before, after = compact_parquet(
-        spark, args.path, target_file_bytes=args.target_mb * 1024 * 1024
+        spark,
+        args.path,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        stats_path=args.stats_path,
+        stats_glob=args.stats_glob,
     )
     print(f"[compact] {before} files -> {after}")
 
@@ -696,6 +712,8 @@ def main(argv: list[str] | None = None) -> None:
     co = sub.add_parser("compact", help="compact a parquet dataset's files")
     co.add_argument("path")
     co.add_argument("--target-mb", type=int, default=128)
+    co.add_argument("--stats-path", default=None, dest="stats_path")
+    co.add_argument("--stats-glob", default="*.parquet", dest="stats_glob")
 
     di = sub.add_parser(
         "diff", help="added/removed/changed/unchanged between two corpora"
@@ -718,6 +736,8 @@ def main(argv: list[str] | None = None) -> None:
     up.add_argument("dataset")
     up.add_argument("--keys", required=True, help="comma-separated key columns")
     up.add_argument("--partition-by", default=None)
+    up.add_argument("--stats-path", default=None, dest="stats_path")
+    up.add_argument("--stats-glob", default="*.parquet", dest="stats_glob")
 
     tq = sub.add_parser(
         "train-quality", help="train the hashed-linear quality head"
@@ -747,6 +767,7 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("dataset")
     ix.add_argument("stats_path")
     ix.add_argument("--cols", default=None, help="bootstrap columns (comma-sep)")
+    ix.add_argument("--glob", default="*.parquet")
 
     sk = sub.add_parser(
         "skew", help="exact skew report for a groupBy/join key"

@@ -342,10 +342,12 @@ def refresh_file_stats(
     changed_files = [r.file for r in changed.collect()]
     if info is not None:
         # change accounting for callers (maintain_file_stats skips its
-        # index rewrite when BOTH are zero): files needing a re-scan,
-        # and stored rows whose file vanished/was rewritten
+        # index rewrite when nothing changed): files needing a
+        # re-scan, and whether ANY stored row's file vanished/was
+        # rewritten (a limit(1) probe, not a count — and skipped
+        # entirely when changed_files already forces the rewrite)
         info["changed_files"] = len(changed_files)
-        info["removed_files"] = (
+        info["removed_any"] = bool(changed_files) or bool(
             stats.select(*keys)
             .join(current, keys, "left_anti")
             .limit(1)
@@ -530,7 +532,7 @@ def maintain_file_stats(
                 )
         info: dict = {}
         fresh = refresh_file_stats(spark, path, stored, glob=glob, info=info)
-        if not info["changed_files"] and not info["removed_files"]:
+        if not info["changed_files"] and not info["removed_any"]:
             return  # nothing changed — skip the rewrite and swap
     elif cols:
         fresh = build_file_stats(spark, path, list(cols), glob=glob)
@@ -562,12 +564,14 @@ def read_pruned_indexed(
     index that missed a mutation (the verb ran without ``stats_path``,
     or a foreign writer bypassed the verbs) raises instead of silently
     dropping the unindexed files' rows. A maintainer killed mid-swap
-    strands the index as ``.old`` — recovered here, so readers never
-    depend on the next writer to restore it."""
-    from big_data_hadoop_spark.sources.io import _recover_generation
-
-    _recover_generation(stats_path)
-    stats = spark.read.parquet(stats_path)
+    strands the index as ``.old`` — readers fall back to READING that
+    previous generation (never renaming: a reader-side rename would
+    race a live writer's swap mid-gap and crash its publish — review
+    finding); the next maintainer performs the actual restore."""
+    idx = stats_path
+    if not os.path.exists(idx) and os.path.exists(idx + ".old"):
+        idx = idx + ".old"
+    stats = spark.read.parquet(idx)
     return read_pruned(
         spark, path, stats, col, lo=lo, hi=hi, strict=strict, glob=glob
     )

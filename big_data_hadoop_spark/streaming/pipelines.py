@@ -772,6 +772,7 @@ def streaming_upsert(
     partition_cols=None,
     available_now: bool = True,
     stats_path: str | None = None,
+    stats_glob: str = "*.parquet",
 ):
     """CDC-style streaming MERGE sink: a stream of keyed CHANGE rows
     continuously upserted into the parquet dataset at ``path`` via
@@ -804,7 +805,7 @@ def streaming_upsert(
     ``stats_path`` forwards to the batch upsert: the persisted
     zone-map index (bootstrapped once — ``layout.maintain_file_stats``
     with ``cols=``) refreshes under the same writer claim after every
-    micro-batch's merge.
+    micro-batch's merge; ``stats_glob`` must match the bootstrap glob.
     """
     import os as _os
 
@@ -900,6 +901,7 @@ def streaming_upsert(
             partition_cols=partition_cols,
             validate_keys=False,
             stats_path=stats_path,
+            stats_glob=stats_glob,
         )
 
     writer = (

@@ -617,8 +617,10 @@ def test_maintain_file_stats_noop_skips_rewrite(spark, tmp_path):
 
 def test_read_pruned_indexed_recovers_stranded_old(spark, tmp_path):
     """A maintainer killed between the swap's two renames leaves only
-    index.old — the reader restores it instead of failing until the
-    next writer shows up."""
+    index.old — the reader FALLS BACK to reading that generation
+    WITHOUT renaming (a reader-side rename would race a live writer's
+    swap and crash its publish — review finding); the next maintainer
+    performs the actual restore."""
     import os as _os
 
     from big_data_hadoop_spark.sources.layout import (
@@ -635,4 +637,8 @@ def test_read_pruned_indexed_recovers_stranded_old(spark, tmp_path):
     _os.rename(idx, idx + ".old")  # simulate the crash window
     out = read_pruned_indexed(spark, path, idx, "x", lo=1, hi=1)
     assert out.count() == 10
+    # read-only: the stranded generation stays put for the maintainer
+    assert _os.path.exists(idx + ".old") and not _os.path.exists(idx)
+    maintain_file_stats(spark, path, idx)  # restores, then no-ops
     assert _os.path.exists(idx) and not _os.path.exists(idx + ".old")
+    assert read_pruned_indexed(spark, path, idx, "x", lo=1, hi=1).count() == 10
