@@ -532,6 +532,8 @@ def cmd_compact(args: argparse.Namespace) -> None:
         target_file_bytes=args.target_mb * 1024 * 1024,
         stats_path=args.stats_path,
         stats_glob=args.stats_glob,
+        sort_cols=args.sort_by.split(",") if args.sort_by else None,
+        zorder_cols=args.zorder_by.split(",") if args.zorder_by else None,
     )
     print(f"[compact] {before} files -> {after}")
 
@@ -714,6 +716,8 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--target-mb", type=int, default=128)
     co.add_argument("--stats-path", default=None, dest="stats_path")
     co.add_argument("--stats-glob", default="*.parquet", dest="stats_glob")
+    co.add_argument("--sort-by", default=None, dest="sort_by")
+    co.add_argument("--zorder-by", default=None, dest="zorder_by")
 
     di = sub.add_parser(
         "diff", help="added/removed/changed/unchanged between two corpora"

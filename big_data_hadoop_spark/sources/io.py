@@ -1055,6 +1055,8 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_path: str | None = None,
     stats_glob: str = "*.parquet",
+    sort_cols: Sequence[str] | None = None,
+    zorder_cols: Sequence[str] | None = None,
 ) -> tuple[int, int]:
     """Small-file compaction: rewrite the parquet dataset at ``path``
     into ``ceil(total_bytes / target_file_bytes)`` files (the
@@ -1083,6 +1085,22 @@ def compact_parquet(
     equality is pinned by test; file ORDER inside the dataset is not
     part of the parquet contract.
 
+    Layout preservation: the default rewrite is a HASH repartition,
+    which DESTROYS a clustered layout — compacting a
+    ``write_sorted``/``write_zordered`` dataset the naive way leaves
+    the right file count but scatters the key ranges, silently
+    un-earning every zone-map and row-group prune that justified the
+    layout. Pass ``sort_cols`` to rewrite via
+    ``repartitionByRange + sortWithinPartitions`` (restores the
+    range-sorted clustering), or ``zorder_cols`` to re-cluster on the
+    interleaved z-value (``layout.zorder_cluster``). Mutually
+    exclusive. A clustering request also rewrites a flat dataset
+    ALREADY at its file budget (restoring layout is the gain there);
+    hive-partitioned datasets cluster the directories being rewritten
+    (clean-at-budget directories still skip — re-clustering a whole
+    partitioned table is ``write_zordered`` per partition, not a
+    compaction).
+
     Runs under the dataset's single-writer claim
     (:func:`table_write_lock`), serializing against concurrent upserts
     and other compactions — a compaction racing an upsert on the bare
@@ -1090,10 +1108,14 @@ def compact_parquet(
     finding)."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
+    if sort_cols and zorder_cols:
+        raise ValueError("sort_cols and zorder_cols are mutually exclusive")
     if not os.path.exists(path) and not os.path.exists(path + ".old"):
         return 0, 0  # nothing on disk — don't leave a lock on a ghost
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
-        out = _compact_locked(spark, path, target_file_bytes, lock)
+        out = _compact_locked(
+            spark, path, target_file_bytes, lock, sort_cols, zorder_cols
+        )
         if stats_path is not None:
             _maintain_stats_locked(spark, path, stats_path, lock, stats_glob)
         return out
@@ -1104,9 +1126,23 @@ def _compact_locked(
     path: str,
     target_file_bytes: int,
     lock: _TableWriteLock,
+    sort_cols: Sequence[str] | None = None,
+    zorder_cols: Sequence[str] | None = None,
 ) -> tuple[int, int]:
     import math
     from collections import defaultdict
+
+    def _clustered(df: DataFrame, k: int) -> DataFrame:
+        if zorder_cols:
+            from big_data_hadoop_spark.sources.layout import zorder_cluster
+
+            return zorder_cluster(df, list(zorder_cols), n_files=k)
+        if sort_cols:
+            scols = [F.col(c) for c in sort_cols]
+            return df.repartitionByRange(k, *scols).sortWithinPartitions(
+                *scols
+            )
+        return df.repartition(k)
 
     _recover_generation(path)
     _recover_tree(path)
@@ -1142,17 +1178,20 @@ def _compact_locked(
             sub = os.path.join(root, *segs)
             k = max(1, math.ceil(dir_bytes[segs] / target_file_bytes))
             staging = sub + ".staging"
-            spark.read.parquet(sub).repartition(k).write.mode(
+            _clustered(spark.read.parquet(sub), k).write.mode(
                 "overwrite"
             ).parquet(staging)
             _swap_in(staging, sub, lock)
     else:
         total = sum(r.length for r in files)
         n_after = max(1, math.ceil(total / target_file_bytes))
-        if n_after >= n_before:
-            return n_before, n_before  # nothing to gain from a rewrite
+        if n_after >= n_before and not (sort_cols or zorder_cols):
+            # nothing to gain from a rewrite — but a requested
+            # clustering IS a gain even at equal file count (restoring
+            # a scattered layout), so only the unclustered call exits
+            return n_before, n_before
         staging = path + ".staging"
-        spark.read.parquet(path).repartition(n_after).write.mode(
+        _clustered(spark.read.parquet(path), n_after).write.mode(
             "overwrite"
         ).parquet(staging)
         _swap_in(staging, path, lock)

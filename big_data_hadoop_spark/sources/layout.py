@@ -40,6 +40,7 @@ __all__ = [
     "zorder_value",
     "write_zordered",
     "write_sorted",
+    "zorder_cluster",
     "build_file_stats",
     "refresh_file_stats",
     "maintain_file_stats",
@@ -121,9 +122,23 @@ def write_zordered(
     non-ordinal strings into a bucket column first if needed —
     interleaving hashed bits buys pruning only for equality predicates.
     """
-    # NaN-safe stats: min/max over a raw double column would return NaN
-    # if ANY row is NaN (poisoning the whole dimension — see
-    # zorder_value); NaN rows are excluded here and bucket to 0 per row.
+    zorder_cluster(df, cols, bits=bits, n_files=n_files).write.mode(
+        mode
+    ).parquet(path)
+
+
+def zorder_cluster(
+    df: DataFrame, cols: list[str], bits: int = 10, n_files: int = 16
+) -> DataFrame:
+    """The clustering half of :func:`write_zordered` without the
+    write: ``df`` range-partitioned and sorted on the interleaved
+    z-value of ``cols``, original columns only — for callers that
+    need a z-clustered frame headed somewhere else (the compactor's
+    layout-preserving rewrite; :func:`write_zordered` is this plus a
+    parquet write). NaN-safe stats: min/max over a raw double column
+    would return NaN if ANY row is NaN (poisoning the whole dimension
+    — see :func:`zorder_value`); NaN rows are excluded here and
+    bucket to 0 per row."""
     stats = df.agg(
         *[
             agg
@@ -145,15 +160,12 @@ def write_zordered(
         ]
     )
     out_cols = df.columns
-    z = df.join(F.broadcast(stats)).withColumn(
-        "_z", zorder_value(cols, bits=bits)
-    )
-    (
-        z.repartitionByRange(n_files, "_z")
+    return (
+        df.join(F.broadcast(stats))
+        .withColumn("_z", zorder_value(cols, bits=bits))
+        .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .select(*out_cols)
-        .write.mode(mode)
-        .parquet(path)
     )
 
 

@@ -642,3 +642,71 @@ def test_read_pruned_indexed_recovers_stranded_old(spark, tmp_path):
     maintain_file_stats(spark, path, idx)  # restores, then no-ops
     assert _os.path.exists(idx) and not _os.path.exists(idx + ".old")
     assert read_pruned_indexed(spark, path, idx, "x", lo=1, hi=1).count() == 10
+
+
+def test_compact_preserves_sorted_layout(spark, tmp_path):
+    """Compacting a fragmented range-sorted dataset with sort_cols
+    keeps the clustering: per-file min/max key ranges stay DISJOINT
+    after the rewrite (the naive hash repartition scatters them)."""
+    from big_data_hadoop_spark.sources.io import compact_parquet
+    from big_data_hadoop_spark.sources.layout import build_file_stats
+
+    path = str(tmp_path / "cs")
+    # fragmented but sorted-ish source: 12 files
+    spark.range(0, 120_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(12, "k").sortWithinPartitions("k").write.parquet(
+        path
+    )
+    before = spark.read.parquet(path).count()
+    b, a = compact_parquet(
+        spark, path, target_file_bytes=10 * 1024 * 1024, sort_cols=["k"]
+    )
+    assert b == 12 and a < b
+    assert spark.read.parquet(path).count() == before
+    stats = build_file_stats(spark, path, ["k"]).collect()
+    spans = sorted((r.k_min, r.k_max) for r in stats)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {spans}"
+
+
+def test_compact_zorder_recluster(spark, tmp_path):
+    """zorder_cols re-clusters during compaction: the zone map prunes
+    on BOTH dimensions afterwards, and rows are unchanged."""
+    from big_data_hadoop_spark.sources.io import compact_parquet
+    from big_data_hadoop_spark.sources.layout import build_file_stats
+
+    path = str(tmp_path / "cz")
+    spark.range(0, 200_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("y"),
+    ).repartition(16).write.parquet(path)  # scattered layout
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    b, a = compact_parquet(
+        spark,
+        path,
+        target_file_bytes=192 * 1024,
+        zorder_cols=["x", "y"],
+    )
+    assert a >= 8, (b, a)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+    stats = build_file_stats(spark, path, ["x", "y"])
+    n_files = stats.count()
+    for c in ("x", "y"):
+        matching = stats.filter(
+            (F.col(f"{c}_max") >= 100) & (F.col(f"{c}_min") <= 200)
+        ).count()
+        assert matching < n_files, f"no pruning on {c} after recluster"
+
+
+def test_compact_rejects_both_clusterings(spark, tmp_path):
+    from big_data_hadoop_spark.sources.io import compact_parquet
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_parquet(
+            spark,
+            str(tmp_path / "nope"),
+            sort_cols=["a"],
+            zorder_cols=["b"],
+        )
