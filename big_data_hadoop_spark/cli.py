@@ -532,8 +532,16 @@ def cmd_compact(args: argparse.Namespace) -> None:
         target_file_bytes=args.target_mb * 1024 * 1024,
         stats_path=args.stats_path,
         stats_glob=args.stats_glob,
-        sort_cols=args.sort_by.split(",") if args.sort_by else None,
-        zorder_cols=args.zorder_by.split(",") if args.zorder_by else None,
+        sort_cols=(
+            [c.strip() for c in args.sort_by.split(",") if c.strip()]
+            if args.sort_by
+            else None
+        ),
+        zorder_cols=(
+            [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            if args.zorder_by
+            else None
+        ),
     )
     print(f"[compact] {before} files -> {after}")
 

@@ -1094,12 +1094,15 @@ def compact_parquet(
     ``repartitionByRange + sortWithinPartitions`` (restores the
     range-sorted clustering), or ``zorder_cols`` to re-cluster on the
     interleaved z-value (``layout.zorder_cluster``). Mutually
-    exclusive. A clustering request also rewrites a flat dataset
-    ALREADY at its file budget (restoring layout is the gain there);
-    hive-partitioned datasets cluster the directories being rewritten
-    (clean-at-budget directories still skip — re-clustering a whole
-    partitioned table is ``write_zordered`` per partition, not a
-    compaction).
+    exclusive. A clustering request is an explicit RE-LAYOUT: it
+    rewrites a flat dataset even when already at its file budget
+    (restoring a scattered layout is the gain there), so unlike the
+    plain call it is NOT a scheduled-cron no-op — run it
+    event-driven (after a burst of upserts) and keep the scheduled
+    tick unclustered. Hive-partitioned datasets cluster only the
+    directories being rewritten (clean-at-budget directories still
+    skip — re-clustering a whole partitioned table is
+    ``write_zordered`` per partition, not a compaction).
 
     Runs under the dataset's single-writer claim
     (:func:`table_write_lock`), serializing against concurrent upserts
@@ -1138,10 +1141,9 @@ def _compact_locked(
 
             return zorder_cluster(df, list(zorder_cols), n_files=k)
         if sort_cols:
-            scols = [F.col(c) for c in sort_cols]
-            return df.repartitionByRange(k, *scols).sortWithinPartitions(
-                *scols
-            )
+            from big_data_hadoop_spark.sources.layout import sort_cluster
+
+            return sort_cluster(df, list(sort_cols), n_files=k)
         return df.repartition(k)
 
     _recover_generation(path)

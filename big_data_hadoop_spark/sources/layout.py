@@ -41,6 +41,7 @@ __all__ = [
     "write_zordered",
     "write_sorted",
     "zorder_cluster",
+    "sort_cluster",
     "build_file_stats",
     "refresh_file_stats",
     "maintain_file_stats",
@@ -138,7 +139,20 @@ def zorder_cluster(
     parquet write). NaN-safe stats: min/max over a raw double column
     would return NaN if ANY row is NaN (poisoning the whole dimension
     — see :func:`zorder_value`); NaN rows are excluded here and
-    bucket to 0 per row."""
+    bucket to 0 per row. Frames whose columns collide with the
+    internal ``_z`` / ``_zs_min_*`` / ``_zs_max_*`` names are refused
+    loudly — silently overwriting a user column named ``_z`` and
+    selecting it back would publish sort keys as data (the
+    ``cms_estimate`` collision-refusal precedent)."""
+    internal = {"_z"} | {
+        f"_zs_{side}_{c}" for c in cols for side in ("min", "max")
+    }
+    clash = internal & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"zorder_cluster: frame columns {sorted(clash)} collide "
+            "with internal z-order names — rename them first"
+        )
     stats = df.agg(
         *[
             agg
@@ -191,6 +205,17 @@ def write_sorted(
     key — the inherent limit of any sorted layout). The sort is
     per-partition (no global merge). NULL keys sort first, into file 0.
     """
+    sort_cluster(df, sort_cols, n_files=n_files).write.mode(mode).parquet(
+        path
+    )
+
+
+def sort_cluster(
+    df: DataFrame, sort_cols: Sequence[str], n_files: int | None = None
+) -> DataFrame:
+    """The clustering half of :func:`write_sorted` without the write
+    (range partition + within-partition sort), shared with the
+    compactor's layout-preserving rewrite so the two cannot diverge."""
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
     cols = [F.col(c) for c in sort_cols]
@@ -199,7 +224,7 @@ def write_sorted(
         if n_files is not None
         else df.repartitionByRange(*cols)
     )
-    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+    return part.sortWithinPartitions(*cols)
 
 
 def build_file_stats(

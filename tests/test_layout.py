@@ -660,12 +660,13 @@ def test_compact_preserves_sorted_layout(spark, tmp_path):
     )
     before = spark.read.parquet(path).count()
     b, a = compact_parquet(
-        spark, path, target_file_bytes=10 * 1024 * 1024, sort_cols=["k"]
+        spark, path, target_file_bytes=256 * 1024, sort_cols=["k"]
     )
-    assert b == 12 and a < b
+    assert b == 12 and 1 < a < b, (b, a)
     assert spark.read.parquet(path).count() == before
     stats = build_file_stats(spark, path, ["k"]).collect()
     spans = sorted((r.k_min, r.k_max) for r in stats)
+    assert len(spans) == a > 1  # the disjointness loop must actually run
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, f"overlapping file ranges: {spans}"
 
@@ -710,3 +711,11 @@ def test_compact_rejects_both_clusterings(spark, tmp_path):
             sort_cols=["a"],
             zorder_cols=["b"],
         )
+
+
+def test_zorder_cluster_refuses_internal_name_collision(spark):
+    from big_data_hadoop_spark.sources.layout import zorder_cluster
+
+    df = spark.range(10).selectExpr("id as x", "id as _z")
+    with pytest.raises(ValueError, match="_z"):
+        zorder_cluster(df, ["x"])
