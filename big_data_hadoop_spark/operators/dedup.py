@@ -660,23 +660,7 @@ def simhash_neardup_pairs(
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     fp = simhash(df, text_col=text_col, id_col=id_col)
-    chunked = fp.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    chunked = _simhash_chunks(fp, id_col)
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -696,6 +680,115 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _simhash_chunks(fp: DataFrame, id_col: str) -> DataFrame:
+    """Explode 64-bit fingerprints into the 4 x 16-bit pigeonhole
+    chunks the banded joins key on (shared by the batch pair join and
+    the incremental history match)."""
+    return fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+
+
+def simhash_matches_against(
+    fps: DataFrame,
+    stored_fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids in ``fps`` (``(id_col, simhash)`` — :func:`simhash` output)
+    whose fingerprint lies within Hamming ``max_hamming`` of ANY
+    fingerprint in ``stored_fps`` (a one-column ``simhash`` history
+    frame — 8 bytes per past document, the SimHash analog of the
+    digest/signature history tables). Same pigeonhole banding as
+    :func:`simhash_neardup_pairs`: candidates from a chunk equi-join
+    (history documents never ship, only their fingerprints), verified
+    exactly with ``bit_count(xor)``."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
+    new = _simhash_chunks(fps, id_col).alias("a")
+    old = _simhash_chunks(
+        stored_fps.select(F.lit(0).alias("_sid"), "simhash").distinct(),
+        "_sid",
+    ).alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        new.join(
+            old,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv")),
+        )
+        .filter(ham <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+
+
+def simhash_dedup_against(
+    df: DataFrame,
+    stored_fps: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    within_batch: bool = True,
+) -> DataFrame:
+    """Incremental SimHash dedup: rows of ``df`` with no history match
+    within ``max_hamming`` bits, then — with ``within_batch`` —
+    cluster-resolved near-dedup inside the batch
+    (:func:`simhash_neardup_pairs` over the survivors +
+    :func:`dedup_by_clusters`). Completes the incremental tier
+    symmetry: exact (``exact_dedup_against``, 32-byte digests),
+    token-Jaccard (``minhash_dedup_against``, signature tables), and
+    bit-level (this — ONE 8-byte fingerprint per past document, the
+    cheapest history of the three). Emit the surviving batch's
+    fingerprints with :func:`simhash` and append them to the stored
+    table for the next run. The fingerprint computation runs ONCE per
+    batch (reused by the history match and the within-batch join)."""
+    fp = simhash(df, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
+    hits = simhash_matches_against(
+        fp, stored_fps, max_hamming=max_hamming, id_col=id_col
+    )
+    fresh = df.join(hits, id_col, "left_anti")
+    if not within_batch:
+        return fresh
+    fresh_fp = fp.join(hits, id_col, "left_anti")
+    chunked = _simhash_chunks(fresh_fp, id_col)
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return dedup_by_clusters(fresh, pairs, id_col=id_col)
 
 
 def duplicate_clusters(

@@ -1801,6 +1801,34 @@ def q92_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q93_simhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SimHash dedup against a stored fingerprint history
+    (rows-only slot — xxhash64 fingerprints; pinned in
+    tests/test_minhash_incremental.py against a brute-force Hamming +
+    union-find replication over the same fingerprints). Completes the
+    incremental tier symmetry the registry already exercises: exact
+    digests (q64), MinHash signatures (q68), and — here — ONE 8-byte
+    fingerprint per past document, the cheapest history of the three.
+    History = docs with doc_id % 3 == 0 (the q68 split); the batch is
+    the rest, deduped against history then within itself at Hamming
+    <= 3 via the 4x16-bit pigeonhole band join — no all-pairs scan,
+    history documents never ship."""
+    from big_data_hadoop_spark.operators.dedup import (
+        simhash,
+        simhash_dedup_against,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    history = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    batch = docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
+    stored = simhash(history).select("simhash")
+    return (
+        simhash_dedup_against(batch, stored, max_hamming=3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1910,6 +1938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_shuffled_shards": q90_shuffled_shards,
     "q91_skew_profile": q91_skew_profile,
     "q92_lsh_recall_audit": q92_lsh_recall_audit,
+    "q93_simhash_incremental": q93_simhash_incremental,
 }
 
 _EN = ts.STOPWORDS["en"]

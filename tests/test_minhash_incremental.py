@@ -180,3 +180,82 @@ def test_lsh_recall_audit_rejects_tiny_sample(spark):
 
     with pytest.raises(ValueError, match="sample_docs"):
         lsh_recall_audit(spark.range(5).toDF("doc_id"), sample_docs=1)
+
+
+# ------------------------------------------------- incremental SimHash
+
+
+def test_simhash_dedup_against_matches_bruteforce(spark):
+    """The incremental SimHash tier equals a brute-force Hamming
+    filter over the same fingerprints: history hits drop, unrelated
+    docs survive, within-batch twins resolve to one representative."""
+    from big_data_hadoop_spark.operators.dedup import (
+        simhash,
+        simhash_dedup_against,
+        simhash_matches_against,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").limit(120).cache()
+    history_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    stored = simhash(history_docs).select("simhash")
+
+    out = simhash_dedup_against(batch, stored, max_hamming=3)
+    got_ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+
+    # brute-force replication over collected fingerprints
+    fp_all = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    hist = [fp_all[i] for i in fp_all if i % 3 == 0]
+    batch_fp = {i: h for i, h in fp_all.items() if i % 3 != 0}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    fresh = {
+        i: h
+        for i, h in batch_fp.items()
+        if all(ham(h, s) > 3 for s in hist)
+    }
+    # within-batch: greedy union-find on <=3-bit pairs, min-id keeps
+    parent = {i: i for i in fresh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(fresh)
+    for ix, i in enumerate(ids):
+        for j in ids[ix + 1 :]:
+            if ham(fresh[i], fresh[j]) <= 3:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = sorted(i for i in fresh if find(i) == i)
+    assert got_ids == want and got_ids
+
+    # matches_against alone: exactly the batch ids with a history twin
+    hits = sorted(
+        r.doc_id
+        for r in simhash_matches_against(
+            simhash(batch), stored, max_hamming=3
+        ).collect()
+    )
+    want_hits = sorted(
+        i for i, h in batch_fp.items() if any(ham(h, s) <= 3 for s in hist)
+    )
+    assert hits == want_hits
+    assert set(got_ids).isdisjoint(hits)
+
+
+def test_simhash_dedup_against_rejects_wide_radius(spark):
+    import pytest
+
+    from big_data_hadoop_spark.operators.dedup import simhash_matches_against
+
+    fps = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_matches_against(fps, fps.select("simhash"), max_hamming=4)
