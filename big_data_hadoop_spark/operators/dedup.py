@@ -660,6 +660,16 @@ def simhash_neardup_pairs(
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     fp = simhash(df, text_col=text_col, id_col=id_col)
+    return _simhash_pairs_given_fps(fp, max_hamming, id_col)
+
+
+def _simhash_pairs_given_fps(
+    fp: DataFrame, max_hamming: int, id_col: str
+) -> DataFrame:
+    """The banded pair join over precomputed fingerprints — shared by
+    :func:`simhash_neardup_pairs` and the within-batch pass of
+    :func:`simhash_dedup_against` (the ``_lsh_pairs_given_sigs``
+    pattern one tier down), so the two joins cannot diverge."""
     chunked = _simhash_chunks(fp, id_col)
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(
@@ -751,42 +761,37 @@ def simhash_dedup_against(
 ) -> DataFrame:
     """Incremental SimHash dedup: rows of ``df`` with no history match
     within ``max_hamming`` bits, then — with ``within_batch`` —
-    cluster-resolved near-dedup inside the batch
-    (:func:`simhash_neardup_pairs` over the survivors +
+    cluster-resolved near-dedup inside the batch (the shared banded
+    pair join over the surviving fingerprints +
     :func:`dedup_by_clusters`). Completes the incremental tier
     symmetry: exact (``exact_dedup_against``, 32-byte digests),
     token-Jaccard (``minhash_dedup_against``, signature tables), and
     bit-level (this — ONE 8-byte fingerprint per past document, the
     cheapest history of the three). Emit the surviving batch's
     fingerprints with :func:`simhash` and append them to the stored
-    table for the next run. The fingerprint computation runs ONCE per
-    batch (reused by the history match and the within-batch join)."""
-    fp = simhash(df, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=True
-    )
+    table for the next run. With ``within_batch`` the fingerprint
+    computation runs ONCE per batch (checkpointed, reused by the
+    history match and the within-batch join) and the history-hit set
+    is checkpointed too (it anti-joins BOTH ``df`` and the
+    fingerprints)."""
+    if max_hamming > 3:
+        # validate BEFORE the fingerprint job, not inside the match
+        # (review finding: an invalid radius burned a full pass first)
+        raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
+    fp = simhash(df, text_col=text_col, id_col=id_col)
+    if within_batch:
+        fp = fp.localCheckpoint(eager=True)  # reused twice below
     hits = simhash_matches_against(
         fp, stored_fps, max_hamming=max_hamming, id_col=id_col
     )
+    if within_batch:
+        hits = hits.localCheckpoint(eager=True)  # anti-joins df AND fp
     fresh = df.join(hits, id_col, "left_anti")
     if not within_batch:
         return fresh
     fresh_fp = fp.join(hits, id_col, "left_anti")
-    chunked = _simhash_chunks(fresh_fp, id_col)
-    a, b = chunked.alias("a"), chunked.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .filter(ham <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    pairs = _simhash_pairs_given_fps(fresh_fp, max_hamming, id_col).select(
+        "id_a", "id_b"
     )
     return dedup_by_clusters(fresh, pairs, id_col=id_col)
 
