@@ -470,6 +470,11 @@ def cmd_index(args: argparse.Namespace) -> None:
             cols=args.cols.split(",") if args.cols else None,
             glob=args.glob,
             lock=lock,
+            bloom_cols=(
+                args.bloom_cols.split(",") if args.bloom_cols else None
+            ),
+            bloom_bits=args.bloom_bits,
+            bloom_k=args.bloom_k,
         )
     n = spark.read.parquet(args.stats_path).count()
     print(f"[index] {args.stats_path}: {n} files indexed")
@@ -780,6 +785,13 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("stats_path")
     ix.add_argument("--cols", default=None, help="bootstrap columns (comma-sep)")
     ix.add_argument("--glob", default="*.parquet")
+    ix.add_argument(
+        "--bloom-cols",
+        default=None,
+        help="bootstrap bloom-sidecar columns (comma-sep, subset of --cols)",
+    )
+    ix.add_argument("--bloom-bits", type=int, default=8192)
+    ix.add_argument("--bloom-k", type=int, default=6)
 
     sk = sub.add_parser(
         "skew", help="exact skew report for a groupBy/join key"

@@ -227,8 +227,143 @@ def sort_cluster(
     return part.sortWithinPartitions(*cols)
 
 
+def _bloom_name(col: str, bits: int, k: int) -> str:
+    """Index-schema name for a per-file Bloom sidecar column. The
+    ``{bits}x{k}`` suffix makes the filter SELF-DESCRIBING: a refresh
+    that re-scans changed files recovers the exact build parameters
+    from the stored schema (an int stored in a data row would be lost
+    on an empty index), and a probe hashed with different parameters
+    cannot silently test against an incompatible bitset."""
+    return f"{col}_bloom_{bits}x{k}"
+
+
+def _bloom_specs_from_schema(columns: Sequence[str]) -> list[tuple[str, int, int]]:
+    import re
+
+    specs = []
+    for name in columns:
+        m = re.fullmatch(r"(.+)_bloom_(\d+)x(\d+)", name)
+        if m:
+            specs.append((m.group(1), int(m.group(2)), int(m.group(3))))
+    return specs
+
+
+def _validate_bloom(bits: int, k: int) -> None:
+    if bits < 64 or (bits & (bits - 1)) != 0:
+        raise ValueError(
+            f"bloom_bits must be a power of two >= 64 (got {bits}) — "
+            "the double-hashing step stride is forced odd, which is "
+            "coprime with the table size only when it is a power of two"
+        )
+    if not 1 <= k <= 16:
+        raise ValueError(f"bloom_k must be in [1, 16] (got {k})")
+
+
+def _bloom_positions(col: Column, bits: int, k: int) -> Column:
+    """The k Bloom bit positions for one value, as ``array<int>`` —
+    classic Kirsch–Mitzenmacher double hashing ``(h1 + i*h2) mod m``
+    with ``h2`` forced odd (odd is coprime with the power-of-two table
+    size, so the k positions never collapse onto one slot). Pure JVM
+    expressions: the SAME code path hashes the column at build time and
+    the probe literal at read time, and a pure-Python replication of
+    the arithmetic is pinned in ``tests/test_layout.py`` so the shared
+    expression cannot hide a self-consistent bug. Both hashes are
+    reduced mod m BEFORE the combine, so the arithmetic stays under
+    ``m * (k+1)`` — no 64-bit overflow (ANSI mode would refuse the
+    wrap); ``pmod`` keeps every slot non-negative."""
+    m = F.lit(bits).cast("long")
+    h1 = F.pmod(F.xxhash64(col), m)
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), m).bitwiseOR(
+        F.lit(1).cast("long")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, m).cast("int"),
+    )
+
+
+def _blooms_for_scan(
+    data: DataFrame, specs: Sequence[tuple[str, int, int]]
+) -> DataFrame:
+    """Per-file Bloom bitsets for every ``(col, bits, k)`` spec, in ONE
+    column-pruned scan of ``data`` (which carries ``_file``): rows
+    explode to ``(file, col-index, bit position)`` entries for all
+    specs at once, fold to set bits per 64-bit word with ``bit_or``,
+    and assemble a DENSE ``array<long>`` of ``bits/64`` words per col.
+    NULL values contribute no entries (an equality probe against NULL
+    is never true); a file with no non-null values ends as an all-zero
+    or NULL bitset — both mean "definitely absent" at read time. The
+    result is eagerly checkpointed: it is a SNAPSHOT with the same
+    no-silent-refresh contract as the stats pass."""
+    # single-arg lambda factories: a two-parameter lambda would be
+    # interpreted by F.transform as (value, index) and the captured
+    # loop variable would silently become the ELEMENT INDEX column
+    def _tag(ci):
+        return lambda p: F.struct(F.lit(ci).alias("ci"), p.alias("pos"))
+
+    arrs = []
+    for ci, (c, bits, k) in enumerate(specs):
+        ent = F.transform(_bloom_positions(F.col(c), bits, k), _tag(ci))
+        # empty array OF THE SAME STRUCT TYPE for NULL values —
+        # slice(ent, 1, 0) sidesteps the untyped-empty-array cast
+        arrs.append(
+            F.when(F.col(c).isNotNull(), ent).otherwise(F.slice(ent, 1, 0))
+        )
+    exploded = data.select(
+        _norm_file(F.col("_file")).alias("file"),
+        F.explode(F.flatten(F.array(*arrs))).alias("e"),
+    ).select("file", "e.ci", "e.pos")
+    words = (
+        exploded.select(
+            "file",
+            "ci",
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(1L, pos & 63)").alias("bit"),
+        )
+        .groupBy("file", "ci", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .groupBy("file", "ci")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("wmap")
+        )
+        .groupBy("file")
+        .agg(
+            *[
+                F.first(
+                    F.when(F.col("ci") == ci, F.col("wmap")),
+                    ignorenulls=True,
+                ).alias(f"_wmap_{ci}")
+                for ci in range(len(specs))
+            ]
+        )
+    )
+    def _dense(ci):
+        return lambda w: F.coalesce(
+            F.element_at(F.col(f"_wmap_{ci}"), w), F.lit(0).cast("long")
+        )
+
+    dense = words.select(
+        "file",
+        *[
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits // 64 - 1)), _dense(ci)
+            ).alias(_bloom_name(c, bits, k))
+            for ci, (c, bits, k) in enumerate(specs)
+        ],
+    )
+    return dense.localCheckpoint(eager=True)
+
+
 def build_file_stats(
-    spark, path: str, cols: Sequence[str], glob: str = "*.parquet"
+    spark,
+    path: str,
+    cols: Sequence[str],
+    glob: str = "*.parquet",
+    bloom_cols: Sequence[str] | None = None,
+    bloom_bits: int = 8192,
+    bloom_k: int = 6,
 ) -> DataFrame:
     """Per-FILE zone map over ``cols``: ``(file, length, mtime, n_rows,
     <col>_min, <col>_max, <col>_nulls …)`` — the file-level analog of
@@ -263,13 +398,39 @@ def build_file_stats(
     file belongs in the index (its NULL zone correctly never
     matches), while a file ADDED between the two scans has rows and
     must fail the build loudly instead of entering the index as an
-    unprunable-looking-but-pruned entry (silent row loss)."""
+    unprunable-looking-but-pruned entry (silent row loss).
+
+    ``bloom_cols`` adds a per-file BLOOM FILTER sidecar (``bloom_bits``
+    bits, ``bloom_k`` hashes, stored as a dense ``array<long>`` named
+    ``<col>_bloom_<bits>x<k>``) — the equality-probe complement of the
+    min/max zone. Zones prune RANGE predicates and only pay off on a
+    clustered column; a point lookup on an UNSORTED column (every file
+    spans the full value range) prunes nothing. The Bloom sidecar
+    answers "can value v appear in this file at all" regardless of
+    layout — the same per-data-file bloom table formats keep in their
+    manifests — so a needle query over 100 TB opens the handful of
+    files whose filter fires instead of all of them. Cost: one extra
+    column-pruned scan at build, ``bits/8`` bytes per file per column
+    (1 KiB at the 8192-bit default) in the O(files) index. Probe side:
+    :func:`read_pruned` with ``eq=``. False-positive rate follows the
+    standard ``(1 - e^{-kn/m})^k``; at 8192 bits / 6 hashes a file
+    with 1000 distinct values probes at ~0.01%."""
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
+    specs = []
+    for c in bloom_cols or []:
+        _validate_bloom(bloom_bits, bloom_k)
+        if c not in cols:
+            raise ValueError(
+                f"bloom column {c!r} must also be in cols — the "
+                "equality probe reads the column's type and zone off "
+                f"the stored {c}_min/{c}_max"
+            )
+        specs.append((c, bloom_bits, bloom_k))
     data = (
         spark.read.parquet(path)
-        .select(*cols)
+        .select(*dict.fromkeys([*cols, *(c for c, _, _ in specs)]))
         .withColumn("_file", F.input_file_name())
     )
     # the listing factory runs AFTER the stats scan materializes
@@ -278,7 +439,11 @@ def build_file_stats(
     # listing taken first would miss it on both sides and the file
     # would silently never enter the index)
     return _stats_for_listing(
-        data, lambda: _snapshot_listing(spark, path, glob), cols, path
+        data,
+        lambda: _snapshot_listing(spark, path, glob),
+        cols,
+        path,
+        bloom_specs=specs,
     )
 
 
@@ -302,13 +467,20 @@ def _snapshot_listing(spark, path: str, glob: str) -> DataFrame:
 
 
 def _stats_for_listing(
-    data: DataFrame, listing_factory, cols: list[str], path: str
+    data: DataFrame,
+    listing_factory,
+    cols: list[str],
+    path: str,
+    bloom_specs: Sequence[tuple[str, int, int]] = (),
 ) -> DataFrame:
     """Zone-map rows from the column-pruned scan ``data``, keyed under
     the listing ``listing_factory()`` produces — invoked only AFTER
     the scan has materialized, so a file added mid-scan shows up as a
     listing-only extra and the footer check below can refuse loudly.
-    Shared by the full build and the incremental refresh."""
+    Shared by the full build and the incremental refresh. Bloom
+    sidecars run as a second scan BEFORE the listing for the same
+    reason: a file added between the two scans is a listing-only extra
+    (footer-verified loud), never a silently bloom-less index row."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -321,6 +493,9 @@ def _stats_for_listing(
         .agg(*aggs)
         .localCheckpoint(eager=True)
     )
+    if bloom_specs:
+        blooms = _blooms_for_scan(data, list(bloom_specs))
+        stats = stats.join(blooms, "file", "left")
     listing = listing_factory()
     joined = listing.join(stats, "file", "left")
     extras = [
@@ -372,6 +547,10 @@ def refresh_file_stats(
             "stats frame has no <col>_min columns — not a "
             "build_file_stats index"
         )
+    # Bloom sidecars are self-describing via their column names, so the
+    # re-scan of changed files rebuilds them with the exact build-time
+    # (bits, k) — kept rows keep their stored bitsets untouched
+    bloom_specs = _bloom_specs_from_schema(stats.columns)
     current = _snapshot_listing(spark, path, glob)
     keys = ["file", "length", "mtime"]
     keep = current.join(stats, keys, "inner").select(*stats.columns)
@@ -395,10 +574,14 @@ def refresh_file_stats(
         data = (
             spark.read.option("basePath", path)
             .parquet(*changed_files)
-            .select(*cols)
+            .select(
+                *dict.fromkeys([*cols, *(c for c, _, _ in bloom_specs)])
+            )
             .withColumn("_file", F.input_file_name())
         )
-        fresh = _stats_for_listing(data, lambda: changed, cols, path)
+        fresh = _stats_for_listing(
+            data, lambda: changed, cols, path, bloom_specs=bloom_specs
+        )
         out = keep.unionByName(fresh.select(*stats.columns))
     else:
         out = keep
@@ -423,6 +606,17 @@ def refresh_file_stats(
     return out
 
 
+def _bloom_may_contain(words, positions) -> bool:
+    """Driver-side membership test against one file's dense bitset.
+    ``words`` is the collected ``array<long>`` (NULL → the file holds
+    no non-null values for the column → definitely absent); Python's
+    two's-complement ``&`` on the possibly-negative Java longs tests
+    bit 63 correctly."""
+    if words is None:
+        return False
+    return all(words[p >> 6] & (1 << (p & 63)) for p in positions)
+
+
 def read_pruned(
     spark,
     path: str,
@@ -432,6 +626,7 @@ def read_pruned(
     hi=None,
     strict: bool = True,
     glob: str = "*.parquet",
+    eq=None,
 ) -> DataFrame:
     """Read the dataset at ``path`` touching ONLY the files whose
     ``[min, max]`` zone (from :func:`build_file_stats`) can contain a
@@ -456,11 +651,26 @@ def read_pruned(
     The pruned read passes ``basePath`` so hive-style partition
     directories (``day=.../part-*.parquet``) keep contributing their
     partition columns — the schema matches the unpruned read exactly,
-    and ``col`` may itself be a partition column."""
+    and ``col`` may itself be a partition column.
+
+    ``eq=v`` is the POINT-LOOKUP form (mutually exclusive with
+    ``lo``/``hi``): the zone check degenerates to ``min <= v <= max``,
+    and when the index carries a Bloom sidecar for ``col``
+    (:func:`build_file_stats` ``bloom_cols``) every zone-surviving
+    file is additionally tested against its per-file bitset — on an
+    unclustered column, where every file's zone spans the full range
+    and prunes nothing, the bloom is what collapses the needle query
+    to a handful of files. The probe value is hashed by the SAME
+    expression that built the filters, cast to the indexed column's
+    type (read off the stored ``<col>_min`` schema) so an int probe
+    against a long column cannot hash differently. Without a sidecar,
+    ``eq`` falls back to zone-only pruning — correct, just weaker."""
     from big_data_hadoop_spark.sources.io import list_data_files
 
-    if lo is None and hi is None:
-        raise ValueError("at least one of lo/hi is required")
+    if eq is not None and (lo is not None or hi is not None):
+        raise ValueError("eq is mutually exclusive with lo/hi")
+    if eq is None and lo is None and hi is None:
+        raise ValueError("one of eq, lo, hi is required")
     if strict:
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         current = list_data_files(spark, path, glob=glob).select(
@@ -489,18 +699,57 @@ def read_pruned(
                 "rebuild the index (pruning with it would silently "
                 "drop rows)"
             )
-    cond = F.col(f"{col}_min").isNotNull()
-    if lo is not None:
-        cond = cond & (F.col(f"{col}_max") >= F.lit(lo))
-    if hi is not None:
-        cond = cond & (F.col(f"{col}_min") <= F.lit(hi))
-    files = [r.file for r in stats.filter(cond).select("file").collect()]
-    row_filter = None
-    if lo is not None:
-        row_filter = F.col(col) >= F.lit(lo)
-    if hi is not None:
-        t = F.col(col) <= F.lit(hi)
-        row_filter = t if row_filter is None else row_filter & t
+    if eq is not None:
+        if f"{col}_min" not in stats.columns:
+            raise ValueError(
+                f"column {col} is not in the stats index "
+                f"(have {sorted(c[:-4] for c in stats.columns if c.endswith('_min'))})"
+            )
+        dtype = stats.schema[f"{col}_min"].dataType
+        probe = F.lit(eq).cast(dtype)
+        cond = (
+            F.col(f"{col}_min").isNotNull()
+            & (F.col(f"{col}_max") >= probe)
+            & (F.col(f"{col}_min") <= probe)
+        )
+        specs = [
+            s for s in _bloom_specs_from_schema(stats.columns) if s[0] == col
+        ]
+        if specs:
+            c, bits, k = specs[0]
+            positions = (
+                spark.range(1)
+                .select(_bloom_positions(probe, bits, k).alias("p"))
+                .head()["p"]
+            )
+            cand = stats.filter(cond).select(
+                "file", _bloom_name(c, bits, k)
+            ).collect()
+            files = [
+                r.file
+                for r in cand
+                if _bloom_may_contain(r[_bloom_name(c, bits, k)], positions)
+            ]
+        else:
+            files = [
+                r.file for r in stats.filter(cond).select("file").collect()
+            ]
+        row_filter = F.col(col) == probe
+    else:
+        cond = F.col(f"{col}_min").isNotNull()
+        if lo is not None:
+            cond = cond & (F.col(f"{col}_max") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"{col}_min") <= F.lit(hi))
+        files = [
+            r.file for r in stats.filter(cond).select("file").collect()
+        ]
+        row_filter = None
+        if lo is not None:
+            row_filter = F.col(col) >= F.lit(lo)
+        if hi is not None:
+            t = F.col(col) <= F.lit(hi)
+            row_filter = t if row_filter is None else row_filter & t
     if not files:
         return (
             spark.read.parquet(path).filter(F.lit(False))
@@ -519,6 +768,9 @@ def maintain_file_stats(
     cols: Sequence[str] | None = None,
     glob: str = "*.parquet",
     lock=None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_bits: int = 8192,
+    bloom_k: int = 6,
 ) -> None:
     """Keep a PERSISTED zone-map index at ``stats_path`` in step with
     the dataset at ``path``: load the stored index, incrementally
@@ -567,12 +819,35 @@ def maintain_file_stats(
                     "bootstrap again); silently keeping the old set "
                     "would fail later at read_pruned time"
                 )
+        if bloom_cols is not None:
+            want = sorted(
+                _bloom_name(c, bloom_bits, bloom_k) for c in bloom_cols
+            )
+            have_bloom = sorted(
+                _bloom_name(c, b, k)
+                for c, b, k in _bloom_specs_from_schema(stored.columns)
+            )
+            if want != have_bloom:
+                raise ValueError(
+                    f"stored index at {stats_path} carries bloom "
+                    f"sidecars {have_bloom}, not {want} — changing "
+                    "bloom columns or parameters needs a rebuild "
+                    "(delete the index and bootstrap again)"
+                )
         info: dict = {}
         fresh = refresh_file_stats(spark, path, stored, glob=glob, info=info)
         if not info["changed_files"] and not info["removed_any"]:
             return  # nothing changed — skip the rewrite and swap
     elif cols:
-        fresh = build_file_stats(spark, path, list(cols), glob=glob)
+        fresh = build_file_stats(
+            spark,
+            path,
+            list(cols),
+            glob=glob,
+            bloom_cols=bloom_cols,
+            bloom_bits=bloom_bits,
+            bloom_k=bloom_k,
+        )
     else:
         raise ValueError(
             f"no stored index at {stats_path} and no cols given — "
@@ -593,6 +868,7 @@ def read_pruned_indexed(
     hi=None,
     strict: bool = True,
     glob: str = "*.parquet",
+    eq=None,
 ) -> DataFrame:
     """:func:`read_pruned` against the PERSISTED index at
     ``stats_path`` (see :func:`maintain_file_stats`) — the end-to-end
@@ -610,5 +886,13 @@ def read_pruned_indexed(
         idx = idx + ".old"
     stats = spark.read.parquet(idx)
     return read_pruned(
-        spark, path, stats, col, lo=lo, hi=hi, strict=strict, glob=glob
+        spark,
+        path,
+        stats,
+        col,
+        lo=lo,
+        hi=hi,
+        strict=strict,
+        glob=glob,
+        eq=eq,
     )

@@ -719,3 +719,207 @@ def test_zorder_cluster_refuses_internal_name_collision(spark):
     df = spark.range(10).selectExpr("id as x", "id as _z")
     with pytest.raises(ValueError, match="_z"):
         zorder_cluster(df, ["x"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecar: per-file equality pruning on unclustered columns
+# ---------------------------------------------------------------------------
+
+
+def _write_date_clustered_orders(spark, path):
+    """Orders clustered by date — o_orderkey is UNSORTED across files,
+    so its per-file min/max zones all span the full key range and a
+    zone-only point lookup prunes (almost) nothing."""
+    orders = load_table(spark, SF, "orders")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(path)
+    )
+    return orders
+
+
+def test_bloom_point_lookup_prunes_unclustered_column(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "ds")
+    orders = _write_date_clustered_orders(spark, path)
+    stats = build_file_stats(
+        spark,
+        path,
+        ["o_orderdate", "o_orderkey"],
+        bloom_cols=["o_orderkey"],
+    )
+    n_files = stats.count()
+    assert n_files == 8
+    # zones alone cannot prune this column: nearly every file's
+    # [min, max] contains a mid-range key
+    keys = [
+        r.o_orderkey
+        for r in orders.select("o_orderkey").distinct().limit(6).collect()
+    ]
+    touched = []
+    for k in keys:
+        got = read_pruned(spark, path, stats, "o_orderkey", eq=k)
+        want = sorted(
+            map(str, orders.filter(F.col("o_orderkey") == k).collect())
+        )
+        assert sorted(map(str, got.collect())) == want and want
+        touched.append(len(got.inputFiles()))
+    # the bloom is what collapses the lookup — on 8 files with ~1900
+    # distinct keys each at 8192x6 the expected false-positive count
+    # is far below 1 per probe; allow 3 to keep the test hash-stable
+    assert max(touched) <= 3, touched
+    # absent key: no file survives, schema is preserved
+    got = read_pruned(spark, path, stats, "o_orderkey", eq=-12345)
+    assert got.count() == 0
+    assert got.columns == orders.columns
+    assert len(got.inputFiles()) == 0
+
+
+def test_bloom_positions_match_python_replication(spark):
+    """The build and the probe share _bloom_positions, so a bug there
+    would be self-consistent — pin the arithmetic against a
+    pure-Python replication fed only the raw xxhash64 values."""
+    from big_data_hadoop_spark.sources.layout import _bloom_positions
+
+    bits, k = 4096, 5
+    vals = spark.range(0, 50).select(
+        F.col("id").alias("v"),
+        F.xxhash64("id").alias("h1"),
+        F.xxhash64("id", F.lit(1)).alias("h2"),
+        _bloom_positions(F.col("id"), bits, k).alias("pos"),
+    )
+    for r in vals.collect():
+        h1 = r.h1 % bits  # Python % matches pmod on negatives
+        h2 = (r.h2 % bits) | 1
+        want = [(h1 + i * h2) % bits for i in range(k)]
+        assert list(r.pos) == want, (r.v, list(r.pos), want)
+
+
+def test_bloom_null_values_excluded(spark, tmp_path):
+    """NULLs contribute no bloom entries: a file whose indexed column
+    is entirely NULL reads as definitely-absent for every probe, and
+    mixed files still answer equality correctly."""
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(4, None), (5, None)], "id long, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    stats = build_file_stats(spark, path, ["v"], bloom_cols=["v"])
+    got = read_pruned(spark, path, stats, "v", eq=10)
+    assert [r.id for r in got.collect()] == [1]
+    assert len(got.inputFiles()) == 1
+    # the all-NULL file has a NULL zone AND a NULL/zero bloom — a probe
+    # for any value must not touch it
+    got = read_pruned(spark, path, stats, "v", eq=999)
+    assert got.count() == 0 and len(got.inputFiles()) == 0
+
+
+def test_bloom_refresh_matches_full_rebuild(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+        refresh_file_stats,
+    )
+
+    path = str(tmp_path / "ds")
+    orders = _write_date_clustered_orders(spark, path)
+    stats = build_file_stats(
+        spark,
+        path,
+        ["o_orderdate", "o_orderkey"],
+        bloom_cols=["o_orderkey"],
+    )
+    orders.limit(50).coalesce(1).write.mode("append").parquet(path)
+    refreshed = refresh_file_stats(spark, path, stats)
+    rebuilt = build_file_stats(
+        spark,
+        path,
+        ["o_orderdate", "o_orderkey"],
+        bloom_cols=["o_orderkey"],
+    )
+    assert sorted(map(str, refreshed.collect())) == sorted(
+        map(str, rebuilt.collect())
+    )
+    # and the refreshed index answers point lookups for NEW files' keys
+    # (the appended rows duplicate source keys — count the DATASET)
+    k = orders.limit(1).collect()[0].o_orderkey
+    got = read_pruned(spark, path, refreshed, "o_orderkey", eq=k)
+    want = (
+        spark.read.parquet(path).filter(F.col("o_orderkey") == k).count()
+    )
+    assert got.count() == want and want >= 2
+
+
+def test_bloom_validation(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "v")
+    spark.range(10).selectExpr("id as a", "id as b").write.parquet(path)
+    with pytest.raises(ValueError, match="power of two"):
+        build_file_stats(spark, path, ["a"], bloom_cols=["a"], bloom_bits=100)
+    with pytest.raises(ValueError, match="must also be in cols"):
+        build_file_stats(spark, path, ["a"], bloom_cols=["b"])
+    stats = build_file_stats(spark, path, ["a"], bloom_cols=["a"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_pruned(spark, path, stats, "a", lo=1, eq=2)
+    with pytest.raises(ValueError, match="one of eq, lo, hi"):
+        read_pruned(spark, path, stats, "a")
+    with pytest.raises(ValueError, match="not in the stats index"):
+        read_pruned(spark, path, stats, "b", eq=1)
+
+
+def test_maintained_bloom_index_through_upsert(spark, tmp_path):
+    """Bootstrap a bloom-carrying persisted index, mutate through the
+    verbs, and keep answering strict point lookups — plus the loud
+    refusal when a maintainer asks for different bloom parameters."""
+    from big_data_hadoop_spark.sources.io import upsert_parquet
+    from big_data_hadoop_spark.sources.layout import (
+        maintain_file_stats,
+        read_pruned_indexed,
+    )
+
+    path = str(tmp_path / "ds")
+    idx = str(tmp_path / "idx")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("x")
+    ).repartition(4).write.parquet(path)
+    maintain_file_stats(spark, path, idx, cols=["k", "x"], bloom_cols=["x"])
+
+    def check(v):
+        got = read_pruned_indexed(spark, path, idx, "x", eq=v)
+        want = (
+            spark.read.parquet(path).filter(F.col("x") == v).count()
+        )
+        assert got.count() == want
+
+    check(7)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(1, 4242), (2000, 7)], "k long, x long"),
+        ["k"],
+        stats_path=idx,
+    )
+    check(4242)
+    check(7)
+    with pytest.raises(ValueError, match="bloom"):
+        maintain_file_stats(
+            spark, path, idx, bloom_cols=["x"], bloom_bits=4096
+        )
+    with pytest.raises(ValueError, match="bloom"):
+        maintain_file_stats(spark, path, idx, bloom_cols=[])
