@@ -1829,6 +1829,37 @@ def q93_simhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q94_triangle_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient over
+    the lineitem co-purchase graph — parts are linked when some order
+    contains both (rows-only slot by registry position; the full
+    DuckDB oracle runs in tests/test_triangles.py via an INDEPENDENT
+    id-ordered three-way-join enumeration, the operator orients by
+    degree). Graph-analytics companion to q88's PageRank: coefficient
+    separates template neighborhoods (mutually-linked, coeff→1) from
+    chains (coeff→0) on near-dup graphs. Scale shape: compact-forward
+    wedge counting (Latapy 2008) — each edge oriented from its
+    (degree, id)-smaller endpoint caps out-degrees near √m, so hub
+    wedges are charged to low-degree neighbors; three keyed equi-join
+    shuffles, no cartesian, O(edges) state. Coeff rounded to 8 digits
+    for presentation stability."""
+    from big_data_hadoop_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
+    )
+    return (
+        triangle_count(edges)
+        .select("id", "degree", "triangles", F.round("coeff", 8).alias("coeff"))
+        .orderBy("id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1939,6 +1970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_skew_profile": q91_skew_profile,
     "q92_lsh_recall_audit": q92_lsh_recall_audit,
     "q93_simhash_incremental": q93_simhash_incremental,
+    "q94_triangle_copurchase": q94_triangle_copurchase,
 }
 
 _EN = ts.STOPWORDS["en"]
