@@ -385,6 +385,124 @@ def moving_agg(
     return df.withColumn(out_col, agg.over(w))
 
 
+def resample_timeseries(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_seconds: int,
+    agg: str = "avg",
+    fill: str = "null",
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid →
+    ``(<key_col>, bucket_ts, value, n_obs)``: aggregate observations
+    into ``step_seconds`` buckets, then DENSIFY each key's series over
+    its own ``[first, last]`` observed bucket span (missing buckets
+    appear with ``n_obs = 0``) and fill gaps:
+
+    * ``"null"`` — leave holes NULL (the honest default),
+    * ``"zero"`` — 0.0 (count-like series),
+    * ``"locf"`` — last observation carried forward; buckets before a
+      key's first observation stay NULL,
+    * ``"linear"`` — interpolate between the surrounding observed
+      buckets by bucket distance; leading/trailing gaps stay NULL.
+
+    ``value`` is always DOUBLE (the interpolation arithmetic and the
+    cross-agg uniformity both want it); ``agg`` is one of
+    avg/sum/min/max/count over non-null ``val_col``.
+
+    Scale shape: ONE keyed aggregation (map-side partial combine) down
+    to O(keys × observed buckets) rows — the raw events never pass
+    this point — then the grid explodes from a per-key (min, max) span
+    frame of O(keys) rows, and the fill windows run per key over
+    already-bucketed rows. The hazard at 100 TB is a key whose span/
+    step explodes the grid (one sensor with a 10-year span at 1s
+    steps is 3·10⁸ rows in ONE task): ``max_buckets_per_key`` refuses
+    loudly first — the same valve pattern as the funnel's
+    ``max_events_per_user`` and BM25's ``max_df`` — computed from the
+    O(keys) span frame before anything explodes. DuckDB oracle
+    (generate_series + IGNORE NULLS windows) in
+    tests/test_resample.py."""
+    allowed_aggs = {"avg", "sum", "min", "max", "count"}
+    if agg not in allowed_aggs:
+        raise ValueError(f"agg must be one of {sorted(allowed_aggs)}")
+    allowed_fills = {"null", "zero", "locf", "linear"}
+    if fill not in allowed_fills:
+        raise ValueError(f"fill must be one of {sorted(allowed_fills)}")
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    reserved = {"bucket_ts", "value", "n_obs"}
+    if key_col in reserved:
+        raise ValueError(f"key_col may not be one of {sorted(reserved)}")
+    step_us = int(step_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    obs = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.floor(us / F.lit(step_us)).cast("long").alias("_b"),
+            F.col(val_col).alias("_v"),
+        )
+        .groupBy("_k", "_b")
+        .agg(
+            getattr(F, agg)("_v").cast("double").alias("_val"),
+            F.count("_v").alias("n_obs"),
+        )
+        .localCheckpoint(eager=True)  # reused: span probe + grid join
+    )
+    spans = obs.groupBy("_k").agg(
+        F.min("_b").alias("_mb"), F.max("_b").alias("_xb")
+    )
+    worst = spans.agg(
+        F.max(F.col("_xb") - F.col("_mb") + 1).alias("w")
+    ).first()
+    if worst is not None and worst["w"] is not None and worst["w"] > max_buckets_per_key:
+        raise ValueError(
+            f"a key spans {worst['w']} buckets at step={step_seconds}s, "
+            f"over the max_buckets_per_key budget of {max_buckets_per_key} "
+            "— raise the budget, coarsen the step, or split hot keys "
+            "(densifying it would explode one key into one giant task)"
+        )
+    grid = spans.select(
+        "_k", F.explode(F.sequence("_mb", "_xb")).alias("_b")
+    )
+    joined = grid.join(obs, ["_k", "_b"], "left").withColumn(
+        "n_obs", F.coalesce("n_obs", F.lit(0))
+    )
+    w = Window.partitionBy("_k").orderBy("_b")
+    if fill == "zero":
+        value = F.coalesce("_val", F.lit(0.0))
+    elif fill == "locf":
+        value = F.last("_val", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    elif fill == "linear":
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        wn = w.rowsBetween(1, Window.unboundedFollowing)
+        pv = F.last("_val", ignorenulls=True).over(wp)
+        pb = F.last(
+            F.when(F.col("_val").isNotNull(), F.col("_b")), ignorenulls=True
+        ).over(wp)
+        nv = F.first("_val", ignorenulls=True).over(wn)
+        nb = F.first(
+            F.when(F.col("_val").isNotNull(), F.col("_b")), ignorenulls=True
+        ).over(wn)
+        value = F.when(F.col("_val").isNotNull(), F.col("_val")).otherwise(
+            F.when(
+                pv.isNotNull() & nv.isNotNull(),
+                pv + (nv - pv) * (F.col("_b") - pb) / (nb - pb),
+            )
+        )
+    else:
+        value = F.col("_val")
+    return joined.select(
+        F.col("_k").alias(key_col),
+        F.timestamp_micros(F.col("_b") * F.lit(step_us)).alias("bucket_ts"),
+        value.cast("double").alias("value"),
+        "n_obs",
+    )
+
+
 def funnel_progress(
     events: DataFrame,
     steps: Sequence[str],

@@ -1860,6 +1860,34 @@ def q94_triangle_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q95_resample_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily resample of each user's event values with linear gap
+    interpolation (rows-only slot by registry position; the full
+    DuckDB oracle — generate_series grid + IGNORE NULLS windows — runs
+    in tests/test_resample.py, with hand-computed locf/linear/zero
+    fills on a constructed series). The time-series companion to the
+    as-of join: ONE keyed aggregation collapses raw events to
+    O(users × days), the grid explodes from a per-key span frame of
+    O(users) rows, and the fill windows run over already-bucketed
+    rows; a max_buckets_per_key valve refuses grid explosions before
+    they become one giant task. Value rounded to 8 digits (avg fold
+    order is partition-dependent past that)."""
+    from big_data_hadoop_spark.operators.relational import (
+        resample_timeseries,
+    )
+
+    ev = load_table(spark, sf, "events")
+    out = resample_timeseries(
+        ev, "user_id", "ts", "value", 86400, agg="avg", fill="linear"
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        F.round("value", 8).alias("value"),
+        "n_obs",
+    ).orderBy("user_id", "bucket_ts")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1971,6 +1999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_lsh_recall_audit": q92_lsh_recall_audit,
     "q93_simhash_incremental": q93_simhash_incremental,
     "q94_triangle_copurchase": q94_triangle_copurchase,
+    "q95_resample_linear": q95_resample_linear,
 }
 
 _EN = ts.STOPWORDS["en"]
