@@ -447,6 +447,20 @@ def cmd_skew(args: argparse.Namespace) -> None:
     print(_json.dumps(summary, sort_keys=True))
 
 
+def cmd_vacuum(args: argparse.Namespace) -> None:
+    """Reclaim stage-and-swap crash residue of a mutable dataset
+    (``sources.io.vacuum_table``): stranded ``.old`` generations are
+    restored, post-publish ``.old`` leftovers and dead ``.staging``
+    copies older than the grace window are deleted. No SparkSession —
+    pure metadata walk under the dataset's writer claim."""
+    import json as _json
+
+    from big_data_hadoop_spark.sources.io import vacuum_table
+
+    stats = vacuum_table(args.dataset, grace_seconds=args.grace_seconds)
+    print(f"[vacuum] {args.dataset}: " + _json.dumps(stats, sort_keys=True))
+
+
 def cmd_index(args: argparse.Namespace) -> None:
     """Bootstrap or refresh the persisted zone-map index for a parquet
     dataset (``layout.maintain_file_stats``): pass ``--cols`` once to
@@ -778,6 +792,12 @@ def main(argv: list[str] | None = None) -> None:
     sh.add_argument("--id-col", default="doc_id")
     sh.add_argument("--format", default="parquet", choices=["parquet", "json"])
 
+    vc = sub.add_parser(
+        "vacuum", help="reclaim a mutable dataset's crash residue"
+    )
+    vc.add_argument("dataset")
+    vc.add_argument("--grace-seconds", type=float, default=86400.0)
+
     ix = sub.add_parser(
         "index", help="bootstrap/refresh a dataset's zone-map index"
     )
@@ -830,6 +850,7 @@ def main(argv: list[str] | None = None) -> None:
         "shard": cmd_shard,
         "skew": cmd_skew,
         "index": cmd_index,
+        "vacuum": cmd_vacuum,
         "train-quality": cmd_train_quality,
         "score-quality": cmd_score_quality,
         "clean": cmd_clean,

@@ -1223,6 +1223,97 @@ def _recover_tree(path: str) -> None:
                     dirnames.remove(d)
 
 
+def vacuum_table(path: str, grace_seconds: float = 86400.0) -> dict:
+    """Reclaim the crash residue the mutable-table verbs can leave
+    behind, under the same single-writer claim they hold — the
+    mutable-path counterpart of :func:`versioned_vacuum`. Three kinds
+    of residue exist (each from a specific kill window of the
+    stage-and-swap), and each verb self-heals only the one that blocks
+    ITS next run; a table that stops being written keeps the garbage
+    forever, and at 100 TB a dead ``.staging`` is a full extra copy of
+    whatever it was staging:
+
+    * stranded ``<dir>.old`` with NO base (kill between the two swap
+      renames) — RESTORED, never deleted: it is the only copy of the
+      table's rows;
+    * leftover ``<dir>.old`` WITH a published base (kill after publish,
+      before the cleanup rmtree) — deleted once older than
+      ``grace_seconds``;
+    * dead ``<dir>.staging`` (writer died before its swap, or a
+      detected mid-swap steal deliberately surfaced the loser's staged
+      generation for inspection) — deleted once older than
+      ``grace_seconds``.
+
+    Both top-level siblings of ``path`` and nested per-partition
+    residue (``day=.../part.old``) are swept. The grace window is
+    measured by :func:`_latest_mtime` over the WHOLE residue tree
+    (an in-flight foreign writer keeps something fresh), and
+    unreadable entries read as fresh — the vacuum fails toward
+    keeping data, exactly like the versioned-dataset vacuum. Holding
+    the claim means no verb writer is live; grace guards against
+    writers that bypass the claim. Returns
+    ``{"recovered", "removed", "kept_fresh", "bytes_freed"}``."""
+    import shutil
+    import time
+
+    stats = {"recovered": 0, "removed": 0, "kept_fresh": 0, "bytes_freed": 0}
+    base = os.path.abspath(path).rstrip(os.sep)
+    if not os.path.exists(base) and not os.path.exists(base + ".old"):
+        return stats
+    with table_write_lock(base, **_VERB_LOCK_OPTS):
+        now = time.time()
+
+        def _dead(p: str) -> bool:
+            m = _latest_mtime(p)
+            return m != float("inf") and now - m >= grace_seconds
+
+        def _tree_bytes(p: str) -> int:
+            total = 0
+            for dp, _dns, fns in os.walk(p):
+                for f in fns:
+                    try:
+                        total += os.path.getsize(os.path.join(dp, f))
+                    except OSError:
+                        pass
+            return total
+
+        def _sweep(b: str) -> None:
+            old, staging = b + ".old", b + ".staging"
+            if os.path.exists(old):
+                if not os.path.exists(b):
+                    os.rename(old, b)
+                    stats["recovered"] += 1
+                elif _dead(old):
+                    stats["bytes_freed"] += _tree_bytes(old)
+                    shutil.rmtree(old)
+                    stats["removed"] += 1
+                else:
+                    stats["kept_fresh"] += 1
+            if os.path.exists(staging):
+                if _dead(staging):
+                    stats["bytes_freed"] += _tree_bytes(staging)
+                    shutil.rmtree(staging)
+                    stats["removed"] += 1
+                else:
+                    stats["kept_fresh"] += 1
+
+        _sweep(base)
+        residue_bases = []
+        for dirpath, dirnames, _files in os.walk(base):
+            for d in dirnames:
+                for suf in (".old", ".staging"):
+                    if d.endswith(suf):
+                        residue_bases.append(
+                            os.path.join(dirpath, d[: -len(suf)])
+                        )
+        # process from a completed listing (restores rename siblings,
+        # deletes prune subtrees — neither may mutate a live walk);
+        # existence is re-checked inside _sweep at process time
+        for b in sorted(set(residue_bases)):
+            _sweep(b)
+    return stats
+
+
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet dataset whose files carry DIFFERENT (compatible)
     schemas — the schema-evolution case every long-lived ingest hits

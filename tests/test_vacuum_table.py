@@ -1,0 +1,90 @@
+"""Mutable-table vacuum (``sources.io.vacuum_table``): every
+stage-and-swap crash-residue class — stranded ``.old`` (restore, never
+delete), post-publish ``.old`` (delete past grace), dead ``.staging``
+(delete past grace), fresh residue (keep) — top-level and nested
+per-partition, plus the CLI surface."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from big_data_hadoop_spark.sources.io import vacuum_table
+
+
+def _age(root: str, seconds: float = 90000.0) -> None:
+    t = time.time() - seconds
+    for dp, dns, fns in os.walk(root):
+        for n in dns + fns:
+            os.utime(os.path.join(dp, n), (t, t))
+    os.utime(root, (t, t))
+
+
+def _rows(spark, path):
+    return sorted(r.id for r in spark.read.parquet(path).collect())
+
+
+def test_vacuum_restores_stranded_old(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(10).coalesce(1).write.parquet(p)
+    os.rename(p, p + ".old")  # kill window between the two swap renames
+    stats = vacuum_table(p)
+    assert stats["recovered"] == 1 and stats["removed"] == 0
+    assert _rows(spark, p) == list(range(10))
+
+
+def test_vacuum_removes_dead_residue_keeps_fresh(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(10).coalesce(1).write.parquet(p)
+    shutil.copytree(p, p + ".old")  # kill after publish, before rmtree
+    shutil.copytree(p, p + ".staging")  # writer died before its swap
+    _age(p + ".old")
+    stats = vacuum_table(p)
+    # aged .old goes; fresh .staging stays (a bypassing writer might
+    # be mid-stage — grace fails toward keeping data)
+    assert stats["removed"] == 1 and stats["kept_fresh"] == 1
+    assert stats["bytes_freed"] > 0
+    assert not os.path.exists(p + ".old")
+    assert os.path.exists(p + ".staging")
+    _age(p + ".staging")
+    stats = vacuum_table(p)
+    assert stats["removed"] == 1 and not os.path.exists(p + ".staging")
+    assert _rows(spark, p) == list(range(10))
+
+
+def test_vacuum_nested_partition_residue(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(20).selectExpr("id", "id % 2 as day").write.partitionBy(
+        "day"
+    ).parquet(p)
+    d0, d1 = os.path.join(p, "day=0"), os.path.join(p, "day=1")
+    os.rename(d0, d0 + ".old")  # stranded: partition invisible
+    shutil.copytree(d1, d1 + ".old")  # post-publish leftover
+    _age(d1 + ".old")
+    stats = vacuum_table(p)
+    assert stats["recovered"] == 1 and stats["removed"] == 1
+    assert os.path.exists(d0) and not os.path.exists(d1 + ".old")
+    assert _rows(spark, p) == list(range(20))
+
+
+def test_vacuum_missing_table_is_noop(tmp_path):
+    stats = vacuum_table(str(tmp_path / "never"))
+    assert stats == {
+        "recovered": 0,
+        "removed": 0,
+        "kept_fresh": 0,
+        "bytes_freed": 0,
+    }
+
+
+def test_vacuum_cli(spark, tmp_path, capsys):
+    from big_data_hadoop_spark.cli import main
+
+    p = str(tmp_path / "t")
+    spark.range(5).coalesce(1).write.parquet(p)
+    shutil.copytree(p, p + ".staging")
+    _age(p + ".staging")
+    main(["vacuum", p])
+    out = capsys.readouterr().out
+    assert '"removed": 1' in out and not os.path.exists(p + ".staging")
