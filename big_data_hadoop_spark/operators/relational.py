@@ -390,7 +390,7 @@ def resample_timeseries(
     key_col: str,
     ts_col: str,
     val_col: str,
-    step_seconds: int,
+    step_seconds: float,
     agg: str = "avg",
     fill: str = "null",
     max_buckets_per_key: int = 1_000_000,
@@ -430,12 +430,17 @@ def resample_timeseries(
     allowed_fills = {"null", "zero", "locf", "linear"}
     if fill not in allowed_fills:
         raise ValueError(f"fill must be one of {sorted(allowed_fills)}")
-    if step_seconds <= 0:
-        raise ValueError("step_seconds must be positive")
     reserved = {"bucket_ts", "value", "n_obs"}
     if key_col in reserved:
         raise ValueError(f"key_col may not be one of {sorted(reserved)}")
-    step_us = int(step_seconds) * 1_000_000
+    # honor fractional steps at microsecond resolution — int(0.5) would
+    # silently produce a ZERO step (divide-by-zero under ANSI, an empty
+    # frame without it) and int(90.5) a DIFFERENT grid than requested
+    step_us = int(round(step_seconds * 1_000_000))
+    if step_us <= 0:
+        raise ValueError(
+            "step_seconds must be positive (at least 1 microsecond)"
+        )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     obs = (
         df.select(

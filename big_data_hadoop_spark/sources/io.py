@@ -1258,7 +1258,12 @@ def vacuum_table(path: str, grace_seconds: float = 86400.0) -> dict:
 
     stats = {"recovered": 0, "removed": 0, "kept_fresh": 0, "bytes_freed": 0}
     base = os.path.abspath(path).rstrip(os.sep)
-    if not os.path.exists(base) and not os.path.exists(base + ".old"):
+    # .staging alone (a FIRST-EVER write crashed before its swap) is
+    # still residue to reclaim — the early return must not skip it
+    # (review finding: that copy survived forever)
+    if not any(
+        os.path.exists(base + suf) for suf in ("", ".old", ".staging")
+    ):
         return stats
     with table_write_lock(base, **_VERB_LOCK_OPTS):
         now = time.time()
@@ -1297,20 +1302,29 @@ def vacuum_table(path: str, grace_seconds: float = 86400.0) -> dict:
                 else:
                     stats["kept_fresh"] += 1
 
-        _sweep(base)
-        residue_bases = []
-        for dirpath, dirnames, _files in os.walk(base):
-            for d in dirnames:
-                for suf in (".old", ".staging"):
-                    if d.endswith(suf):
-                        residue_bases.append(
-                            os.path.join(dirpath, d[: -len(suf)])
-                        )
-        # process from a completed listing (restores rename siblings,
-        # deletes prune subtrees — neither may mutate a live walk);
-        # existence is re-checked inside _sweep at process time
-        for b in sorted(set(residue_bases)):
-            _sweep(b)
+        # sweep to a fixpoint of RESTORES: a restored generation can
+        # itself contain nested residue that the pre-restore walk
+        # enumerated under its now-gone `.old` path (review finding —
+        # a dead staging inside a stranded partition survived one
+        # run). Each pass processes a COMPLETED listing (restores
+        # rename siblings, deletes prune subtrees — neither may mutate
+        # a live walk); _sweep re-checks existence and is idempotent.
+        # Terminates: every restore consumes one `.old` directory.
+        while True:
+            recovered_before = stats["recovered"]
+            _sweep(base)
+            residue_bases = []
+            for dirpath, dirnames, _files in os.walk(base):
+                for d in dirnames:
+                    for suf in (".old", ".staging"):
+                        if d.endswith(suf):
+                            residue_bases.append(
+                                os.path.join(dirpath, d[: -len(suf)])
+                            )
+            for b in sorted(set(residue_bases)):
+                _sweep(b)
+            if stats["recovered"] == recovered_before:
+                break
     return stats
 
 

@@ -418,8 +418,15 @@ def build_file_stats(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
+    bloom_cols = list(bloom_cols or [])
+    if len(set(bloom_cols)) != len(bloom_cols):
+        raise ValueError(
+            f"bloom_cols has duplicates: {bloom_cols} — two identically-"
+            "named sidecar columns would fail far away at index write "
+            "time with an ambiguous-column error"
+        )
     specs = []
-    for c in bloom_cols or []:
+    for c in bloom_cols:
         _validate_bloom(bloom_bits, bloom_k)
         if c not in cols:
             raise ValueError(
@@ -606,15 +613,27 @@ def refresh_file_stats(
     return out
 
 
-def _bloom_may_contain(words, positions) -> bool:
-    """Driver-side membership test against one file's dense bitset.
-    ``words`` is the collected ``array<long>`` (NULL → the file holds
-    no non-null values for the column → definitely absent); Python's
-    two's-complement ``&`` on the possibly-negative Java longs tests
-    bit 63 correctly."""
-    if words is None:
-        return False
-    return all(words[p >> 6] & (1 << (p & 63)) for p in positions)
+def _bloom_membership_cond(bloom_col: str, positions) -> Column:
+    """JVM-side membership test of known probe ``positions`` against
+    each index row's dense bitset — the driver never collects bitsets
+    (1 KiB × 10⁶ files would be a ~1 GiB driver pull per point lookup;
+    review finding), only the surviving file names, the same
+    planner-sized state the zone-only path holds. Positions sharing a
+    64-bit word fold into one ``x & mask == mask`` term; masks with
+    bit 63 are passed as their signed Java value. A NULL bitset (no
+    non-null values in the file) fails ``isNotNull`` → pruned."""
+    need: dict[int, int] = {}
+    for p in positions:
+        need[p >> 6] = need.get(p >> 6, 0) | (1 << (p & 63))
+    arr = F.col(bloom_col)
+    cond = arr.isNotNull()
+    for w, mask in sorted(need.items()):
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        cond = cond & (
+            F.element_at(arr, w + 1).bitwiseAND(F.lit(mask)) == F.lit(mask)
+        )
+    return cond
 
 
 def read_pruned(
@@ -707,6 +726,24 @@ def read_pruned(
             )
         dtype = stats.schema[f"{col}_min"].dataType
         probe = F.lit(eq).cast(dtype)
+        # the probe must ROUND-TRIP through the column type: casting
+        # 10.5 to a long column truncates to 10 and would answer an
+        # equality query for a DIFFERENT value (review finding). A
+        # non-representable probe can match no row — return the
+        # schema-preserving empty frame, which is the true semantics
+        # of `col = eq` under type promotion. try_cast turns an
+        # un-castable probe (ANSI would raise) into NULL → not ok.
+        ok = (
+            spark.range(1)
+            .select(
+                F.coalesce(
+                    F.lit(eq).try_cast(dtype) == F.lit(eq), F.lit(False)
+                ).alias("ok")
+            )
+            .head()["ok"]
+        )
+        if not ok:
+            return spark.read.parquet(path).filter(F.lit(False))
         cond = (
             F.col(f"{col}_min").isNotNull()
             & (F.col(f"{col}_max") >= probe)
@@ -722,18 +759,12 @@ def read_pruned(
                 .select(_bloom_positions(probe, bits, k).alias("p"))
                 .head()["p"]
             )
-            cand = stats.filter(cond).select(
-                "file", _bloom_name(c, bits, k)
-            ).collect()
-            files = [
-                r.file
-                for r in cand
-                if _bloom_may_contain(r[_bloom_name(c, bits, k)], positions)
-            ]
-        else:
-            files = [
-                r.file for r in stats.filter(cond).select("file").collect()
-            ]
+            cond = cond & _bloom_membership_cond(
+                _bloom_name(c, bits, k), positions
+            )
+        files = [
+            r.file for r in stats.filter(cond).select("file").collect()
+        ]
         row_filter = F.col(col) == probe
     else:
         cond = F.col(f"{col}_min").isNotNull()

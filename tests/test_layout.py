@@ -923,3 +923,61 @@ def test_maintained_bloom_index_through_upsert(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="bloom"):
         maintain_file_stats(spark, path, idx, bloom_cols=[])
+
+
+def test_bloom_eq_probe_must_roundtrip_type(spark, tmp_path):
+    """eq=10.5 on a long column must return NOTHING — the old
+    truncating cast answered an equality query for value 10 (review
+    finding). A promotable-but-equal probe (10.0, '7') still works."""
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "rt")
+    spark.range(0, 100).selectExpr("id as x").coalesce(2).write.parquet(path)
+    stats = build_file_stats(spark, path, ["x"], bloom_cols=["x"])
+    got = read_pruned(spark, path, stats, "x", eq=10.5)
+    assert got.count() == 0 and len(got.inputFiles()) == 0
+    assert got.columns == ["x"]
+    assert read_pruned(spark, path, stats, "x", eq=10.0).count() == 1
+    assert read_pruned(spark, path, stats, "x", eq="7").count() == 1
+
+
+def test_bloom_membership_tested_jvm_side(spark, tmp_path):
+    """The point lookup collects only surviving FILE NAMES — the
+    bitsets stay executor-side (review finding: 1 KiB per file per
+    probe is a ~1 GiB driver pull at 10^6 files)."""
+    from big_data_hadoop_spark.sources.layout import (
+        _bloom_membership_cond,
+        _bloom_name,
+        _bloom_positions,
+        build_file_stats,
+    )
+    from pyspark.sql import functions as FF
+
+    path = str(tmp_path / "mem")
+    spark.range(0, 1000).selectExpr("id as x").repartition(4).write.parquet(
+        path
+    )
+    stats = build_file_stats(spark, path, ["x"], bloom_cols=["x"])
+    name = _bloom_name("x", 8192, 6)
+    # every stored value passes its own file's bitset (no false
+    # negatives) via the JVM-side condition, including word-63 masks
+    for v in (0, 63, 511, 999):
+        positions = (
+            spark.range(1)
+            .select(_bloom_positions(FF.lit(v).cast("long"), 8192, 6).alias("p"))
+            .head()["p"]
+        )
+        n = stats.filter(_bloom_membership_cond(name, positions)).count()
+        assert 1 <= n <= 4, (v, n)
+
+
+def test_bloom_cols_duplicates_refused(spark, tmp_path):
+    from big_data_hadoop_spark.sources.layout import build_file_stats
+
+    path = str(tmp_path / "dup")
+    spark.range(5).selectExpr("id as a").write.parquet(path)
+    with pytest.raises(ValueError, match="duplicates"):
+        build_file_stats(spark, path, ["a"], bloom_cols=["a", "a"])

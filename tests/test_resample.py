@@ -159,3 +159,32 @@ def test_resample_count_agg_empty_input(spark):
     assert got == {("b", 1): 1.0}
     empty = _series(spark).filter("1 = 0")
     assert resample_timeseries(empty, "k", "ts", "v", 86400).count() == 0
+
+
+def test_resample_fractional_step(spark):
+    """step_seconds=0.5 buckets at 500 ms — int() truncation would
+    produce a ZERO step (divide-by-zero under ANSI; review finding)."""
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", t0, 1.0),
+            ("a", t0 + timedelta(milliseconds=500), 2.0),
+            ("a", t0 + timedelta(milliseconds=1500), 4.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        int(r.bucket_ts.timestamp() * 1000): (r.n_obs, r.value)
+        for r in resample_timeseries(
+            df, "k", "ts", "v", 0.5, fill="linear"
+        ).collect()
+    }
+    day0 = int(datetime(2024, 1, 1).timestamp() * 1000)
+    assert got == {
+        day0: (1, 1.0),
+        day0 + 500: (1, 2.0),
+        day0 + 1000: (0, 3.0),
+        day0 + 1500: (1, 4.0),
+    }
+    with pytest.raises(ValueError, match="positive"):
+        resample_timeseries(df, "k", "ts", "v", 0.0000001)

@@ -88,3 +88,35 @@ def test_vacuum_cli(spark, tmp_path, capsys):
     main(["vacuum", p])
     out = capsys.readouterr().out
     assert '"removed": 1' in out and not os.path.exists(p + ".staging")
+
+
+def test_vacuum_staging_only_first_write_crash(spark, tmp_path):
+    """A FIRST-EVER write killed before its swap leaves only
+    <path>.staging — no base, no .old. The early return must not skip
+    it (review finding: that full copy survived forever)."""
+    p = str(tmp_path / "t")
+    spark.range(5).coalesce(1).write.parquet(p + ".staging")
+    _age(p + ".staging")
+    stats = vacuum_table(p)
+    assert stats["removed"] == 1 and stats["bytes_freed"] > 0
+    assert not os.path.exists(p + ".staging")
+
+
+def test_vacuum_nested_residue_inside_restored_generation(spark, tmp_path):
+    """Dead residue INSIDE a stranded generation is reclaimed in the
+    SAME run: the sweep re-walks after restores (review finding: the
+    pre-restore walk recorded the nested path under .old, so its
+    sweep no-op'd and the garbage survived until the next vacuum)."""
+    p = str(tmp_path / "t")
+    spark.range(20).selectExpr("id", "id % 2 as day").write.partitionBy(
+        "day"
+    ).parquet(p)
+    d0 = os.path.join(p, "day=0")
+    inner = os.path.join(d0, "hour=1")
+    spark.range(3).coalesce(1).write.parquet(inner + ".staging")
+    _age(inner + ".staging")
+    os.rename(d0, d0 + ".old")  # strand the partition AROUND the residue
+    stats = vacuum_table(p)
+    assert stats["recovered"] == 1 and stats["removed"] == 1
+    assert os.path.exists(d0) and not os.path.exists(inner + ".staging")
+    assert _rows(spark, p) == list(range(20))
