@@ -353,6 +353,26 @@ def _blooms_for_scan(
             for ci, (c, bits, k) in enumerate(specs)
         ],
     )
+    # saturation diagnostic: fraction of set bits. A filter sized
+    # below its file's distinct count saturates (density → 1) and
+    # prunes NOTHING while looking healthy — the density column makes
+    # that visible per file so a maintainer knows to rebuild with more
+    # bits (target density ~0.5 at n·k/m = ln 2). Native bit_count
+    # fold over the 128-long array — metadata-priced.
+    dense = dense.select(
+        "*",
+        *[
+            (
+                F.aggregate(
+                    F.col(_bloom_name(c, bits, k)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.bit_count(x),
+                )
+                / F.lit(float(bits))
+            ).alias(_bloom_name(c, bits, k) + "_density")
+            for c, bits, k in specs
+        ],
+    )
     return dense.localCheckpoint(eager=True)
 
 

@@ -981,3 +981,19 @@ def test_bloom_cols_duplicates_refused(spark, tmp_path):
     spark.range(5).selectExpr("id as a").write.parquet(path)
     with pytest.raises(ValueError, match="duplicates"):
         build_file_stats(spark, path, ["a"], bloom_cols=["a", "a"])
+
+
+def test_bloom_density_diagnostic(spark, tmp_path):
+    """The density column exposes saturation: an 8192-bit filter fed
+    ~8k distinct values saturates (density near 1, prunes nothing);
+    sized at n*k/m ~= ln 2 it sits near 0.5 and prunes."""
+    from big_data_hadoop_spark.sources.layout import build_file_stats
+
+    path = str(tmp_path / "d")
+    spark.range(8000).selectExpr("id as x").coalesce(1).write.parquet(path)
+    sat = build_file_stats(spark, path, ["x"], bloom_cols=["x"]).collect()[0]
+    ok = build_file_stats(
+        spark, path, ["x"], bloom_cols=["x"], bloom_bits=65536
+    ).collect()[0]
+    assert sat["x_bloom_8192x6_density"] > 0.95
+    assert 0.3 < ok["x_bloom_65536x6_density"] < 0.65
