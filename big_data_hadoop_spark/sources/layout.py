@@ -46,7 +46,9 @@ __all__ = [
     "refresh_file_stats",
     "maintain_file_stats",
     "read_pruned",
+    "read_pruned_where",
     "read_pruned_indexed",
+    "suggest_bloom_bits",
 ]
 
 
@@ -227,6 +229,29 @@ def sort_cluster(
     return part.sortWithinPartitions(*cols)
 
 
+def suggest_bloom_bits(ndv: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing for a target false-positive rate:
+    ``m = -n·ln(p) / (ln 2)²`` rounded UP to the power of two the
+    double-hashing scheme requires, ``k = (m/n)·ln 2`` clamped to
+    [1, 16]. Feed it the max per-file ``<col>_ndv`` from the stats
+    index (``build_file_stats`` records approximate NDV per file
+    exactly so filters can be sized instead of guessed — an undersized
+    filter saturates and prunes nothing; see the ``*_density``
+    diagnostic)."""
+    import math
+
+    if ndv < 1:
+        raise ValueError("ndv must be >= 1")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    m = -ndv * math.log(fpp) / (math.log(2) ** 2)
+    bits = 64
+    while bits < m:
+        bits *= 2
+    k = max(1, min(16, round(bits / ndv * math.log(2))))
+    return bits, k
+
+
 def _bloom_name(col: str, bits: int, k: int) -> str:
     """Index-schema name for a per-file Bloom sidecar column. The
     ``{bits}x{k}`` suffix makes the filter SELF-DESCRIBING: a refresh
@@ -384,6 +409,7 @@ def build_file_stats(
     bloom_cols: Sequence[str] | None = None,
     bloom_bits: int = 8192,
     bloom_k: int = 6,
+    ndv: bool = True,
 ) -> DataFrame:
     """Per-FILE zone map over ``cols``: ``(file, length, mtime, n_rows,
     <col>_min, <col>_max, <col>_nulls …)`` — the file-level analog of
@@ -471,6 +497,7 @@ def build_file_stats(
         cols,
         path,
         bloom_specs=specs,
+        ndv_cols=cols if ndv else (),
     )
 
 
@@ -499,6 +526,7 @@ def _stats_for_listing(
     cols: list[str],
     path: str,
     bloom_specs: Sequence[tuple[str, int, int]] = (),
+    ndv_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Zone-map rows from the column-pruned scan ``data``, keyed under
     the listing ``listing_factory()`` produces — invoked only AFTER
@@ -515,6 +543,12 @@ def _stats_for_listing(
             F.max(c).alias(f"{c}_max"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
         ]
+        if c in ndv_cols:
+            # approximate per-file distinct count (HLL++, same agg
+            # pass) — what sizes the Bloom sidecar (suggest_bloom_bits)
+            # instead of guessing, and the NDV every table format's
+            # column stats carry for the planner
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}_ndv"))
     stats = (
         data.groupBy(_norm_file(F.col("_file")).alias("file"))
         .agg(*aggs)
@@ -607,7 +641,14 @@ def refresh_file_stats(
             .withColumn("_file", F.input_file_name())
         )
         fresh = _stats_for_listing(
-            data, lambda: changed, cols, path, bloom_specs=bloom_specs
+            data,
+            lambda: changed,
+            cols,
+            path,
+            bloom_specs=bloom_specs,
+            # legacy indexes without NDV stay NDV-free (schema-driven,
+            # like the bloom specs) so the union keeps their shape
+            ndv_cols=[c for c in cols if f"{c}_ndv" in stats.columns],
         )
         out = keep.unionByName(fresh.select(*stats.columns))
     else:
@@ -704,103 +745,142 @@ def read_pruned(
     type (read off the stored ``<col>_min`` schema) so an int probe
     against a long column cannot hash differently. Without a sidecar,
     ``eq`` falls back to zone-only pruning — correct, just weaker."""
-    from big_data_hadoop_spark.sources.io import list_data_files
-
     if eq is not None and (lo is not None or hi is not None):
         raise ValueError("eq is mutually exclusive with lo/hi")
-    if eq is None and lo is None and hi is None:
-        raise ValueError("one of eq, lo, hi is required")
-    if strict:
-        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        current = list_data_files(spark, path, glob=glob).select(
-            norm(F.col("path")).alias("file"),
-            "length",
-            F.unix_millis("modificationTime").alias("mtime"),
-        )
-        indexed = stats.select("file", "length", "mtime").withColumn(
-            "_in_index", F.lit(1)
-        )
-        # USING-join coalesces the key columns, so drift shows up as a
-        # NULL side MARKER, not a NULL key
-        drift = (
-            current.withColumn("_on_disk", F.lit(1))
-            .join(indexed, ["file", "length", "mtime"], "full_outer")
-            .filter(
-                F.col("_in_index").isNull() | F.col("_on_disk").isNull()
-            )
-            .limit(1)
-            .count()
-        )
-        if drift:
-            raise ValueError(
-                f"file-stats index is STALE for {path} — files were "
-                "added/removed/rewritten since build_file_stats; "
-                "rebuild the index (pruning with it would silently "
-                "drop rows)"
-            )
+    pred: dict = {}
     if eq is not None:
+        pred["eq"] = eq
+    if lo is not None:
+        pred["lo"] = lo
+    if hi is not None:
+        pred["hi"] = hi
+    if not pred:
+        raise ValueError("one of eq, lo, hi is required")
+    return read_pruned_where(
+        spark, path, stats, {col: pred}, strict=strict, glob=glob
+    )
+
+
+def _strict_staleness_check(spark, path: str, stats: DataFrame, glob: str):
+    from big_data_hadoop_spark.sources.io import list_data_files
+
+    current = list_data_files(spark, path, glob=glob).select(
+        _norm_file(F.col("path")).alias("file"),
+        "length",
+        F.unix_millis("modificationTime").alias("mtime"),
+    )
+    indexed = stats.select("file", "length", "mtime").withColumn(
+        "_in_index", F.lit(1)
+    )
+    # USING-join coalesces the key columns, so drift shows up as a
+    # NULL side MARKER, not a NULL key
+    drift = (
+        current.withColumn("_on_disk", F.lit(1))
+        .join(indexed, ["file", "length", "mtime"], "full_outer")
+        .filter(F.col("_in_index").isNull() | F.col("_on_disk").isNull())
+        .limit(1)
+        .count()
+    )
+    if drift:
+        raise ValueError(
+            f"file-stats index is STALE for {path} — files were "
+            "added/removed/rewritten since build_file_stats; "
+            "rebuild the index (pruning with it would silently "
+            "drop rows)"
+        )
+
+
+def read_pruned_where(
+    spark,
+    path: str,
+    stats: DataFrame,
+    preds: dict,
+    strict: bool = True,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Conjunctive multi-column pruned read — the general form behind
+    :func:`read_pruned`: ``preds`` maps each indexed column to
+    ``{"lo": v}`` / ``{"hi": v}`` / both (range) or ``{"eq": v}``
+    (point, Bloom-assisted when the sidecar exists). A file survives
+    only if EVERY predicate's zone/bloom test passes — the natural
+    "this key, this date range" shape where neither predicate alone
+    is selective but their intersection is one file. One pass over
+    the O(files) index evaluates the whole conjunction; the row-level
+    filter re-applies all predicates on the surviving files. Same
+    staleness contract as :func:`read_pruned`."""
+    if not preds:
+        raise ValueError("preds must be non-empty")
+    if strict:
+        _strict_staleness_check(spark, path, stats, glob)
+    cond = F.lit(True)
+    row_filter = F.lit(True)
+    for col, p in preds.items():
         if f"{col}_min" not in stats.columns:
             raise ValueError(
                 f"column {col} is not in the stats index "
                 f"(have {sorted(c[:-4] for c in stats.columns if c.endswith('_min'))})"
             )
-        dtype = stats.schema[f"{col}_min"].dataType
-        probe = F.lit(eq).cast(dtype)
-        # the probe must ROUND-TRIP through the column type: casting
-        # 10.5 to a long column truncates to 10 and would answer an
-        # equality query for a DIFFERENT value (review finding). A
-        # non-representable probe can match no row — return the
-        # schema-preserving empty frame, which is the true semantics
-        # of `col = eq` under type promotion. try_cast turns an
-        # un-castable probe (ANSI would raise) into NULL → not ok.
-        ok = (
-            spark.range(1)
-            .select(
-                F.coalesce(
-                    F.lit(eq).try_cast(dtype) == F.lit(eq), F.lit(False)
-                ).alias("ok")
+        unknown = set(p) - {"eq", "lo", "hi"}
+        if unknown or not p:
+            raise ValueError(
+                f"predicate for {col} must use keys eq/lo/hi, got "
+                f"{sorted(p) or 'nothing'}"
             )
-            .head()["ok"]
-        )
-        if not ok:
-            return spark.read.parquet(path).filter(F.lit(False))
-        cond = (
-            F.col(f"{col}_min").isNotNull()
-            & (F.col(f"{col}_max") >= probe)
-            & (F.col(f"{col}_min") <= probe)
-        )
-        specs = [
-            s for s in _bloom_specs_from_schema(stats.columns) if s[0] == col
-        ]
-        if specs:
-            c, bits, k = specs[0]
-            positions = (
+        if "eq" in p and ("lo" in p or "hi" in p):
+            raise ValueError(f"{col}: eq is mutually exclusive with lo/hi")
+        if "eq" in p:
+            eq = p["eq"]
+            dtype = stats.schema[f"{col}_min"].dataType
+            probe = F.lit(eq).cast(dtype)
+            # the probe must ROUND-TRIP through the column type:
+            # casting 10.5 to a long column truncates to 10 and would
+            # answer an equality query for a DIFFERENT value (review
+            # finding). A non-representable probe can match no row —
+            # return the schema-preserving empty frame, the true
+            # semantics of `col = eq` under type promotion. try_cast
+            # turns an un-castable probe (ANSI would raise) into NULL.
+            ok = (
                 spark.range(1)
-                .select(_bloom_positions(probe, bits, k).alias("p"))
-                .head()["p"]
+                .select(
+                    F.coalesce(
+                        F.lit(eq).try_cast(dtype) == F.lit(eq), F.lit(False)
+                    ).alias("ok")
+                )
+                .head()["ok"]
             )
-            cond = cond & _bloom_membership_cond(
-                _bloom_name(c, bits, k), positions
+            if not ok:
+                return spark.read.parquet(path).filter(F.lit(False))
+            cond = cond & (
+                F.col(f"{col}_min").isNotNull()
+                & (F.col(f"{col}_max") >= probe)
+                & (F.col(f"{col}_min") <= probe)
             )
-        files = [
-            r.file for r in stats.filter(cond).select("file").collect()
-        ]
-        row_filter = F.col(col) == probe
-    else:
-        cond = F.col(f"{col}_min").isNotNull()
-        if lo is not None:
-            cond = cond & (F.col(f"{col}_max") >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(f"{col}_min") <= F.lit(hi))
-        files = [
-            r.file for r in stats.filter(cond).select("file").collect()
-        ]
-        row_filter = None
-        if lo is not None:
-            row_filter = F.col(col) >= F.lit(lo)
-        if hi is not None:
-            t = F.col(col) <= F.lit(hi)
-            row_filter = t if row_filter is None else row_filter & t
+            specs = [
+                s
+                for s in _bloom_specs_from_schema(stats.columns)
+                if s[0] == col
+            ]
+            if specs:
+                c, bits, k = specs[0]
+                positions = (
+                    spark.range(1)
+                    .select(_bloom_positions(probe, bits, k).alias("p"))
+                    .head()["p"]
+                )
+                cond = cond & _bloom_membership_cond(
+                    _bloom_name(c, bits, k), positions
+                )
+            row_filter = row_filter & (F.col(col) == probe)
+        else:
+            zcond = F.col(f"{col}_min").isNotNull()
+            if "lo" in p:
+                zcond = zcond & (F.col(f"{col}_max") >= F.lit(p["lo"]))
+                row_filter = row_filter & (F.col(col) >= F.lit(p["lo"]))
+            if "hi" in p:
+                zcond = zcond & (F.col(f"{col}_min") <= F.lit(p["hi"]))
+                row_filter = row_filter & (F.col(col) <= F.lit(p["hi"]))
+            cond = cond & zcond
+    files = [r.file for r in stats.filter(cond).select("file").collect()]
     if not files:
         return (
             spark.read.parquet(path).filter(F.lit(False))

@@ -997,3 +997,90 @@ def test_bloom_density_diagnostic(spark, tmp_path):
     ).collect()[0]
     assert sat["x_bloom_8192x6_density"] > 0.95
     assert 0.3 < ok["x_bloom_65536x6_density"] < 0.65
+
+
+def test_read_pruned_where_conjunction(spark, tmp_path):
+    """Multi-column pruning: date range AND key equality — neither
+    predicate alone is this selective; the conjunction is evaluated in
+    ONE pass over the index and the row filter re-applies both."""
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        read_pruned,
+        read_pruned_where,
+    )
+
+    path = str(tmp_path / "w")
+    orders = _write_date_clustered_orders(spark, path)
+    stats = build_file_stats(
+        spark,
+        path,
+        ["o_orderdate", "o_orderkey"],
+        bloom_cols=["o_orderkey"],
+    )
+    r = orders.select("o_orderkey", "o_orderdate").limit(1).collect()[0]
+    got = read_pruned_where(
+        spark,
+        path,
+        stats,
+        {
+            "o_orderkey": {"eq": r.o_orderkey},
+            "o_orderdate": {"lo": r.o_orderdate, "hi": r.o_orderdate},
+        },
+    )
+    want = orders.filter(
+        (F.col("o_orderkey") == r.o_orderkey)
+        & (F.col("o_orderdate") == r.o_orderdate)
+    )
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+    assert got.count() == 1
+    # conjunction can only touch <= what either single predicate does
+    only_key = read_pruned(spark, path, stats, "o_orderkey", eq=r.o_orderkey)
+    assert len(got.inputFiles()) <= len(only_key.inputFiles())
+    # a contradictory conjunction (key exists, date range empty for it)
+    other = orders.filter(F.col("o_orderdate") != r.o_orderdate).limit(1).collect()[0]
+    none = read_pruned_where(
+        spark,
+        path,
+        stats,
+        {
+            "o_orderkey": {"eq": r.o_orderkey},
+            "o_orderdate": {"lo": other.o_orderdate, "hi": other.o_orderdate},
+        },
+    )
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="eq/lo/hi"):
+        read_pruned_where(spark, path, stats, {"o_orderkey": {"between": 1}})
+    with pytest.raises(ValueError, match="non-empty"):
+        read_pruned_where(spark, path, stats, {})
+
+
+def test_file_stats_ndv_and_sizing(spark, tmp_path):
+    """Per-file approx NDV lands in the index and feeds
+    suggest_bloom_bits; a legacy NDV-free index refreshes without
+    growing the column (schema-driven, like the bloom specs)."""
+    from big_data_hadoop_spark.sources.layout import (
+        build_file_stats,
+        refresh_file_stats,
+        suggest_bloom_bits,
+    )
+
+    path = str(tmp_path / "n")
+    spark.range(8000).selectExpr("id as x").coalesce(2).write.parquet(path)
+    stats = build_file_stats(spark, path, ["x"])
+    for r in stats.collect():
+        assert abs(r.x_ndv - r.n_rows) / r.n_rows < 0.10  # HLL++ ~2%
+    bits, k = suggest_bloom_bits(int(stats.agg(F.max("x_ndv")).first()[0]))
+    assert bits == 65536 and 4 <= k <= 16
+    assert suggest_bloom_bits(1000) == (16384, 11)
+    with pytest.raises(ValueError):
+        suggest_bloom_bits(0)
+    with pytest.raises(ValueError):
+        suggest_bloom_bits(100, fpp=1.5)
+    # legacy index: drop the ndv column, refresh after an append
+    legacy = stats.drop("x_ndv")
+    spark.range(8000, 8100).selectExpr("id as x").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    refreshed = refresh_file_stats(spark, path, legacy)
+    assert "x_ndv" not in refreshed.columns
+    assert refreshed.count() == 3
