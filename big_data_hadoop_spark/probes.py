@@ -1888,6 +1888,60 @@ def q95_resample_linear(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id", "bucket_ts")
 
 
+def q96_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive/reranker training — the
+    composition the curation ops exist for: each anchor's top-5
+    CLOSE-BUT-NOT-DUPLICATE neighbors. Candidates are the exact
+    cosine top-10 (q22's operator); exclusion is by SEMANTIC-DUP
+    CLUSTER membership (q62's SemDeDup pairs resolved through q58's
+    connected components), not by pairwise threshold — a transitive
+    duplicate (A~B~C with cos(A,C) below eps) is still excluded, which
+    a raw cosine cut cannot do. Rows-only slot; the composition logic
+    (exclusion + re-rank) is replicated in pure Python over the
+    independently-verified building blocks in
+    tests/test_hard_negatives.py. Scale shape: candidates from the
+    one-scan broadcast top-k, clusters broadcast (O(dup members)),
+    final rank a window over ≤ k rows per anchor."""
+    from big_data_hadoop_spark.operators.dedup import duplicate_clusters
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = sim.semantic_neardup_pairs(
+        emb, eps=0.4, n_cells=8, dim=EMBED_DIM
+    )
+    clusters = duplicate_clusters(pairs)
+    cands = sim.cosine_topk(
+        emb, query_ids=list(range(10)), k=10, dim=EMBED_DIM
+    )
+    qc = clusters.select(
+        F.col("member_id").alias("query_id"), F.col("cluster_id").alias("_qc")
+    )
+    nc = clusters.select(
+        F.col("member_id").alias("neighbor_id"),
+        F.col("cluster_id").alias("_nc"),
+    )
+    kept = (
+        cands.join(F.broadcast(qc), "query_id", "left")
+        .join(F.broadcast(nc), "neighbor_id", "left")
+        .filter(
+            F.col("_qc").isNull()
+            | F.col("_nc").isNull()
+            | (F.col("_qc") != F.col("_nc"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 8).alias("sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2000,6 +2054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_simhash_incremental": q93_simhash_incremental,
     "q94_triangle_copurchase": q94_triangle_copurchase,
     "q95_resample_linear": q95_resample_linear,
+    "q96_hard_negatives": q96_hard_negatives,
 }
 
 _EN = ts.STOPWORDS["en"]
