@@ -994,12 +994,13 @@ def read_pruned_indexed(
     spark,
     path: str,
     stats_path: str,
-    col: str,
+    col: str | None = None,
     lo=None,
     hi=None,
     strict: bool = True,
     glob: str = "*.parquet",
     eq=None,
+    preds: dict | None = None,
 ) -> DataFrame:
     """:func:`read_pruned` against the PERSISTED index at
     ``stats_path`` (see :func:`maintain_file_stats`) — the end-to-end
@@ -1011,11 +1012,21 @@ def read_pruned_indexed(
     strands the index as ``.old`` — readers fall back to READING that
     previous generation (never renaming: a reader-side rename would
     race a live writer's swap mid-gap and crash its publish — review
-    finding); the next maintainer performs the actual restore."""
+    finding); the next maintainer performs the actual restore.
+    ``preds`` routes to :func:`read_pruned_where` for conjunctive
+    multi-column pruning (mutually exclusive with ``col/lo/hi/eq``)."""
     idx = stats_path
     if not os.path.exists(idx) and os.path.exists(idx + ".old"):
         idx = idx + ".old"
     stats = spark.read.parquet(idx)
+    if preds is not None:
+        if col is not None or any(v is not None for v in (lo, hi, eq)):
+            raise ValueError("preds is mutually exclusive with col/lo/hi/eq")
+        return read_pruned_where(
+            spark, path, stats, preds, strict=strict, glob=glob
+        )
+    if col is None:
+        raise ValueError("either col or preds is required")
     return read_pruned(
         spark,
         path,

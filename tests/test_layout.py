@@ -1084,3 +1084,26 @@ def test_file_stats_ndv_and_sizing(spark, tmp_path):
     refreshed = refresh_file_stats(spark, path, legacy)
     assert "x_ndv" not in refreshed.columns
     assert refreshed.count() == 3
+
+
+def test_read_pruned_indexed_preds_route(spark, tmp_path):
+    from big_data_hadoop_spark.sources.io import upsert_parquet  # noqa: F401
+    from big_data_hadoop_spark.sources.layout import (
+        maintain_file_stats,
+        read_pruned_indexed,
+    )
+
+    path = str(tmp_path / "ds")
+    idx = str(tmp_path / "idx")
+    spark.range(0, 400).selectExpr(
+        "id as k", "id % 20 as x"
+    ).repartition(4).write.parquet(path)
+    maintain_file_stats(spark, path, idx, cols=["k", "x"], bloom_cols=["k"])
+    got = read_pruned_indexed(
+        spark, path, idx, preds={"k": {"eq": 37}, "x": {"lo": 10}}
+    )
+    assert [(r.k, r.x) for r in got.collect()] == [(37, 17)]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_pruned_indexed(spark, path, idx, col="k", eq=1, preds={"k": {"eq": 1}})
+    with pytest.raises(ValueError, match="either col or preds"):
+        read_pruned_indexed(spark, path, idx)
