@@ -1282,6 +1282,12 @@ def vacuum_table(path: str, grace_seconds: float = 86400.0) -> dict:
                         pass
             return total
 
+        # kept-fresh entries survive on disk, so a later fixpoint pass
+        # re-sees them — count them as a SET, not per visit (review
+        # finding: one fresh .old read as kept_fresh=2 after a restore
+        # triggered a second pass)
+        kept_fresh: set[str] = set()
+
         def _sweep(b: str) -> None:
             old, staging = b + ".old", b + ".staging"
             if os.path.exists(old):
@@ -1293,14 +1299,14 @@ def vacuum_table(path: str, grace_seconds: float = 86400.0) -> dict:
                     shutil.rmtree(old)
                     stats["removed"] += 1
                 else:
-                    stats["kept_fresh"] += 1
+                    kept_fresh.add(old)
             if os.path.exists(staging):
                 if _dead(staging):
                     stats["bytes_freed"] += _tree_bytes(staging)
                     shutil.rmtree(staging)
                     stats["removed"] += 1
                 else:
-                    stats["kept_fresh"] += 1
+                    kept_fresh.add(staging)
 
         # sweep to a fixpoint of RESTORES: a restored generation can
         # itself contain nested residue that the pre-restore walk
@@ -1325,6 +1331,7 @@ def vacuum_table(path: str, grace_seconds: float = 86400.0) -> dict:
                 _sweep(b)
             if stats["recovered"] == recovered_before:
                 break
+        stats["kept_fresh"] = len(kept_fresh)
     return stats
 
 

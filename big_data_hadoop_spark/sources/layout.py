@@ -839,36 +839,34 @@ def read_pruned_where(
             # return the schema-preserving empty frame, the true
             # semantics of `col = eq` under type promotion. try_cast
             # turns an un-castable probe (ANSI would raise) into NULL.
-            ok = (
-                spark.range(1)
-                .select(
-                    F.coalesce(
-                        F.lit(eq).try_cast(dtype) == F.lit(eq), F.lit(False)
-                    ).alias("ok")
-                )
-                .head()["ok"]
-            )
-            if not ok:
+            # ONE range(1) job computes both the round-trip flag and
+            # the Bloom probe positions (review finding: two separate
+            # head() jobs per eq predicate).
+            specs = [
+                s
+                for s in _bloom_specs_from_schema(stats.columns)
+                if s[0] == col
+            ]
+            sel = [
+                F.coalesce(
+                    F.lit(eq).try_cast(dtype) == F.lit(eq), F.lit(False)
+                ).alias("ok")
+            ]
+            if specs:
+                _c, bits, k = specs[0]
+                sel.append(_bloom_positions(probe, bits, k).alias("p"))
+            row = spark.range(1).select(*sel).head()
+            if not row["ok"]:
                 return spark.read.parquet(path).filter(F.lit(False))
             cond = cond & (
                 F.col(f"{col}_min").isNotNull()
                 & (F.col(f"{col}_max") >= probe)
                 & (F.col(f"{col}_min") <= probe)
             )
-            specs = [
-                s
-                for s in _bloom_specs_from_schema(stats.columns)
-                if s[0] == col
-            ]
             if specs:
                 c, bits, k = specs[0]
-                positions = (
-                    spark.range(1)
-                    .select(_bloom_positions(probe, bits, k).alias("p"))
-                    .head()["p"]
-                )
                 cond = cond & _bloom_membership_cond(
-                    _bloom_name(c, bits, k), positions
+                    _bloom_name(c, bits, k), row["p"]
                 )
             row_filter = row_filter & (F.col(col) == probe)
         else:

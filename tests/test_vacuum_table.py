@@ -120,3 +120,19 @@ def test_vacuum_nested_residue_inside_restored_generation(spark, tmp_path):
     assert stats["recovered"] == 1 and stats["removed"] == 1
     assert os.path.exists(d0) and not os.path.exists(inner + ".staging")
     assert _rows(spark, p) == list(range(20))
+
+
+def test_vacuum_kept_fresh_counted_once_across_passes(spark, tmp_path):
+    """A restore triggers a second fixpoint pass; fresh residue seen by
+    both passes must count ONCE (review finding: kept_fresh=2 for one
+    entry)."""
+    p = str(tmp_path / "t")
+    spark.range(20).selectExpr("id", "id % 2 as day").write.partitionBy(
+        "day"
+    ).parquet(p)
+    d0, d1 = os.path.join(p, "day=0"), os.path.join(p, "day=1")
+    os.rename(d0, d0 + ".old")  # stranded → restore → second pass
+    shutil.copytree(d1, d1 + ".staging")  # fresh (inside grace)
+    stats = vacuum_table(p)
+    assert stats["recovered"] == 1 and stats["kept_fresh"] == 1
+    assert os.path.exists(d1 + ".staging")

@@ -109,74 +109,51 @@ def scale_embeddings(out_dir: str, factor: int) -> None:
     print(f"embeddings: {n} -> {out.num_rows} rows")
 
 
-def scale_lineitem(out_dir: str, factor: int) -> None:
-    """Replica-expand lineitem for the graph probes (q94 triangles):
-    per-replica DISJOINT key offsets on both l_orderkey and l_partkey,
-    so the co-purchase graph becomes ``factor`` isomorphic disjoint
-    components — triangle counts and degree distributions scale
-    EXACTLY linearly by construction (the same provably-linear-
-    workload property the documents expansion has for dedup pairs)."""
-    t = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+def _replica_expand_keys(
+    table: str, key_cols: list[str], out_dir: str, factor: int
+) -> None:
+    """Replica-expand ``table`` with per-replica DISJOINT offsets on
+    ``key_cols`` (offset = max+1 per key column), all other columns
+    verbatim and COLUMN ORDER preserved. Disjoint keys make each
+    replica its own component/key-space, so downstream workloads
+    (graphs, per-key grids) scale exactly linearly by construction —
+    the same provably-linear-workload property the documents
+    expansion has for dedup pairs."""
+    t = pq.read_table(os.path.join(SRC, f"{table}.parquet"))
     n = t.num_rows
-    okey = t.column("l_orderkey").to_numpy()
-    pkey = t.column("l_partkey").to_numpy()
-    off_o = int(okey.max()) + 1
-    off_p = int(pkey.max()) + 1
-    others = {
-        c: t.column(c)
-        for c in t.column_names
-        if c not in ("l_orderkey", "l_partkey")
-    }
+    keys = {c: t.column(c).to_numpy() for c in key_cols}
+    offs = {c: int(v.max()) + 1 for c, v in keys.items()}
     parts = []
     for k in range(factor):
-        parts.append(
-            pa.table(
-                {
-                    "l_orderkey": pa.array(
-                        okey + k * off_o, type=pa.int64()
-                    ),
-                    "l_partkey": pa.array(
-                        pkey + k * off_p, type=pa.int64()
-                    ),
-                    **others,
-                }
+        cols = {
+            c: (
+                pa.array(keys[c] + k * offs[c], type=pa.int64())
+                if c in keys
+                else t.column(c)
             )
-        )
+            for c in t.column_names
+        }
+        parts.append(pa.table(cols))
     out = pa.concat_tables(parts)
-    pq.write_table(out, os.path.join(out_dir, "lineitem.parquet"))
-    print(f"lineitem: {n} -> {out.num_rows} rows")
+    pq.write_table(out, os.path.join(out_dir, f"{table}.parquet"))
+    print(f"{table}: {n} -> {out.num_rows} rows")
+
+
+def scale_lineitem(out_dir: str, factor: int) -> None:
+    """Graph probes (q94 triangles): offsetting BOTH l_orderkey and
+    l_partkey makes the co-purchase graph ``factor`` isomorphic
+    disjoint components — triangle counts and degree distributions
+    scale exactly linearly."""
+    _replica_expand_keys(
+        "lineitem", ["l_orderkey", "l_partkey"], out_dir, factor
+    )
 
 
 def scale_events(out_dir: str, factor: int) -> None:
-    """Replica-expand events for the time-series probes (q95
-    resample): per-replica disjoint user_id offsets, timestamps
-    unchanged — 10× the keys with identical per-key series shape, so
-    grid rows and fill work scale exactly linearly."""
-    t = pq.read_table(os.path.join(SRC, "events.parquet"))
-    n = t.num_rows
-    uid = t.column("user_id").to_numpy()
-    eid = t.column("event_id").to_numpy()
-    off_u = int(uid.max()) + 1
-    off_e = int(eid.max()) + 1
-    others = {
-        c: t.column(c)
-        for c in t.column_names
-        if c not in ("user_id", "event_id")
-    }
-    parts = []
-    for k in range(factor):
-        parts.append(
-            pa.table(
-                {
-                    "event_id": pa.array(eid + k * off_e, type=pa.int64()),
-                    "user_id": pa.array(uid + k * off_u, type=pa.int64()),
-                    **others,
-                }
-            )
-        )
-    out = pa.concat_tables(parts)
-    pq.write_table(out, os.path.join(out_dir, "events.parquet"))
-    print(f"events: {n} -> {out.num_rows} rows")
+    """Time-series probes (q95 resample): disjoint user_id offsets
+    with timestamps unchanged — ``factor``× the keys with identical
+    per-key series shape, grid rows exactly linear."""
+    _replica_expand_keys("events", ["event_id", "user_id"], out_dir, factor)
 
 
 def main() -> None:
