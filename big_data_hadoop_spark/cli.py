@@ -447,6 +447,25 @@ def cmd_skew(args: argparse.Namespace) -> None:
     print(_json.dumps(summary, sort_keys=True))
 
 
+def cmd_analyze(args: argparse.Namespace) -> None:
+    """ANALYZE-style table profile (``sources.io.analyze_table``):
+    row/file/byte counts and per-column min/max/nulls/NDV in one pass,
+    optional per-column heavy values — printed as one JSON line."""
+    import json as _json
+
+    from big_data_hadoop_spark.sources.io import analyze_table
+
+    spark = _spark("analyze")
+    out = analyze_table(
+        spark,
+        args.dataset,
+        cols=args.cols.split(",") if args.cols else None,
+        topk=args.topk,
+        glob=args.glob,
+    )
+    print(_json.dumps(out, sort_keys=True))
+
+
 def cmd_vacuum(args: argparse.Namespace) -> None:
     """Reclaim stage-and-swap crash residue of a mutable dataset
     (``sources.io.vacuum_table``): stranded ``.old`` generations are
@@ -792,6 +811,14 @@ def main(argv: list[str] | None = None) -> None:
     sh.add_argument("--id-col", default="doc_id")
     sh.add_argument("--format", default="parquet", choices=["parquet", "json"])
 
+    an = sub.add_parser(
+        "analyze", help="table profile: rows/files/bytes + column stats"
+    )
+    an.add_argument("dataset")
+    an.add_argument("--cols", default=None, help="comma-separated (default: all atomic)")
+    an.add_argument("--topk", type=int, default=0)
+    an.add_argument("--glob", default="*.parquet")
+
     vc = sub.add_parser(
         "vacuum", help="reclaim a mutable dataset's crash residue"
     )
@@ -851,6 +878,7 @@ def main(argv: list[str] | None = None) -> None:
         "skew": cmd_skew,
         "index": cmd_index,
         "vacuum": cmd_vacuum,
+        "analyze": cmd_analyze,
         "train-quality": cmd_train_quality,
         "score-quality": cmd_score_quality,
         "clean": cmd_clean,
