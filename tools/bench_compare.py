@@ -14,6 +14,7 @@ Exit code 1 when any common query regresses past ``factor·old + slack``.
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 
@@ -25,7 +26,13 @@ def load_queries(path: str) -> dict[str, float]:
     q = d.get("queries")
     if not isinstance(q, dict) or not q:
         raise SystemExit(f"{path}: no per-query map found")
-    return {k: float(v) for k, v in q.items()}
+    # bench.py's <=1900-char degradation shortens keys to their qNN
+    # prefix — normalize both sides so rounds stay comparable
+    out: dict[str, float] = {}
+    for k, v in q.items():
+        m = re.match(r"(q\d+)", k)
+        out[m.group(1) if m else k] = float(v)
+    return out
 
 
 def main() -> None:
