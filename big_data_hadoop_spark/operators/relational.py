@@ -385,6 +385,48 @@ def moving_agg(
     return df.withColumn(out_col, agg.over(w))
 
 
+def session_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``session_window`` →
+    ``(<key_col>, session_start, session_end, n_events)`` — one
+    merging-window aggregation, no lag/cumsum window pass and no
+    Python state. This is the Spark-idiomatic form of the engine's
+    two other sessionizers and agrees with both (equality pinned in
+    tests): the lag+conditional-sum batch probe (q29) and the
+    ``applyInPandasWithState`` streaming operator. Prefer THIS one
+    for batch session aggregates at scale — ``session_window`` merges
+    in the aggregation itself, so there is exactly ONE keyed shuffle
+    and map-side partial merging applies; the lag/cumsum form needs a
+    full sort window before it can even label rows. The same
+    expression works under ``readStream`` with a watermark (Spark
+    merges session state across micro-batches natively).
+
+    ``session_end`` is the LAST EVENT's timestamp (the inclusive
+    convention the streaming operator emits), not Spark's raw
+    ``window.end`` which pads the trailing gap.
+
+    Boundary semantics: an event EXACTLY ``gap_seconds`` after its
+    predecessor MERGES (``session_window``'s window end is inclusive
+    here — verified empirically and pinned by test), matching the
+    lag/cumsum probe and the streaming operator, which split only
+    when the gap is EXCEEDED. All three sessionizers agree at the
+    boundary."""
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be positive")
+    win = F.session_window(
+        F.col(ts_col).cast("timestamp"), f"{int(gap_seconds)} seconds"
+    )
+    return df.groupBy(F.col(key_col), win.alias("_w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.col(ts_col).cast("timestamp")).alias("session_start"),
+        F.max(F.col(ts_col).cast("timestamp")).alias("session_end"),
+    ).select(key_col, "session_start", "session_end", "n_events")
+
+
 def resample_timeseries(
     df: DataFrame,
     key_col: str,
