@@ -36,6 +36,7 @@ def pagerank(
     max_iter: int = 40,
     directed: bool = False,
     stats: dict | None = None,
+    personalize=None,
 ) -> DataFrame:
     """PageRank over a pair frame → ``(id, rank)``, ranks summing to 1.
 
@@ -52,13 +53,30 @@ def pagerank(
     round count stays flat as data grows (the property the sf1
     exhibits measure for the other iterative operators).
 
+    ``personalize`` (a small driver-side list of seed node ids) turns
+    this into PERSONALIZED PageRank: the teleport mass — both the
+    ``(1-d)`` reset and the dangling redistribution — flows to the
+    uniform distribution over the SEEDS instead of over all nodes, so
+    ranks measure proximity to the seed set (the retrieval/expansion
+    use: "documents most linked to these known-good ones"). Seeds must
+    exist in the graph (loud refusal otherwise — silently dropping a
+    seed's mass would leak total rank below 1). Seed sets are
+    query-sized by construction; the graph itself never touches the
+    driver.
+
     Pinned against a pure-numpy power iteration in tests (same
-    damping, same dangling handling, 1e-6 agreement).
+    damping, same dangling handling, same reset vector, 1e-6
+    agreement).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+    seeds = None
+    if personalize is not None:
+        seeds = sorted(set(personalize))
+        if not seeds:
+            raise ValueError("personalize must be a non-empty id list")
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -79,6 +97,19 @@ def pagerank(
             stats["rounds"] = 0
             stats["delta"] = 0.0
         return nodes.withColumn("rank", F.lit(0.0))
+    if seeds is not None:
+        present = nodes.filter(F.col("id").isin(seeds)).count()
+        if present != len(seeds):
+            raise ValueError(
+                f"{len(seeds) - present} personalize seed(s) are not "
+                "graph nodes — their teleport mass would silently leak"
+            )
+        r_expr = F.when(
+            F.col("id").isin(seeds), F.lit(1.0 / len(seeds))
+        ).otherwise(F.lit(0.0))
+    else:
+        r_expr = F.lit(1.0 / n)
+    nodes = nodes.withColumn("_r", r_expr).localCheckpoint(eager=True)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # Dangling nodes exist only in directed mode (undirected
     # symmetrization gives every node an out-edge); membership is
@@ -98,10 +129,9 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+    ranks = nodes.select("id", F.col("_r").alias("rank")).localCheckpoint(
         eager=True
     )
-    base = (1.0 - damping) / n
     rounds, delta = 0, float("inf")
     for _ in range(max_iter):
         rounds += 1
@@ -131,11 +161,11 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - damping) * F.col("_r")
                     + F.lit(damping)
                     * (
                         F.coalesce("inflow", F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.lit(dangling) * F.col("_r")
                     )
                 ).alias("rank"),
             )

@@ -116,3 +116,56 @@ def test_pagerank_empty_graph_populates_stats(spark):
     out = pagerank(empty, stats=stats)
     assert out.count() == 0
     assert stats == {"rounds": 0, "delta": 0.0}
+
+
+def _np_personalized(edges, n_ids, seeds, damping=0.85, tol=1e-6,
+                     max_iter=40, directed=True):
+    ids = sorted(n_ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    es = set()
+    for a, b in edges:
+        es.add((a, b))
+        if not directed:
+            es.add((b, a))
+    for a, b in es:
+        out[idx[a]] += 1.0
+    rv = np.zeros(n)
+    for s in seeds:
+        rv[idx[s]] = 1.0 / len(seeds)
+    r = rv.copy()  # init at the reset vector, matching the operator
+    for _ in range(max_iter):
+        dangling = r[out == 0].sum()
+        inflow = np.zeros(n)
+        for (a, b) in es:
+            inflow[idx[b]] += r[idx[a]] / out[idx[a]]
+        nr = (1 - damping) * rv + damping * (inflow + dangling * rv)
+        if np.abs(nr - r).sum() < tol:
+            r = nr
+            break
+        r = nr
+    return {v: r[idx[v]] for v in ids}
+
+
+def test_personalized_matches_numpy(spark):
+    df = spark.createDataFrame(DIRECTED_EDGES, "id_a long, id_b long")
+    got = {
+        r.id: r.rank
+        for r in pagerank(df, directed=True, personalize=[1, 4]).collect()
+    }
+    want = _np_personalized(DIRECTED_EDGES, set(got), [1, 4], directed=True)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # proximity: a seed's direct successor outranks a node the seeds
+    # cannot reach (7 has no in-edges at all)
+    assert got[2] > got[7] and got[7] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_personalized_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(df, personalize=[])
+    with pytest.raises(ValueError, match="not.*graph nodes|graph nodes"):
+        pagerank(df, personalize=[1, 99])
