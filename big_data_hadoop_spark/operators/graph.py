@@ -92,11 +92,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    if n == 0:
-        if stats is not None:
-            stats["rounds"] = 0
-            stats["delta"] = 0.0
-        return nodes.withColumn("rank", F.lit(0.0))
+    # seed validation runs BEFORE the empty-graph return: an upstream
+    # filter that accidentally emptied the pair frame must still get
+    # the loud refusal, not a silent empty result (review finding)
     if seeds is not None:
         present = nodes.filter(F.col("id").isin(seeds)).count()
         if present != len(seeds):
@@ -104,6 +102,12 @@ def pagerank(
                 f"{len(seeds) - present} personalize seed(s) are not "
                 "graph nodes — their teleport mass would silently leak"
             )
+    if n == 0:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["delta"] = 0.0
+        return nodes.withColumn("rank", F.lit(0.0))
+    if seeds is not None:
         r_expr = F.when(
             F.col("id").isin(seeds), F.lit(1.0 / len(seeds))
         ).otherwise(F.lit(0.0))
@@ -187,6 +191,31 @@ def pagerank(
     return ranks.select("id", "rank")
 
 
+def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Simple-graph edge list ``(a, b)`` with ``a < b``: self-loops
+    dropped, duplicates and reversed pairs collapsed, eagerly
+    checkpointed (every consumer reuses it across several joins).
+    Shared by the undirected graph operators so canonicalization can
+    only be fixed in one place."""
+    a, b = F.col(id_a), F.col(id_b)
+    return (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex degree ``(id, degree)`` of a canonical edge list."""
+    return (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
 def k_core(
     pairs: DataFrame,
     k: int,
@@ -220,24 +249,12 @@ def k_core(
         raise ValueError("k must be >= 1")
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    a, b = F.col(id_a), F.col(id_b)
-    edges = (
-        pairs.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _canonical_edges(pairs, id_a, id_b)
     n_edges = edges.count()
     rounds = 0
     deg = None
     while n_edges and rounds < max_iter:
-        deg = (
-            edges.select(F.col("a").alias("id"))
-            .union(edges.select(F.col("b").alias("id")))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint(eager=True)
-        )
+        deg = _degrees(edges).localCheckpoint(eager=True)
         keep = deg.filter(F.col("degree") >= k).select("id")
         pruned = (
             edges.join(keep.withColumnRenamed("id", "a"), "a", "semi")
@@ -298,20 +315,8 @@ def triangle_count(
     product, state O(edges); pinned against a DuckDB id-ordered
     three-way-join oracle (an independent enumeration order) in
     tests/test_triangles.py."""
-    a, b = F.col(id_a), F.col(id_b)
-    edges = (
-        pairs.filter(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        edges.select(F.col("a").alias("id"))
-        .union(edges.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)
-    )
+    edges = _canonical_edges(pairs, id_a, id_b)
+    deg = _degrees(edges).localCheckpoint(eager=True)
     # orient a→b when (deg, id) of a sorts below b's; carry the head's
     # degree so the wedge join can order its two heads without another
     # degree lookup

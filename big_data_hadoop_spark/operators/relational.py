@@ -415,10 +415,17 @@ def session_agg(
     lag/cumsum probe and the streaming operator, which split only
     when the gap is EXCEEDED. All three sessionizers agree at the
     boundary."""
-    if gap_seconds <= 0:
-        raise ValueError("gap_seconds must be positive")
+    # honor fractional gaps at microsecond resolution — int() would
+    # turn 0.5 into an invalid '0 seconds' window and 1799.9 into a
+    # silently different gap (review finding; same rule as
+    # resample_timeseries' step)
+    gap_us = int(round(gap_seconds * 1_000_000))
+    if gap_us <= 0:
+        raise ValueError(
+            "gap_seconds must be positive (at least 1 microsecond)"
+        )
     win = F.session_window(
-        F.col(ts_col).cast("timestamp"), f"{int(gap_seconds)} seconds"
+        F.col(ts_col).cast("timestamp"), f"{gap_us} microseconds"
     )
     return df.groupBy(F.col(key_col), win.alias("_w")).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -1374,7 +1374,11 @@ def analyze_table(
         aggs += [
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            # coalesce: SUM over zero rows is NULL, unlike the
+            # count-based fields — an empty table must report 0 nulls
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"{c}__nulls"),
             # rsd 2% (vs the 5% default): planner-quality NDV for the
             # price of a slightly larger HLL sketch per column
             F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__ndv"),
@@ -1385,6 +1389,12 @@ def analyze_table(
     ).first()
 
     def _j(v):
+        import math
+
+        # NaN min/max (NaN sorts above all doubles in Spark) must not
+        # leak into the JSON line as the non-RFC bare token NaN
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
         return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
 
     out: dict = {

@@ -65,3 +65,25 @@ def test_analyze_default_cols_and_cli(spark, capsys):
     ]
     out = json.loads(lines[-1])
     assert out["n_rows"] == got["n_rows"]
+
+
+def test_analyze_empty_table_and_nan(spark, tmp_path):
+    """Zero-row tables report nulls=0 (SUM over no rows is NULL in
+    SQL) and NaN min/max serializes as the string 'NaN', keeping the
+    CLI line strict-JSON (review findings)."""
+    import math
+
+    p = str(tmp_path / "e")
+    spark.createDataFrame([], "x long, y double").write.parquet(p)
+    got = analyze_table(spark, p)
+    assert got["n_rows"] == 0
+    assert got["columns"]["x"] == {"min": None, "max": None, "nulls": 0, "ndv": 0}
+    p2 = str(tmp_path / "nan")
+    spark.createDataFrame(
+        [(1.0,), (float("nan"),)], "y double"
+    ).write.parquet(p2)
+    got = analyze_table(spark, p2)
+    assert got["columns"]["y"]["max"] == "NaN"
+    line = json.dumps(got)
+    assert "NaN," not in line.replace('"NaN"', "")  # no bare NaN token
+    json.loads(line)

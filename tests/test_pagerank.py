@@ -169,3 +169,12 @@ def test_personalized_validation(spark):
         pagerank(df, personalize=[])
     with pytest.raises(ValueError, match="not.*graph nodes|graph nodes"):
         pagerank(df, personalize=[1, 99])
+
+
+def test_personalized_empty_graph_still_refuses(spark):
+    """The seed check runs BEFORE the empty-graph return: an upstream
+    filter that emptied the pair frame gets the loud refusal, not a
+    silent empty result (review finding)."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="graph nodes"):
+        pagerank(empty, personalize=[1, 2])

@@ -98,3 +98,17 @@ def test_session_agg_single_shuffle_plan(spark):
     ).executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan
+
+
+def test_session_agg_fractional_gap(spark):
+    """Fractional gaps resolve at microsecond precision — int() would
+    build an invalid '0 seconds' window for 0.5 (review finding)."""
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0), ("a", t0 + timedelta(milliseconds=400)),
+         ("a", t0 + timedelta(milliseconds=1200))],
+        "u string, ts timestamp",
+    )
+    assert session_agg(df, "u", "ts", 0.5).count() == 2
+    with pytest.raises(ValueError, match="positive"):
+        session_agg(df, "u", "ts", 0.0000001)
