@@ -1942,6 +1942,25 @@ def q96_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q97_kcore_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core of the minhash near-dup pair graph — the boilerplate-
+    farm isolator: vertices that survive synchronous peeling are
+    mutually entangled duplicates (every member still linked to ≥ 2
+    others after pendant one-off matches peel away), a sharper
+    instrument than component size and threshold-free (rows-only
+    slot; the pure-Python peeling oracle runs on THIS construction in
+    tests/test_kcore.py, plus fixed graphs and a randomized
+    property). Scale shape: per round one keyed degree aggregation +
+    two semi-joins, O(surviving edges) state shrinking monotonically,
+    rounds bounded by peeling depth."""
+    from big_data_hadoop_spark.operators.dedup import minhash_lsh_pairs
+    from big_data_hadoop_spark.operators.graph import k_core
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    return k_core(pairs, 2).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2055,6 +2074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_triangle_copurchase": q94_triangle_copurchase,
     "q95_resample_linear": q95_resample_linear,
     "q96_hard_negatives": q96_hard_negatives,
+    "q97_kcore_neardup": q97_kcore_neardup,
 }
 
 _EN = ts.STOPWORDS["en"]
