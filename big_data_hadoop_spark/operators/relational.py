@@ -424,13 +424,20 @@ def session_agg(
         raise ValueError(
             "gap_seconds must be positive (at least 1 microsecond)"
         )
-    win = F.session_window(
-        F.col(ts_col).cast("timestamp"), f"{gap_us} microseconds"
-    )
+    from pyspark.sql.types import TimestampType
+
+    ts = F.col(ts_col)
+    if not isinstance(df.schema[ts_col].dataType, TimestampType):
+        # NTZ/string inputs need the cast; a column that is ALREADY
+        # TimestampType must be used verbatim — wrapping it in a Cast
+        # detaches the caller's streaming WATERMARK from the session
+        # window and Spark refuses append mode (review-by-test)
+        ts = ts.cast("timestamp")
+    win = F.session_window(ts, f"{gap_us} microseconds")
     return df.groupBy(F.col(key_col), win.alias("_w")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.col(ts_col).cast("timestamp")).alias("session_start"),
-        F.max(F.col(ts_col).cast("timestamp")).alias("session_end"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
     ).select(key_col, "session_start", "session_end", "n_events")
 
 

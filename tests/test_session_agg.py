@@ -112,3 +112,59 @@ def test_session_agg_fractional_gap(spark):
     assert session_agg(df, "u", "ts", 0.5).count() == 2
     with pytest.raises(ValueError, match="positive"):
         session_agg(df, "u", "ts", 0.0000001)
+
+
+def test_session_agg_streams_and_equals_batch_when_drained(spark, tmp_path):
+    """The SAME session_agg expression under readStream (watermark +
+    append mode), drained with maxFilesPerTrigger=1 over the real
+    events plus a far-future sentinel batch that pushes the watermark
+    past every real session: the emitted sessions equal the batch
+    operator on the real events, session by session (substantiates
+    the docstring's stream-capable claim; Spark merges session state
+    across micro-batches natively)."""
+    import shutil
+    import time
+    from datetime import timedelta
+
+    from big_data_hadoop_spark.streaming.pipelines import read_events_stream
+    from tests.conftest import SF_SMOKE
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-0.parquet")
+    batch = load_table(spark, SF_SMOKE, "events")
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    max_ts = batch.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    spark.createDataFrame(
+        [(-11, max_ts + timedelta(days=30), -1, "sentinel", 0.0, "{}")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s1"))
+    time.sleep(1.1)  # distinct mtime -> the sentinel drains LAST
+    part = next((tmp_path / "s1").glob("part-*.parquet"))
+    shutil.copy(part, src / "part-1.parquet")
+
+    stream = (
+        read_events_stream(spark, str(src), maxFilesPerTrigger="1")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        session_agg(stream, "user_id", "ts", 1800)
+        .writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM native_sessions WHERE user_id >= 0"
+        ).collect()
+    }
+    want = {
+        tuple(r) for r in session_agg(batch, "user_id", "ts", 1800).collect()
+    }
+    assert len(got) > 100 and got == want
