@@ -49,6 +49,7 @@ __all__ = [
     "read_pruned_where",
     "read_pruned_indexed",
     "suggest_bloom_bits",
+    "analyze_from_stats",
 ]
 
 
@@ -888,6 +889,64 @@ def read_pruned_where(
         .parquet(*files)
         .filter(row_filter)
     )
+
+
+def analyze_from_stats(stats: DataFrame) -> dict:
+    """Table-level profile rolled up from a zone-map index frame —
+    the ZERO-DATA-SCAN sibling of ``io.analyze_table``: ``n_rows``,
+    ``n_files``, ``total_bytes`` and per-column ``{min, max, nulls}``
+    come from one aggregation over the O(files) index (min of file
+    mins, max of file maxes, sum of null counts), which is why table
+    formats answer these from the manifest. Honest limitation: NDV is
+    NOT derivable from per-file NDV counts (HLL sketches would merge;
+    their cardinalities do not), so each column reports
+    ``ndv_per_file_max`` — a lower bound on table NDV and exactly the
+    number :func:`suggest_bloom_bits` wants — instead of a fake
+    table-level ndv."""
+    import math
+
+    cols = [c[: -len("_min")] for c in stats.columns if c.endswith("_min")]
+    if not cols:
+        raise ValueError(
+            "stats frame has no <col>_min columns — not a "
+            "build_file_stats index"
+        )
+    aggs = [
+        F.count(F.lit(1)).alias("n_files"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.sum("length"), F.lit(0)).alias("total_bytes"),
+    ]
+    for c in cols:
+        aggs += [
+            F.min(f"{c}_min").alias(f"{c}__min"),
+            F.max(f"{c}_max").alias(f"{c}__max"),
+            F.coalesce(F.sum(f"{c}_nulls"), F.lit(0)).alias(f"{c}__nulls"),
+        ]
+        if f"{c}_ndv" in stats.columns:
+            aggs.append(F.max(f"{c}_ndv").alias(f"{c}__ndvmax"))
+    row = stats.agg(*aggs).first()
+
+    def _j(v):
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+
+    out: dict = {
+        "n_rows": row["n_rows"],
+        "n_files": row["n_files"],
+        "total_bytes": row["total_bytes"],
+        "columns": {},
+    }
+    for c in cols:
+        col: dict = {
+            "min": _j(row[f"{c}__min"]),
+            "max": _j(row[f"{c}__max"]),
+            "nulls": row[f"{c}__nulls"],
+        }
+        if f"{c}_ndv" in stats.columns:
+            col["ndv_per_file_max"] = row[f"{c}__ndvmax"]
+        out["columns"][c] = col
+    return out
 
 
 def maintain_file_stats(

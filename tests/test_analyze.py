@@ -87,3 +87,33 @@ def test_analyze_empty_table_and_nan(spark, tmp_path):
     line = json.dumps(got)
     assert "NaN," not in line.replace('"NaN"', "")  # no bare NaN token
     json.loads(line)
+
+
+def test_analyze_from_stats_matches_data_scan(spark, tmp_path):
+    """The index rollup agrees with the data-scan profile on every
+    shared field — rows, files, bytes, min/max/nulls — without
+    touching a data page; NDV honestly degrades to the per-file max
+    (sketchless counts cannot merge), the bloom-sizing input."""
+    from big_data_hadoop_spark.sources.layout import (
+        analyze_from_stats,
+        build_file_stats,
+    )
+
+    p = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [(i, None if i % 7 == 0 else i * 3) for i in range(1000)],
+        "k long, v long",
+    ).repartition(4).write.parquet(p)
+    stats = build_file_stats(spark, p, ["k", "v"])
+    got = analyze_from_stats(stats)
+    want = analyze_table(spark, p, cols=["k", "v"])
+    assert (got["n_rows"], got["n_files"], got["total_bytes"]) == (
+        want["n_rows"], want["n_files"], want["total_bytes"])
+    for c in ("k", "v"):
+        for f in ("min", "max", "nulls"):
+            assert got["columns"][c][f] == want["columns"][c][f], (c, f)
+        assert got["columns"][c]["ndv_per_file_max"] <= want["columns"][c]["ndv"] * 1.1
+    import pytest
+
+    with pytest.raises(ValueError, match="not a"):
+        analyze_from_stats(stats.select("file", "length"))
