@@ -947,3 +947,58 @@ def grouped_centroids(
             F.transform("_sum", lambda s: F.round(s / F.col("_n"), 9))
         ).alias("j", "centroid_j"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization → ``(<id_col>, scale,
+    qvec)`` where ``qvec`` is ``array<tinyint>`` and each component is
+    ``round(x / scale)`` with ``scale = max(|x|) / 127`` — the
+    standard 4× storage/bandwidth compression tier for embedding
+    serving, one notch simpler than this module's PQ (which trades
+    more accuracy for 32×). Dequantize with
+    :func:`dequantize_embeddings`; reconstruction error is bounded by
+    ``scale / 2`` per component, and cosine degradation on real
+    embeddings is negligible (pinned ≥ 0.999 in tests against a numpy
+    replication).
+
+    All-native column expressions (``array_max``/``transform`` HOFs,
+    no Python): at 100 TB the quantized table is what ships to the
+    ANN tier, and the quantization itself is a narrow map — no
+    shuffle. A zero vector has no direction; its scale is published
+    as 0 and it dequantizes to zeros."""
+    emb = _as_double(F.col(vec_col))
+    mx = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+    q = F.transform(
+        emb,
+        lambda x: F.least(
+            F.greatest(
+                F.when(scale > 0, F.round(x / scale)).otherwise(F.lit(0.0)),
+                F.lit(-127.0),
+            ),
+            F.lit(127.0),
+        ).cast("tinyint"),
+    )
+    return df.select(
+        F.col(id_col),
+        scale.cast("double").alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` → ``(<id_col>,
+    embedding array<double>)``, ``x ≈ q * scale``."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col("qvec"),
+            lambda v: v.cast("double") * F.col("scale"),
+        ).alias("embedding"),
+    )
