@@ -424,14 +424,26 @@ def session_agg(
         raise ValueError(
             "gap_seconds must be positive (at least 1 microsecond)"
         )
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
+    # resolve the field the way Spark's default resolver does —
+    # case-insensitively; an exact dict lookup would KeyError on a
+    # spelling Spark itself accepts (review finding). Unknown columns
+    # fall through to the cast path so Spark raises its own
+    # AnalysisException naming the available columns.
+    fld = next(
+        (f for f in df.schema.fields if f.name.lower() == ts_col.lower()),
+        None,
+    )
     ts = F.col(ts_col)
-    if not isinstance(df.schema[ts_col].dataType, TimestampType):
-        # NTZ/string inputs need the cast; a column that is ALREADY
-        # TimestampType must be used verbatim — wrapping it in a Cast
-        # detaches the caller's streaming WATERMARK from the session
-        # window and Spark refuses append mode (review-by-test)
+    if fld is None or not isinstance(
+        fld.dataType, (TimestampType, TimestampNTZType)
+    ):
+        # string/long inputs need the cast; a column that is ALREADY a
+        # timestamp type (TZ or NTZ — session_window accepts both)
+        # must be used verbatim: wrapping it in a Cast detaches the
+        # caller's streaming WATERMARK from the session window and
+        # Spark refuses append mode (review-by-test)
         ts = ts.cast("timestamp")
     win = F.session_window(ts, f"{gap_us} microseconds")
     return df.groupBy(F.col(key_col), win.alias("_w")).agg(

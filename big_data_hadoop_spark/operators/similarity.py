@@ -968,26 +968,41 @@ def quantize_embeddings(
     All-native column expressions (``array_max``/``transform`` HOFs,
     no Python): at 100 TB the quantized table is what ships to the
     ANN tier, and the quantization itself is a narrow map — no
-    shuffle. A zero vector has no direction; its scale is published
-    as 0 and it dequantizes to zeros."""
+    shuffle. The scale is computed ONCE in a staging projection and
+    referenced by name inside the transform — embedding the
+    array_max subtree in the lambda would re-evaluate it per element
+    (HOFs are interpreted, no subexpression elimination: O(d²) per
+    row; review finding). A zero vector has no direction; its scale
+    is published as 0 and it dequantizes to zeros. A vector
+    containing NaN publishes ``scale = NaN`` with an all-zero qvec —
+    visibly corrupt (it dequantizes to NaN), never masquerading as a
+    valid max-magnitude vector (Spark treats NaN as the LARGEST
+    double, so the naive max would saturate every component to
+    +127)."""
     emb = _as_double(F.col(vec_col))
     mx = F.array_max(F.transform(emb, lambda x: F.abs(x)))
-    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+    scale = (
+        F.when(F.isnan(mx), F.lit(float("nan")))
+        .when(mx > 0, mx / F.lit(127.0))
+        .otherwise(F.lit(0.0))
+    )
+    staged = df.select(
+        F.col(id_col), scale.cast("double").alias("scale"), emb.alias("_e")
+    )
+    usable = ~F.isnan(F.col("scale")) & (F.col("scale") > 0)
     q = F.transform(
-        emb,
+        F.col("_e"),
         lambda x: F.least(
             F.greatest(
-                F.when(scale > 0, F.round(x / scale)).otherwise(F.lit(0.0)),
+                F.when(usable, F.round(x / F.col("scale"))).otherwise(
+                    F.lit(0.0)
+                ),
                 F.lit(-127.0),
             ),
             F.lit(127.0),
         ).cast("tinyint"),
     )
-    return df.select(
-        F.col(id_col),
-        scale.cast("double").alias("scale"),
-        q.alias("qvec"),
-    )
+    return staged.select(F.col(id_col), "scale", q.alias("qvec"))
 
 
 def dequantize_embeddings(

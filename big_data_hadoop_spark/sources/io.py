@@ -1335,6 +1335,19 @@ def vacuum_table(path: str, grace_seconds: float = 86400.0) -> dict:
     return stats
 
 
+def _json_safe(v):
+    """Scalar → strict-JSON-safe value: NaN (which sorts above every
+    double in Spark, so it reaches min/max) becomes the STRING "NaN"
+    rather than the non-RFC bare token; non-atomic values stringify.
+    Shared by ``analyze_table`` and ``layout.analyze_from_stats`` so
+    the JSON-hygiene rule cannot drift between the two profiles."""
+    import math
+
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+
+
 def analyze_table(
     spark: SparkSession,
     path: str,
@@ -1388,14 +1401,7 @@ def analyze_table(
         F.count(F.lit(1)).alias("n"), F.sum("length").alias("b")
     ).first()
 
-    def _j(v):
-        import math
-
-        # NaN min/max (NaN sorts above all doubles in Spark) must not
-        # leak into the JSON line as the non-RFC bare token NaN
-        if isinstance(v, float) and math.isnan(v):
-            return "NaN"
-        return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+    _j = _json_safe
 
     out: dict = {
         "path": path,

@@ -925,11 +925,7 @@ def analyze_from_stats(stats: DataFrame) -> dict:
         if f"{c}_ndv" in stats.columns:
             aggs.append(F.max(f"{c}_ndv").alias(f"{c}__ndvmax"))
     row = stats.agg(*aggs).first()
-
-    def _j(v):
-        if isinstance(v, float) and math.isnan(v):
-            return "NaN"
-        return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+    from big_data_hadoop_spark.sources.io import _json_safe as _j
 
     out: dict = {
         "n_rows": row["n_rows"],

@@ -68,3 +68,20 @@ def test_quantize_zero_vector(spark):
     }
     assert d[1] == [0.0, 0.0, 0.0]
     assert abs(d[2][1] + 2.0) < 2.0 / 127
+
+
+def test_quantize_nan_vector_visibly_corrupt(spark):
+    """A NaN component must NOT saturate the vector to +127s (Spark
+    treats NaN as the largest double): scale publishes as NaN with an
+    all-zero qvec, and dequantize round-trips to NaN (review
+    finding)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [1.0, float("nan"), -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = quantize_embeddings(df).collect()[0]
+    assert math.isnan(r.scale) and list(r.qvec) == [0, 0, 0]
+    d = dequantize_embeddings(quantize_embeddings(df)).collect()[0]
+    assert all(math.isnan(x) for x in d.embedding)

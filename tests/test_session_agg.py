@@ -135,8 +135,16 @@ def test_session_agg_streams_and_equals_batch_when_drained(spark, tmp_path):
     batch = load_table(spark, SF_SMOKE, "events")
     schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
     max_ts = batch.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    sentinel_ts = max_ts + timedelta(days=30)
+    # the events ts PHYSICAL type drifts between testdata rounds
+    # (int64 epoch-nanos vs timestamp[us] NTZ — read_events_stream
+    # absorbs it); build the sentinel to match the footer schema
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        sentinel_ts = int(sentinel_ts.timestamp() * 1e9)
     spark.createDataFrame(
-        [(-11, max_ts + timedelta(days=30), -1, "sentinel", 0.0, "{}")],
+        [(-11, sentinel_ts, -1, "sentinel", 0.0, "{}")],
         schema,
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s1"))
     time.sleep(1.1)  # distinct mtime -> the sentinel drains LAST
