@@ -891,6 +891,53 @@ def filter_by_group_quantile(
     return j.filter(s.isNotNull() & keep).drop("_cut")
 
 
+def winsorize_by_group(
+    df: DataFrame,
+    value_col: str,
+    lo_frac: float = 0.01,
+    hi_frac: float = 0.99,
+    group_col: str = "source",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CLAMP each group's values to its ``[lo_frac, hi_frac]``
+    quantile band — the keep-the-row twin of
+    :func:`filter_by_group_quantile` (that one DROPS outliers; a
+    mixing weight, a reward signal, or a length prior usually wants
+    the row kept with its tail influence capped — classical
+    winsorization, per group so a heavy-tailed domain cannot set the
+    clamp for a light-tailed one). The value column is REPLACED with
+    its clamped double; NULL values pass through NULL (nothing to
+    clamp), and every row survives by construction.
+
+    Same scale shape as the gate: per-group ``percentile_approx``
+    (one mergeable aggregate, O(groups) rows) broadcast back — the
+    corpus itself shuffles ZERO times. DuckDB oracle in tests
+    (quantile-band clamp recomputed per group)."""
+    if not (0.0 <= lo_frac < hi_frac <= 1.0):
+        raise ValueError(
+            f"need 0 <= lo_frac < hi_frac <= 1, got {lo_frac}/{hi_frac}"
+        )
+    cuts = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile_approx(value_col, lo_frac, accuracy).alias("_lo"),
+            F.percentile_approx(value_col, hi_frac, accuracy).alias("_hi"),
+        )
+        .withColumnRenamed(group_col, "_grp")
+    )
+    j = df.join(
+        F.broadcast(cuts),
+        F.col(group_col).eqNullSafe(F.col("_grp")),
+        "inner",
+    ).drop("_grp")
+    v = F.col(value_col).cast("double")
+    clamped = F.when(
+        v.isNotNull(),
+        F.least(F.greatest(v, F.col("_lo").cast("double")), F.col("_hi").cast("double")),
+    )
+    return j.withColumn(value_col, clamped).drop("_lo", "_hi")
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

@@ -830,3 +830,58 @@ def test_shuffled_shards_curriculum_order(spark):
     assert set(by_shard) == {0, 1, 2, 3}
     for scores in by_shard.values():
         assert scores == sorted(scores)
+
+
+def test_winsorize_by_group_matches_duckdb(spark, duck):
+    """Per-group quantile-band clamp vs quantile_disc cutoffs (exact
+    at this group size, actual data values — same rationale as the
+    gate test above): every row survives, tails are capped to the
+    group band, interior values pass through untouched."""
+    from big_data_hadoop_spark.pipeline import winsorize_by_group
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = {
+        r.doc_id: r.n_chars
+        for r in winsorize_by_group(
+            docs, "n_chars", 0.1, 0.9, group_col="source"
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            """
+        WITH c AS (SELECT source, quantile_disc(n_chars, 0.1) AS lo,
+                          quantile_disc(n_chars, 0.9) AS hi
+                   FROM documents GROUP BY source)
+        SELECT d.doc_id,
+               CAST(least(greatest(CAST(d.n_chars AS DOUBLE), CAST(c.lo AS DOUBLE)),
+                          CAST(c.hi AS DOUBLE)) AS DOUBLE)
+        FROM documents d JOIN c USING (source)
+        """
+        ).fetchall()
+    }
+    assert got == want and got
+    n_docs = docs.count()
+    assert len(got) == n_docs  # every row survives
+
+
+def test_winsorize_nulls_and_validation(spark):
+    import pytest
+
+    from big_data_hadoop_spark.pipeline import winsorize_by_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 100.0), (4, "a", None),
+         (5, None, 7.0)],
+        "doc_id long, source string, v double",
+    )
+    got = {
+        r.doc_id: r.v
+        for r in winsorize_by_group(df, "v", 0.0, 0.5).collect()
+    }
+    # group "a": median-disc of (1,2,100) = 2 → 100 clamps to 2
+    assert got[3] == 2.0 and got[1] == 1.0 and got[2] == 2.0
+    assert got[4] is None  # NULL passes through, row kept
+    assert got[5] == 7.0  # NULL group clamps within its own group
+    with pytest.raises(ValueError, match="lo_frac"):
+        winsorize_by_group(df, "v", 0.9, 0.1)
