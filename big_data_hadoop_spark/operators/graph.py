@@ -37,6 +37,7 @@ def pagerank(
     directed: bool = False,
     stats: dict | None = None,
     personalize=None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a pair frame → ``(id, rank)``, ranks summing to 1.
 
@@ -64,9 +65,19 @@ def pagerank(
     query-sized by construction; the graph itself never touches the
     driver.
 
+    ``weight_col`` distributes each node's outgoing mass proportional
+    to EDGE WEIGHT instead of uniformly — on a near-dup graph weighted
+    by similarity, centrality then measures similarity MASS, not link
+    count (a member tied to 3 near-identical twins outranks one with
+    3 marginal matches). Duplicate (src, dst) rows SUM their weights;
+    weights must be strictly positive (loud refusal — a zero-weight
+    out-edge set would divide by zero and a negative one breaks the
+    probability reading). The unweighted path is numerically the same
+    recurrence as always (weight 1 everywhere).
+
     Pinned against a pure-numpy power iteration in tests (same
-    damping, same dangling handling, same reset vector, 1e-6
-    agreement).
+    damping, same dangling handling, same reset vector, same weight
+    normalization, 1e-6 agreement).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -77,14 +88,52 @@ def pagerank(
         seeds = sorted(set(personalize))
         if not seeds:
             raise ValueError("personalize must be a non-empty id list")
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
-    if not directed:
-        edges = edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if weight_col is None:
+        edges = pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
         )
-    edges = edges.distinct().localCheckpoint(eager=True)
+        if not directed:
+            edges = edges.union(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+        edges = (
+            edges.distinct()
+            .withColumn("_w", F.lit(1.0))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        edges = pairs.select(
+            F.col(id_a).alias("src"),
+            F.col(id_b).alias("dst"),
+            F.col(weight_col).cast("double").alias("_w"),
+        )
+        if not directed:
+            edges = edges.union(
+                edges.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "_w",
+                )
+            )
+        edges = (
+            edges.groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+            .localCheckpoint(eager=True)
+        )
+        if (
+            edges.filter(
+                F.col("_w").isNull() | (F.col("_w") <= 0)
+            )
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "edge weights must be strictly positive non-NULL — a "
+                "zero-weight out-edge set divides by zero and a "
+                "negative weight breaks the probability reading"
+            )
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -114,7 +163,9 @@ def pagerank(
     else:
         r_expr = F.lit(1.0 / n)
     nodes = nodes.withColumn("_r", r_expr).localCheckpoint(eager=True)
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-mass per source: Σ weights (count-of-ones in unweighted
+    # mode — 1.0/deg exactly as before, double-for-double)
+    out_deg = edges.groupBy("src").agg(F.sum("_w").alias("_wsum"))
     # Dangling nodes exist only in directed mode (undirected
     # symmetrization gives every node an out-edge); membership is
     # round-invariant, so decide ONCE whether the per-round dangling
@@ -126,11 +177,13 @@ def pagerank(
         .limit(1)
         .count()
     )
-    # contribution edges carry 1/deg once — computed a single time, the
+    # contribution edges carry w/Σw once — computed a single time, the
     # per-round join then touches only (src, dst, w) and ranks
     weighted = (
         edges.join(out_deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .select(
+            "src", "dst", (F.col("_w") / F.col("_wsum")).alias("w")
+        )
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("id", F.col("_r").alias("rank")).localCheckpoint(

@@ -178,3 +178,78 @@ def test_personalized_empty_graph_still_refuses(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError, match="graph nodes"):
         pagerank(empty, personalize=[1, 2])
+
+
+def _np_weighted(edges_w, n_ids, damping=0.85, tol=1e-6, max_iter=40,
+                 directed=True):
+    """Weighted power iteration: out-mass proportional to edge weight,
+    duplicate (a, b) weights summed — mirroring the operator."""
+    ids = sorted(n_ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    w: dict[tuple, float] = {}
+    for a, b, x in edges_w:
+        w[(a, b)] = w.get((a, b), 0.0) + x
+        if not directed:
+            w[(b, a)] = w.get((b, a), 0.0) + x
+    out = np.zeros(n)
+    for (a, _b), x in w.items():
+        out[idx[a]] += x
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = r[out == 0].sum()
+        inflow = np.zeros(n)
+        for (a, b), x in w.items():
+            inflow[idx[b]] += r[idx[a]] * x / out[idx[a]]
+        nr = (1 - damping) / n + damping * (inflow + dangling / n)
+        if np.abs(nr - r).sum() < tol:
+            r = nr
+            break
+        r = nr
+    return {v: r[idx[v]] for v in ids}
+
+
+def test_weighted_matches_numpy(spark):
+    edges = [
+        (1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0),
+        (4, 3, 0.5), (1, 2, 1.0),  # duplicate (1,2): weights SUM
+        (3, 8, 2.0),  # 8 dangling
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long, sim double")
+    for directed in (True, False):
+        got = {
+            r.id: r.rank
+            for r in pagerank(
+                df, directed=directed, weight_col="sim"
+            ).collect()
+        }
+        want = _np_weighted(edges, set(got), directed=directed)
+        for k in got:
+            assert got[k] == pytest.approx(want[k], abs=1e-6), (directed, k)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # weight asymmetry matters: 1 sends 4/5 of its mass to 2 — with
+    # uniform weights 2 and 3 would split it evenly
+    got = {
+        r.id: r.rank
+        for r in pagerank(df, directed=True, weight_col="sim").collect()
+    }
+    unif = {
+        r.id: r.rank
+        for r in pagerank(
+            df.select("id_a", "id_b").distinct(), directed=True
+        ).collect()
+    }
+    assert got[2] > unif[2]
+
+
+def test_weighted_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 0.0), (2, 3, 1.0)], "id_a long, id_b long, sim double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        pagerank(df, weight_col="sim")
+    dfn = spark.createDataFrame(
+        [(1, 2, None), (2, 3, 1.0)], "id_a long, id_b long, sim double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        pagerank(dfn, weight_col="sim")
