@@ -88,52 +88,54 @@ def pagerank(
         seeds = sorted(set(personalize))
         if not seeds:
             raise ValueError("personalize must be a non-empty id list")
-    if weight_col is None:
-        edges = pairs.select(
-            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    w_expr = (
+        F.lit(1.0)
+        if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
+    e = pairs.select(
+        F.col(id_a).alias("src"),
+        F.col(id_b).alias("dst"),
+        w_expr.alias("_w"),
+    )
+    if weight_col is not None and (
+        e.filter(F.col("_w").isNull() | (F.col("_w") <= 0))
+        .limit(1)
+        .count()
+    ):
+        # validate the RAW weights before any aggregation: a NULL or
+        # negative weight on a duplicate (src, dst) row would be
+        # silently absorbed by the sum (review finding)
+        raise ValueError(
+            "edge weights must be strictly positive non-NULL — a "
+            "zero-weight out-edge set divides by zero and a "
+            "negative weight breaks the probability reading"
         )
-        if not directed:
-            edges = edges.union(
-                edges.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst")
-                )
+    if not directed:
+        # self-loops are NOT reversed: the unweighted path's distinct
+        # collapses the mirrored copy anyway, and the weighted sum
+        # must not double a self-loop's weight relative to that
+        # (review finding)
+        e = e.union(
+            e.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "_w",
             )
+        )
+    if weight_col is None:
         edges = (
-            edges.distinct()
+            e.select("src", "dst")
+            .distinct()
             .withColumn("_w", F.lit(1.0))
             .localCheckpoint(eager=True)
         )
     else:
-        edges = pairs.select(
-            F.col(id_a).alias("src"),
-            F.col(id_b).alias("dst"),
-            F.col(weight_col).cast("double").alias("_w"),
-        )
-        if not directed:
-            edges = edges.union(
-                edges.select(
-                    F.col("dst").alias("src"),
-                    F.col("src").alias("dst"),
-                    "_w",
-                )
-            )
         edges = (
-            edges.groupBy("src", "dst")
+            e.groupBy("src", "dst")
             .agg(F.sum("_w").alias("_w"))
             .localCheckpoint(eager=True)
         )
-        if (
-            edges.filter(
-                F.col("_w").isNull() | (F.col("_w") <= 0)
-            )
-            .limit(1)
-            .count()
-        ):
-            raise ValueError(
-                "edge weights must be strictly positive non-NULL — a "
-                "zero-weight out-edge set divides by zero and a "
-                "negative weight breaks the probability reading"
-            )
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))

@@ -844,6 +844,37 @@ def weighted_sample(
     return picked.drop("_es_key")
 
 
+def _group_cuts_join(
+    df: DataFrame, group_col: str, aggs: dict[str, Column]
+) -> DataFrame:
+    """Per-group cut values (one mergeable aggregate — O(groups) rows)
+    broadcast back onto ``df`` with a NULL-safe group join: the shared
+    scaffolding of :func:`filter_by_group_quantile` and
+    :func:`winsorize_by_group` (review finding: it was copy-pasted).
+    ``aggs`` maps output name → aggregate expression. The corpus
+    itself shuffles zero times. Internal/output column names refuse
+    loudly on collision with the frame's own columns — the
+    ``zorder_cluster`` precedent; an ambiguous-reference error after
+    the join would point nowhere near the cause."""
+    internal = {"_grp", *aggs}
+    clash = internal & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"frame columns {sorted(clash)} collide with internal "
+            "group-cut names — rename them first"
+        )
+    cuts = (
+        df.groupBy(group_col)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .withColumnRenamed(group_col, "_grp")
+    )
+    return df.join(
+        F.broadcast(cuts),
+        F.col(group_col).eqNullSafe(F.col("_grp")),
+        "inner",
+    ).drop("_grp")
+
+
 def filter_by_group_quantile(
     df: DataFrame,
     score_col: str,
@@ -876,16 +907,11 @@ def filter_by_group_quantile(
     if best not in ("low", "high"):
         raise ValueError(f"best must be 'low' or 'high', got {best!r}")
     q = keep_frac if best == "low" else 1.0 - keep_frac
-    cuts = (
-        df.groupBy(group_col)
-        .agg(F.percentile_approx(score_col, q, accuracy).alias("_cut"))
-        .withColumnRenamed(group_col, "_grp")
+    j = _group_cuts_join(
+        df,
+        group_col,
+        {"_cut": F.percentile_approx(score_col, q, accuracy)},
     )
-    j = df.join(
-        F.broadcast(cuts),
-        F.col(group_col).eqNullSafe(F.col("_grp")),
-        "inner",
-    ).drop("_grp")
     s = F.col(score_col)
     keep = (s <= F.col("_cut")) if best == "low" else (s >= F.col("_cut"))
     return j.filter(s.isNotNull() & keep).drop("_cut")
@@ -917,24 +943,25 @@ def winsorize_by_group(
         raise ValueError(
             f"need 0 <= lo_frac < hi_frac <= 1, got {lo_frac}/{hi_frac}"
         )
-    cuts = (
-        df.groupBy(group_col)
-        .agg(
-            F.percentile_approx(value_col, lo_frac, accuracy).alias("_lo"),
-            F.percentile_approx(value_col, hi_frac, accuracy).alias("_hi"),
-        )
-        .withColumnRenamed(group_col, "_grp")
-    )
-    j = df.join(
-        F.broadcast(cuts),
-        F.col(group_col).eqNullSafe(F.col("_grp")),
-        "inner",
-    ).drop("_grp")
     v = F.col(value_col).cast("double")
-    clamped = F.when(
-        v.isNotNull(),
-        F.least(F.greatest(v, F.col("_lo").cast("double")), F.col("_hi").cast("double")),
+    # NaN is excluded from the band computation (it sorts ABOVE every
+    # double, so a single NaN would drag _hi to NaN at high hi_frac)
+    # and passes through the clamp unchanged like NULL — rewriting it
+    # to the hi cut would fabricate a data value (review finding; the
+    # zorder NaN-safety posture)
+    clean = F.when(~F.isnan(v), v)
+    band = F.percentile_approx(
+        clean, F.array(F.lit(lo_frac), F.lit(hi_frac)), accuracy
+    )  # ONE sketch for both cuts, not two
+    j = _group_cuts_join(
+        df,
+        group_col,
+        {"_lo": band.getItem(0), "_hi": band.getItem(1)},
     )
+    clamped = F.when(
+        v.isNotNull() & ~F.isnan(v),
+        F.least(F.greatest(v, F.col("_lo")), F.col("_hi")),
+    ).otherwise(v)
     return j.withColumn(value_col, clamped).drop("_lo", "_hi")
 
 

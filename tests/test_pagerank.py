@@ -253,3 +253,31 @@ def test_weighted_validation(spark):
     )
     with pytest.raises(ValueError, match="strictly positive"):
         pagerank(dfn, weight_col="sim")
+
+
+def test_weighted_raw_validation_and_selfloop_parity(spark):
+    """Raw weights validate BEFORE the duplicate sum (a NULL on a
+    duplicate row was silently absorbed), and an undirected self-loop
+    carries the SAME relative weight as in the unweighted path —
+    symmetrization must not mirror it (review findings)."""
+    dup_null = spark.createDataFrame(
+        [(1, 2, None), (1, 2, 0.7)], "id_a long, id_b long, sim double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        pagerank(dup_null, weight_col="sim")
+    dup_neg = spark.createDataFrame(
+        [(1, 2, -0.5), (1, 2, 1.0)], "id_a long, id_b long, sim double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        pagerank(dup_neg, weight_col="sim")
+    # self-loop parity: weight-1 everywhere == unweighted, exactly
+    loop = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 1.0)], "id_a long, id_b long, sim double"
+    )
+    w = {r.id: r.rank for r in pagerank(loop, weight_col="sim").collect()}
+    u = {
+        r.id: r.rank
+        for r in pagerank(loop.select("id_a", "id_b")).collect()
+    }
+    for k in u:
+        assert w[k] == pytest.approx(u[k], abs=1e-12), k

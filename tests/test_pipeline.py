@@ -885,3 +885,29 @@ def test_winsorize_nulls_and_validation(spark):
     assert got[5] == 7.0  # NULL group clamps within its own group
     with pytest.raises(ValueError, match="lo_frac"):
         winsorize_by_group(df, "v", 0.9, 0.1)
+
+
+def test_winsorize_nan_passthrough_and_collision(spark):
+    """NaN neither skews the band (excluded from the sketch) nor gets
+    rewritten to the hi cut (passes through like NULL); internal cut
+    names refuse loudly on collision (review findings)."""
+    import math
+
+    import pytest
+
+    from big_data_hadoop_spark.pipeline import winsorize_by_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+         (4, "a", float("nan")), (5, "a", 100.0)],
+        "doc_id long, source string, v double",
+    )
+    got = {
+        r.doc_id: r.v for r in winsorize_by_group(df, "v", 0.0, 0.5).collect()
+    }
+    # band from clean values (1,2,3,100): median-disc = 2 — NaN did
+    # not drag _hi; the outlier clamps, NaN survives as NaN
+    assert got[5] == 2.0 and math.isnan(got[4])
+    assert got[1] == 1.0 and got[2] == 2.0
+    with pytest.raises(ValueError, match="collide"):
+        winsorize_by_group(df.withColumnRenamed("doc_id", "_lo"), "v", 0.0, 0.5)
