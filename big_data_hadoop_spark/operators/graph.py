@@ -341,6 +341,84 @@ def k_core(
     return deg.filter(F.col("degree") >= k)
 
 
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation →
+    ``(id, community)`` over an undirected pair frame (Raghavan et al.
+    2007, public literature; the deterministic variant: every vertex
+    adopts the most frequent label among its neighbors AND itself,
+    ties broken by MINIMUM label). Communities differ from connected
+    components (``dedup.duplicate_clusters``): two cliques joined by
+    one bridge edge are ONE component but TWO communities — on
+    near-dup graphs that separates distinct boilerplate families that
+    a single accidental match chained together.
+
+    Vertex ids must be numeric (the tie-break negates the label inside
+    a ``max_by`` struct). The self-vote makes the iteration stable on
+    bipartite structures that oscillate under pure synchronous LPA;
+    convergence is zero label changes, bounded by ``max_iter`` (LPA is
+    a heuristic — near-convergence oscillation between equivalent
+    labelings is possible, so hitting the bound returns the current
+    labeling rather than raising, with the round count observable via
+    ``stats``).
+
+    Scale shape: per round ONE neighbor-label equi-join + ONE
+    ``max_by`` aggregation (map-side partial), labels eagerly
+    checkpointed (the iterative-operator lineage defense); state is
+    O(nodes), no driver-side graph. Pinned against a pure-Python
+    replication of the exact update rule in tests."""
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    edges = _canonical_edges(pairs, id_a, id_b)
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("community", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nbr = sym.join(
+            labels.select(
+                F.col("id").alias("a"), F.col("community").alias("l")
+            ),
+            "a",
+        ).select(F.col("b").alias("id"), "l")
+        votes = nbr.union(labels.select("id", F.col("community").alias("l")))
+        new_labels = (
+            votes.groupBy("id", "l")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.expr("max_by(l, struct(cnt, -l))").alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("community", "_prev"), "id"
+            )
+            .filter(F.col("community") != F.col("_prev"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels
+
+
 def triangle_count(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:
