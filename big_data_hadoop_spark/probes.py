@@ -1961,6 +1961,24 @@ def q97_kcore_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(pairs, 2).orderBy("id")
 
 
+def q98_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-propagation communities over the minhash near-dup graph
+    (rows-only slot; the exact synchronous self-vote/min-tie update
+    rule is replicated in pure Python in
+    tests/test_label_propagation.py, including the bridge-splitting
+    contrast with component resolution). Communities refine q58/q85's
+    connected components: one accidental cross-family match chains two
+    boilerplate families into one component, but LPA keeps them as two
+    communities. Scale shape: per round one neighbor-label equi-join +
+    one max_by aggregation, O(nodes) state, checkpointed rounds."""
+    from big_data_hadoop_spark.operators.dedup import minhash_lsh_pairs
+    from big_data_hadoop_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    return label_propagation(pairs).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2075,6 +2093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_resample_linear": q95_resample_linear,
     "q96_hard_negatives": q96_hard_negatives,
     "q97_kcore_neardup": q97_kcore_neardup,
+    "q98_lpa_communities": q98_lpa_communities,
 }
 
 _EN = ts.STOPWORDS["en"]
