@@ -374,16 +374,31 @@ def label_propagation(
     replication of the exact update rule in tests."""
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    edges = _canonical_edges(pairs, id_a, id_b)
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    # the symmetric simple graph in ONE pass and one pinned copy —
+    # LPA never needs the canonical a<b list, so routing through
+    # _canonical_edges would materialize the edges twice and pin both
+    # for the whole run (review finding)
+    a, b = F.col(id_a), F.col(id_b)
+    half = pairs.filter(a != b).select(a.alias("a"), b.alias("b"))
+    sym = (
+        half.union(
+            half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("community", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    if not labels.count():
+        # empty graph: no wasted round, rounds=0 like pagerank's
+        # early return (review finding)
+        if stats is not None:
+            stats["rounds"] = 0
+        return labels
     rounds = 0
     for _ in range(max_iter):
         rounds += 1

@@ -99,3 +99,12 @@ def test_lpa_degenerate(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError):
         label_propagation(df, max_iter=0)
+
+
+def test_lpa_empty_graph_rounds_zero(spark):
+    """Empty/self-loop-only graphs return rounds=0 with no wasted
+    iteration, consistent with pagerank's early return (review
+    finding)."""
+    stats: dict = {}
+    got = _run(spark, [(7, 7)], stats)
+    assert got == {} and stats["rounds"] == 0
