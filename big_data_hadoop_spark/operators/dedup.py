@@ -1548,7 +1548,11 @@ def lsh_recall_audit(
         "truth_pairs": n_truth,
         "lsh_pairs": n_got,
         "missed_pairs": n_missed,
-        "recall": (n_got / n_truth) if n_truth else 1.0,
+        # from the anti-join directly, NOT n_got/n_truth: stays correct
+        # even if the LSH-output-⊆-truth invariant ever breaks (e.g.
+        # verification drift between the two tiers) — n_got/n_truth
+        # could then exceed 1 or mask misses (review finding)
+        "recall": ((n_truth - n_missed) / n_truth) if n_truth else 1.0,
         "theoretical_recall": 1.0 - (1.0 - threshold**r) ** bands,
         "missed_max_jac": (
             missed.agg(F.max("jac")).first()[0] if n_missed else None

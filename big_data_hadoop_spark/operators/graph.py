@@ -387,15 +387,23 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # the vertex set comes from the RAW pairs, not from sym — a vertex
+    # whose only pairs are self-loops has no sym edge but must still
+    # appear (as a singleton community), matching pagerank's retention
+    # of self-loop nodes; its only vote each round is its own label, so
+    # the iteration leaves it at community = id (review finding: the
+    # sym-derived vertex set silently dropped such members)
     labels = (
-        sym.select(F.col("a").alias("id"))
+        pairs.select(a.alias("id"))
+        .union(pairs.select(b.alias("id")))
         .distinct()
         .withColumn("community", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    if not labels.count():
-        # empty graph: no wasted round, rounds=0 like pagerank's
-        # early return (review finding)
+    if not labels.count() or sym.isEmpty():
+        # empty or self-loop-only graph: labels (possibly singleton
+        # communities) are already final — no wasted round, rounds=0
+        # like pagerank's early return (review finding)
         if stats is not None:
             stats["rounds"] = 0
         return labels

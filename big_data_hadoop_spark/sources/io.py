@@ -319,22 +319,39 @@ def _swap_in(staging: str, path: str, lock=None) -> None:
     delete-then-rename form had a window that lost the table).
 
     With ``lock`` (a held :class:`_TableWriteLock`), ownership is
-    re-verified at each rename boundary AND after publishing, and a
+    verified BEFORE touching anything (so a writer whose claim was
+    already stolen never rmtree's the `.old` that may be the stealing
+    writer's — or a crashed swap's — only recoverable generation),
+    re-verified at each rename boundary AND after publishing. A
     detected mid-swap steal UNDOES the renames (the stolen-from
     writer's generation goes back) before raising — so a holder
     suspended past ``grace_seconds`` between staging and swapping
     (GC/VM pause, NFS hang) cannot silently replace the stealing
-    writer's published rows. The verify-to-publish window shrinks
-    from the whole merge duration to one rename syscall; a steal
-    landing its OWN publish inside that instant is the residual race
-    (review finding on the earlier verify-then-swap sequencing)."""
+    writer's published rows. The post-publish undo is guarded by a
+    ``_GENERATION`` marker stamped into ``staging`` before the swap:
+    the undo renames ``path`` away ONLY when ``path`` provably still
+    holds THIS writer's staged generation — if the stealer completed
+    its own swap inside the verify window, its committed publish is
+    left in place (last-writer-wins) and this writer raises without
+    renaming. The verify-to-publish window shrinks from the whole
+    merge duration to one rename syscall (review findings on the
+    earlier verify-then-swap sequencing and the unconditional undo)."""
     import shutil
+    import uuid
 
     old = path + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
     if lock is not None:
         lock.verify()
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    marker = None
+    if lock is not None and os.path.isdir(staging):
+        # underscore-prefixed files are invisible to parquet readers
+        # (same convention as _SUCCESS), so the marker never changes
+        # what a scan of the published table sees
+        marker = uuid.uuid4().hex
+        with open(os.path.join(staging, "_GENERATION"), "w") as fh:
+            fh.write(marker)
     had_prev = os.path.exists(path)
     if had_prev:
         os.rename(path, old)
@@ -342,19 +359,34 @@ def _swap_in(staging: str, path: str, lock=None) -> None:
             try:
                 lock.verify()
             except ConcurrentWriterError:
-                os.rename(old, path)  # undo: restore the other writer
+                # path cannot exist here unless a stealer already
+                # published its own swap — then ITS generation is the
+                # live one and ours stays staged; only restore when
+                # the slot is actually empty
+                if not os.path.exists(path):
+                    os.rename(old, path)
                 raise
     os.rename(staging, path)
     if lock is not None:
         try:
             lock.verify()
         except ConcurrentWriterError:
-            # stolen between the pre-publish check and here — put the
-            # previous (possibly the stealer's) generation back and
-            # surface our staged one for manual recovery
-            os.rename(path, staging)
-            if had_prev:
-                os.rename(old, path)
+            # stolen between the pre-publish check and here. Undo ONLY
+            # if path still holds OUR staged generation: a stealer that
+            # completed its own swap in this window has COMMITTED rows
+            # at path, and renaming them into our .staging would shelve
+            # a successful foreign publish.
+            ours = False
+            if marker is not None:
+                try:
+                    with open(os.path.join(path, "_GENERATION")) as fh:
+                        ours = fh.read() == marker
+                except OSError:
+                    ours = False
+            if ours and not os.path.exists(staging):
+                os.rename(path, staging)
+                if had_prev and not os.path.exists(path):
+                    os.rename(old, path)
             raise
     shutil.rmtree(old, ignore_errors=True)
 

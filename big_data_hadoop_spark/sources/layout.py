@@ -903,8 +903,6 @@ def analyze_from_stats(stats: DataFrame) -> dict:
     ``ndv_per_file_max`` — a lower bound on table NDV and exactly the
     number :func:`suggest_bloom_bits` wants — instead of a fake
     table-level ndv."""
-    import math
-
     cols = [c[: -len("_min")] for c in stats.columns if c.endswith("_min")]
     if not cols:
         raise ValueError(

@@ -19,18 +19,23 @@ _SETTINGS = settings(
 
 
 def _py_lpa(edges, max_iter=20):
+    # vertex set from RAW pairs: self-loop-only vertices stay as
+    # singleton communities (matching pagerank's vertex contract)
+    verts: set[int] = set()
     adj: dict[int, set[int]] = {}
     for a, b in edges:
+        verts.add(a)
+        verts.add(b)
         if a == b:
             continue
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
-    lab = {v: v for v in adj}
+    lab = {v: v for v in verts}
     for _ in range(max_iter):
         new = {}
-        for v in adj:
+        for v in verts:
             freq: dict[int, int] = {}
-            for n in adj[v]:
+            for n in adj.get(v, ()):
                 freq[lab[n]] = freq.get(lab[n], 0) + 1
             freq[lab[v]] = freq.get(lab[v], 0) + 1  # self-vote
             best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))[0]
@@ -42,9 +47,7 @@ def _py_lpa(edges, max_iter=20):
 
 
 def _run(spark, edges, stats=None):
-    df = spark.createDataFrame(
-        list(edges) or [(0, 0)], "id_a long, id_b long"
-    )
+    df = spark.createDataFrame(list(edges), "id_a long, id_b long")
     return {
         r.id: r.community
         for r in label_propagation(df, stats=stats).collect()
@@ -93,7 +96,9 @@ def test_lpa_matches_python_rule(spark, edges):
 
 
 def test_lpa_degenerate(spark):
-    assert _run(spark, [(7, 7)]) == {}  # self-loops only: no graph
+    # self-loops only: singleton community, same vertex contract as
+    # pagerank (review finding: sym-derived vertex set dropped these)
+    assert _run(spark, [(7, 7)]) == {7: 7}
     import pytest
 
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
@@ -107,4 +112,15 @@ def test_lpa_empty_graph_rounds_zero(spark):
     finding)."""
     stats: dict = {}
     got = _run(spark, [(7, 7)], stats)
-    assert got == {} and stats["rounds"] == 0
+    assert got == {7: 7} and stats["rounds"] == 0
+
+
+def test_lpa_self_loop_vertex_joins_real_graph(spark):
+    """A self-loop on a vertex that ALSO has real edges changes
+    nothing; a vertex with ONLY self-loops is a singleton alongside
+    the real communities."""
+    edges = [(0, 1), (1, 0), (1, 1), (9, 9)]
+    got = _run(spark, edges)
+    assert got == _py_lpa(edges)
+    assert set(got) == {0, 1, 9} and got[9] == 9
+    assert got[0] == got[1]

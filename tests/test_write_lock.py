@@ -257,6 +257,97 @@ def test_swap_in_detects_midswap_steal_and_restores(tmp_path):
         lock.release()
 
 
+class _FlakyLock:
+    """Stand-in lock whose verify() raises on the Nth call, optionally
+    running a side effect first — simulates a steal landing at an exact
+    boundary inside _swap_in (call 1 = pre-touch, 2 = after
+    rename(path→old), 3 = post-publish)."""
+
+    def __init__(self, fail_at, side_effect=None):
+        self.calls = 0
+        self.fail_at = fail_at
+        self.side_effect = side_effect
+
+    def verify(self):
+        self.calls += 1
+        if self.calls == self.fail_at:
+            if self.side_effect is not None:
+                self.side_effect()
+            raise ConcurrentWriterError("stolen (test)")
+
+
+def _mkgen(d, text):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "gen"), "w") as f:
+        f.write(text)
+
+
+def test_swap_in_lost_claim_never_touches_foreign_old(tmp_path):
+    """A writer whose claim was ALREADY stolen must not rmtree a
+    pre-existing '<path>.old': if the stealing writer is mid-swap (or
+    crashed between its renames) that .old is momentarily the table's
+    only copy (review finding: the rmtree ran before the first
+    verify — a double-fault window could lose the table)."""
+    path = str(tmp_path / "ds")
+    staging = path + ".staging"
+    _mkgen(staging, "ours")
+    _mkgen(path + ".old", "stealer-recovery-copy")
+    with pytest.raises(ConcurrentWriterError):
+        sio._swap_in(staging, path, _FlakyLock(fail_at=1))
+    with open(os.path.join(path + ".old", "gen")) as f:
+        assert f.read() == "stealer-recovery-copy"
+    with open(os.path.join(staging, "gen")) as f:
+        assert f.read() == "ours"
+
+
+def test_swap_in_postpublish_steal_undoes_own_generation(tmp_path):
+    """Steal detected by the post-publish verify while path still holds
+    OUR staged generation: the undo re-stages it and restores the
+    previous generation (the _GENERATION marker matches)."""
+    path = str(tmp_path / "ds")
+    staging = path + ".staging"
+    _mkgen(path, "prev")
+    _mkgen(staging, "ours")
+    with pytest.raises(ConcurrentWriterError):
+        sio._swap_in(staging, path, _FlakyLock(fail_at=3))
+    with open(os.path.join(path, "gen")) as f:
+        assert f.read() == "prev"
+    with open(os.path.join(staging, "gen")) as f:
+        assert f.read() == "ours"
+    assert not os.path.exists(path + ".old")
+
+
+def test_swap_in_postpublish_steal_never_reverts_foreign_publish(
+    tmp_path,
+):
+    """If the stealer COMPLETED its own swap between our publish and
+    our verify, path holds the stealer's committed generation — the
+    undo must leave it alone (raise without renaming) instead of
+    shelving a successful foreign publish into our .staging (review
+    finding: the unconditional undo demoted the stealer's rows)."""
+    import shutil
+
+    path = str(tmp_path / "ds")
+    staging = path + ".staging"
+    _mkgen(path, "prev")
+    _mkgen(staging, "ours")
+
+    def stealer_republishes():
+        shutil.rmtree(path)
+        _mkgen(path, "thief")  # no _GENERATION marker of ours
+
+    with pytest.raises(ConcurrentWriterError):
+        sio._swap_in(
+            staging, path, _FlakyLock(fail_at=3, side_effect=stealer_republishes)
+        )
+    with open(os.path.join(path, "gen")) as f:
+        assert f.read() == "thief"  # foreign publish untouched
+    assert not os.path.exists(staging)
+    # the pre-swap generation stays recoverable as .old residue
+    with open(os.path.join(path + ".old", "gen")) as f:
+        assert f.read() == "prev"
+
+
 def test_swap_in_without_lock_still_swaps(tmp_path):
     path = str(tmp_path / "ds")
     staging = path + ".staging"
