@@ -1,0 +1,170 @@
+"""Co-purchase projection (``graph.copurchase_edges``): exact edges +
+weights vs a pure-Python replication, duplicate-line collapse, NULL
+handling, the ``max_basket`` valve (loud refusal naming offenders /
+deterministic bounded sampling), and q94 equivalence with the old
+inline self-join (the probe this operator was promoted from)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.graph import copurchase_edges
+
+
+def _py_edges(rows):
+    baskets: dict = {}
+    for b, i in rows:
+        if b is None or i is None:
+            continue
+        baskets.setdefault(b, set()).add(i)
+    out: dict = {}
+    for items in baskets.values():
+        for a, c in itertools.combinations(sorted(items), 2):
+            out[(a, c)] = out.get((a, c), 0) + 1
+    return out
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = copurchase_edges(df, "basket", "item", **kw)
+    return {(r.id_a, r.id_b): r.n_baskets for r in got.collect()}
+
+
+def test_edges_and_weights_match_python(spark):
+    rows = [
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),
+        (3, 12), (3, 10),
+        (4, 99),           # singleton basket: no edges
+    ]
+    assert _run(spark, rows) == _py_edges(rows)
+    # weight check explicitly: (10,11) shared by baskets 1 and 2
+    assert _run(spark, rows)[(10, 11)] == 2
+
+
+def test_duplicate_lines_collapse(spark):
+    """A repeated (basket, item) row is one membership, not two —
+    weights must not double-count an order line that appears twice."""
+    rows = [(1, 10), (1, 10), (1, 11), (2, 10), (2, 11)]
+    got = _run(spark, rows)
+    assert got == {(10, 11): 2}
+
+
+def test_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (None, 12), (1, None)],
+        "basket long, item long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_baskets
+        for r in copurchase_edges(df, "basket", "item").collect()
+    }
+    assert got == {(10, 11): 1}
+
+
+def test_hot_basket_refuses_loudly(spark):
+    rows = [(1, i) for i in range(12)] + [(2, 1), (2, 2)]
+    with pytest.raises(ValueError) as ei:
+        _run(spark, rows, max_basket=8)
+    msg = str(ei.value)
+    assert "max_basket=8" in msg and "12" in msg and "sample" in msg
+
+
+def test_hot_basket_sample_is_bounded_and_deterministic(spark):
+    """Sample mode: the hot basket contributes at most
+    max_basket*(max_basket-1)/2 pairs, cold baskets stay EXACT, and
+    two runs agree row-for-row (xxhash64 order, layout-independent)."""
+    hot = [(1, i) for i in range(40)]
+    cold = [(2, 100), (2, 101), (3, 100), (3, 101), (3, 102)]
+    stats: dict = {}
+    df = (
+        spark.createDataFrame(hot + cold, "basket long, item long")
+        .repartition(7)
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_baskets
+        for r in copurchase_edges(
+            df, "basket", "item", max_basket=8, on_hot="sample", stats=stats
+        ).collect()
+    }
+    assert stats == {
+        "baskets": 3,
+        "max_basket_size": 40,
+        "hot_baskets": 1,
+        "sampled": True,
+    }
+    hot_pairs = {k for k in got if k[0] < 100}
+    assert len(hot_pairs) == 8 * 7 // 2  # exactly C(max_basket, 2)
+    # cold baskets exact
+    assert got[(100, 101)] == 2 and got[(100, 102)] == 1
+    again = {
+        (r.id_a, r.id_b): r.n_baskets
+        for r in copurchase_edges(
+            df.repartition(3), "basket", "item", max_basket=8, on_hot="sample"
+        ).collect()
+    }
+    assert got == again
+
+
+def test_stats_and_validation(spark):
+    stats: dict = {}
+    got = _run(spark, [(1, 10), (1, 11)], stats=stats)
+    assert got == {(10, 11): 1}
+    assert stats == {
+        "baskets": 1,
+        "max_basket_size": 2,
+        "hot_baskets": 0,
+        "sampled": False,
+    }
+    df = spark.createDataFrame([(1, 10)], "basket long, item long")
+    with pytest.raises(ValueError):
+        copurchase_edges(df, "basket", "item", max_basket=1)
+    with pytest.raises(ValueError):
+        copurchase_edges(df, "basket", "item", on_hot="drop")
+
+
+def test_string_items_and_empty(spark):
+    df = spark.createDataFrame(
+        [("o1", "b"), ("o1", "a"), ("o2", "a"), ("o2", "b")],
+        "basket string, item string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_baskets
+        for r in copurchase_edges(df, "basket", "item").collect()
+    }
+    assert got == {("a", "b"): 2}
+    empty = spark.createDataFrame([], "basket long, item long")
+    assert copurchase_edges(empty, "basket", "item").count() == 0
+
+
+def test_q94_equals_old_inline_projection(spark):
+    """The probe through copurchase_edges returns EXACTLY what the old
+    inline self-join construction produced (canonicalization in
+    triangle_count made the two edge frames equivalent)."""
+    from big_data_hadoop_spark.operators.graph import triangle_count
+    from big_data_hadoop_spark.probes import load_table, q94_triangle_copurchase
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    x = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    old_edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
+    )
+    old = (
+        triangle_count(old_edges)
+        .select(
+            "id", "degree", "triangles", F.round("coeff", 8).alias("coeff")
+        )
+        .orderBy("id")
+        .collect()
+    )
+    new = q94_triangle_copurchase(spark, sf_dir).collect()
+    assert old == new
