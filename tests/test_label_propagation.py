@@ -38,8 +38,10 @@ def _py_lpa(edges, max_iter=20):
             for n in adj.get(v, ()):
                 freq[lab[n]] = freq.get(lab[n], 0) + 1
             freq[lab[v]] = freq.get(lab[v], 0) + 1  # self-vote
-            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))[0]
-            new[v] = best
+            # max count, min label — written type-generically so the
+            # same replication covers string-id graphs
+            mx = max(freq.values())
+            new[v] = min(l for l, c in freq.items() if c == mx)
         if new == lab:
             break
         lab = new
@@ -124,3 +126,49 @@ def test_lpa_self_loop_vertex_joins_real_graph(spark):
     assert got == _py_lpa(edges)
     assert set(got) == {0, 1, 9} and got[9] == 9
     assert got[0] == got[1]
+
+
+def test_lpa_string_ids_match_python_rule(spark):
+    """String vertex ids (every real corpus) run through the
+    order-preserving dense relabel and agree with the replication
+    computed directly on the strings — including a case where
+    lexicographic order differs from numeric ('n10' < 'n2'), so the
+    min-label tie-break provably means min ORIGINAL id."""
+    k3a = [("n1", "n2"), ("n2", "n3"), ("n1", "n3")]
+    k3b = [("n10", "n11"), ("n11", "n12"), ("n10", "n12")]
+    edges = k3a + k3b + [("n3", "n10"), ("z", "z")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    stats: dict = {}
+    got = {
+        r.id: r.community
+        for r in label_propagation(df, stats=stats).collect()
+    }
+    assert got == _py_lpa(edges)
+    assert got["z"] == "z"  # self-loop-only singleton survives relabel
+    assert stats["rounds"] >= 1
+
+
+def test_lpa_string_ids_agree_with_numeric_relabel(spark):
+    """A string graph and its zero-padded numeric twin (same order)
+    produce identical communities under the obvious renaming."""
+    num_edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    name = lambda v: f"v{v:02d}"  # noqa: E731 — order-preserving
+    str_edges = [(name(a), name(b)) for a, b in num_edges]
+    got_num = _run(spark, num_edges)
+    sdf = spark.createDataFrame(str_edges, "id_a string, id_b string")
+    got_str = {
+        r.id: r.community for r in label_propagation(sdf).collect()
+    }
+    assert got_str == {name(v): name(c) for v, c in got_num.items()}
+
+
+def test_dense_ids_order_preserving_and_dense(spark):
+    from big_data_hadoop_spark.operators.graph import _dense_ids
+
+    vals = ["b", "a", "n10", "n2", "zz", "c"]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "id string"
+    ).repartition(5)
+    got = {r.id: r.nid for r in _dense_ids(df).collect()}
+    want = {v: i for i, v in enumerate(sorted(vals))}
+    assert got == want
