@@ -335,7 +335,13 @@ def _swap_in(staging: str, path: str, lock=None) -> None:
     left in place (last-writer-wins) and this writer raises without
     renaming. The verify-to-publish window shrinks from the whole
     merge duration to one rename syscall (review findings on the
-    earlier verify-then-swap sequencing and the unconditional undo)."""
+    earlier verify-then-swap sequencing and the unconditional undo).
+
+    READER CONTRACT: between the two renames the base path does not
+    exist — concurrent readers must go through :func:`read_table`,
+    which retries the base and falls back to reading the stranded
+    ``.old`` generation (read-only), instead of racing this window
+    with a bare ``spark.read.parquet``."""
     import shutil
     import uuid
 
@@ -389,6 +395,70 @@ def _swap_in(staging: str, path: str, lock=None) -> None:
                     os.rename(old, path)
             raise
     shutil.rmtree(old, ignore_errors=True)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    retries: int = 20,
+    retry_wait_seconds: float = 0.05,
+) -> DataFrame:
+    """Reader entry point for MUTABLE stage-and-swap tables (anything
+    the verbs ``upsert_parquet`` / ``compact_parquet`` / ingest
+    ``commit`` publish): between :func:`_swap_in`'s two renames a
+    concurrent reader sees NO table at all — ``path`` is momentarily
+    absent while the new generation is still at ``.staging``. A plain
+    ``spark.read.parquet(path)`` in that instant fails (or, worse, a
+    glob-listing read returns an empty frame). This reader closes the
+    gap, read-only:
+
+    1. RETRY the base path — the swap window is one rename syscall, so
+       a live writer's publish lands within microseconds; up to
+       ``retries × retry_wait_seconds`` (default 1s) of polling covers
+       it with no fallback at all.
+    2. If the base is still absent but ``<path>.old`` exists, the
+       writer CRASHED mid-swap: read the stranded previous generation.
+       Readers never rename it back (a reader-side rename races a live
+       writer's publish and crashes it — the round-7 review finding
+       that shaped the index reader's identical fallback,
+       ``layout.read_pruned_indexed``); the next maintainer verb or
+       :func:`vacuum_table` performs the actual restore.
+    3. Neither exists: loud ``FileNotFoundError`` naming the contract.
+
+    Residual race, documented: a live writer suspended mid-swap LONGER
+    than the retry budget looks crashed; this reader then returns the
+    ``.old`` frame lazily, and if the writer wakes and completes (its
+    cleanup removes ``.old``) before the reader's next action, that
+    action fails LOUDLY with missing input files — never silently
+    empty. Consumers needing a pinned snapshot across long gaps should
+    ``localCheckpoint`` the returned frame."""
+    import time
+
+    from pyspark.errors import AnalysisException
+
+    old = path + ".old"
+    last_exc: Exception | None = None
+    for attempt in range(max(1, int(retries))):
+        if os.path.exists(path):
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException as exc:
+                # path vanished between the existence check and the
+                # schema-resolving listing — mid-swap; retry
+                last_exc = exc
+        elif os.path.exists(old):
+            # base absent with a stranded previous generation: the
+            # crashed-swap case. Checked only AFTER the base, so a
+            # completed publish always wins.
+            return spark.read.parquet(old)
+        if attempt + 1 < retries:
+            time.sleep(retry_wait_seconds)
+    raise FileNotFoundError(
+        f"no table at {path} (nor a recoverable {old}): either the "
+        "path never existed, or both generations of a stage-and-swap "
+        "publish were lost — _recover_generation/vacuum_table can "
+        "restore a stranded .old, but nothing was found to restore"
+    ) from last_exc
 
 
 class ConcurrentWriterError(RuntimeError):

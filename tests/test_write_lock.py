@@ -359,3 +359,45 @@ def test_swap_in_without_lock_still_swaps(tmp_path):
     with open(os.path.join(path, "gen")) as f:
         assert f.read() == "new"
     assert not os.path.exists(staging)
+
+
+def test_read_table_normal_midswap_and_missing(spark, tmp_path):
+    """read_table: base generation wins when present; a crashed swap's
+    stranded .old is READ (never renamed — reader-side recovery must
+    be read-only); base absent mid-swap then restored within the retry
+    budget resolves to the base; neither generation raises loudly."""
+    from big_data_hadoop_spark.sources.io import read_table
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "new")], "k long, v string").write.parquet(
+        path
+    )
+    assert [r.v for r in read_table(spark, path).collect()] == ["new"]
+
+    # crashed mid-swap: only .old remains
+    os.rename(path, path + ".old")
+    got = read_table(spark, path)
+    assert [r.v for r in got.collect()] == ["new"]
+    assert os.path.exists(path + ".old") and not os.path.exists(path)
+
+    # live-writer window: base reappears while read_table retries
+    def publish_late():
+        time.sleep(0.2)
+        os.rename(path + ".old", path)
+
+    t = threading.Thread(target=publish_late)
+    t.start()
+    try:
+        df = read_table(spark, path, retries=40, retry_wait_seconds=0.05)
+        assert [r.v for r in df.collect()] == ["new"]
+    finally:
+        t.join()
+    assert os.path.exists(path)
+
+    with pytest.raises(FileNotFoundError, match="stage-and-swap"):
+        read_table(
+            spark,
+            str(tmp_path / "nope"),
+            retries=2,
+            retry_wait_seconds=0.01,
+        )
