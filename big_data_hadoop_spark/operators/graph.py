@@ -749,3 +749,95 @@ def copurchase_edges(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    seeds,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_depth: int = 20,
+    directed: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Unweighted shortest-path distance from a SEED SET over a pair
+    frame → ``(id, distance)`` for every vertex REACHED within
+    ``max_depth`` hops (seeds at distance 0; unreached vertices are
+    absent — callers wanting them join the vertex set back with a
+    fill). The graph-expansion companion to personalized PageRank:
+    where PPR weighs proximity continuously, BFS answers the crisp
+    curation question "everything within k hops of these known-good /
+    known-bad documents" (contamination blast radius, seed-set
+    expansion, crawl-frontier depth).
+
+    ``seeds`` is a small driver-side list (query-sized by
+    construction, same contract as ``pagerank(personalize=...)``);
+    seeds must exist in the graph — loud refusal otherwise, matching
+    PPR's validation (a silently missing seed would silently shrink
+    the reachable set). ``directed=True`` follows ``id_a → id_b``
+    edges only.
+
+    Scale shape — frontier iteration: per round ONE equi-join of the
+    O(frontier) rows against edges plus ONE anti-join against the
+    settled set, both keyed shuffles; state is O(settled + frontier) =
+    O(nodes), eagerly checkpointed per round (the engine's iterative
+    lineage defense), and the loop exits as soon as the frontier
+    drains — rounds = eccentricity of the seed set, not ``max_depth``.
+    The settled set is referenced ONCE per checkpointed plan (the
+    stats-squaring rule in the module docstring); the frontier join is
+    the textbook Pregel BFS step. Rounds observable via ``stats``
+    (``{"rounds": n, "reached": m}``). Pinned against a pure-Python
+    BFS in tests on fixed and randomized graphs."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    seed_list = sorted(set(seeds))
+    if not seed_list:
+        raise ValueError("seeds must be a non-empty id list")
+    a, b = F.col(id_a), F.col(id_b)
+    half = pairs.filter(a != b).select(a.alias("src"), b.alias("dst"))
+    if not directed:
+        half = half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    edges = half.distinct().localCheckpoint(eager=True)
+    nodes = (
+        pairs.select(a.alias("id"))
+        .union(pairs.select(b.alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    present = nodes.filter(F.col("id").isin(seed_list)).count()
+    if present != len(seed_list):
+        raise ValueError(
+            f"{len(seed_list) - present} seed(s) are not graph nodes — "
+            "the reachable set would silently shrink"
+        )
+    spark = pairs.sparkSession
+    id_type = nodes.schema["id"].dataType.simpleString()
+    frontier = spark.createDataFrame(
+        [(s,) for s in seed_list], f"id {id_type}"
+    ).localCheckpoint(eager=True)
+    settled = frontier.withColumn(
+        "distance", F.lit(0).cast("int")
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for depth in range(1, max_depth + 1):
+        # ONE reference to settled per plan: the frontier frame is the
+        # previous round's NEW vertices (already a separate checkpoint)
+        nxt = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(settled.select("id"), "id", "left_anti")
+            .withColumn("distance", F.lit(depth).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.count():
+            break
+        rounds = depth
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["reached"] = settled.count()
+    return settled

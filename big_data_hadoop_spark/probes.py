@@ -1983,6 +1983,57 @@ def q98_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
     return label_propagation(pairs).orderBy("id")
 
 
+def q99_bfs_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop-distance expansion from the near-dup graph's minimum-id
+    vertex — BFS shortest distances over the minhash pair graph
+    (rows-only slot; the operator is pinned against a pure-Python BFS
+    on fixed and randomized graphs in tests/test_bfs.py). The crisp
+    companion to q88's personalized PageRank: where PPR weighs
+    proximity continuously, this answers "everything within k hops of
+    a seed" — contamination blast radius, seed-set expansion. Scale
+    shape: frontier iteration — per round ONE equi-join of the
+    O(frontier) rows against edges + ONE anti-join against the settled
+    set, O(nodes) state, checkpointed rounds, loop exits when the
+    frontier drains (rounds = seed eccentricity, not the depth
+    budget). Seed chosen deterministically as the smallest vertex id
+    (driver-side single-row aggregate); empty pair graphs return an
+    empty frame instead of refusing (the refusal contract is for
+    caller-supplied seeds)."""
+    from big_data_hadoop_spark.operators.dedup import minhash_lsh_pairs
+    from big_data_hadoop_spark.operators.graph import bfs_distances
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7).localCheckpoint(
+        eager=True
+    )
+    seed_row = pairs.agg(
+        F.min(F.least("id_a", "id_b")).alias("m")
+    ).first()
+    if seed_row.m is None:
+        return spark.createDataFrame([], "id long, distance int")
+    return bfs_distances(pairs, [seed_row.m]).orderBy("id")
+
+
+def r00_copurchase_affinity(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type affinity via the co-purchase projection over the
+    events stream: two event types are linked when the same user
+    emits both, weighted by how many users co-emit them (rows-only
+    slot by registry position — the full DuckDB self-join oracle runs
+    in tests/test_copurchase.py; names past q99 use the r-prefix so
+    registry insertion order stays equal to name-sorted order, the
+    driver-cap contract test_oracle.py pins). Drives copurchase_edges
+    on its second shape — string items, huge basket count, tiny item
+    vocabulary — where q94 drives numeric items over wide baskets.
+    The valve is live here too: a degenerate user stream refuses
+    before the per-user self-join emits B² rows."""
+    from big_data_hadoop_spark.operators.graph import copurchase_edges
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_type")
+    return copurchase_edges(
+        ev, "user_id", "event_type", max_basket=1024
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2098,6 +2149,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_hard_negatives": q96_hard_negatives,
     "q97_kcore_neardup": q97_kcore_neardup,
     "q98_lpa_communities": q98_lpa_communities,
+    "q99_bfs_expansion": q99_bfs_expansion,
+    "r00_copurchase_affinity": r00_copurchase_affinity,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -168,3 +168,29 @@ def test_q94_equals_old_inline_projection(spark):
     )
     new = q94_triangle_copurchase(spark, sf_dir).collect()
     assert old == new
+
+
+def test_r00_probe_matches_duckdb_oracle(spark, duck):
+    """The events-stream affinity probe (r00) against an independent
+    DuckDB self-join oracle at sf0.01 — the full-oracle check the
+    registry position past the driver's 50-entry cap can't get."""
+    from big_data_hadoop_spark.probes import r00_copurchase_affinity
+
+    got = [
+        (r.id_a, r.id_b, r.n_baskets)
+        for r in r00_copurchase_affinity(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    ]
+    want = duck.sql(
+        """
+        WITH m AS (SELECT DISTINCT user_id, event_type FROM events
+                   WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        SELECT a.event_type AS id_a, b.event_type AS id_b,
+               COUNT(*) AS n_baskets
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert got == [(a, b, int(n)) for a, b, n in want]
