@@ -463,10 +463,15 @@ def label_propagation(
     # appear (as a singleton community), matching pagerank's retention
     # of self-loop nodes; its only vote each round is its own label, so
     # the iteration leaves it at community = id (review finding: the
-    # sym-derived vertex set silently dropped such members)
+    # sym-derived vertex set silently dropped such members). NULL ids
+    # are dropped explicitly — a NULL neither equi-joins nor orders, so
+    # keeping it would emit a spurious (NULL, NULL) community row while
+    # its edge silently vanished from sym (review finding; the same
+    # hazard copurchase_edges filters)
     labels = (
         pairs.select(a.alias("id"))
         .union(pairs.select(b.alias("id")))
+        .filter(F.col("id").isNotNull())
         .distinct()
         .withColumn("community", F.col("id"))
         .localCheckpoint(eager=True)
@@ -696,23 +701,27 @@ def copurchase_edges(
         .distinct()
     )
     sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("n"))
-    # O(hot baskets) rows — checkpointed so the refusal message, the
-    # stats hook, and the sample-mode joins don't each re-run the scan
-    hot = sizes.filter(F.col("n") > int(max_basket)).localCheckpoint(
-        eager=True
-    )
-    n_hot = hot.count()
+    # valve + stats in ONE aggregate over sizes — one pass over the
+    # data total, not a scan per consumer (review finding: the
+    # separate stats aggregate re-ran the source distinct+count)
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("mx"),
+        F.coalesce(
+            F.sum((F.col("n") > int(max_basket)).cast("long")), F.lit(0)
+        ).alias("nh"),
+    ).first()
+    n_hot = int(row.nh)
     if stats is not None:
-        row = sizes.agg(
-            F.count(F.lit(1)).alias("nb"),
-            F.coalesce(F.max("n"), F.lit(0)).alias("mx"),
-        ).first()
         stats["baskets"] = row.nb
         stats["max_basket_size"] = row.mx
         stats["hot_baskets"] = n_hot
         stats["sampled"] = bool(n_hot and on_hot == "sample")
     if n_hot:
+        hot = sizes.filter(F.col("n") > int(max_basket))
         if on_hot == "error":
+            # refusal path: one extra scan to NAME the offenders is
+            # fine — the job is about to die loudly anyway
             top = [
                 (r.basket, r.n)
                 for r in hot.orderBy(F.desc("n"), "basket").limit(5).collect()
@@ -728,7 +737,9 @@ def copurchase_edges(
             )
         from pyspark.sql import Window
 
-        hot_ids = hot.select("basket")
+        # O(hot baskets) rows, referenced by TWO joins below —
+        # checkpointed so neither re-runs the sizes scan
+        hot_ids = hot.select("basket").localCheckpoint(eager=True)
         w = Window.partitionBy("basket").orderBy(
             F.xxhash64("item", F.lit(int(seed))), "item"
         )

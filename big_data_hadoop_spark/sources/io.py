@@ -438,7 +438,8 @@ def read_table(
 
     old = path + ".old"
     last_exc: Exception | None = None
-    for attempt in range(max(1, int(retries))):
+    retries = max(1, int(retries))
+    for attempt in range(retries):
         if os.path.exists(path):
             try:
                 return spark.read.parquet(path)
@@ -446,13 +447,27 @@ def read_table(
                 # path vanished between the existence check and the
                 # schema-resolving listing — mid-swap; retry
                 last_exc = exc
-        elif os.path.exists(old):
-            # base absent with a stranded previous generation: the
-            # crashed-swap case. Checked only AFTER the base, so a
-            # completed publish always wins.
-            return spark.read.parquet(old)
         if attempt + 1 < retries:
             time.sleep(retry_wait_seconds)
+    # the .old fallback runs only AFTER the base-path budget is
+    # exhausted (review finding: falling back on the first attempt
+    # returned a frame a live writer's cleanup deletes moments later —
+    # a ~50ms retry tick would have seen the new base instead)
+    if os.path.exists(old):
+        try:
+            return spark.read.parquet(old)
+        except AnalysisException as exc:
+            # .old vanished under us: the writer completed after the
+            # budget — its published base is now authoritative
+            if os.path.exists(path):
+                return spark.read.parquet(path)
+            last_exc = exc
+    if os.path.exists(path) and last_exc is not None:
+        # the path EXISTS but never became readable — corruption or a
+        # crashed bare write, not a swap gap; surfacing it as
+        # FileNotFoundError would misroute callers' "missing table →
+        # create it" logic into overwriting evidence (review finding)
+        raise last_exc
     raise FileNotFoundError(
         f"no table at {path} (nor a recoverable {old}): either the "
         "path never existed, or both generations of a stage-and-swap "

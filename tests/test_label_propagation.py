@@ -172,3 +172,15 @@ def test_dense_ids_order_preserving_and_dense(spark):
     got = {r.id: r.nid for r in _dense_ids(df).collect()}
     want = {v: i for i, v in enumerate(sorted(vals))}
     assert got == want
+
+
+def test_lpa_null_ids_dropped(spark):
+    """A NULL id is not a vertex: its edge can't equi-join (sym drops
+    it), so keeping it in the vertex set would emit a spurious
+    (NULL, NULL) community row (review finding). The non-NULL endpoint
+    survives as a singleton."""
+    df = spark.createDataFrame(
+        [(None, 5), (1, 2)], "id_a long, id_b long"
+    )
+    got = {r.id: r.community for r in label_propagation(df).collect()}
+    assert got == {1: 1, 2: 1, 5: 5}

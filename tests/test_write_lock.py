@@ -364,26 +364,41 @@ def test_swap_in_without_lock_still_swaps(tmp_path):
 def test_read_table_normal_midswap_and_missing(spark, tmp_path):
     """read_table: base generation wins when present; a crashed swap's
     stranded .old is READ (never renamed — reader-side recovery must
-    be read-only); base absent mid-swap then restored within the retry
-    budget resolves to the base; neither generation raises loudly."""
+    be read-only) but only AFTER the base-path retry budget; a live
+    writer publishing a NEW generation inside the budget wins over the
+    stranded .old; neither generation raises loudly; a present-but-
+    unreadable path surfaces the real error, not FileNotFoundError."""
     from big_data_hadoop_spark.sources.io import read_table
 
     path = str(tmp_path / "tbl")
-    spark.createDataFrame([(1, "new")], "k long, v string").write.parquet(
+    spark.createDataFrame([(1, "old")], "k long, v string").write.parquet(
         path
     )
-    assert [r.v for r in read_table(spark, path).collect()] == ["new"]
+    assert [r.v for r in read_table(spark, path).collect()] == ["old"]
 
-    # crashed mid-swap: only .old remains
+    # crashed mid-swap: only .old remains — read it (short budget so
+    # the post-budget fallback is what's exercised)
     os.rename(path, path + ".old")
-    got = read_table(spark, path)
-    assert [r.v for r in got.collect()] == ["new"]
+    got = read_table(spark, path, retries=3, retry_wait_seconds=0.01)
+    assert [r.v for r in got.collect()] == ["old"]
     assert os.path.exists(path + ".old") and not os.path.exists(path)
 
-    # live-writer window: base reappears while read_table retries
+    # live-writer window: old generation stranded at .old, NEW one
+    # staged; the publish lands inside the retry budget — the reader
+    # must poll past the stranded .old and return the NEW rows
+    # (review finding: the first-attempt .old fallback returned a
+    # frame the writer's cleanup then deleted)
+    staging = path + ".staging"
+    spark.createDataFrame([(2, "new")], "k long, v string").write.parquet(
+        staging
+    )
+
     def publish_late():
         time.sleep(0.2)
-        os.rename(path + ".old", path)
+        os.rename(staging, path)
+        import shutil
+
+        shutil.rmtree(path + ".old")
 
     t = threading.Thread(target=publish_late)
     t.start()
@@ -392,7 +407,7 @@ def test_read_table_normal_midswap_and_missing(spark, tmp_path):
         assert [r.v for r in df.collect()] == ["new"]
     finally:
         t.join()
-    assert os.path.exists(path)
+    assert os.path.exists(path) and not os.path.exists(path + ".old")
 
     with pytest.raises(FileNotFoundError, match="stage-and-swap"):
         read_table(
@@ -401,3 +416,12 @@ def test_read_table_normal_midswap_and_missing(spark, tmp_path):
             retries=2,
             retry_wait_seconds=0.01,
         )
+
+    # present-but-unreadable: an empty directory (crashed bare write)
+    # must NOT masquerade as a missing table (review finding)
+    from pyspark.errors import AnalysisException
+
+    broken = str(tmp_path / "broken")
+    os.makedirs(broken)
+    with pytest.raises(AnalysisException):
+        read_table(spark, broken, retries=2, retry_wait_seconds=0.01)
