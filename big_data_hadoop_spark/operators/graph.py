@@ -445,12 +445,18 @@ def label_propagation(
     replication of the exact update rule in tests."""
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    # the symmetric simple graph in ONE pass and one pinned copy —
-    # LPA never needs the canonical a<b list, so routing through
-    # _canonical_edges would materialize the edges twice and pin both
-    # for the whole run (review finding)
+    # the upstream pair subtree (often a full minhash pipeline) is
+    # executed exactly ONCE: every derived frame — symmetric edges AND
+    # the vertex set — reads this narrow checkpointed projection.
+    # Union-of-selects over the raw frame would re-run the upstream
+    # once per branch (bench finding: 4 executions made q98 1.6×
+    # slower; routing through _canonical_edges was rejected for the
+    # same reason in round 7)
     a, b = F.col(id_a), F.col(id_b)
-    half = pairs.filter(a != b).select(a.alias("a"), b.alias("b"))
+    proj = pairs.select(a.alias("a"), b.alias("b")).localCheckpoint(
+        eager=True
+    )
+    half = proj.filter(F.col("a") != F.col("b"))
     sym = (
         half.union(
             half.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -469,8 +475,8 @@ def label_propagation(
     # its edge silently vanished from sym (review finding; the same
     # hazard copurchase_edges filters)
     labels = (
-        pairs.select(a.alias("id"))
-        .union(pairs.select(b.alias("id")))
+        proj.select(F.col("a").alias("id"))
+        .union(proj.select(F.col("b").alias("id")))
         .filter(F.col("id").isNotNull())
         .distinct()
         .withColumn("community", F.col("id"))
@@ -805,17 +811,22 @@ def bfs_distances(
     if not seed_list:
         raise ValueError("seeds must be a non-empty id list")
     a, b = F.col(id_a), F.col(id_b)
-    half = pairs.filter(a != b).select(a.alias("src"), b.alias("dst"))
+    # one execution of the upstream pair subtree (see
+    # label_propagation: union-of-selects re-runs it per branch)
+    proj = pairs.select(a.alias("src"), b.alias("dst")).localCheckpoint(
+        eager=True
+    )
+    half = proj.filter(F.col("src") != F.col("dst"))
     if not directed:
         half = half.union(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     edges = half.distinct().localCheckpoint(eager=True)
+    # used once (seed validation) over checkpointed rows — no pin needed
     nodes = (
-        pairs.select(a.alias("id"))
-        .union(pairs.select(b.alias("id")))
+        proj.select(F.col("src").alias("id"))
+        .union(proj.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     present = nodes.filter(F.col("id").isin(seed_list)).count()
     if present != len(seed_list):
