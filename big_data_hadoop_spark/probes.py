@@ -2034,6 +2034,31 @@ def r00_copurchase_affinity(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def r01_affinity_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge-weighted PageRank over the event-type affinity graph —
+    the composition the graph module exists for: copurchase_edges
+    builds the weighted projection (r00), pagerank(weight_col=
+    "n_baskets") ranks types by co-usage MASS rather than link count
+    (rows-only slot; the composition is replicated in pure Python —
+    weighted power iteration over the DuckDB-verified edges — in
+    tests/test_copurchase.py). Scale shape: both stages are the
+    already-exhibited operators; the rank iteration runs over the
+    O(item-vocabulary) projection, not the event stream. Rank rounded
+    to 8 digits (float fold order past that)."""
+    from big_data_hadoop_spark.operators.graph import (
+        copurchase_edges,
+        pagerank,
+    )
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_type")
+    edges = copurchase_edges(ev, "user_id", "event_type", max_basket=1024)
+    return (
+        pagerank(edges, weight_col="n_baskets")
+        .select("id", F.round("rank", 8).alias("rank"))
+        .orderBy("id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2151,6 +2176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_lpa_communities": q98_lpa_communities,
     "q99_bfs_expansion": q99_bfs_expansion,
     "r00_copurchase_affinity": r00_copurchase_affinity,
+    "r01_affinity_pagerank": r01_affinity_pagerank,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -194,3 +194,70 @@ def test_r00_probe_matches_duckdb_oracle(spark, duck):
         """
     ).fetchall()
     assert got == [(a, b, int(n)) for a, b, n in want]
+
+
+def test_copurchase_feeds_weighted_pagerank(spark):
+    """Composition contract: copurchase_edges output plugs directly
+    into pagerank(weight_col="n_baskets") — the strongly co-bought
+    item outranks the weakly linked one, ranks sum to 1."""
+    from big_data_hadoop_spark.operators.graph import pagerank
+
+    rows = (
+        [(b, 10) for b in range(4)]
+        + [(b, 11) for b in range(3)]  # 10-11 share 3 baskets
+        + [(3, 12)]                    # 10-12 share 1 basket
+    )
+    df = spark.createDataFrame(rows, "basket long, item long")
+    edges = copurchase_edges(df, "basket", "item")
+    ranks = {
+        r.id: r.rank
+        for r in pagerank(edges, weight_col="n_baskets").collect()
+    }
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert ranks[10] > ranks[12] and ranks[11] > ranks[12]
+
+
+def test_r01_matches_python_composition(spark, duck):
+    """r01 replicated end-to-end in pure Python: weighted power
+    iteration (same damping/tol/undirected symmetrization as the
+    operator) over the DuckDB-verified affinity edges."""
+    from big_data_hadoop_spark.probes import r01_affinity_pagerank
+
+    edges = duck.sql(
+        """
+        WITH m AS (SELECT DISTINCT user_id, event_type FROM events
+                   WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        SELECT a.event_type, b.event_type, COUNT(*)
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    # undirected weighted pagerank, python replication
+    w: dict = {}
+    for a, b, n in edges:
+        w[(a, b)] = w.get((a, b), 0.0) + float(n)
+        w[(b, a)] = w.get((b, a), 0.0) + float(n)
+    nodes = sorted({x for e in w for x in e})
+    out = {v: sum(n for (s, _), n in w.items() if s == v) for v in nodes}
+    r = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(40):
+        new = {}
+        for v in nodes:
+            inflow = sum(
+                r[s] * wt / out[s] for (s, d), wt in w.items() if d == v
+            )
+            new[v] = 0.15 / len(nodes) + 0.85 * inflow
+        delta = sum(abs(new[v] - r[v]) for v in nodes)
+        r = new
+        if delta < 1e-6:
+            break
+    got = {
+        row.id: row.rank
+        for row in r01_affinity_pagerank(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(got) == set(r)
+    for v in r:
+        assert got[v] == pytest.approx(round(r[v], 8), abs=1e-6), v
