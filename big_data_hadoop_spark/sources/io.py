@@ -781,14 +781,19 @@ def read_incremental(
     driver is the O(new files) path list the read needs anyway, the
     same driver state every table format's planner holds.
     """
-    _recover_generation(manifest)
-
     current = list_data_files(spark, path, glob=glob).withColumn(
         "mtime", F.unix_millis(F.col("modificationTime"))
     )
     seen = None
-    if os.path.exists(manifest):
-        seen = spark.read.parquet(manifest)
+    if os.path.exists(manifest) or os.path.exists(manifest + ".old"):
+        # READ-ONLY recovery on this unlocked read path: the old
+        # _recover_generation rename here raced a live committer's
+        # stage-and-swap (its publish rename hit an existing dir after
+        # the reader "restored" .old). read_table retries the base
+        # and falls back to READING the stranded generation; the
+        # actual restore happens under the commit lock, where
+        # _recover_generation is a legitimate maintainer.
+        seen = read_table(spark, manifest)
         if "mtime" not in seen.columns:
             seen = seen.withColumn("mtime", F.lit(None).cast("long"))
         seen = seen.select("path", "length", "mtime").alias("s")
@@ -1488,7 +1493,9 @@ def analyze_table(
     keeps per file."""
     from pyspark.sql.types import AtomicType
 
-    df = spark.read.parquet(path)
+    # reader-side entry point over a possibly-mutable table: go
+    # through the swap-window fallback instead of racing a publish
+    df = read_table(spark, path)
     if cols is None:
         cols = [
             f.name
