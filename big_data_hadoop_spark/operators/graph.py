@@ -482,6 +482,10 @@ def label_propagation(
         .withColumn("community", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # proj seeded sym and labels (both now materialized) — drop the
+    # reference so the cleaner can free its O(raw pairs) blocks
+    # instead of pinning a third copy through every round
+    del proj
     if not labels.count() or sym.isEmpty():
         # empty or self-loop-only graph: labels (possibly singleton
         # communities) are already final — no wasted round, rounds=0
@@ -836,6 +840,10 @@ def bfs_distances(
         )
     spark = pairs.sparkSession
     id_type = nodes.schema["id"].dataType.simpleString()
+    # proj seeded edges (materialized) and the one-shot seed check —
+    # drop both so the cleaner can free the raw-pair blocks instead of
+    # pinning them through every frontier round
+    del proj, nodes
     frontier = spark.createDataFrame(
         [(s,) for s in seed_list], f"id {id_type}"
     ).localCheckpoint(eager=True)

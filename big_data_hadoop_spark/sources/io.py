@@ -449,24 +449,36 @@ def read_table(
                 last_exc = exc
         if attempt + 1 < retries:
             time.sleep(retry_wait_seconds)
-    # the .old fallback runs only AFTER the base-path budget is
-    # exhausted (review finding: falling back on the first attempt
-    # returned a frame a live writer's cleanup deletes moments later —
-    # a ~50ms retry tick would have seen the new base instead)
+    # Post-budget resolution, in priority order (review findings on
+    # the earlier orderings):
+    # 1. a stranded .old — the crashed-swap case; consulted only AFTER
+    #    the base budget, so a live publish always wins;
+    # 2. a FINAL base attempt — a writer suspended past the budget may
+    #    have completed while we slept or while the .old read raced
+    #    its cleanup; without this, a fully published readable table
+    #    raised FileNotFoundError;
+    # 3. surface the TRUTH: a present-but-unreadable generation
+    #    (corrupt footer, crashed bare write, only _temporary files)
+    #    re-raises the real AnalysisException — FileNotFoundError here
+    #    would misroute callers' "missing table → create it" logic
+    #    into overwriting the evidence.
     if os.path.exists(old):
         try:
             return spark.read.parquet(old)
         except AnalysisException as exc:
-            # .old vanished under us: the writer completed after the
-            # budget — its published base is now authoritative
-            if os.path.exists(path):
-                return spark.read.parquet(path)
+            # corrupt .old, OR the writer's cleanup won the race —
+            # the final base attempt below settles which
             last_exc = exc
-    if os.path.exists(path) and last_exc is not None:
-        # the path EXISTS but never became readable — corruption or a
-        # crashed bare write, not a swap gap; surfacing it as
-        # FileNotFoundError would misroute callers' "missing table →
-        # create it" logic into overwriting evidence (review finding)
+    if os.path.exists(path):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as exc:
+            last_exc = exc
+        raise last_exc
+    if os.path.exists(old) and last_exc is not None:
+        # base absent and .old present but unreadable: the stranded
+        # generation EXISTS — claiming "nothing was found to restore"
+        # would invite an overwrite of the only copy
         raise last_exc
     raise FileNotFoundError(
         f"no table at {path} (nor a recoverable {old}): either the "
@@ -784,16 +796,22 @@ def read_incremental(
     current = list_data_files(spark, path, glob=glob).withColumn(
         "mtime", F.unix_millis(F.col("modificationTime"))
     )
-    seen = None
-    if os.path.exists(manifest) or os.path.exists(manifest + ".old"):
-        # READ-ONLY recovery on this unlocked read path: the old
-        # _recover_generation rename here raced a live committer's
-        # stage-and-swap (its publish rename hit an existing dir after
-        # the reader "restored" .old). read_table retries the base
-        # and falls back to READING the stranded generation; the
-        # actual restore happens under the commit lock, where
-        # _recover_generation is a legitimate maintainer.
-        seen = read_table(spark, manifest)
+    # READ-ONLY recovery on this unlocked read path: the old
+    # _recover_generation rename here raced a live committer's
+    # stage-and-swap (its publish rename hit an existing dir after
+    # the reader "restored" .old). read_table is called
+    # UNCONDITIONALLY — a two-call exists() pre-check is itself a
+    # TOCTOU against a live swap (both checks can miss between the
+    # committer's two renames, silently treating the whole directory
+    # as never-ingested — review finding); "no manifest yet" is the
+    # FileNotFoundError branch instead. The short budget bounds the
+    # stranded-.old cost for idle pollers (a crashed commit's restore
+    # happens under the next commit's lock, or via vacuum_table).
+    try:
+        seen = read_table(spark, manifest, retries=6, retry_wait_seconds=0.02)
+    except FileNotFoundError:
+        seen = None
+    if seen is not None:
         if "mtime" not in seen.columns:
             seen = seen.withColumn("mtime", F.lit(None).cast("long"))
         seen = seen.select("path", "length", "mtime").alias("s")
