@@ -119,17 +119,27 @@ def pagerank(
             "negative weight breaks the probability reading"
         )
     if not directed:
-        # self-loops are NOT reversed: the unweighted path's distinct
-        # collapses the mirrored copy anyway, and the weighted sum
-        # must not double a self-loop's weight relative to that
-        # (review finding)
-        e = e.union(
-            e.filter(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"),
-                F.col("src").alias("dst"),
-                "_w",
-            )
+        # Symmetrize with ONE explode pass, not union-of-swapped-self:
+        # the union form executes the (often expensive) upstream pair
+        # subtree once per branch inside the edges checkpoint — the
+        # same re-execution dedup's _star_clusters documents and LPA
+        # fixed this round. Self-loops are NOT reversed: the unweighted
+        # path's distinct collapses the mirrored copy anyway, and the
+        # weighted sum must not double a self-loop's weight relative
+        # to that (review finding).
+        fwd = F.struct("src", "dst", "_w")
+        rev = F.struct(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.col("_w"),
         )
+        e = e.select(
+            F.explode(
+                F.when(
+                    F.col("src") != F.col("dst"), F.array(fwd, rev)
+                ).otherwise(F.array(fwd))
+            ).alias("_e")
+        ).select("_e.src", "_e.dst", "_e._w")
     if weight_col is None:
         edges = (
             e.select("src", "dst")
