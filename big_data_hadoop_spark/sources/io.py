@@ -391,7 +391,16 @@ def _swap_in(staging: str, path: str, lock=None) -> None:
                     ours = False
             if ours and not os.path.exists(staging):
                 os.rename(path, staging)
-                if had_prev and not os.path.exists(path):
+                # the stealer's own _swap_in may have already
+                # rmtree'd our .old — a bare rename would then raise
+                # FileNotFoundError and MASK the ConcurrentWriterError
+                # while our generation sits recoverable at .staging
+                # (advice finding r8); guard like the pre-publish undo
+                if (
+                    had_prev
+                    and not os.path.exists(path)
+                    and os.path.exists(old)
+                ):
                     os.rename(old, path)
             raise
     shutil.rmtree(old, ignore_errors=True)
@@ -439,6 +448,26 @@ def read_table(
     old = path + ".old"
     last_exc: Exception | None = None
     retries = max(1, int(retries))
+    # Fast-fail for the genuinely-missing table (a typo'd path) BEFORE
+    # burning the retry budget on it (advice finding r8: analyze_table
+    # on a bad path stalled ~1s). Safe against a live swap because the
+    # checks run old → staging → path LAST: mid-swap, .old exists until
+    # the publish rename AND .staging exists until that same rename, so
+    # "all three absent, path checked last" cannot coincide with an
+    # in-flight or just-completed publish (a completed one leaves path
+    # present).
+    if (
+        not os.path.exists(old)
+        and not os.path.exists(path + ".staging")
+        and not os.path.exists(path)
+    ):
+        raise FileNotFoundError(
+            f"no table at {path} (nor a recoverable {old}): either the "
+            "path never existed, or both generations of a "
+            "stage-and-swap publish were lost — "
+            "_recover_generation/vacuum_table can restore a stranded "
+            ".old, but nothing was found to restore"
+        )
     for attempt in range(retries):
         if os.path.exists(path):
             try:

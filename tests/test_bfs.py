@@ -114,3 +114,23 @@ def test_bfs_string_ids(spark):
     df = spark.createDataFrame(edges, "id_a string, id_b string")
     got = {r.id: r.distance for r in bfs_distances(df, ["a"]).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_null_endpoints_dropped_and_null_seed_refused(spark):
+    """A (NULL, x) pair loses its edge in the src != dst filter while
+    NULL would still enter the vertex set — both endpoints are dropped
+    explicitly, matching the LPA/copurchase NULL contract (advice
+    finding r8); NULL seeds refuse loudly (a NULL id never equi-joins,
+    so its frontier would be silently empty)."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (2, None), (2, 3)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r.id: r.distance
+        for r in bfs_distances(df, [1], stats=stats).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+    assert stats["reached"] == 3 and stats["rounds"] == 2
+    with pytest.raises(ValueError, match="NULL"):
+        bfs_distances(df, [1, None])

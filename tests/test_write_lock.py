@@ -425,3 +425,41 @@ def test_read_table_normal_midswap_and_missing(spark, tmp_path):
     os.makedirs(broken)
     with pytest.raises(AnalysisException):
         read_table(spark, broken, retries=2, retry_wait_seconds=0.01)
+
+
+def test_swap_in_postpublish_steal_with_old_already_gone(tmp_path):
+    """Post-publish undo when the stealer's own _swap_in already
+    rmtree'd our .old: the restore must be guarded — a bare
+    rename(old, path) raises FileNotFoundError and MASKS the
+    ConcurrentWriterError (advice finding r8). The right outcome:
+    the true error surfaces and our generation stays recoverable at
+    .staging (the stealer owns the slot now)."""
+    import shutil
+
+    path = str(tmp_path / "ds")
+    staging = path + ".staging"
+    _mkgen(path, "prev")
+    _mkgen(staging, "ours")
+
+    def stealer_swept_old():
+        shutil.rmtree(path + ".old")
+
+    with pytest.raises(ConcurrentWriterError):
+        sio._swap_in(
+            staging,
+            path,
+            _FlakyLock(fail_at=3, side_effect=stealer_swept_old),
+        )
+    with open(os.path.join(staging, "gen")) as f:
+        assert f.read() == "ours"
+    assert not os.path.exists(path)
+
+
+def test_read_table_genuinely_missing_fails_fast(spark, tmp_path):
+    """A typo'd / never-existed path (no base, no .old, no .staging)
+    must raise immediately instead of burning the default ~1s retry
+    budget re-running schema resolution (advice finding r8)."""
+    t0 = time.monotonic()
+    with pytest.raises(FileNotFoundError, match="stage-and-swap"):
+        sio.read_table(spark, str(tmp_path / "typo"))
+    assert time.monotonic() - t0 < 0.5
