@@ -261,3 +261,50 @@ def test_r01_matches_python_composition(spark, duck):
     assert set(got) == set(r)
     for v in r:
         assert got[v] == pytest.approx(round(r[v], 8), abs=1e-6), v
+
+
+def test_r02_matches_python_composition(spark, duck):
+    """r02 replicated end-to-end in pure Python: the exact weighted
+    synchronous LPA rule (duplicate weights summed both directions,
+    self-vote 1.0, max weight mass, ties to min label) over the
+    DuckDB-verified affinity edges — integer weights, so the vote
+    sums are exact."""
+    from big_data_hadoop_spark.probes import r02_affinity_communities
+
+    edges = duck.sql(
+        """
+        WITH m AS (SELECT DISTINCT user_id, event_type FROM events
+                   WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        SELECT a.event_type, b.event_type, COUNT(*)
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    w: dict = {}
+    verts: set = set()
+    for a, b, n in edges:
+        verts.update((a, b))
+        w[(a, b)] = w.get((a, b), 0.0) + float(n)
+        w[(b, a)] = w.get((b, a), 0.0) + float(n)
+    lab = {v: v for v in verts}
+    for _ in range(20):
+        new = {}
+        for v in verts:
+            freq: dict = {}
+            for (s, d), x in w.items():
+                if s == v:
+                    freq[lab[d]] = freq.get(lab[d], 0.0) + x
+            freq[lab[v]] = freq.get(lab[v], 0.0) + 1.0
+            mx = max(freq.values())
+            new[v] = min(l for l, c in freq.items() if c == mx)
+        if new == lab:
+            break
+        lab = new
+    got = {
+        r.id: r.community
+        for r in r02_affinity_communities(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert got == lab
