@@ -24,6 +24,7 @@ text analysis, multimodal, sessionization/as-of/range over events).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2085,6 +2086,52 @@ def r02_affinity_communities(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id")
 
 
+def r03_neardup_graph_store(spark: SparkSession, sf: str) -> DataFrame:
+    """The persisted near-dup graph store end-to-end (round-9 headline:
+    the pair graph as a maintained TABLE instead of a per-analysis
+    rebuild): build the store from half the documents corpus, refresh
+    it with the other half (cross-batch edges come from the band join
+    of the new batch's signatures against the STORED history — history
+    text is never re-read), load the grown edge table. Rows-only slot
+    (xxhash64 signatures aren't ANSI-SQL); the binding contract —
+    refresh-equals-rebuild edge-for-edge, and graph consumers running
+    row-identically off the loaded table — is pinned in
+    tests/test_neardup_graph.py. The store lives in a temp directory
+    for the probe's lifetime; the returned frame is eagerly
+    checkpointed so the caller can collect after cleanup. Scale shape:
+    per refresh ONE pass over the new batch's raw text, band equi-join
+    against stored signatures, one immutable directory pair appended —
+    no history rewrite, no reader swap window."""
+    import shutil
+    import tempfile
+
+    from big_data_hadoop_spark.operators.neardup_graph import (
+        neardup_graph_build,
+        neardup_graph_load,
+        neardup_graph_refresh,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="neardup_graph_probe_")
+    try:
+        path = os.path.join(root, "graph")
+        neardup_graph_build(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), path,
+            threshold=0.7,
+        )
+        neardup_graph_refresh(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), path
+        )
+        return (
+            neardup_graph_load(spark, path)
+            .select("id_a", "id_b", F.round("jac_est", 8).alias("jac_est"))
+            .orderBy("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2204,6 +2251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r00_copurchase_affinity": r00_copurchase_affinity,
     "r01_affinity_pagerank": r01_affinity_pagerank,
     "r02_affinity_communities": r02_affinity_communities,
+    "r03_neardup_graph_store": r03_neardup_graph_store,
 }
 
 _EN = ts.STOPWORDS["en"]

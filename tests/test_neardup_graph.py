@@ -1,0 +1,198 @@
+"""Persisted near-dup graph store (``operators.neardup_graph``): the
+replant invariant (build → refresh × k → load equals a one-shot build
+over the concatenated corpus, edge-for-edge including the estimate
+values), graph consumers running row-identically off the loaded table,
+duplicate-id / missing-store refusals, empty batches, crashed-refresh
+orphan slots, and reader isolation from uncommitted directories."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.neardup_graph import (
+    neardup_graph_build,
+    neardup_graph_load,
+    neardup_graph_refresh,
+    neardup_graph_signatures,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _edge_set(df):
+    return {
+        (r.id_a, r.id_b, round(r.jac_est, 12)) for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    """A three-batch store over the sf0.001 documents corpus, split by
+    doc_id mod 3 (threshold 0.7 so cross-batch edges exist — verified
+    below), plus the one-shot control store over the full corpus."""
+    docs = _docs(spark)
+    grown = str(tmp_path / "grown")
+    stats = [
+        neardup_graph_build(
+            spark, docs.filter(F.col("doc_id") % 3 == 0), grown,
+            threshold=0.7,
+        )
+    ]
+    for m in (1, 2):
+        stats.append(
+            neardup_graph_refresh(
+                spark, docs.filter(F.col("doc_id") % 3 == m), grown
+            )
+        )
+    oneshot = str(tmp_path / "oneshot")
+    neardup_graph_build(spark, docs, oneshot, threshold=0.7)
+    return grown, oneshot, stats
+
+
+def test_replant_invariant_refresh_equals_rebuild(spark, store):
+    """THE storage contract: a store grown batch-by-batch holds exactly
+    the edges a one-shot build over the whole corpus produces — same
+    pairs, same jac_est values — and the cross-batch edges (the part
+    only the history join can find) are actually present."""
+    grown, oneshot, stats = store
+    g = _edge_set(neardup_graph_load(spark, grown))
+    o = _edge_set(neardup_graph_load(spark, oneshot))
+    assert g == o and len(g) > 0
+    cross = {
+        (a, b) for a, b, _ in g if a % 3 != b % 3
+    }
+    assert cross, "corpus split produced no cross-batch edges — weak test"
+    # stats bookkeeping: batches numbered 0..2, docs partition the corpus
+    assert [s["batch"] for s in stats] == [0, 1, 2]
+    assert sum(s["docs"] for s in stats) == _docs(spark).count()
+    assert sum(s["new_edges"] for s in stats) == len(g)
+
+
+def test_graph_consumers_run_off_loaded_table(spark, store):
+    """pagerank / label_propagation / duplicate_clusters consume the
+    loaded frame directly and return the same rows as over the
+    one-shot control — the 'switch your analysis to the table' story."""
+    from big_data_hadoop_spark.operators.dedup import duplicate_clusters
+    from big_data_hadoop_spark.operators.graph import (
+        label_propagation,
+        pagerank,
+    )
+
+    grown, oneshot, _ = store
+    ge, oe = neardup_graph_load(spark, grown), neardup_graph_load(
+        spark, oneshot
+    )
+    pr_g = {(r.id, round(r.rank, 12)) for r in pagerank(ge, weight_col="jac_est").collect()}
+    pr_o = {(r.id, round(r.rank, 12)) for r in pagerank(oe, weight_col="jac_est").collect()}
+    assert pr_g == pr_o and pr_g
+    lp_g = {(r.id, r.community) for r in label_propagation(ge, weight_col="jac_est").collect()}
+    lp_o = {(r.id, r.community) for r in label_propagation(oe, weight_col="jac_est").collect()}
+    assert lp_g == lp_o and lp_g
+    cl_g = {(r.member_id, r.cluster_id) for r in duplicate_clusters(ge).collect()}
+    assert cl_g == {
+        (r.member_id, r.cluster_id) for r in duplicate_clusters(oe).collect()
+    }
+
+
+def test_signature_history_feeds_incremental_dedup(spark, store):
+    """The stored signatures are the prior_sigs contract of
+    minhash_matches_against: a re-presented known document matches
+    itself at jac_est 1.0 — one maintained table serves both the graph
+    and incremental dedup."""
+    from big_data_hadoop_spark.operators.dedup import (
+        minhash_matches_against,
+        minhash_signatures,
+    )
+
+    grown, _, _ = store
+    prior = neardup_graph_signatures(spark, grown)
+    assert prior.count() == _docs(spark).count() - _shingleless(spark)
+    probe = minhash_signatures(_docs(spark).limit(5))
+    hits = minhash_matches_against(probe, prior, threshold=0.99)
+    assert hits.filter(
+        (F.col("doc_id") == F.col("prior_id")) & (F.col("jac_est") == 1.0)
+    ).count() == 5
+
+
+def _shingleless(spark) -> int:
+    # docs too short to shingle produce no signature (and no vertex)
+    from big_data_hadoop_spark.operators.dedup import minhash_signatures
+
+    return _docs(spark).count() - minhash_signatures(_docs(spark)).count()
+
+
+def test_refusals_and_empty_batch(spark, tmp_path):
+    docs = _docs(spark).limit(20)
+    path = str(tmp_path / "g")
+    with pytest.raises(FileNotFoundError, match="neardup_graph_build"):
+        neardup_graph_load(spark, path)
+    with pytest.raises(FileNotFoundError, match="neardup_graph_build"):
+        neardup_graph_refresh(spark, docs, path)
+    neardup_graph_build(spark, docs, path)
+    with pytest.raises(ValueError, match="already exists"):
+        neardup_graph_build(spark, docs, path)
+    # duplicate ids refuse loudly
+    with pytest.raises(ValueError, match="already stored"):
+        neardup_graph_refresh(spark, docs, path)
+    # an empty batch (schema-only) commits nothing
+    empty = docs.filter(F.lit(False))
+    st = neardup_graph_refresh(spark, empty, path)
+    assert st == {"batch": None, "docs": 0, "new_edges": 0}
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0]
+
+
+def test_crashed_refresh_orphan_is_overwritten(spark, tmp_path):
+    """A refresh killed after writing its directories but before the
+    meta commit leaves orphans in the next batch slot: they are
+    invisible to readers and the retry overwrites them cleanly."""
+    docs = _docs(spark)
+    path = str(tmp_path / "g")
+    neardup_graph_build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), path, threshold=0.7
+    )
+    before = _edge_set(neardup_graph_load(spark, path))
+    # simulate the crash: garbage parquet-less orphans in slot b00001
+    for kind in ("sig", "edge"):
+        orphan = os.path.join(path, kind, "b00001")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "junk"), "w") as fh:
+            fh.write("not parquet")
+    # readers never see the orphan
+    assert _edge_set(neardup_graph_load(spark, path)) == before
+    # the retry reuses the slot and commits
+    st = neardup_graph_refresh(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), path
+    )
+    assert st["batch"] == 1 and st["docs"] > 0
+    grown = _edge_set(neardup_graph_load(spark, path))
+    assert grown >= before and len(grown) > len(before)
+
+
+def test_params_come_from_meta_not_defaults(spark, tmp_path):
+    """A store built at threshold 0.7 keeps scoring refreshes at 0.7:
+    the grown store must match a 0.7 one-shot, not the 0.9 default
+    (a silent default would redefine 'duplicate' mid-history)."""
+    docs = _docs(spark)
+    path = str(tmp_path / "g07")
+    neardup_graph_build(
+        spark, docs.filter(F.col("doc_id") < 250), path, threshold=0.7
+    )
+    neardup_graph_refresh(spark, docs.filter(F.col("doc_id") >= 250), path)
+    ctl07 = str(tmp_path / "ctl07")
+    neardup_graph_build(spark, docs, ctl07, threshold=0.7)
+    ctl09 = str(tmp_path / "ctl09")
+    neardup_graph_build(spark, docs, ctl09, threshold=0.9)
+    grown = _edge_set(neardup_graph_load(spark, path))
+    assert grown == _edge_set(neardup_graph_load(spark, ctl07))
+    assert grown != _edge_set(neardup_graph_load(spark, ctl09))
