@@ -444,6 +444,56 @@ def cmd_shard(args: argparse.Namespace) -> None:
     print(f"[shard] wrote {args.n_shards} shards to {args.output}")
 
 
+def cmd_neardup_graph(args: argparse.Namespace) -> None:
+    """Maintain the persisted near-dup pair graph store
+    (``operators.neardup_graph``): build it from a corpus, refresh it
+    with an ingest batch (history is never re-shingled), compact its
+    batch directories, vacuum orphans, or export the edge table."""
+    import json as _json
+
+    from big_data_hadoop_spark.operators import neardup_graph as ng_ops
+
+    if args.action == "vacuum":
+        # filesystem-only: no Spark session spin-up for a sweep
+        st = ng_ops.neardup_graph_vacuum(
+            args.store, grace_seconds=args.grace_seconds
+        )
+        print(_json.dumps(st, sort_keys=True))
+        return
+    spark = _spark("neardup-graph")
+    if args.action in ("build", "refresh"):
+        if not args.input:
+            raise SystemExit(
+                f"neardup-graph {args.action} requires --input"
+            )
+        docs = _read_table_cli(spark, args.input).select(
+            args.id_col, args.text_col
+        )
+        if args.action == "build":
+            st = ng_ops.neardup_graph_build(
+                spark,
+                docs,
+                args.store,
+                n=args.ngram,
+                num_perm=args.num_perm,
+                bands=args.bands,
+                threshold=args.threshold,
+                text_col=args.text_col,
+                id_col=args.id_col,
+            )
+        else:
+            st = ng_ops.neardup_graph_refresh(spark, docs, args.store)
+    elif args.action == "compact":
+        st = ng_ops.neardup_graph_compact(spark, args.store)
+    else:  # export
+        if not args.output:
+            raise SystemExit("neardup-graph export requires --output")
+        edges = ng_ops.neardup_graph_load(spark, args.store)
+        edges.write.mode("overwrite").parquet(args.output)
+        st = {"edges": spark.read.parquet(args.output).count()}
+    print(_json.dumps(st, sort_keys=True))
+
+
 def cmd_skew(args: argparse.Namespace) -> None:
     """Pre-flight skew report for a planned groupBy/join key
     (``operators.counts.diagnose_skew``): exact heavy hitters, key
@@ -860,6 +910,29 @@ def main(argv: list[str] | None = None) -> None:
     sk.add_argument("--keys", required=True, help="comma-separated key columns")
     sk.add_argument("--top", type=int, default=20)
 
+    ng = sub.add_parser(
+        "neardup-graph",
+        help="maintain the persisted near-dup pair graph store",
+    )
+    ng.add_argument(
+        "action",
+        choices=["build", "refresh", "compact", "vacuum", "export"],
+    )
+    ng.add_argument("store")
+    ng.add_argument(
+        "--input", default=None, help="documents parquet (build/refresh)"
+    )
+    ng.add_argument(
+        "--output", default=None, help="edge parquet destination (export)"
+    )
+    ng.add_argument("--text-col", default="text")
+    ng.add_argument("--id-col", default="doc_id")
+    ng.add_argument("--ngram", type=int, default=3)
+    ng.add_argument("--num-perm", type=int, default=128)
+    ng.add_argument("--bands", type=int, default=32)
+    ng.add_argument("--threshold", type=float, default=0.9)
+    ng.add_argument("--grace-seconds", type=float, default=86400.0)
+
     sq = sub.add_parser(
         "score-quality", help="score a corpus with a saved quality model"
     )
@@ -894,6 +967,7 @@ def main(argv: list[str] | None = None) -> None:
         "analyze": cmd_analyze,
         "train-quality": cmd_train_quality,
         "score-quality": cmd_score_quality,
+        "neardup-graph": cmd_neardup_graph,
         "clean": cmd_clean,
         "compact": cmd_compact,
         "diff": cmd_diff,

@@ -100,11 +100,17 @@ def pagerank(
         if weight_col is None
         else F.col(weight_col).cast("double")
     )
+    # NULL endpoints are dropped explicitly (the LPA/BFS/copurchase
+    # contract): a (NULL, x) pair would put NULL into the vertex set —
+    # inflating N and emitting a NULL-id rank row — while its edge
+    # never equi-joins, so that node's rank mass would silently leak
+    # out of the distribution every round (total rank < 1; round-9
+    # review finding, the same asymmetric-loss family as the BFS fix)
     e = pairs.select(
         F.col(id_a).alias("src"),
         F.col(id_b).alias("dst"),
         w_expr.alias("_w"),
-    )
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if weight_col is not None:
         # the weight validation below is an ACTION over the raw
         # projection; without this checkpoint the (often expensive —

@@ -309,6 +309,80 @@ def neardup_graph_load(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(*_batch_dirs(path, "edge", meta["batches"]))
 
 
+def neardup_graph_compact(spark: SparkSession, path: str) -> dict:
+    """Fold all committed batch directories into ONE (per table) →
+    stats ``{"batches_before": k, "docs": n, "edges": m}``. A store
+    refreshed per ingest batch accumulates one immutable directory
+    pair per refresh — at production cadence that is thousands of
+    small directories whose listing cost eventually dominates reads
+    (the same small-files economics ``compact_parquet`` exists for).
+    Compaction rewrites the union of every committed batch into a
+    fresh slot and commits a meta whose batch list is that single
+    slot.
+
+    Crash safety is the refresh protocol's: the consolidated
+    directories land in a NEW slot (max + 1) while every old directory
+    stays committed until the atomic meta replace — a crash at any
+    point leaves the store readable at its previous generation. After
+    the commit the old directories are orphans;
+    :func:`neardup_graph_vacuum` sweeps them (two-phase like
+    ``vacuum_table``: commit first, delete later — never delete
+    anything a concurrent reader's meta generation may still
+    reference until the grace window passes)."""
+    with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+        meta = _read_meta(path)
+        batches = list(meta["batches"])
+        sigs = spark.read.parquet(*_batch_dirs(path, "sig", batches))
+        edges = spark.read.parquet(*_batch_dirs(path, "edge", batches))
+        slot = max(batches) + 1
+        n_docs, n_edges = _write_batch(
+            sigs, edges, path, slot, meta["id_col"]
+        )
+        meta["batches"] = [slot]
+        _write_meta(path, meta, lock)
+    return {
+        "batches_before": len(batches),
+        "docs": n_docs,
+        "edges": n_edges,
+    }
+
+
+def neardup_graph_vacuum(
+    path: str, grace_seconds: float = 86400.0
+) -> dict:
+    """Delete batch directories no committed meta references —
+    compaction leftovers and crashed-refresh orphans — once older than
+    ``grace_seconds`` → ``{"removed": n, "kept": m}``. The grace
+    window protects readers that loaded an older meta generation and
+    are still lazily scanning its directories (the same contract as
+    ``vacuum_table``); within the window orphans are counted as
+    ``kept``, never removed. Runs under the writer claim so a
+    concurrent refresh cannot commit a new slot while the sweep is
+    deciding what is orphaned."""
+    import shutil
+    import time
+
+    with table_write_lock(path, **_VERB_LOCK_OPTS):
+        meta = _read_meta(path)
+        live = {f"b{b:05d}" for b in meta["batches"]}
+        removed = kept = 0
+        now = time.time()
+        for kind in ("sig", "edge"):
+            base = os.path.join(path, kind)
+            if not os.path.isdir(base):
+                continue
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if d in live or not os.path.isdir(full):
+                    continue
+                if now - os.path.getmtime(full) >= grace_seconds:
+                    shutil.rmtree(full)
+                    removed += 1
+                else:
+                    kept += 1
+    return {"removed": removed, "kept": kept}
+
+
 def neardup_graph_signatures(spark: SparkSession, path: str) -> DataFrame:
     """The stored signature history → ``(id, sig)``: the
     ``prior_sigs`` input for ``minhash_dedup_against`` /

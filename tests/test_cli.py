@@ -423,3 +423,48 @@ def test_cli_reads_survive_midswap_window(tmp_path, spark, capsys):
     # the report came from the stranded PREVIOUS generation's 3 rows:
     # user 1 holds 2 events, user 2 holds 1
     assert "1\t2" in out and "2\t1" in out
+
+
+def test_cli_neardup_graph_lifecycle(tmp_path, spark, capsys):
+    """build → refresh → compact → vacuum → export through the CLI:
+    the exported edge table equals the library's loaded frame, and the
+    batch-slot bookkeeping matches the meta manifest."""
+    import json
+
+    from big_data_hadoop_spark.operators.neardup_graph import (
+        neardup_graph_load,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    a = str(tmp_path / "batch_a")
+    b = str(tmp_path / "batch_b")
+    docs.filter("doc_id % 2 = 0").write.parquet(a)
+    docs.filter("doc_id % 2 = 1").write.parquet(b)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "edges_out")
+
+    main(["neardup-graph", "build", store, "--input", a,
+          "--threshold", "0.7"])
+    main(["neardup-graph", "refresh", store, "--input", b])
+    main(["neardup-graph", "compact", store])
+    main(["neardup-graph", "vacuum", store, "--grace-seconds", "0"])
+    main(["neardup-graph", "export", store, "--output", out])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines[0]["batch"] == 0 and lines[1]["batch"] == 1
+    assert lines[2]["batches_before"] == 2
+    assert lines[3] == {"removed": 4, "kept": 0}
+    lib = {
+        (r.id_a, r.id_b, r.jac_est)
+        for r in neardup_graph_load(spark, store).collect()
+    }
+    exported = {
+        (r.id_a, r.id_b, r.jac_est)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert exported == lib and lines[4]["edges"] == len(lib) > 0

@@ -196,3 +196,82 @@ def test_params_come_from_meta_not_defaults(spark, tmp_path):
     grown = _edge_set(neardup_graph_load(spark, path))
     assert grown == _edge_set(neardup_graph_load(spark, ctl07))
     assert grown != _edge_set(neardup_graph_load(spark, ctl09))
+
+
+def test_compact_folds_batches_and_vacuum_sweeps(spark, tmp_path):
+    """Compaction folds every committed batch into one slot with
+    edges and signatures identical to the grown store; the old
+    directories become orphans that vacuum removes after the grace
+    window (and protects within it); a post-compact refresh keeps
+    appending correctly."""
+    from big_data_hadoop_spark.operators.neardup_graph import (
+        neardup_graph_compact,
+        neardup_graph_vacuum,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "g")
+    neardup_graph_build(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), path, threshold=0.7
+    )
+    neardup_graph_refresh(spark, docs.filter(F.col("doc_id") % 3 == 1), path)
+    before_edges = _edge_set(neardup_graph_load(spark, path))
+    before_sigs = neardup_graph_signatures(spark, path).count()
+
+    st = neardup_graph_compact(spark, path)
+    assert st["batches_before"] == 2
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [2]
+    assert _edge_set(neardup_graph_load(spark, path)) == before_edges
+    assert neardup_graph_signatures(spark, path).count() == before_sigs
+
+    # inside the grace window the orphaned slots survive
+    vac = neardup_graph_vacuum(path, grace_seconds=3600)
+    assert vac == {"removed": 0, "kept": 4}
+    assert os.path.isdir(os.path.join(path, "sig", "b00000"))
+    # past the window they are swept; live slots stay
+    vac = neardup_graph_vacuum(path, grace_seconds=0.0)
+    assert vac == {"removed": 4, "kept": 0}
+    assert not os.path.exists(os.path.join(path, "sig", "b00000"))
+    assert os.path.isdir(os.path.join(path, "sig", "b00002"))
+    assert _edge_set(neardup_graph_load(spark, path)) == before_edges
+
+    # the store keeps growing normally after compaction: the grown
+    # result still equals the one-shot rebuild
+    neardup_graph_refresh(spark, docs.filter(F.col("doc_id") % 3 == 2), path)
+    ctl = str(tmp_path / "ctl")
+    neardup_graph_build(spark, docs, ctl, threshold=0.7)
+    assert _edge_set(neardup_graph_load(spark, path)) == _edge_set(
+        neardup_graph_load(spark, ctl)
+    )
+
+
+def test_crashed_compact_leaves_store_readable(spark, tmp_path):
+    """A compact killed after writing its consolidated slot but before
+    the meta commit leaves the previous generation fully committed and
+    readable; the orphan slot is invisible and vacuum can sweep it."""
+    from unittest import mock
+
+    from big_data_hadoop_spark.operators import neardup_graph as ng
+
+    docs = _docs(spark).limit(100)
+    path = str(tmp_path / "g")
+    neardup_graph_build(spark, docs, path, threshold=0.7)
+    before = _edge_set(neardup_graph_load(spark, path))
+
+    with mock.patch.object(
+        ng, "_write_meta", side_effect=RuntimeError("killed (test)")
+    ):
+        with pytest.raises(RuntimeError, match="killed"):
+            ng.neardup_graph_compact(spark, path)
+    # previous generation intact, orphan invisible
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0]
+    assert _edge_set(neardup_graph_load(spark, path)) == before
+    assert os.path.isdir(os.path.join(path, "sig", "b00001"))  # orphan
+    vac = ng.neardup_graph_vacuum(path, grace_seconds=0.0)
+    assert vac["removed"] == 2
+    # and the retry compacts cleanly into the reused slot
+    st = ng.neardup_graph_compact(spark, path)
+    assert st["batches_before"] == 1
+    assert _edge_set(neardup_graph_load(spark, path)) == before

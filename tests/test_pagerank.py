@@ -302,3 +302,26 @@ def test_weighted_upstream_executes_once(spark):
     out = pagerank(pairs, weight_col="w")
     assert abs(sum(r.rank for r in out.collect()) - 1.0) < 1e-9
     assert acc.value == 1
+
+
+def test_null_endpoints_dropped_mass_conserved(spark):
+    """A (NULL, x) pair must not put NULL into the vertex set: the NULL
+    node's edge never equi-joins, so its rank mass would silently leak
+    out of the distribution every round (total rank < 1) and a NULL-id
+    rank row would surface. Both endpoints are dropped explicitly —
+    the LPA/BFS/copurchase NULL contract (round-9 review finding)."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (2, None), (2, 3)], "id_a long, id_b long"
+    )
+    out = pagerank(df).collect()
+    ids = {r.id for r in out}
+    assert None not in ids and ids == {1, 2, 3}
+    assert abs(sum(r.rank for r in out) - 1.0) < 1e-9
+    # values equal the NULL-free graph's exactly
+    clean = {
+        r.id: r.rank
+        for r in pagerank(
+            spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        ).collect()
+    }
+    assert {r.id: r.rank for r in out} == pytest.approx(clean)
