@@ -158,6 +158,20 @@ def _self_est_pairs(
     )
 
 
+def _refuse_null_ids(sigs: DataFrame, id_col: str) -> None:
+    """NULL doc ids refuse loudly (the engine's NULL contract): a NULL
+    id never equi-joins, so its edges would silently vanish from every
+    downstream graph while ``minhash_signatures`` collapses ALL
+    NULL-id docs into one phantom signature row. Cheap — one limit(1)
+    probe over the already-checkpointed signatures."""
+    if sigs.filter(F.col(id_col).isNull()).limit(1).count():
+        raise ValueError(
+            "NULL doc ids in the batch — a NULL id neither equi-joins "
+            "nor orders, and all NULL-id docs would collapse into one "
+            "phantom signature; assign real ids first"
+        )
+
+
 def _write_batch(
     sigs: DataFrame, edges: DataFrame, path: str, batch: int, id_col: str
 ) -> tuple[int, int]:
@@ -212,6 +226,7 @@ def neardup_graph_build(
         sigs = minhash_signatures(
             df, n=n, num_perm=num_perm, text_col=text_col, id_col=id_col
         ).localCheckpoint(eager=True)
+        _refuse_null_ids(sigs, id_col)
         edges = _self_est_pairs(sigs, num_perm, bands, threshold, id_col)
         n_docs, n_edges = _write_batch(sigs, edges, path, 0, id_col)
         meta = {
@@ -262,6 +277,7 @@ def neardup_graph_refresh(
         ).localCheckpoint(eager=True)
         if sigs.isEmpty():
             return {"batch": None, "docs": 0, "new_edges": 0}
+        _refuse_null_ids(sigs, id_col)
         prior = spark.read.parquet(*_batch_dirs(path, "sig", batches))
         clash = (
             sigs.select(F.col(id_col))

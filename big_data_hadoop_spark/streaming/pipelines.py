@@ -912,3 +912,76 @@ def streaming_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_neardup_graph(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuous maintenance of the persisted near-dup pair graph
+    (``operators.neardup_graph``): a document stream refreshes the
+    store per micro-batch — the streaming twin of per-ingest
+    ``neardup_graph_refresh``, so "the graph is always current" costs
+    one batch-sized increment per trigger instead of a scheduled
+    corpus-wide rebuild.
+
+    Effectively-once on an at-least-once channel: ``foreachBatch`` can
+    REPLAY a micro-batch after a crash, and the store's duplicate-id
+    refusal would kill the stream on the replayed rows; instead each
+    micro-batch anti-joins its ids against the STORED signature
+    history first — already-ingested docs drop (a replay of a
+    committed batch refreshes nothing; a replay of a CRASHED refresh
+    re-runs it in the same slot, because the meta commit is atomic and
+    nothing was committed). Within a micro-batch, duplicate ids
+    collapse to one arbitrary row (a docs stream's same-id rows are
+    replays of the same immutable document — the analogous collapse to
+    ``streaming_upsert``'s latest-by-version, which needs no version
+    here). NULL ids refuse loudly (the store's contract; a silent drop
+    would hide a broken id pipeline upstream).
+
+    The store must exist (``neardup_graph_build``) BEFORE wiring —
+    checked here, at wiring time, not inside the first micro-batch
+    after the checkpoint directory already exists. Parameters
+    (n-gram, permutations, bands, threshold, column names) come from
+    the store's meta, so the stream cannot silently redefine
+    "duplicate" mid-history. Per micro-batch cost: one pass over the
+    batch text (signatures) + the band join against stored history —
+    the refresh scale shape, unchanged."""
+    from big_data_hadoop_spark.operators.neardup_graph import (
+        _read_meta,
+        neardup_graph_refresh,
+        neardup_graph_signatures,
+    )
+
+    meta = _read_meta(path)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    missing = [c for c in (id_col, text_col) if c not in stream.columns]
+    if missing:
+        raise ValueError(
+            f"stream lacks the store's columns {missing}; has "
+            f"{stream.columns}"
+        )
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        b = batch.select(id_col, text_col).dropDuplicates([id_col])
+        seen = neardup_graph_signatures(spark, path).select(id_col)
+        fresh = b.join(seen, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        if fresh.isEmpty():
+            return
+        neardup_graph_refresh(spark, fresh, path)
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

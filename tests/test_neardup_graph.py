@@ -275,3 +275,96 @@ def test_crashed_compact_leaves_store_readable(spark, tmp_path):
     st = ng.neardup_graph_compact(spark, path)
     assert st["batches_before"] == 1
     assert _edge_set(neardup_graph_load(spark, path)) == before
+
+
+def test_streaming_maintenance_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """streaming_neardup_graph: a drained document stream grows the
+    store to exactly the one-shot build over everything ingested; a
+    full REPLAY (fresh checkpoint over the same files — the
+    at-least-once worst case) changes nothing."""
+    from big_data_hadoop_spark.streaming.pipelines import (
+        streaming_neardup_graph,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "stream_src")
+    # two files -> two-ish micro-batches under availableNow
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        src + "/f0"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(
+        src + "/f1"
+    )
+    store = str(tmp_path / "store")
+    # seed the store with an initial (empty-corpus is refused, so use
+    # a tiny real slice outside the stream's id space? no — build over
+    # the first file's worth, stream the rest) — simplest honest flow:
+    # build on f0's docs, stream f1's docs in.
+    neardup_graph_build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), store,
+        threshold=0.7,
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src + "/f1"
+    )
+    q = streaming_neardup_graph(
+        stream, store, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(180)
+    grown = _edge_set(neardup_graph_load(spark, store))
+    ctl = str(tmp_path / "ctl")
+    neardup_graph_build(spark, docs, ctl, threshold=0.7)
+    assert grown == _edge_set(neardup_graph_load(spark, ctl))
+
+    # replay everything (fresh checkpoint): every id already stored ->
+    # nothing refreshes, nothing refuses, store unchanged
+    replay = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src + "/f1")
+    q2 = streaming_neardup_graph(
+        replay, store, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(180)
+    assert _edge_set(neardup_graph_load(spark, store)) == grown
+    with open(os.path.join(store, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0, 1]
+
+    # wiring-time refusals: missing store, missing columns
+    with pytest.raises(FileNotFoundError, match="neardup_graph_build"):
+        streaming_neardup_graph(
+            replay, str(tmp_path / "nope"), str(tmp_path / "ckpt3")
+        )
+    bad = spark.readStream.schema("doc_id long, body string").parquet(
+        src + "/f1"
+    )
+    with pytest.raises(ValueError, match="lacks the store's columns"):
+        streaming_neardup_graph(bad, store, str(tmp_path / "ckpt4"))
+
+
+def test_null_doc_ids_refused(spark, tmp_path):
+    """NULL doc ids refuse loudly in build and refresh — all NULL-id
+    docs would otherwise collapse into one phantom signature whose
+    edges never equi-join downstream."""
+    good = _docs(spark).limit(20)
+    with_null = good.unionByName(
+        good.limit(1).select(
+            F.lit(None).cast("long").alias("doc_id"), "text"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL doc ids"):
+        neardup_graph_build(spark, with_null, str(tmp_path / "g1"))
+    path = str(tmp_path / "g2")
+    neardup_graph_build(spark, good, path)
+    more = _docs(spark).filter(F.col("doc_id") >= 400)
+    with pytest.raises(ValueError, match="NULL doc ids"):
+        neardup_graph_refresh(
+            spark,
+            more.unionByName(
+                more.limit(1).select(
+                    F.lit(None).cast("long").alias("doc_id"), "text"
+                )
+            ),
+            path,
+        )
