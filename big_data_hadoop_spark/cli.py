@@ -28,13 +28,24 @@ from pyspark.sql import functions as F
 
 
 def _read_table_cli(spark, path: str):
-    """Every CLI read of a user-supplied parquet path goes through
-    ``read_table``: the path may be an engine-published MUTABLE table
-    (upsert/compact/ingest stage-and-swap), and a bare
+    """Every CLI read of a user-supplied LOCAL parquet path goes
+    through ``read_table``: the path may be an engine-published
+    MUTABLE table (upsert/compact/ingest stage-and-swap), and a bare
     ``spark.read.parquet`` racing a concurrent writer's swap window
     fails -- or silently reads nothing -- where the library-level
     reader survives (judge task r8 #3; the library closed this in
-    round 8, the user-facing surface now follows)."""
+    round 8, the user-facing surface now follows).
+
+    Remote URIs (``s3a://``, ``hdfs://`` -- anything with a scheme)
+    and glob patterns bypass the routing: ``read_table``'s
+    existence checks are local-POSIX (``os.path.exists`` can neither
+    see a remote URI nor resolve a glob), so routing them would turn
+    every previously-working remote/glob read into an instant
+    FileNotFoundError (round-9 review finding). The swap-window
+    protection only ever applied to the local stage-and-swap layout
+    those checks serve."""
+    if "://" in path or any(c in path for c in "*?["):
+        return spark.read.parquet(path)
     from big_data_hadoop_spark.sources.io import read_table
 
     return read_table(spark, path)

@@ -400,6 +400,44 @@ def minhash_signatures(
     )
 
 
+def _sig_est(col_a: str, col_b: str, num_perm: int):
+    """Fraction of agreeing minhash signature slots between two
+    ``array<bigint>`` columns — the unbiased Jaccard estimator with
+    stderr ``<= 1/(2*sqrt(num_perm))``; one native ``zip_with`` /
+    ``aggregate`` fold. SHARED expression: ``minhash_matches_against``
+    and the persisted near-dup graph store score with this same
+    estimator, which is what keeps the store's refresh-equals-rebuild
+    invariant aligned with the incremental-dedup tier (round-9 review
+    finding: two inlined copies could silently diverge)."""
+    return F.aggregate(
+        F.zip_with(col_a, col_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(num_perm))
+
+
+def _band_self_candidates(banded: DataFrame, id_col: str) -> DataFrame:
+    """Within-set LSH candidates ``(id_a, id_b)`` with ``id_a <
+    id_b``: pairs agreeing on any whole band (equi-join on
+    ``(band, bh)``), distinct. SHARED by ``_lsh_pairs_given_sigs``
+    and the near-dup graph store (same review finding as
+    :func:`_sig_est`)."""
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def _banded(sig: DataFrame, bands: int, r: int, id_col: str) -> DataFrame:
     """Explode ``(id, sig)`` into ``(id, band, bh)`` band-bucket keys:
     band ``b``'s key is the hash of signature slots ``[b*r, (b+1)*r)``."""
@@ -462,19 +500,7 @@ def _lsh_pairs_given_sigs(
     aggregate signature computation on the surviving subset)."""
     r = num_perm // bands
     banded = _banded(sig, bands, r, id_col)
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = _band_self_candidates(banded, id_col)
     # Exact-Jaccard verification restricted to the LSH candidate set.
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
     return (
@@ -530,15 +556,7 @@ def minhash_matches_against(
         )
         .distinct()
     )
-    est = F.aggregate(
-        F.zip_with(
-            "sig",
-            "prior_sig",
-            lambda x, y: (x == y).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.lit(float(num_perm))
+    est = _sig_est("sig", "prior_sig", num_perm)
     return (
         cand.join(new_sigs, id_col)
         .join(

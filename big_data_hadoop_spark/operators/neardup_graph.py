@@ -65,7 +65,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_hadoop_spark.operators.dedup import (
+    _band_self_candidates,
     _banded,
+    _sig_est,
     minhash_matches_against,
     minhash_signatures,
 )
@@ -109,16 +111,6 @@ def _batch_dirs(path: str, kind: str, batches) -> list[str]:
     return [os.path.join(path, kind, f"b{b:05d}") for b in batches]
 
 
-def _est(num_perm: int):
-    """Signature-agreement Jaccard estimate over paired ``_sa``/``_sb``
-    signature columns — one native ``zip_with``/``aggregate`` fold."""
-    return F.aggregate(
-        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.lit(float(num_perm))
-
-
 def _self_est_pairs(
     sigs: DataFrame, num_perm: int, bands: int, threshold: float, id_col: str
 ) -> DataFrame:
@@ -128,21 +120,7 @@ def _self_est_pairs(
     estimate instead of exact shingle verification (see the module
     docstring for why the estimate is the store's uniform metric)."""
     r = num_perm // bands
-    banded = _banded(sigs, bands, r, id_col)
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    cand = _band_self_candidates(_banded(sigs, bands, r, id_col), id_col)
     return (
         cand.join(
             sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa")),
@@ -152,7 +130,7 @@ def _self_est_pairs(
             sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb")),
             "id_b",
         )
-        .withColumn("jac_est", _est(num_perm))
+        .withColumn("jac_est", _sig_est("_sa", "_sb", num_perm))
         .filter(F.col("jac_est") >= threshold)
         .select("id_a", "id_b", "jac_est")
     )
@@ -169,6 +147,30 @@ def _refuse_null_ids(sigs: DataFrame, id_col: str) -> None:
             "NULL doc ids in the batch — a NULL id neither equi-joins "
             "nor orders, and all NULL-id docs would collapse into one "
             "phantom signature; assign real ids first"
+        )
+
+
+def _refuse_duplicate_ids(df: DataFrame, id_col: str) -> None:
+    """Duplicate ids WITHIN one batch refuse loudly: two different
+    documents sharing an id silently merge into one chimera signature
+    (``minhash_signatures`` takes per-slot minima over the union of
+    their shingles — a signature matching neither document) and the
+    corruption would be committed permanently (round-9 review finding;
+    the same hazard class as the NULL refusal). One column-pruned scan
+    of the id column."""
+    dup = (
+        df.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate {id_col} values within the batch — two "
+            "documents sharing an id would merge into one chimera "
+            "signature; dropDuplicates the batch first, or pass "
+            "validate_ids=False if uniqueness is guaranteed upstream"
         )
 
 
@@ -203,14 +205,19 @@ def neardup_graph_build(
     threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
+    validate_ids: bool = True,
 ) -> dict:
     """One-shot creation of a near-dup graph store at ``path`` from the
     corpus ``df`` → stats ``{"batch": 0, "docs": n, "new_edges": m}``.
     Refuses if a store already exists there (grow it with
     :func:`neardup_graph_refresh`; this guard is what keeps "build"
-    and "append" from silently forking two edge histories)."""
+    and "append" from silently forking two edge histories). Ids must
+    be unique (``validate_ids`` — see
+    :func:`neardup_graph_refresh` for the chimera-signature hazard)."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
+    if validate_ids:
+        _refuse_duplicate_ids(df, id_col)
     if os.path.exists(_meta_path(path)):
         raise ValueError(
             f"a near-dup graph store already exists at {path} — append "
@@ -244,7 +251,11 @@ def neardup_graph_build(
 
 
 def neardup_graph_refresh(
-    spark: SparkSession, df: DataFrame, path: str
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    drop_known: bool = False,
+    validate_ids: bool = True,
 ) -> dict:
     """Append one document batch to the store: compute the batch's
     signatures (the ONLY pass over raw text), join its bands against
@@ -256,14 +267,35 @@ def neardup_graph_refresh(
     scored under different (n, num_perm, bands, threshold) would
     silently change what "duplicate" means mid-history.
 
-    Batch ids must be NEW: an id already present in the stored
-    signatures refuses loudly (re-ingesting a doc would double its
-    vertex and skew every downstream graph metric; dedup the batch
+    Batch ids must be NEW: by default an id already present in the
+    stored signatures refuses loudly (re-ingesting a doc would double
+    its vertex and skew every downstream graph metric; dedup the batch
     against history first — ``minhash_dedup_against`` /
-    ``exact_dedup_against`` exist for exactly that). An empty batch
-    (no ids, or no doc long enough to shingle) commits nothing and
-    returns ``docs=0``."""
-    _read_meta(path)  # fail fast on a missing store before locking
+    ``exact_dedup_against`` exist for exactly that).
+    ``drop_known=True`` instead DROPS already-stored ids inside the
+    writer claim and ingests only the remainder — the replay-safe mode
+    ``streaming_neardup_graph`` runs on (doing this dedup outside the
+    lock is a TOCTOU: a concurrent writer committing overlapping ids
+    between the check and the refresh would turn the refusal into a
+    stream-killing surprise; round-9 review finding). Either way the
+    history id scan happens ONCE, in-lock.
+
+    Ids must also be unique WITHIN the batch (``validate_ids``): two
+    different documents sharing an id would silently merge into one
+    chimera signature (``minhash_signatures`` aggregates per id) and
+    be committed permanently — the same hazard the NULL refusal names.
+    The check is one column-pruned scan of the batch's id column;
+    ``validate_ids=False`` skips it when uniqueness is guaranteed
+    upstream (the streaming sink's ``dropDuplicates``).
+
+    An empty batch (no ids, or no doc long enough to shingle, or —
+    under ``drop_known`` — nothing new) commits nothing and returns
+    ``docs=0``."""
+    meta = _read_meta(path)  # fail fast on a missing store pre-lock
+    if validate_ids:
+        # id_col comes from the store's meta; the pre-lock read is
+        # fine here (params are immutable for the store's lifetime)
+        _refuse_duplicate_ids(df, meta["id_col"])
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         # re-read under the claim: a concurrent refresh that committed
         # while we waited must be part of OUR history
@@ -279,19 +311,27 @@ def neardup_graph_refresh(
             return {"batch": None, "docs": 0, "new_edges": 0}
         _refuse_null_ids(sigs, id_col)
         prior = spark.read.parquet(*_batch_dirs(path, "sig", batches))
-        clash = (
-            sigs.select(F.col(id_col))
-            .join(prior.select(F.col(id_col)), id_col, "semi")
-            .limit(1)
-            .count()
-        )
-        if clash:
-            raise ValueError(
-                "refresh batch contains ids already stored in the "
-                f"graph at {path} — re-ingesting a document would "
-                "double its vertex; dedup the batch against history "
-                "first (minhash_dedup_against / exact_dedup_against)"
+        if drop_known:
+            sigs = sigs.join(
+                prior.select(F.col(id_col)), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+            if sigs.isEmpty():
+                return {"batch": None, "docs": 0, "new_edges": 0}
+        else:
+            clash = (
+                sigs.select(F.col(id_col))
+                .join(prior.select(F.col(id_col)), id_col, "semi")
+                .limit(1)
+                .count()
             )
+            if clash:
+                raise ValueError(
+                    "refresh batch contains ids already stored in the "
+                    f"graph at {path} — re-ingesting a document would "
+                    "double its vertex; dedup the batch against history "
+                    "first (minhash_dedup_against / exact_dedup_against) "
+                    "or pass drop_known=True to skip known ids"
+                )
         cross = minhash_matches_against(
             sigs,
             prior,
@@ -356,6 +396,22 @@ def neardup_graph_compact(spark: SparkSession, path: str) -> dict:
         )
         meta["batches"] = [slot]
         _write_meta(path, meta, lock)
+        # stamp ORPHANING time onto the superseded slots: vacuum's
+        # grace window is measured from directory mtime, and a slot
+        # written days ago would otherwise age out of the window the
+        # instant this commit orphans it — deleting it under a reader
+        # that loaded the pre-compact meta seconds earlier (round-9
+        # review finding). Touch is best-effort: a failure only makes
+        # vacuum sweep that slot early, never corrupts the store.
+        import time
+
+        now = time.time()
+        for kind in ("sig", "edge"):
+            for d in _batch_dirs(path, kind, batches):
+                try:
+                    os.utime(d, (now, now))
+                except OSError:
+                    pass
     return {
         "batches_before": len(batches),
         "docs": n_docs,

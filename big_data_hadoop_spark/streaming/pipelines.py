@@ -928,18 +928,23 @@ def streaming_neardup_graph(
     corpus-wide rebuild.
 
     Effectively-once on an at-least-once channel: ``foreachBatch`` can
-    REPLAY a micro-batch after a crash, and the store's duplicate-id
-    refusal would kill the stream on the replayed rows; instead each
-    micro-batch anti-joins its ids against the STORED signature
-    history first — already-ingested docs drop (a replay of a
-    committed batch refreshes nothing; a replay of a CRASHED refresh
-    re-runs it in the same slot, because the meta commit is atomic and
-    nothing was committed). Within a micro-batch, duplicate ids
-    collapse to one arbitrary row (a docs stream's same-id rows are
-    replays of the same immutable document — the analogous collapse to
-    ``streaming_upsert``'s latest-by-version, which needs no version
-    here). NULL ids refuse loudly (the store's contract; a silent drop
-    would hide a broken id pipeline upstream).
+    REPLAY a micro-batch after a crash, and the store's known-id
+    refusal would kill the stream on the replayed rows; each
+    micro-batch therefore refreshes with ``drop_known=True`` — the
+    store drops already-ingested ids INSIDE its writer claim (a replay
+    of a committed batch refreshes nothing; a replay of a CRASHED
+    refresh re-runs it in the same slot, because the meta commit is
+    atomic and nothing was committed). Doing that dedup fold-side,
+    outside the lock, would be a TOCTOU — a concurrent backfill
+    committing overlapping ids between the check and the refresh turns
+    the refusal into a stream-killing surprise — and would scan the
+    signature history twice per trigger (round-9 review findings).
+    Within a micro-batch, duplicate ids collapse to one arbitrary row
+    (a docs stream's same-id rows are replays of the same immutable
+    document — the analogous collapse to ``streaming_upsert``'s
+    latest-by-version, which needs no version here). NULL ids refuse
+    loudly (the store's contract; a silent drop would hide a broken id
+    pipeline upstream).
 
     The store must exist (``neardup_graph_build``) BEFORE wiring —
     checked here, at wiring time, not inside the first micro-batch
@@ -952,7 +957,6 @@ def streaming_neardup_graph(
     from big_data_hadoop_spark.operators.neardup_graph import (
         _read_meta,
         neardup_graph_refresh,
-        neardup_graph_signatures,
     )
 
     meta = _read_meta(path)
@@ -969,13 +973,12 @@ def streaming_neardup_graph(
             return
         spark = batch.sparkSession
         b = batch.select(id_col, text_col).dropDuplicates([id_col])
-        seen = neardup_graph_signatures(spark, path).select(id_col)
-        fresh = b.join(seen, id_col, "left_anti").localCheckpoint(
-            eager=True
+        # drop_known dedups against history INSIDE the writer claim
+        # (single history scan, no TOCTOU); validate_ids is redundant
+        # after the dropDuplicates above
+        neardup_graph_refresh(
+            spark, b, path, drop_known=True, validate_ids=False
         )
-        if fresh.isEmpty():
-            return
-        neardup_graph_refresh(spark, fresh, path)
 
     writer = (
         stream.writeStream.foreachBatch(fold)

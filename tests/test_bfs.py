@@ -134,3 +134,20 @@ def test_bfs_null_endpoints_dropped_and_null_seed_refused(spark):
     assert stats["reached"] == 3 and stats["rounds"] == 2
     with pytest.raises(ValueError, match="NULL"):
         bfs_distances(df, [1, None])
+
+
+def test_bfs_half_null_only_seed_returns_distance_zero(spark):
+    """A seed whose only pairs are half-NULL is still a graph vertex
+    (the LPA contract — round-9 review: the first fix dropped the
+    whole row and the seed tripped the not-a-node refusal); it
+    returns at distance 0 with no frontier to expand."""
+    df = spark.createDataFrame(
+        [(5, None), (1, 2)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r.id: r.distance
+        for r in bfs_distances(df, [5], stats=stats).collect()
+    }
+    assert got == {5: 0}
+    assert stats == {"rounds": 0, "reached": 1}

@@ -468,3 +468,33 @@ def test_cli_neardup_graph_lifecycle(tmp_path, spark, capsys):
         for r in spark.read.parquet(out).collect()
     }
     assert exported == lib and lines[4]["edges"] == len(lib) > 0
+
+
+def test_cli_read_routing_spares_uris_and_globs(spark, tmp_path, monkeypatch):
+    """Remote URIs and glob patterns must BYPASS read_table (its
+    existence checks are local-POSIX and would instantly
+    FileNotFoundError a working s3a://, hdfs:// or glob read — round-9
+    review finding); plain local paths still route through it."""
+    from big_data_hadoop_spark import cli
+    from big_data_hadoop_spark.sources import io as sio
+
+    calls = []
+    real = sio.read_table
+
+    def spy(spark_, path, **kw):
+        calls.append(path)
+        return real(spark_, path, **kw)
+
+    monkeypatch.setattr(sio, "read_table", spy)
+    ds = str(tmp_path / "plain")
+    spark.createDataFrame([(1,)], "x long").write.parquet(ds)
+    assert cli._read_table_cli(spark, ds).count() == 1
+    assert calls == [ds]
+    # glob: resolved by Spark's Hadoop listing, never by read_table
+    assert cli._read_table_cli(
+        spark, str(tmp_path / "pla*")
+    ).count() == 1
+    assert calls == [ds]
+    # scheme'd URI: routed straight to spark.read.parquet
+    assert cli._read_table_cli(spark, f"file://{ds}").count() == 1
+    assert calls == [ds]

@@ -368,3 +368,81 @@ def test_null_doc_ids_refused(spark, tmp_path):
             ),
             path,
         )
+
+
+def test_vacuum_grace_measured_from_orphaning_not_write_time(
+    spark, tmp_path
+):
+    """Compaction stamps orphaning time onto the superseded slots: a
+    slot WRITTEN long ago but orphaned a second ago must survive a
+    graced vacuum (round-9 review finding — grace measured from write
+    mtime gave old slots a zero-length protection window)."""
+    import time
+
+    from big_data_hadoop_spark.operators.neardup_graph import (
+        neardup_graph_compact,
+        neardup_graph_vacuum,
+    )
+
+    docs = _docs(spark).limit(100)
+    path = str(tmp_path / "g")
+    neardup_graph_build(spark, docs, path, threshold=0.7)
+    # backdate the committed slot far past any grace window
+    old = time.time() - 10 * 86400
+    for kind in ("sig", "edge"):
+        os.utime(os.path.join(path, kind, "b00000"), (old, old))
+    neardup_graph_compact(spark, path)
+    vac = neardup_graph_vacuum(path, grace_seconds=3600)
+    assert vac == {"removed": 0, "kept": 2}
+    assert os.path.isdir(os.path.join(path, "sig", "b00000"))
+
+
+def test_refresh_drop_known_ingests_only_fresh_ids(spark, tmp_path):
+    """drop_known=True: overlapping ids are dropped INSIDE the writer
+    claim and only the remainder ingests; an all-known batch commits
+    nothing; the grown store still equals the one-shot rebuild."""
+    docs = _docs(spark)
+    path = str(tmp_path / "g")
+    neardup_graph_build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), path, threshold=0.7
+    )
+    # batch overlaps history (all evens) plus the odds
+    st = neardup_graph_refresh(spark, docs, path, drop_known=True)
+    assert st["batch"] == 1
+    assert st["docs"] == neardup_graph_signatures(spark, path).count() - (
+        _docs(spark).filter(F.col("doc_id") % 2 == 0).count()
+        - _shingleless_of(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    )
+    ctl = str(tmp_path / "ctl")
+    neardup_graph_build(spark, docs, ctl, threshold=0.7)
+    assert _edge_set(neardup_graph_load(spark, path)) == _edge_set(
+        neardup_graph_load(spark, ctl)
+    )
+    # an all-known batch commits nothing
+    st = neardup_graph_refresh(spark, docs, path, drop_known=True)
+    assert st == {"batch": None, "docs": 0, "new_edges": 0}
+
+
+def _shingleless_of(spark, df) -> int:
+    from big_data_hadoop_spark.operators.dedup import minhash_signatures
+
+    return df.count() - minhash_signatures(df).count()
+
+
+def test_duplicate_ids_within_batch_refused(spark, tmp_path):
+    """Two different documents sharing an id would merge into one
+    chimera signature (per-slot minima over the union of shingles) —
+    refused loudly in build and refresh; validate_ids=False skips."""
+    docs = _docs(spark).limit(20)
+    doubled = docs.unionByName(
+        docs.limit(1).select("doc_id", F.lit("other text entirely").alias("text"))
+    )
+    with pytest.raises(ValueError, match="chimera"):
+        neardup_graph_build(spark, doubled, str(tmp_path / "g1"))
+    path = str(tmp_path / "g2")
+    neardup_graph_build(spark, docs, path)
+    more = _docs(spark).filter(F.col("doc_id") >= 400)
+    with pytest.raises(ValueError, match="chimera"):
+        neardup_graph_refresh(
+            spark, more.unionByName(more.limit(1)), path
+        )

@@ -308,8 +308,8 @@ def test_null_endpoints_dropped_mass_conserved(spark):
     """A (NULL, x) pair must not put NULL into the vertex set: the NULL
     node's edge never equi-joins, so its rank mass would silently leak
     out of the distribution every round (total rank < 1) and a NULL-id
-    rank row would surface. Both endpoints are dropped explicitly —
-    the LPA/BFS/copurchase NULL contract (round-9 review finding)."""
+    rank row would surface. The LPA contract (round-9 review, both
+    passes): the EDGE drops, the non-NULL ENDPOINT stays a vertex."""
     df = spark.createDataFrame(
         [(1, 2), (None, 3), (2, None), (2, 3)], "id_a long, id_b long"
     )
@@ -317,7 +317,8 @@ def test_null_endpoints_dropped_mass_conserved(spark):
     ids = {r.id for r in out}
     assert None not in ids and ids == {1, 2, 3}
     assert abs(sum(r.rank for r in out) - 1.0) < 1e-9
-    # values equal the NULL-free graph's exactly
+    # values equal the NULL-free graph's exactly (every endpoint here
+    # also carries a real edge, so the vertex sets coincide)
     clean = {
         r.id: r.rank
         for r in pagerank(
@@ -325,3 +326,24 @@ def test_null_endpoints_dropped_mass_conserved(spark):
         ).collect()
     }
     assert {r.id: r.rank for r in out} == pytest.approx(clean)
+
+
+def test_half_null_pair_keeps_isolated_vertex(spark):
+    """A vertex whose ONLY pairs are half-NULL stays in the vertex set
+    as an ISOLATED node (LPA keeps it as a singleton community — the
+    round-9 review found the first fix dropped it from ranks, silently
+    desyncing the two vertex sets). Isolated ⇒ dangling even in
+    undirected mode; mass still sums to 1 and matches numpy."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 7)], "id_a long, id_b long"
+    )
+    got = {r.id: r.rank for r in pagerank(df).collect()}
+    assert set(got) == {1, 2, 7}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    want = _np_pagerank([(1, 2)], {1, 2, 7}, directed=False)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    # and the vertex set now matches label_propagation's exactly
+    from big_data_hadoop_spark.operators.graph import label_propagation
+
+    assert {r.id for r in label_propagation(df).collect()} == set(got)
