@@ -44,7 +44,14 @@ def _read_table_cli(spark, path: str):
     FileNotFoundError (round-9 review finding). The swap-window
     protection only ever applied to the local stage-and-swap layout
     those checks serve."""
-    if "://" in path or any(c in path for c in "*?["):
+    import re
+
+    # scheme'd URIs include the single-slash Hadoop form (file:/x,
+    # hdfs:/x) — match any RFC-3986 scheme prefix, not just '://';
+    # glob chars include {a,b} alternation (round-9 review, 2nd pass)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", path) or any(
+        c in path for c in "*?[{"
+    ):
         return spark.read.parquet(path)
     from big_data_hadoop_spark.sources.io import read_table
 
@@ -464,6 +471,31 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
 
     from big_data_hadoop_spark.operators import neardup_graph as ng_ops
 
+    if args.action != "build":
+        # build-only tuning flags are SILENT no-ops elsewhere (params
+        # come from the store's meta) — refuse instead of letting a
+        # user believe `refresh --threshold 0.5` loosened anything
+        # (round-9 review, 2nd pass)
+        defaults = {
+            "ngram": 3,
+            "num_perm": 128,
+            "bands": 32,
+            "threshold": 0.9,
+            "text_col": "text",
+            "id_col": "doc_id",
+        }
+        passed = [
+            f"--{k.replace('_', '-')}"
+            for k, d in defaults.items()
+            if getattr(args, k) != d
+        ]
+        if passed:
+            raise SystemExit(
+                f"{' '.join(passed)} only apply to 'build' — "
+                f"'{args.action}' takes every store parameter from "
+                "the store's meta.json (a mid-history change would "
+                "silently redefine what 'duplicate' means)"
+            )
     if args.action == "vacuum":
         # filesystem-only: no Spark session spin-up for a sweep
         st = ng_ops.neardup_graph_vacuum(

@@ -122,14 +122,16 @@ def pagerank(
     ).localCheckpoint(eager=True)
     good = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if weight_col is not None and (
-        good.filter(F.col("_w").isNull() | (F.col("_w") <= 0))
+        e.filter(F.col("_w").isNull() | (F.col("_w") <= 0))
         .limit(1)
         .count()
     ):
-        # validate the RAW weights (of rows that become edges) before
-        # any aggregation: a NULL or negative weight on a duplicate
-        # (src, dst) row would be silently absorbed by the sum
-        # (review finding)
+        # validate the RAW weights — including half-NULL rows whose
+        # edge is dropped — before any aggregation: a NULL or negative
+        # weight anywhere signals a broken weight column upstream, and
+        # LPA validates its raw projection the same way (a narrower
+        # check here made the shared refusal contract depend on which
+        # operator ran first; round-9 review, 2nd pass)
         raise ValueError(
             "edge weights must be strictly positive non-NULL — a "
             "zero-weight out-edge set divides by zero and a "

@@ -46,8 +46,10 @@ Writers (build / refresh) serialize under :func:`table_write_lock` —
 two concurrent refreshes would otherwise both claim the same batch slot
 and the loser's edges would silently vanish from the manifest.
 
-100 TB shape per refresh: the raw batch is read ONCE (signature
-aggregation); history arrives as stored signatures — never recomputed,
+100 TB shape per refresh: the raw batch's TEXT is read ONCE (the
+signature aggregation; the default ``validate_ids`` duplicate check
+adds one column-pruned scan of the id column alone — pass
+``validate_ids=False`` when uniqueness is guaranteed upstream); history arrives as stored signatures — never recomputed,
 never re-shingled; candidate generation is a band equi-join of the
 batch's bands against history bands (short hash keys, broadcast while
 the batch is small); only colliding pairs compare full signatures (one
@@ -159,7 +161,8 @@ def _refuse_duplicate_ids(df: DataFrame, id_col: str) -> None:
     the same hazard class as the NULL refusal). One column-pruned scan
     of the id column."""
     dup = (
-        df.groupBy(F.col(id_col))
+        df.filter(F.col(id_col).isNotNull())  # NULLs get the NULL refusal
+        .groupBy(F.col(id_col))
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
         .limit(1)
@@ -216,13 +219,17 @@ def neardup_graph_build(
     :func:`neardup_graph_refresh` for the chimera-signature hazard)."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
-    if validate_ids:
-        _refuse_duplicate_ids(df, id_col)
     if os.path.exists(_meta_path(path)):
+        # the instant filesystem refusal runs BEFORE the duplicate-id
+        # Spark scan — a re-run against an existing store must not pay
+        # a corpus scan to learn it is refused (round-9 review, 2nd
+        # pass)
         raise ValueError(
             f"a near-dup graph store already exists at {path} — append "
             "batches with neardup_graph_refresh, or choose a new path"
         )
+    if validate_ids:
+        _refuse_duplicate_ids(df, id_col)
     os.makedirs(path, exist_ok=True)
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         if os.path.exists(_meta_path(path)):

@@ -498,3 +498,27 @@ def test_cli_read_routing_spares_uris_and_globs(spark, tmp_path, monkeypatch):
     # scheme'd URI: routed straight to spark.read.parquet
     assert cli._read_table_cli(spark, f"file://{ds}").count() == 1
     assert calls == [ds]
+
+
+def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
+    """refresh/compact/vacuum/export take every store parameter from
+    meta.json; an explicitly-passed tuning flag is a silent no-op
+    there, so it refuses loudly instead (round-9 review, 2nd pass).
+    The URI/glob bypass also covers single-slash schemes and {a,b}."""
+    import pytest as _pytest
+
+    from big_data_hadoop_spark import cli
+
+    with _pytest.raises(SystemExit, match="only apply to 'build'"):
+        main(["neardup-graph", "refresh", str(tmp_path / "s"),
+              "--input", "x", "--threshold", "0.5"])
+    with _pytest.raises(SystemExit, match="only apply to 'build'"):
+        main(["neardup-graph", "vacuum", str(tmp_path / "s"),
+              "--num-perm", "64"])
+    # single-slash scheme and {} alternation bypass read_table
+    ds = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "x long").write.parquet(ds)
+    assert cli._read_table_cli(spark, f"file:{ds}").count() == 1
+    assert cli._read_table_cli(
+        spark, str(tmp_path) + "/{t,nope}"
+    ).count() == 1

@@ -446,3 +446,33 @@ def test_duplicate_ids_within_batch_refused(spark, tmp_path):
         neardup_graph_refresh(
             spark, more.unionByName(more.limit(1)), path
         )
+
+
+def test_second_review_pass_contracts(spark, tmp_path):
+    """Round-9 second review pass: (a) two NULL-id docs get the NULL
+    refusal, not a duplicate-id misdiagnosis whose dropDuplicates
+    advice would silently merge them; (b) rebuilding over an existing
+    store refuses on the instant filesystem check without paying the
+    duplicate-id corpus scan."""
+    from unittest import mock
+
+    from big_data_hadoop_spark.operators import neardup_graph as ng
+
+    docs = _docs(spark).limit(10)
+    two_nulls = docs.unionByName(
+        spark.createDataFrame(
+            [(None, "a a a a a"), (None, "b b b b b")],
+            "doc_id long, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="NULL doc ids"):
+        neardup_graph_build(spark, two_nulls, str(tmp_path / "g0"))
+    path = str(tmp_path / "g1")
+    neardup_graph_build(spark, docs, path)
+    with mock.patch.object(
+        ng,
+        "_refuse_duplicate_ids",
+        side_effect=AssertionError("corpus scan ran before the refusal"),
+    ):
+        with pytest.raises(ValueError, match="already exists"):
+            neardup_graph_build(spark, docs, path)

@@ -347,3 +347,19 @@ def test_half_null_pair_keeps_isolated_vertex(spark):
     from big_data_hadoop_spark.operators.graph import label_propagation
 
     assert {r.id for r in label_propagation(df).collect()} == set(got)
+
+
+def test_bad_weight_on_half_null_row_still_refuses(spark):
+    """The loud-refusal contract is on the RAW weight column, matching
+    label_propagation: a negative weight riding a half-NULL row (the
+    shape of an upstream join bug) must refuse even though that row's
+    edge is dropped (round-9 review, 2nd pass)."""
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (None, 3, -1.0)], "id_a long, id_b long, w double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        pagerank(df, weight_col="w")
+    from big_data_hadoop_spark.operators.graph import label_propagation
+
+    with pytest.raises(ValueError, match="strictly positive"):
+        label_propagation(df, weight_col="w")
