@@ -476,3 +476,61 @@ def test_second_review_pass_contracts(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="already exists"):
             neardup_graph_build(spark, docs, path)
+
+
+def test_concurrent_refreshes_serialize_and_both_commit(spark, tmp_path):
+    """Two refreshes racing on one store must SERIALIZE on the writer
+    claim and BOTH commit (the second folds in whatever the first
+    committed — distinct batch slots, no lost edges): the store-level
+    twin of the write-lock suite's concurrent-upsert pin. Final store
+    equals the one-shot build over everything."""
+    import threading
+
+    docs = _docs(spark)
+    path = str(tmp_path / "g")
+    neardup_graph_build(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), path, threshold=0.7
+    )
+    errs = []
+
+    def refresh(mod):
+        try:
+            neardup_graph_refresh(
+                spark, docs.filter(F.col("doc_id") % 3 == mod), path
+            )
+        except Exception as exc:  # surfaced below
+            errs.append(exc)
+
+    ts = [threading.Thread(target=refresh, args=(m,)) for m in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0, 1, 2]
+    ctl = str(tmp_path / "ctl")
+    neardup_graph_build(spark, docs, ctl, threshold=0.7)
+    assert _edge_set(neardup_graph_load(spark, path)) == _edge_set(
+        neardup_graph_load(spark, ctl)
+    )
+
+
+def test_reader_isolated_from_concurrent_refresh(spark, tmp_path):
+    """A frame loaded BEFORE a refresh keeps returning its own meta
+    generation AFTER the refresh commits: batch directories are
+    immutable and the old generation's dirs still exist, so the lazy
+    scan is stable — the no-swap-window reader contract the store
+    claims over read_table-style retry loops."""
+    docs = _docs(spark)
+    path = str(tmp_path / "g")
+    neardup_graph_build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), path, threshold=0.7
+    )
+    held = neardup_graph_load(spark, path)  # lazy, old generation
+    before = _edge_set(held)
+    neardup_graph_refresh(spark, docs.filter(F.col("doc_id") % 2 == 1), path)
+    # the held frame still reads its generation…
+    assert _edge_set(held) == before
+    # …while a fresh load sees the grown one
+    assert len(_edge_set(neardup_graph_load(spark, path))) > len(before)
