@@ -334,11 +334,12 @@ def _degrees(edges: DataFrame) -> DataFrame:
 
 def k_core(
     pairs: DataFrame,
-    k: int,
+    k,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 200,
     stats: dict | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The k-core of an undirected pair graph → ``(id, degree)`` for
     every vertex of the maximal subgraph where ALL degrees are ≥ k
@@ -352,6 +353,20 @@ def k_core(
     sharper instrument than component size and the standard dense-
     subgraph primitive (Seidman 1983, public literature).
 
+    ``weight_col`` generalizes to the S-CORE (Eidsaa & Almaas 2013,
+    public literature): ``degree`` becomes VERTEX STRENGTH — the sum
+    of incident edge weights, duplicate (a, b) rows summed (the
+    pagerank/weighted-LPA contract; self-loop and half-NULL rows drop
+    as always) — and ``k`` is the strength threshold (any value > 0;
+    the unweighted path keeps requiring an integer ≥ 1). On the
+    engine's similarity graphs this finds the subgraph where every
+    member carries at least ``k`` total similarity MASS — a boilerplate
+    farm of near-identical members (few edges, each jac ≈ 1) and one of
+    many marginal matches separate where unweighted k-core cannot see
+    the difference. Weights must be strictly positive non-NULL on the
+    RAW pair frame, loud refusal like pagerank/LPA. Completes the
+    weighted story across the graph operators (pagerank → LPA → core).
+
     Scale shape — synchronous peeling: each round is ONE keyed degree
     aggregation plus two semi-joins that drop edges touching any
     sub-k vertex, eagerly checkpointed (the engine's iterative-
@@ -360,22 +375,56 @@ def k_core(
     (≤ vertex count in theory, a handful on real graphs — observable
     via ``stats``). No driver-side graph, no label table. Pinned
     against a pure-Python peeling oracle in tests (fixed graphs +
-    randomized property)."""
-    if k < 1:
-        raise ValueError("k must be >= 1")
+    randomized property, weighted and unweighted)."""
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
-    edges = _canonical_edges(pairs, id_a, id_b)
+    if weight_col is None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        edges = _canonical_edges(pairs, id_a, id_b).withColumn(
+            "_w", F.lit(1.0)
+        )
+    else:
+        if not k > 0:
+            raise ValueError("k (strength threshold) must be > 0")
+        a, b = F.col(id_a), F.col(id_b)
+        proj = pairs.select(
+            a.alias("a"), b.alias("b"),
+            F.col(weight_col).cast("double").alias("_w"),
+        ).localCheckpoint(eager=True)
+        if (
+            proj.filter(F.col("_w").isNull() | (F.col("_w") <= 0))
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "edge weights must be strictly positive non-NULL — a "
+                "non-positive strength contribution breaks the s-core "
+                "reading (the pagerank/LPA raw-weight contract)"
+            )
+        edges = (
+            proj.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least(F.col("a"), F.col("b")).alias("a"),
+                F.greatest(F.col("a"), F.col("b")).alias("b"),
+                "_w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("_w").alias("_w"))
+            .localCheckpoint(eager=True)
+        )
+        del proj
     n_edges = edges.count()
     rounds = 0
     deg = None
     while n_edges and rounds < max_iter:
-        deg = _degrees(edges).localCheckpoint(eager=True)
+        deg = _strengths(edges, weighted=weight_col is not None
+                         ).localCheckpoint(eager=True)
         keep = deg.filter(F.col("degree") >= k).select("id")
         pruned = (
             edges.join(keep.withColumnRenamed("id", "a"), "a", "semi")
             .join(keep.withColumnRenamed("id", "b"), "b", "semi")
-            .select("a", "b")
+            .select("a", "b", "_w")
             .localCheckpoint(eager=True)
         )
         n_pruned = pruned.count()
@@ -393,13 +442,26 @@ def k_core(
         stats["rounds"] = rounds
         stats["edges"] = n_edges
     if not n_edges or deg is None:
-        # schema-preserving empty (id keeps the caller's vertex type)
+        # schema-preserving empty (id keeps the caller's vertex type;
+        # degree keeps the path's numeric type)
+        dtype = "double" if weight_col is not None else "long"
         return (
             edges.select(F.col("a").alias("id"))
-            .withColumn("degree", F.lit(0).cast("long"))
+            .withColumn("degree", F.lit(0).cast(dtype))
             .limit(0)
         )
     return deg.filter(F.col("degree") >= k)
+
+
+def _strengths(edges: DataFrame, weighted: bool) -> DataFrame:
+    """Per-vertex ``(id, degree)`` of a canonical ``(a, b, _w)`` edge
+    list: weight sum (strength, double) on the weighted path, plain
+    edge count (long — the historical k-core schema) otherwise."""
+    both = edges.select(F.col("a").alias("id"), "_w").union(
+        edges.select(F.col("b").alias("id"), "_w")
+    )
+    agg = F.sum("_w") if weighted else F.count(F.lit(1))
+    return both.groupBy("id").agg(agg.alias("degree"))
 
 
 def _dense_ids(ids: DataFrame, col: str = "id") -> DataFrame:
