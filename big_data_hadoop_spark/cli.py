@@ -509,10 +509,10 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
             raise SystemExit(
                 f"neardup-graph {args.action} requires --input"
             )
-        docs = _read_table_cli(spark, args.input).select(
-            args.id_col, args.text_col
-        )
         if args.action == "build":
+            docs = _read_table_cli(spark, args.input).select(
+                args.id_col, args.text_col
+            )
             st = ng_ops.neardup_graph_build(
                 spark,
                 docs,
@@ -525,6 +525,15 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
                 id_col=args.id_col,
             )
         else:
+            # column names come from the STORE's meta, like every other
+            # refresh parameter — the argparse defaults would make a
+            # store built with custom --id-col/--text-col permanently
+            # un-refreshable from the CLI (the same flags are refused
+            # above for non-build actions)
+            meta = ng_ops._read_meta(args.store)
+            docs = _read_table_cli(spark, args.input).select(
+                meta["id_col"], meta["text_col"]
+            )
             st = ng_ops.neardup_graph_refresh(spark, docs, args.store)
     elif args.action == "compact":
         st = ng_ops.neardup_graph_compact(spark, args.store)

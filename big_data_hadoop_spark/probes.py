@@ -2132,6 +2132,47 @@ def r03_neardup_graph_store(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r04_image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup tier end-to-end on REAL codec bytes:
+    documents rendered as 16x16 24-bit BMPs (the deterministic
+    ``documents_as_images`` adapter — production feeds actual image
+    payloads), pixel-decoded and dHash-fingerprinted in ONE
+    Arrow-batched pass, paired by the fingerprint-agnostic 4x16-bit
+    pigeonhole band join at Hamming<=2, rolled up to each image's
+    near-dup degree (top-100 by degree). Rows-only slot (pixel decode
+    isn't ANSI-SQL); the dHash bit contract, the pair join vs
+    brute-force Hamming, and this probe's exact composition are
+    replicated in pure Python/numpy in tests/test_imagehash.py.
+    Scale shape: blobs never shuffle (fingerprints leave the decode
+    pass as 8-byte longs, checkpointed so the band join's two sides
+    share ONE decode execution); candidates come from chunk
+    equi-joins, never all-pairs; the degree rollup is one keyed sum
+    over the pair relation."""
+    from big_data_hadoop_spark.operators.imagehash import (
+        documents_as_images,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    fp = image_dhash(
+        documents_as_images(docs, width=16, height=16)
+    ).localCheckpoint(eager=True)
+    pairs = image_neardup_pairs(fp, max_hamming=2)
+    return (
+        pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("media_id"), "hamming"
+        )
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .orderBy(F.desc("n_neighbors"), "media_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2252,6 +2293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r01_affinity_pagerank": r01_affinity_pagerank,
     "r02_affinity_communities": r02_affinity_communities,
     "r03_neardup_graph_store": r03_neardup_graph_store,
+    "r04_image_dhash_neardup": r04_image_dhash_neardup,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -500,6 +500,37 @@ def test_cli_read_routing_spares_uris_and_globs(spark, tmp_path, monkeypatch):
     assert calls == [ds]
 
 
+def test_cli_neardup_graph_refresh_honors_meta_columns(
+    tmp_path, spark, capsys
+):
+    """A store built with custom --id-col/--text-col must stay
+    refreshable from the CLI: refresh selects the STORE's meta columns
+    (the argparse defaults would select doc_id/text, which the batch
+    parquet may not even have, and the non-build flag refusal forbids
+    re-passing them)."""
+    import json
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("doc_id AS item_id", "text AS body")
+    a = str(tmp_path / "batch_a")
+    b = str(tmp_path / "batch_b")
+    docs.filter("item_id % 2 = 0").write.parquet(a)
+    docs.filter("item_id % 2 = 1").write.parquet(b)
+    store = str(tmp_path / "store")
+    main(["neardup-graph", "build", store, "--input", a,
+          "--id-col", "item_id", "--text-col", "body",
+          "--threshold", "0.7"])
+    main(["neardup-graph", "refresh", store, "--input", b])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines[0]["batch"] == 0 and lines[0]["docs"] > 0
+    assert lines[1]["batch"] == 1 and lines[1]["docs"] > 0
+
+
 def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
     """refresh/compact/vacuum/export take every store parameter from
     meta.json; an explicitly-passed tuning flag is a silent no-op
