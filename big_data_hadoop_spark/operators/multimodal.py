@@ -275,6 +275,22 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int, int]:
     return rate, ch, bits, n_frames, data[0], data[1]
 
 
+def encode_wav(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Encode mono 16-bit PCM (an ``int16`` array) as a minimal
+    RIFF/WAVE payload — the :func:`parse_wav_header` inverse, the
+    ``encode_bmp`` analog for the audio tier (test/probe adapters and
+    golden fixtures; production audio arrives already encoded)."""
+    x = np.asarray(samples, dtype=np.int16)
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, int(rate), int(rate) * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def parse_png_header(payload: bytes) -> tuple[int, int]:
     """``(width, height)`` from a PNG's IHDR chunk — pure struct read
     (the PNG spec REQUIRES IHDR to be the first chunk). No codec: pixel

@@ -2173,6 +2173,44 @@ def r04_image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def r05_audio_fingerprint_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual audio near-dup tier end-to-end on REAL RIFF bytes —
+    the audio completion of r04: documents rendered as mono 16-bit
+    WAVs (the deterministic ``documents_as_audio`` adapter), PCM-decoded
+    and spectral-gradient-fingerprinted (Haitsma–Kalker family) in ONE
+    Arrow-batched pass, paired by the shared pigeonhole band join at
+    Hamming<=1, rolled up to per-clip near-dup degree (top-100).
+    Rows-only slot (FFT isn't ANSI-SQL); the fingerprint bit contract,
+    the pair join vs brute-force Hamming, and this probe's exact
+    composition are replicated in pure Python/numpy in
+    tests/test_audiohash.py. Scale shape: identical to r04 — blobs
+    never shuffle, fingerprints checkpointed so the band join's sides
+    share ONE decode, chunk equi-joins only."""
+    from big_data_hadoop_spark.operators.audiohash import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+        documents_as_audio,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    fp = audio_fingerprint(
+        documents_as_audio(docs, n_samples=512)
+    ).localCheckpoint(eager=True)
+    pairs = audio_neardup_pairs(fp, max_hamming=1)
+    return (
+        pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("media_id"), "hamming"
+        )
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .orderBy(F.desc("n_neighbors"), "media_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2294,6 +2332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r02_affinity_communities": r02_affinity_communities,
     "r03_neardup_graph_store": r03_neardup_graph_store,
     "r04_image_dhash_neardup": r04_image_dhash_neardup,
+    "r05_audio_fingerprint_neardup": r05_audio_fingerprint_neardup,
 }
 
 _EN = ts.STOPWORDS["en"]
