@@ -9,9 +9,10 @@ changes, re-encoding loss and mild filtering where a byte digest
 (``binary_meta``) sees a different file. Reuses, unchanged, the two
 tiers the engine already has: the WAV PCM decode conventions of
 ``extract_audio_features`` / ``extract_audio_spectrum``
-(``operators.multimodal``) and the fingerprint-agnostic 4×16-bit
-SimHash pigeonhole band joins (``operators.dedup``) for pairs and
-incremental history matches.
+(``operators.multimodal``) and the fingerprint-agnostic multi-index
+Hamming band joins (``operators.dedup`` ``_fp_band_keys`` —
+radius-scaled chunk-combination keys over distinct fingerprint
+values) for pairs and incremental history matches.
 
 FIXED CONTRACT (replicated bit-for-bit by the independent pure-Python
 oracle in ``tests/test_audiohash.py``):

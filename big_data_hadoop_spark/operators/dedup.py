@@ -34,6 +34,7 @@ pairs in ``textstats.py``.
 
 from __future__ import annotations
 
+from itertools import combinations
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
@@ -667,72 +668,127 @@ def simhash_neardup_pairs(
     """SimHash near-dup pairs: ``(id_a, id_b, hamming)`` with Hamming
     distance <= ``max_hamming`` between 64-bit fingerprints.
 
-    Pigeonhole banding: the fingerprint splits into 4 x 16-bit chunks; two
-    fingerprints differing in <= 3 bits must agree on at least one whole
-    chunk (3 differing bits can dirty at most 3 of 4 chunks), so
-    candidates come from an equi-join on ``(chunk_idx, chunk_value)`` —
-    never an all-pairs scan — and are verified exactly with
-    ``bit_count(xor)``. Exact for ``max_hamming <= 3``; raise the chunk
-    count for larger radii (need ``chunks > max_hamming``).
-    """
+    Multi-index pigeonhole banding (see :func:`_fp_band_keys`): two
+    fingerprints within Hamming ``max_hamming`` must agree completely
+    on some combination of ``4 - max_hamming`` of the 4 16-bit chunks,
+    so candidates come from equi-joins on concatenated chunk
+    combinations — never an all-pairs scan — and are verified exactly
+    with ``bit_count(xor)``. Exact for ``max_hamming <= 3``."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     fp = simhash(df, text_col=text_col, id_col=id_col)
     return _simhash_pairs_given_fps(fp, max_hamming, id_col)
 
 
+def _fp_band_keys(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """Candidate keys for exact Hamming-radius search over a
+    ``simhash`` column: one row per combination of ``4 - r`` of the 4
+    16-bit chunks, keyed ``(ci, cv)`` = (combination index,
+    concatenated chunk values). Two fingerprints within Hamming ``r``
+    differ in at most ``r`` chunks, so they agree COMPLETELY on some
+    ``4 - r``-chunk combination — the multi-index Hamming-search
+    argument (Norouzi et al., "Fast Search in Hamming Space with
+    Multi-Index Hashing", CVPR 2012, public literature). The keys
+    LENGTHEN as the radius shrinks: radius 3 keys on single chunks
+    (the historical 4×16 banding), radius 2 on 32-bit chunk pairs,
+    radius 1 on 48-bit triples, radius 0 on the full fingerprint —
+    which is what keeps candidate buckets small on STRUCTURED
+    fingerprint families (perceptual image/audio hashes concentrate
+    mass in a few chunks; the round-9 sf1 exhibit measured the
+    single-chunk form going quadratic there while text SimHash, with
+    near-uniform chunks, never noticed)."""
+    r = max(0, min(3, int(max_hamming)))
+    keep = 4 - r
+    chunks = [
+        F.shiftright("simhash", j * 16)
+        .bitwiseAND(F.lit(0xFFFF))
+        .cast("long")
+        for j in range(4)
+    ]
+    entries = []
+    for i, combo in enumerate(combinations(range(4), keep)):
+        cv = F.lit(0).cast("long")
+        for pos, j in enumerate(combo):
+            cv = cv.bitwiseOR(F.shiftleft(chunks[j], 16 * pos))
+        entries.append(F.struct(F.lit(i).alias("ci"), cv.alias("cv")))
+    return (
+        fp.select(
+            "*", F.explode(F.array(*entries)).alias("_c")
+        )
+        .select("*", F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
+        .drop("_c")
+    )
+
+
 def _simhash_pairs_given_fps(
     fp: DataFrame, max_hamming: int, id_col: str
 ) -> DataFrame:
     """The banded pair join over precomputed fingerprints — shared by
-    :func:`simhash_neardup_pairs` and the within-batch pass of
-    :func:`simhash_dedup_against` (the ``_lsh_pairs_given_sigs``
-    pattern one tier down), so the two joins cannot diverge."""
-    chunked = _simhash_chunks(fp, id_col)
-    a, b = chunked.alias("a"), chunked.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
+    :func:`simhash_neardup_pairs`, the within-batch pass of
+    :func:`simhash_dedup_against`, and the perceptual image/audio
+    tiers (``operators.imagehash`` / ``operators.audiohash``), so the
+    families cannot diverge.
+
+    Two-level structure (round-9 sf1 exhibit finding — the naive
+    row-level single-chunk join went 57× at 10× data on perceptual
+    fingerprints): (1) the banded join runs over DISTINCT fingerprint
+    VALUES with :func:`_fp_band_keys` radius-scaled keys, so identical-
+    fingerprint clusters (exact duplicates — boilerplate farms) cost
+    one value each instead of a quadratic bucket; (2) verified value
+    pairs expand back to id pairs through two equi-joins (output-bound
+    — each join row IS a result row), and same-value id pairs come
+    from a per-value self-join that only ever emits true Hamming-0
+    results. Output is pair-for-pair identical to the row-level form
+    (pinned by the brute-force equality tests across radii 0–3)."""
+    fps = fp.select(F.col(id_col), "simhash").localCheckpoint(eager=True)
+    vals = fps.select("simhash").distinct().localCheckpoint(eager=True)
+    banded = _fp_band_keys(vals, max_hamming)
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    vpairs = (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
             & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_u"),
+            F.col("b.simhash").alias("_v"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct()  # a value pair can agree on several combinations
     )
-
-
-def _simhash_chunks(fp: DataFrame, id_col: str) -> DataFrame:
-    """Explode 64-bit fingerprints into the 4 x 16-bit pigeonhole
-    chunks the banded joins key on (shared by the batch pair join and
-    the incremental history match)."""
-    return fp.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select(
-        id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    cross = (
+        vpairs.join(
+            fps.select(F.col(id_col).alias("_xid"), F.col("simhash").alias("_u")),
+            "_u",
+        )
+        .join(
+            fps.select(F.col(id_col).alias("_yid"), F.col("simhash").alias("_v")),
+            "_v",
+        )
+        .select(
+            F.least("_xid", "_yid").alias("id_a"),
+            F.greatest("_xid", "_yid").alias("id_b"),
+            "hamming",
+        )
     )
+    x, y = fps.alias("x"), fps.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_matches_against(
@@ -745,26 +801,37 @@ def simhash_matches_against(
     whose fingerprint lies within Hamming ``max_hamming`` of ANY
     fingerprint in ``stored_fps`` (a one-column ``simhash`` history
     frame — 8 bytes per past document, the SimHash analog of the
-    digest/signature history tables). Same pigeonhole banding as
-    :func:`simhash_neardup_pairs`: candidates from a chunk equi-join
-    (history documents never ship, only their fingerprints), verified
-    exactly with ``bit_count(xor)``."""
+    digest/signature history tables). Same multi-index banding as
+    :func:`_simhash_pairs_given_fps`, in value space: DISTINCT batch
+    fingerprint values band-join DISTINCT history values on the
+    :func:`_fp_band_keys` radius-scaled keys (history documents never
+    ship, only their fingerprints), hits verified exactly with
+    ``bit_count(xor)``, and matched VALUES expand back to batch ids
+    with one semi-join — identical-fingerprint clusters on either side
+    cost one value each instead of a quadratic candidate bucket."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
-    new = _simhash_chunks(fps, id_col).alias("a")
-    old = _simhash_chunks(
-        stored_fps.select(F.lit(0).alias("_sid"), "simhash").distinct(),
-        "_sid",
+    new_fp = fps.select(F.col(id_col), "simhash").localCheckpoint(eager=True)
+    a = _fp_band_keys(
+        new_fp.select("simhash").distinct(), max_hamming
+    ).alias("a")
+    b = _fp_band_keys(
+        stored_fps.select("simhash").distinct(), max_hamming
     ).alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        new.join(
-            old,
+    hit_vals = (
+        a.join(
+            b,
             (F.col("a.ci") == F.col("b.ci"))
             & (F.col("a.cv") == F.col("b.cv")),
         )
         .filter(ham <= max_hamming)
-        .select(F.col(f"a.{id_col}").alias(id_col))
+        .select(F.col("a.simhash").alias("simhash"))
+        .distinct()
+    )
+    return (
+        new_fp.join(hit_vals, "simhash", "semi")
+        .select(F.col(id_col))
         .distinct()
     )
 

@@ -12,12 +12,19 @@ no analog; this composes two tiers the engine already has:
   decoders for BMP / truecolor PNG / GIF / baseline JPEG running in
   Arrow-batched ``mapInPandas`` — blobs never shuffle, one narrow
   ``(id, fingerprint)`` row leaves each image;
-* the SimHash Hamming machinery (``operators.dedup``): the 4×16-bit
-  pigeonhole band join is fingerprint-AGNOSTIC — its exactness argument
-  (<=3 differing bits leave at least one of 4 chunks clean) depends only
-  on the fingerprint being 64 bits, so dHash pairs, incremental matches
-  and dedup-against-history all reuse the exact joins SimHash is pinned
-  on, and the two families cannot diverge.
+* the SimHash Hamming machinery (``operators.dedup``): the multi-index
+  pigeonhole band join (``_fp_band_keys`` — at radius ``r`` candidates
+  key on combinations of ``4-r`` whole 16-bit chunks, over DISTINCT
+  fingerprint values) is fingerprint-AGNOSTIC — its exactness argument
+  depends only on the fingerprint being 64 bits — so dHash pairs,
+  incremental matches and dedup-against-history all reuse the exact
+  joins SimHash is pinned on, and the two families cannot diverge.
+  The radius-scaled keys matter MORE here than for text SimHash:
+  perceptual hashes of structured corpora concentrate mass in a few
+  chunks (dark images zero out whole rows of comparisons), and the
+  round-9 sf1 exhibit measured the single-chunk banding going
+  quadratic on exactly that skew (109s → 1.5s at 50k docs after the
+  multi-index refactor, identical pair output).
 
 dHash (difference hash) is the public gradient fingerprint from the
 perceptual-hashing literature (Krawetz, "Kind of Like That", 2013; the
@@ -155,10 +162,10 @@ def image_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate image pairs from precomputed dHashes →
     ``(id_a, id_b, hamming)``, ``id_a < id_b``, Hamming <=
-    ``max_hamming``. Delegates to the SimHash pigeonhole band join
-    (``dedup.py``) — 4×16-bit chunks, exact for radius <= 3, candidates
-    from a chunk equi-join, never all-pairs. NULL fingerprints
-    (undecodable images) are filtered before banding."""
+    ``max_hamming``. Delegates to the shared multi-index band join
+    (``dedup.py``) — radius-scaled chunk-combination keys over distinct
+    fingerprint values, exact for radius <= 3, never all-pairs. NULL
+    fingerprints (undecodable images) are filtered before banding."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     fps = fp.filter(F.col("dhash").isNotNull()).select(
