@@ -60,7 +60,6 @@ anything a reader holds open.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,44 +72,30 @@ from big_data_hadoop_spark.operators.dedup import (
     minhash_matches_against,
     minhash_signatures,
 )
+from big_data_hadoop_spark.sources import batch_store
 from big_data_hadoop_spark.sources.io import _VERB_LOCK_OPTS, table_write_lock
 
-_META = "meta.json"
 _PARAM_KEYS = ("n", "num_perm", "bands", "threshold", "id_col", "text_col")
+_HINT = "neardup_graph_build"
 
 
 def _meta_path(path: str) -> str:
-    return os.path.join(path, _META)
+    return batch_store.meta_path(path)
 
 
 def _read_meta(path: str) -> dict:
-    mp = _meta_path(path)
-    try:
-        with open(mp) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        raise FileNotFoundError(
-            f"no near-dup graph store at {path}: {mp} is missing — "
-            "create one with neardup_graph_build first"
-        ) from None
+    # storage protocol shared with the fingerprint store (round-9
+    # continuation: factored to sources/batch_store.py so the two
+    # stores cannot diverge — the _sig_est sharing precedent)
+    return batch_store.read_meta(path, _HINT)
 
 
 def _write_meta(path: str, meta: dict, lock) -> None:
-    """Atomic commit point: meta lands fully or not at all
-    (``os.replace``), and only while we still hold the writer claim —
-    verified immediately before the replace, the same
-    refuse-to-publish contract as ``_swap_in``."""
-    tmp = _meta_path(path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-        fh.flush()
-        os.fsync(fh.fileno())
-    lock.verify()
-    os.replace(tmp, _meta_path(path))
+    batch_store.write_meta(path, meta, lock)
 
 
 def _batch_dirs(path: str, kind: str, batches) -> list[str]:
-    return [os.path.join(path, kind, f"b{b:05d}") for b in batches]
+    return batch_store.batch_dirs(path, kind, batches)
 
 
 def _self_est_pairs(
@@ -391,38 +376,13 @@ def neardup_graph_compact(spark: SparkSession, path: str) -> dict:
     :func:`neardup_graph_vacuum` sweeps them (two-phase like
     ``vacuum_table``: commit first, delete later — never delete
     anything a concurrent reader's meta generation may still
-    reference until the grace window passes)."""
-    with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
-        meta = _read_meta(path)
-        batches = list(meta["batches"])
-        sigs = spark.read.parquet(*_batch_dirs(path, "sig", batches))
-        edges = spark.read.parquet(*_batch_dirs(path, "edge", batches))
-        slot = max(batches) + 1
-        n_docs, n_edges = _write_batch(
-            sigs, edges, path, slot, meta["id_col"]
-        )
-        meta["batches"] = [slot]
-        _write_meta(path, meta, lock)
-        # stamp ORPHANING time onto the superseded slots: vacuum's
-        # grace window is measured from directory mtime, and a slot
-        # written days ago would otherwise age out of the window the
-        # instant this commit orphans it — deleting it under a reader
-        # that loaded the pre-compact meta seconds earlier (round-9
-        # review finding). Touch is best-effort: a failure only makes
-        # vacuum sweep that slot early, never corrupts the store.
-        import time
-
-        now = time.time()
-        for kind in ("sig", "edge"):
-            for d in _batch_dirs(path, kind, batches):
-                try:
-                    os.utime(d, (now, now))
-                except OSError:
-                    pass
+    reference until the grace window passes). Protocol in
+    ``sources/batch_store.py`` (shared with the fingerprint store)."""
+    st = batch_store.compact(spark, path, ("sig", "edge"), _HINT)
     return {
-        "batches_before": len(batches),
-        "docs": n_docs,
-        "edges": n_edges,
+        "batches_before": st["batches_before"],
+        "docs": st["rows"]["sig"],
+        "edges": st["rows"]["edge"],
     }
 
 
@@ -437,29 +397,10 @@ def neardup_graph_vacuum(
     ``vacuum_table``); within the window orphans are counted as
     ``kept``, never removed. Runs under the writer claim so a
     concurrent refresh cannot commit a new slot while the sweep is
-    deciding what is orphaned."""
-    import shutil
-    import time
-
-    with table_write_lock(path, **_VERB_LOCK_OPTS):
-        meta = _read_meta(path)
-        live = {f"b{b:05d}" for b in meta["batches"]}
-        removed = kept = 0
-        now = time.time()
-        for kind in ("sig", "edge"):
-            base = os.path.join(path, kind)
-            if not os.path.isdir(base):
-                continue
-            for d in sorted(os.listdir(base)):
-                full = os.path.join(base, d)
-                if d in live or not os.path.isdir(full):
-                    continue
-                if now - os.path.getmtime(full) >= grace_seconds:
-                    shutil.rmtree(full)
-                    removed += 1
-                else:
-                    kept += 1
-    return {"removed": removed, "kept": kept}
+    deciding what is orphaned. Protocol in ``sources/batch_store.py``."""
+    return batch_store.vacuum(
+        path, ("sig", "edge"), _HINT, grace_seconds=grace_seconds
+    )
 
 
 def neardup_graph_signatures(spark: SparkSession, path: str) -> DataFrame:

@@ -988,3 +988,70 @@ def streaming_neardup_graph(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_fingerprint_dedup(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    fingerprint,
+    available_now: bool = True,
+):
+    """Continuous perceptual dedup against a persisted fingerprint
+    store (``operators.fingerprint_store``): each micro-batch is
+    fingerprinted by the caller-supplied ``fingerprint`` callable (a
+    batch ``DataFrame -> (id, fp)`` frame — ``image_dhash``,
+    ``audio_fingerprint``, or ``simhash`` with a rename; keeping the
+    tier choice OUT of the sink is what lets one sink serve all three
+    fingerprint families) and refreshed into the store, which accepts
+    only rows farther than the store's pinned radius from everything
+    already accepted. The store IS the output: its id set is the
+    surviving corpus, queryable mid-stream via
+    ``fingerprint_store_load``.
+
+    Effectively-once on an at-least-once channel, the
+    ``streaming_neardup_graph`` argument verbatim: replayed ids are
+    dropped INSIDE the store's writer claim (``drop_known=True`` — an
+    out-of-lock pre-check would be a TOCTOU against a concurrent
+    backfill), and a row an earlier batch REJECTED is simply judged
+    again by the same history on replay — rejected again, nothing
+    stored, idempotent either way. Within a micro-batch, duplicate ids
+    collapse to one arbitrary row before validation
+    (``dropDuplicates`` — same-id rows in a media stream are replays
+    of the same immutable blob). The store must exist
+    (``fingerprint_store_build``) BEFORE wiring — checked here at
+    wiring time; the radius and column names come from its meta, so
+    the stream cannot silently redefine "duplicate" mid-history.
+
+    Per micro-batch cost: one fingerprint pass over the batch's blobs
+    (the only heavy work — blobs never shuffle), one multi-index band
+    join against stored DISTINCT fingerprint values (8 bytes per past
+    blob), one within-batch pair join, one immutable directory append.
+    """
+    from big_data_hadoop_spark.operators.fingerprint_store import (
+        fingerprint_store_refresh,
+    )
+    from big_data_hadoop_spark.sources import batch_store
+
+    meta = batch_store.read_meta(path, "fingerprint_store_build")
+    id_col = meta["id_col"]
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fp = fingerprint(batch).dropDuplicates([id_col])
+        # drop_known dedups against accepted history INSIDE the writer
+        # claim; validate_ids is redundant after the dropDuplicates
+        fingerprint_store_refresh(
+            spark, fp, path, drop_known=True, validate_ids=False
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -253,14 +253,17 @@ def test_crashed_compact_leaves_store_readable(spark, tmp_path):
     from unittest import mock
 
     from big_data_hadoop_spark.operators import neardup_graph as ng
+    from big_data_hadoop_spark.sources import batch_store
 
     docs = _docs(spark).limit(100)
     path = str(tmp_path / "g")
     neardup_graph_build(spark, docs, path, threshold=0.7)
     before = _edge_set(neardup_graph_load(spark, path))
 
+    # the commit seam moved to the shared protocol module in round 9
+    # (sources/batch_store.py) — kill there, the same crash point
     with mock.patch.object(
-        ng, "_write_meta", side_effect=RuntimeError("killed (test)")
+        batch_store, "write_meta", side_effect=RuntimeError("killed (test)")
     ):
         with pytest.raises(RuntimeError, match="killed"):
             ng.neardup_graph_compact(spark, path)
