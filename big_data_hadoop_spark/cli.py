@@ -546,6 +546,148 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
     print(_json.dumps(st, sort_keys=True))
 
 
+_FP_TIERS = ("image", "audio", "simhash", "raw")
+
+
+def _fp_tier_frame(spark, tier: str, path: str, args):
+    """Input parquet → ``(id, fp)`` frame for the chosen fingerprint
+    family: image/audio read a binary media table (``media_id``,
+    ``payload``) through the decode tiers; simhash reads documents
+    (``--id-col``/``--text-col``); raw passes precomputed fingerprints
+    (``--id-col``/``--fp-col``) through."""
+    df = _read_table_cli(spark, path)
+    if tier == "image":
+        from big_data_hadoop_spark.operators.imagehash import image_dhash
+
+        return image_dhash(df).withColumnRenamed("dhash", "fp"), "media_id"
+    if tier == "audio":
+        from big_data_hadoop_spark.operators.audiohash import (
+            audio_fingerprint,
+        )
+
+        return (
+            audio_fingerprint(df).withColumnRenamed("afp", "fp"),
+            "media_id",
+        )
+    if tier == "simhash":
+        from big_data_hadoop_spark.operators.dedup import simhash
+
+        fp = simhash(
+            df.select(args.id_col, args.text_col),
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        return fp.withColumnRenamed("simhash", "fp"), args.id_col
+    # raw: already (id, fp) — keep the caller's column names; build
+    # pins them in meta and refresh reads them back, so a store built
+    # from custom columns stays refreshable (the neardup-graph CLI
+    # lesson from earlier this round)
+    return df.select(F.col(args.id_col), F.col(args.fp_col)), args.id_col
+
+
+def cmd_fingerprint_store(args: argparse.Namespace) -> None:
+    """Maintain a persisted perceptual fingerprint store
+    (``operators.fingerprint_store``): build it from a media/document
+    corpus (fingerprinting with the chosen ``--tier``), refresh it
+    with an ingest batch, compact, vacuum, or export the accepted
+    table. The tier is pinned in the store's meta at build time and
+    validated on refresh — mixing fingerprint families in one history
+    would silently redefine what "duplicate" means."""
+    import json as _json
+
+    from big_data_hadoop_spark.operators import fingerprint_store as fs_ops
+
+    if args.action != "build":
+        defaults = {
+            "max_hamming": 3,
+            "text_col": "text",
+            "id_col": "doc_id",
+            "fp_col": "fp",
+        }
+        passed = [
+            f"--{k.replace('_', '-')}"
+            for k, d in defaults.items()
+            if getattr(args, k) != d
+        ]
+        if passed:
+            raise SystemExit(
+                f"{' '.join(passed)} only apply to 'build' — "
+                f"'{args.action}' takes every store parameter from "
+                "the store's meta.json (a mid-history change would "
+                "silently redefine what 'duplicate' means)"
+            )
+    if args.action == "vacuum":
+        st = fs_ops.fingerprint_store_vacuum(
+            args.store, grace_seconds=args.grace_seconds
+        )
+        print(_json.dumps(st, sort_keys=True))
+        return
+    spark = _spark("fingerprint-store")
+    if args.action in ("build", "refresh"):
+        if not args.input:
+            raise SystemExit(
+                f"fingerprint-store {args.action} requires --input"
+            )
+        if args.action == "build":
+            if not args.tier:
+                raise SystemExit(
+                    "fingerprint-store build requires --tier "
+                    f"({'|'.join(_FP_TIERS)})"
+                )
+            fp, id_col = _fp_tier_frame(spark, args.tier, args.input, args)
+            st = fs_ops.fingerprint_store_build(
+                spark,
+                fp,
+                args.store,
+                max_hamming=args.max_hamming,
+                id_col=id_col,
+                fp_col=args.fp_col if args.tier == "raw" else "fp",
+                family=args.tier,
+                extras=(
+                    {"text_col": args.text_col}
+                    if args.tier == "simhash"
+                    else None
+                ),
+            )
+        else:
+            from big_data_hadoop_spark.sources import batch_store
+
+            meta = batch_store.read_meta(
+                args.store, "fingerprint_store_build"
+            )
+            tier = meta.get("family")
+            if args.tier and tier and args.tier != tier:
+                raise SystemExit(
+                    f"--tier {args.tier} conflicts with the store's "
+                    f"pinned family '{tier}' — one history, one "
+                    "fingerprint family"
+                )
+            tier = args.tier or tier
+            if not tier:
+                raise SystemExit(
+                    "the store's meta has no pinned family (built via "
+                    "the library?) — pass --tier explicitly"
+                )
+            # for simhash/raw tiers the column names come from meta
+            # (a store built with custom columns must stay refreshable)
+            args.id_col = meta["id_col"]
+            args.fp_col = meta["fp_col"]
+            args.text_col = meta.get("extras", {}).get(
+                "text_col", args.text_col
+            )
+            fp, _ = _fp_tier_frame(spark, tier, args.input, args)
+            st = fs_ops.fingerprint_store_refresh(spark, fp, args.store)
+    elif args.action == "compact":
+        st = fs_ops.fingerprint_store_compact(spark, args.store)
+    else:  # export
+        if not args.output:
+            raise SystemExit("fingerprint-store export requires --output")
+        accepted = fs_ops.fingerprint_store_load(spark, args.store)
+        accepted.write.mode("overwrite").parquet(args.output)
+        st = {"fingerprints": spark.read.parquet(args.output).count()}
+    print(_json.dumps(st, sort_keys=True))
+
+
 def cmd_skew(args: argparse.Namespace) -> None:
     """Pre-flight skew report for a planned groupBy/join key
     (``operators.counts.diagnose_skew``): exact heavy hitters, key
@@ -985,6 +1127,33 @@ def main(argv: list[str] | None = None) -> None:
     ng.add_argument("--threshold", type=float, default=0.9)
     ng.add_argument("--grace-seconds", type=float, default=86400.0)
 
+    fs = sub.add_parser(
+        "fingerprint-store",
+        help="maintain a persisted perceptual fingerprint store",
+    )
+    fs.add_argument(
+        "action",
+        choices=["build", "refresh", "compact", "vacuum", "export"],
+    )
+    fs.add_argument("store")
+    fs.add_argument(
+        "--input", default=None,
+        help="media/documents/fingerprint parquet (build/refresh)",
+    )
+    fs.add_argument(
+        "--output", default=None,
+        help="accepted-fingerprints destination (export)",
+    )
+    fs.add_argument(
+        "--tier", default=None, choices=list(_FP_TIERS),
+        help="fingerprint family (build; pinned in meta thereafter)",
+    )
+    fs.add_argument("--max-hamming", type=int, default=3)
+    fs.add_argument("--text-col", default="text")
+    fs.add_argument("--id-col", default="doc_id")
+    fs.add_argument("--fp-col", default="fp")
+    fs.add_argument("--grace-seconds", type=float, default=86400.0)
+
     sq = sub.add_parser(
         "score-quality", help="score a corpus with a saved quality model"
     )
@@ -1020,6 +1189,7 @@ def main(argv: list[str] | None = None) -> None:
         "train-quality": cmd_train_quality,
         "score-quality": cmd_score_quality,
         "neardup-graph": cmd_neardup_graph,
+        "fingerprint-store": cmd_fingerprint_store,
         "clean": cmd_clean,
         "compact": cmd_compact,
         "diff": cmd_diff,

@@ -154,6 +154,8 @@ def fingerprint_store_build(
     id_col: str = "media_id",
     fp_col: str = "fp",
     validate_ids: bool = True,
+    family: str | None = None,
+    extras: dict | None = None,
 ) -> dict:
     """One-shot creation at ``path`` from a fingerprint frame
     (``(id_col, fp_col)`` — the output of ``image_dhash`` /
@@ -163,7 +165,16 @@ def fingerprint_store_build(
     exists (grow it with :func:`fingerprint_store_refresh`); the
     radius and column names are pinned in meta for the store's
     lifetime — a batch judged under a different radius would silently
-    change what "duplicate" means mid-history."""
+    change what "duplicate" means mid-history. ``family`` is an
+    optional label ("image-dhash", "audio", "simhash", ...) pinned in
+    meta for the same reason: the store itself is family-agnostic
+    (8 bytes are 8 bytes), but a surface that FINGERPRINTS on the
+    caller's behalf (the CLI) must not mix families in one history —
+    it validates its tier flag against this label on every refresh.
+    ``extras`` is an optional JSON-able dict pinned alongside it for
+    surface-level parameters the fingerprinting step needs back on
+    refresh (the CLI's ``text_col`` for the simhash tier) — the store
+    itself never reads it."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("max_hamming must be in 0..3 (4x16-bit banding)")
     if os.path.exists(batch_store.meta_path(path)):
@@ -192,6 +203,8 @@ def fingerprint_store_build(
             "max_hamming": int(max_hamming),
             "id_col": id_col,
             "fp_col": fp_col,
+            "family": family,
+            "extras": dict(extras or {}),
             "batches": [0],
         }
         batch_store.write_meta(path, meta, lock)

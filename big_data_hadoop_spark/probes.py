@@ -2211,6 +2211,54 @@ def r05_audio_fingerprint_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def r06_fingerprint_store(spark: SparkSession, sf: str) -> DataFrame:
+    """The persisted perceptual fingerprint store end-to-end (the
+    dedup-side twin of r03's pair-graph store): build from half the
+    documents corpus's SimHash fingerprints, refresh with the other
+    half — history rejections come from the multi-index band join of
+    the batch's DISTINCT fingerprint values against the STORED 8-byte
+    history, within-batch near-dups cluster-dedup to the min id — and
+    load the accepted table. Rows-only slot (xxhash64-based SimHash);
+    the greedy keep-first contract is pinned against a pure-Python
+    union-find oracle in tests/test_fingerprint_store.py, and this
+    probe's composition in the same file. Scale shape: history is ONE
+    long per accepted doc; per refresh one fingerprint pass over the
+    new batch + value-space band joins; one immutable directory
+    appended, nothing rewritten."""
+    import shutil
+    import tempfile
+
+    from big_data_hadoop_spark.operators.dedup import simhash
+    from big_data_hadoop_spark.operators.fingerprint_store import (
+        fingerprint_store_build,
+        fingerprint_store_load,
+        fingerprint_store_refresh,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    fp = simhash(docs).withColumnRenamed("simhash", "fp")
+    root = tempfile.mkdtemp(prefix="fingerprint_store_probe_")
+    try:
+        path = os.path.join(root, "store")
+        fingerprint_store_build(
+            spark,
+            fp.filter(F.col("doc_id") % 2 == 0),
+            path,
+            max_hamming=3,
+            id_col="doc_id",
+        )
+        fingerprint_store_refresh(
+            spark, fp.filter(F.col("doc_id") % 2 == 1), path
+        )
+        return (
+            fingerprint_store_load(spark, path)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2333,6 +2381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r03_neardup_graph_store": r03_neardup_graph_store,
     "r04_image_dhash_neardup": r04_image_dhash_neardup,
     "r05_audio_fingerprint_neardup": r05_audio_fingerprint_neardup,
+    "r06_fingerprint_store": r06_fingerprint_store,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -531,6 +531,98 @@ def test_cli_neardup_graph_refresh_honors_meta_columns(
     assert lines[1]["batch"] == 1 and lines[1]["docs"] > 0
 
 
+def test_cli_fingerprint_store_simhash_lifecycle(tmp_path, spark, capsys):
+    """build(simhash tier, custom columns) -> refresh -> compact ->
+    vacuum -> export through the CLI: refresh re-derives the columns
+    and text column from the store's meta (never argparse defaults),
+    and the exported table equals the library's loaded frame."""
+    import json
+
+    from big_data_hadoop_spark.operators.fingerprint_store import (
+        fingerprint_store_load,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("doc_id AS item_id", "text AS body")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.filter("item_id % 2 = 0").write.parquet(a)
+    docs.filter("item_id % 2 = 1").write.parquet(b)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    main(["fingerprint-store", "build", store, "--input", a,
+          "--tier", "simhash", "--id-col", "item_id",
+          "--text-col", "body"])
+    main(["fingerprint-store", "refresh", store, "--input", b])
+    main(["fingerprint-store", "compact", store])
+    main(["fingerprint-store", "vacuum", store, "--grace-seconds", "0"])
+    main(["fingerprint-store", "export", store, "--output", out])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines[0]["batch"] == 0 and lines[0]["accepted"] > 0
+    assert lines[1]["batch"] == 1
+    assert lines[2]["batches_before"] == 2
+    assert lines[3]["removed"] == 2
+    lib = {
+        (r.item_id, r.fp)
+        for r in fingerprint_store_load(spark, store).collect()
+    }
+    exported = {
+        (r.item_id, r.fp) for r in spark.read.parquet(out).collect()
+    }
+    assert exported == lib and lines[4]["fingerprints"] == len(lib) > 0
+
+
+def test_cli_fingerprint_store_tiers_and_refusals(tmp_path, spark, capsys):
+    """Image tier runs the real decode path; raw tier keeps custom
+    column names refreshable; tier conflicts and non-build tuning
+    flags refuse loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.operators.imagehash import (
+        documents_as_images,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    media = str(tmp_path / "media")
+    documents_as_images(docs, width=8, height=8).write.parquet(media)
+    store = str(tmp_path / "imgstore")
+    main(["fingerprint-store", "build", store, "--input", media,
+          "--tier", "image", "--max-hamming", "1"])
+    with _pytest.raises(SystemExit, match="pinned family"):
+        main(["fingerprint-store", "refresh", store, "--input", media,
+              "--tier", "audio"])
+    with _pytest.raises(SystemExit, match="only apply to 'build'"):
+        main(["fingerprint-store", "refresh", store, "--input", media,
+              "--max-hamming", "2"])
+
+    raw = str(tmp_path / "rawfps")
+    spark.createDataFrame(
+        [(1, 0), (2, 7 << 60)], "k long, h long"
+    ).write.parquet(raw)
+    raw2 = str(tmp_path / "rawfps2")
+    spark.createDataFrame(
+        [(3, 15 << 50)], "k long, h long"
+    ).write.parquet(raw2)
+    rstore = str(tmp_path / "rawstore")
+    main(["fingerprint-store", "build", rstore, "--input", raw,
+          "--tier", "raw", "--id-col", "k", "--fp-col", "h"])
+    main(["fingerprint-store", "refresh", rstore, "--input", raw2])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines[-1]["accepted"] == 1  # custom columns survived refresh
+
+
 def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
     """refresh/compact/vacuum/export take every store parameter from
     meta.json; an explicitly-passed tuning flag is a silent no-op

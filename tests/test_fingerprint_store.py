@@ -254,6 +254,30 @@ def test_streaming_sink_matches_sequential_and_replays(spark, tmp_path):
     } == got
 
 
+def test_probe_r06_matches_greedy_oracle(spark):
+    """The r06 probe composition (simhash fps -> build on evens ->
+    refresh odds -> load) replicated with the pure-Python greedy fold
+    over the engine's fingerprints (the fingerprint computation itself
+    is oracle-pinned in test_rows_only_values)."""
+    from big_data_hadoop_spark.operators.dedup import simhash
+    from big_data_hadoop_spark.probes import QUERIES
+
+    got = [
+        (r.doc_id, r.fp)
+        for r in QUERIES["r06_fingerprint_store"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    evens = sorted((i, f) for i, f in fps.items() if i % 2 == 0)
+    odds = sorted((i, f) for i, f in fps.items() if i % 2 == 1)
+    want = sorted(_greedy([evens, odds], 3).items())
+    assert got == want and len(got) > 0
+
+
 def test_streaming_sink_requires_existing_store(spark, tmp_path):
     from big_data_hadoop_spark.streaming.pipelines import (
         streaming_fingerprint_dedup,
