@@ -136,10 +136,19 @@ def _accept(
         fresh = usable
         n_fresh = n_usable
         stats["rejected_history"] = 0
-    pairs = _simhash_pairs_given_fps(fresh, max_hamming, id_col).select(
+    # Exact-fp duplicates collapse to their min-id representative
+    # BEFORE the pair join: same-value rows are all pairwise Hamming 0,
+    # so a value's component equals its representative's component in
+    # the value-representative graph, and the component minimum equals
+    # the minimum over representatives — identical greedy outcome
+    # (pinned by the union-find oracle), but a batch with 50k copies of
+    # one blob costs one representative instead of ~1.25e9 within-value
+    # pairs that existed only to conclude "keep the min id".
+    reps = fresh.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+    pairs = _simhash_pairs_given_fps(reps, max_hamming, id_col).select(
         "id_a", "id_b"
     )
-    accepted = dedup_by_clusters(fresh, pairs, id_col=id_col).localCheckpoint(
+    accepted = dedup_by_clusters(reps, pairs, id_col=id_col).localCheckpoint(
         eager=True
     )
     stats["rejected_within_batch"] = n_fresh - accepted.count()
