@@ -374,46 +374,193 @@ def decode_gif(payload: bytes) -> "np.ndarray":
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            # descriptor: left u16, top u16, width u16, height u16, packed u8
-            w, h = struct.unpack_from("<HH", payload, pos + 5)
-            ipacked = payload[pos + 9]
-            pos += 10
-            lct = gct
-            if ipacked & 0x80:
-                n = 2 << (ipacked & 0x07)
-                lct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
-                pos += n * 3
-            if lct is None:
-                raise ValueError("GIF image without a color table")
-            min_code_size = payload[pos]
-            pos += 1
-            data = bytearray()
-            while pos < len(payload) and payload[pos]:
-                size = payload[pos]
-                data += payload[pos + 1 : pos + 1 + size]
-                pos += 1 + size
-            indices = _gif_lzw(bytes(data), min_code_size, w * h)
-            if len(indices) < w * h:
-                raise ValueError("truncated GIF image data")
-            idx = np.asarray(indices[: w * h], dtype=np.int64).reshape(h, w)
-            if ipacked & 0x40:  # interlaced: 4-pass row order
-                order = np.concatenate(
-                    [
-                        np.arange(0, h, 8),
-                        np.arange(4, h, 8),
-                        np.arange(2, h, 4),
-                        np.arange(1, h, 2),
-                    ]
-                )
-                deinter = np.empty_like(idx)
-                deinter[order] = idx
-                idx = deinter
+            idx, lct, _left, _top, pos = _gif_image(payload, pos, gct)
             return lct[np.clip(idx, 0, len(lct) - 1)].copy()
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("GIF without an image block")
+
+
+def _gif_image(
+    payload: bytes, pos: int, gct
+) -> tuple["np.ndarray", "np.ndarray", int, int, int]:
+    """Decode ONE image block starting at the ``0x2C`` descriptor at
+    ``pos`` → ``(index_2d, color_table, left, top, new_pos)`` —
+    de-interlaced palette indices plus the frame's placement on the
+    logical screen (shared by the frame-1 :func:`decode_gif` and the
+    animation :func:`decode_gif_frames`)."""
+    # descriptor: left u16, top u16, width u16, height u16, packed u8
+    left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+    ipacked = payload[pos + 9]
+    pos += 10
+    lct = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        lct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if lct is None:
+        raise ValueError("GIF image without a color table")
+    min_code_size = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload) and payload[pos]:
+        size = payload[pos]
+        data += payload[pos + 1 : pos + 1 + size]
+        pos += 1 + size
+    pos += 1  # sub-block terminator
+    indices = _gif_lzw(bytes(data), min_code_size, w * h)
+    if len(indices) < w * h:
+        raise ValueError("truncated GIF image data")
+    idx = np.asarray(indices[: w * h], dtype=np.int64).reshape(h, w)
+    if ipacked & 0x40:  # interlaced: 4-pass row order
+        order = np.concatenate(
+            [
+                np.arange(0, h, 8),
+                np.arange(4, h, 8),
+                np.arange(2, h, 4),
+                np.arange(1, h, 2),
+            ]
+        )
+        deinter = np.empty_like(idx)
+        deinter[order] = idx
+        idx = deinter
+    return idx, lct, left, top, pos
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int = 64
+) -> list["np.ndarray"]:
+    """Full ANIMATION decode per the GIF89a rendering model → a list of
+    composited ``uint8 (screen_h, screen_w, 3)`` frames (at most
+    ``max_frames`` — a pathological million-frame blob costs bounded
+    work per row). Where :func:`decode_gif` returns frame 1's own
+    rectangle, each frame here is the LOGICAL SCREEN after painting the
+    image at its ``(left, top)`` offset, honoring Graphic Control
+    Extension transparency (transparent pixels leave the underlying
+    canvas) and disposal methods: 0/1 keep the canvas, 2 restores the
+    frame's region to the background color (the screen descriptor's
+    background index when a global table exists, else black), 3
+    restores the canvas as it was before the frame. Frames that
+    overflow the screen bounds are clipped (malformed but seen in the
+    wild). Raises ``ValueError`` on non-GIF / truncated payloads — the
+    callers' disclosed-NULL contract handles it."""
+    w_screen, h_screen = parse_gif_header(payload)
+    packed = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg = (
+        gct[min(bg_idx, len(gct) - 1)]
+        if gct is not None
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (h_screen, w_screen, 3)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(payload) and len(frames) < max_frames:
+        b = payload[pos]
+        if b == 0x21:  # extension
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            if label == 0xF9 and pos + 6 < len(payload):
+                gce = payload[pos + 3]
+                disposal = (gce >> 2) & 0x07
+                transparent = payload[pos + 6] if gce & 0x01 else None
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            idx, lct, left, top, pos = _gif_image(payload, pos, gct)
+            h, w = idx.shape
+            # clip to screen bounds
+            ch = min(h, max(0, h_screen - top))
+            cw = min(w, max(0, w_screen - left))
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + ch, left : left + cw]
+            clipped = idx[:ch, :cw]
+            rgb = lct[np.clip(clipped, 0, len(lct) - 1)]
+            if transparent is not None:
+                mask = clipped != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[...] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top : top + ch, left : left + cw] = bg
+            elif disposal == 3 and before is not None:
+                canvas = before
+            transparent, disposal = None, 0  # GCE applies to ONE image
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return frames
+
+
+def encode_gif(
+    frames: "list[np.ndarray] | np.ndarray", palette: "np.ndarray" = None
+) -> bytes:
+    """Encode grayscale frames as an animated GIF89a — the
+    ``encode_bmp`` / ``encode_wav`` analog for the video tier (test /
+    probe adapters and golden fixtures; production video arrives
+    already encoded). Input: one or more ``uint8 (h, w)`` index arrays
+    (all the same shape, full-screen frames, disposal 1, no
+    transparency) looked up in ``palette`` (``(256, 3) uint8``,
+    defaults to the grayscale ramp). The LZW stream uses the classic
+    uncompressed trick — a CLEAR code before every pixel code keeps
+    the table at its initial size, so every code is exactly 9 bits —
+    valid GIF at ~2.25 bytes/pixel, decodable by anything."""
+    if isinstance(frames, np.ndarray) and frames.ndim == 2:
+        frames = [frames]
+    if palette is None:
+        ramp = np.arange(256, dtype=np.uint8)
+        palette = np.stack([ramp, ramp, ramp], axis=1)
+    if palette.shape != (256, 3):
+        raise ValueError("palette must be (256, 3) uint8")
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries; bg 0
+    out += palette.astype(np.uint8).tobytes()
+    clear, eoi = 256, 257
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        # GCE: disposal 1 (keep), no transparency, zero delay
+        out += bytes([0x21, 0xF9, 4, 0x04, 0, 0, 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        out += bytes([8])  # min LZW code size (256-color palette)
+        acc = nbits = 0
+        stream = bytearray()
+        codes: list[int] = []
+        for px in frame.astype(np.uint8).reshape(-1):
+            codes.append(clear)
+            codes.append(int(px))
+        codes.append(eoi)
+        for code in codes:
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])  # sub-block terminator
+    out += bytes([0x3B])
+    return bytes(out)
 
 
 def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
@@ -434,7 +581,12 @@ def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
             acc >>= code_size
             nbits -= code_size
             if code == clear:
-                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                # reset IN PLACE, and only when the table actually grew:
+                # streams using the classic clear-per-pixel uncompressed
+                # trick (encode_gif) otherwise rebuild a 258-entry list
+                # per PIXEL — measured ~6x the whole decode cost
+                if len(table) > eoi + 1:
+                    del table[eoi + 1:]
                 code_size = min_code_size + 1
                 prev = None
                 continue

@@ -2259,6 +2259,43 @@ def r06_fingerprint_store(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r07_video_gif_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual VIDEO near-dup tier end-to-end on a REAL animation
+    codec — the trilogy completion (image r04 / audio r05): documents
+    rendered as 4-frame animated GIFs (the deterministic
+    ``documents_as_video`` adapter), decoded with the full GIF89a
+    compositing model (offsets, transparency, disposal — pure
+    Python/numpy), each sampled frame dHashed in ONE Arrow pass, and
+    clips paired when >= 2 non-constant frame hashes agree within
+    Hamming 1 (``drop_constant``: the standard blank-frame filter —
+    zero-padded trailing frames are content-free). Rows-only slot
+    (pixel decode isn't ANSI-SQL); the compositing semantics, the
+    frame-sampling/hash contract, and the clip pairing are replicated
+    against hand-built expectations and brute force in
+    tests/test_videohash.py (+ this probe's composition). Scale shape:
+    blobs never shuffle (n_frames 8-byte hashes leave per clip,
+    checkpointed so the band join's sides share one decode); candidate
+    frame pairs come from the multi-index band join keyed on a
+    (clip, frame) struct; the clip rollup is one keyed aggregation."""
+    from big_data_hadoop_spark.operators.videohash import (
+        documents_as_video,
+        video_dhash,
+        video_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    fh = video_dhash(
+        documents_as_video(docs, n_frames=4, width=12, height=12),
+        n_frames=4,
+    ).localCheckpoint(eager=True)
+    return (
+        video_neardup_pairs(
+            fh, max_hamming=1, min_matching_frames=2, drop_constant=True
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2382,6 +2419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r04_image_dhash_neardup": r04_image_dhash_neardup,
     "r05_audio_fingerprint_neardup": r05_audio_fingerprint_neardup,
     "r06_fingerprint_store": r06_fingerprint_store,
+    "r07_video_gif_neardup": r07_video_gif_neardup,
 }
 
 _EN = ts.STOPWORDS["en"]
