@@ -356,9 +356,17 @@ def decode_gif(payload: bytes) -> "np.ndarray":
     — pure-Python LZW (the GIF variant: variable code width, clear/EOI
     codes) plus palette lookup; numpy for assembly. Interlaced images
     are de-interlaced per the four-pass spec. Animated GIFs decode
-    frame 1 only (curation signals want a representative frame, not the
-    animation)."""
-    w_screen, h_screen = parse_gif_header(payload)
+    frame 1 only here (curation signals want a representative frame);
+    :func:`decode_gif_frames` decodes the composited animation."""
+    idx, lct = _gif_first_image(payload)
+    return lct[np.clip(idx, 0, len(lct) - 1)].copy()
+
+
+def _gif_first_image(payload: bytes) -> tuple["np.ndarray", "np.ndarray"]:
+    """Walk to the first image block → ``(index_2d, color_table)`` —
+    shared by :func:`decode_gif` (RGB lookup) and :func:`resize_gif`
+    (palette-preserving index resample)."""
+    parse_gif_header(payload)
     packed = payload[10]
     pos = 13
     gct = None
@@ -375,12 +383,31 @@ def decode_gif(payload: bytes) -> "np.ndarray":
             pos += 1
         elif b == 0x2C:  # image descriptor
             idx, lct, _left, _top, pos = _gif_image(payload, pos, gct)
-            return lct[np.clip(idx, 0, len(lct) - 1)].copy()
+            return idx, lct
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("GIF without an image block")
+
+
+def resize_gif(raw: bytes, max_dim: int) -> tuple[int, int, bytes]:
+    """REAL GIF resize: pixel-center nearest-neighbor over the first
+    image's palette INDICES, re-encoded with the ORIGINAL color table
+    (zero-padded to 256 entries) — no quantization loss, pure
+    Python/numpy. Animated inputs resize to their first frame (the
+    representative-frame stance ``decode_gif`` documents; a thumbnail
+    op has no animation to preserve)."""
+    idx, lct = _gif_first_image(raw)
+    h, w = idx.shape
+    scale = min(1.0, max_dim / max(h, w, 1))
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    ri = ((np.arange(nh) + 0.5) * h / nh).astype(np.int64)
+    ci = ((np.arange(nw) + 0.5) * w / nw).astype(np.int64)
+    small = np.clip(idx[ri][:, ci], 0, 255).astype(np.uint8)
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: min(len(lct), 256)] = lct[:256]
+    return nw, nh, encode_gif(small, palette=pal)
 
 
 def _gif_image(
@@ -925,9 +952,10 @@ def resize_png(raw: bytes, max_dim: int) -> tuple[int, int, bytes]:
 
 def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
     """Resize via ``mapInPandas`` (partition-preserving; the blobs never
-    shuffle). Uncompressed 24-bit BMPs and 8-bit truecolor PNGs are
-    REALLY resized (numpy nearest-neighbor, re-encoded in their own
-    format); codec-needing formats use the disclosed stub: fake-decoded
+    shuffle). Uncompressed 24-bit BMPs, 8-bit truecolor PNGs, and GIFs
+    (first frame, palette-preserving index resample) are REALLY resized
+    (numpy nearest-neighbor, re-encoded in their own format);
+    codec-needing formats use the disclosed stub: fake-decoded
     dims scaled to fit ``max_dim`` and the payload truncated
     proportionally — swap in PIL/libvips there with the identical
     schema and Arrow batch shape."""
@@ -975,6 +1003,16 @@ def resize_media(df: DataFrame, max_dim: int = 32) -> DataFrame:
                     except Exception:
                         # broad: corrupt payloads raise zlib/struct/Index
                         # errors from inside decoders; fall to the stub
+                        pass
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        nw, nh, npay = resize_gif(raw, max_dim)
+                        out["width"].append(nw)
+                        out["height"].append(nh)
+                        out["payload"].append(npay)
+                        continue
+                    except Exception:
+                        # broad: same corrupt-payload policy as above
                         pass
                 w, h = decode_stub(raw)
                 scale = min(1.0, max_dim / max(w, h, 1))

@@ -119,6 +119,37 @@ def test_out_of_bounds_frame_is_clipped():
     assert np.array_equal(f[0], want)
 
 
+def test_resize_gif_palette_preserving(spark):
+    from big_data_hadoop_spark.operators.multimodal import (
+        resize_gif,
+        resize_media,
+    )
+
+    frame = _rng_frames(17, 1, h=12, w=16)[0]
+    payload = encode_gif(frame)
+    nw, nh, npay = resize_gif(payload, 8)
+    assert (nw, nh) == (8, 6)
+    # expected: pixel-center nearest-neighbor over the INDEX array,
+    # looked up in the same (grayscale) palette
+    ri = ((np.arange(6) + 0.5) * 12 / 6).astype(int)
+    ci = ((np.arange(8) + 0.5) * 16 / 8).astype(int)
+    assert np.array_equal(decode_gif(npay), RAMP[frame[ri][:, ci]])
+    # animated input -> first frame resized
+    anim = encode_gif(_rng_frames(18, 3, h=12, w=16))
+    _, _, npay2 = resize_gif(anim, 8)
+    assert decode_gif(npay2).shape == (6, 8, 3)
+    # and the media operator routes GIFs through the real path now
+    df = spark.createDataFrame(
+        [(1, "image/gif", bytearray(payload))],
+        "media_id long, media_type string, payload binary",
+    )
+    row = resize_media(df, max_dim=8).collect()[0]
+    assert (row.width, row.height) == (8, 6)
+    assert np.array_equal(
+        decode_gif(bytes(row.payload)), RAMP[frame[ri][:, ci]]
+    )
+
+
 def test_video_dhash_contract_and_null(spark):
     frames = _rng_frames(5, 3, h=8, w=9)
     payload = encode_gif(frames)
