@@ -280,6 +280,11 @@ def fingerprint_store_refresh(
                 )
         stats: dict = {}
         accepted = _accept(fps, prior, max_hamming, id_col, fp_col, stats)
+        if accepted.isEmpty():
+            # nothing survived (all near-dups / NULL fps): commit no
+            # slot — a no-new-content stream would otherwise append
+            # one empty directory per trigger, pure small-files churn
+            return {"batch": None, "accepted": 0, **stats}
         batch = max(batches) + 1
         out = batch_store.batch_dirs(path, "fp", [batch])[0]
         accepted.write.mode("overwrite").parquet(out)

@@ -1040,7 +1040,14 @@ def streaming_fingerprint_dedup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        fp = fingerprint(batch).dropDuplicates([id_col])
+        fp = fingerprint(batch)
+        if id_col not in fp.columns:
+            raise ValueError(
+                f"fingerprint callable returned columns {fp.columns} — "
+                f"the store's id column '{id_col}' is missing; return "
+                "an (id, fp) frame matching the store's meta"
+            )
+        fp = fp.dropDuplicates([id_col])
         # drop_known dedups against accepted history INSIDE the writer
         # claim; validate_ids is redundant after the dropDuplicates
         fingerprint_store_refresh(

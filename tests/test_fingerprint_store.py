@@ -197,7 +197,10 @@ def test_compact_vacuum_and_crashed_compact(spark, tmp_path):
     } == before
     assert fingerprint_store_vacuum(path, grace_seconds=0.0)["removed"] == 1
     st = fingerprint_store_compact(spark, path)
-    assert st["batches_before"] == 3 and st["fingerprints"] == len(before)
+    # _grow commits TWO slots (B3's lone survivor candidate is itself
+    # within the radius of history, and all-rejected refreshes no
+    # longer commit empty slots)
+    assert st["batches_before"] == 2 and st["fingerprints"] == len(before)
     assert {
         (r.media_id, r.fp)
         for r in fingerprint_store_load(spark, path).collect()
@@ -205,7 +208,7 @@ def test_compact_vacuum_and_crashed_compact(spark, tmp_path):
     with open(os.path.join(path, "meta.json")) as fh:
         assert len(json.load(fh)["batches"]) == 1
     vac = fingerprint_store_vacuum(path, grace_seconds=0.0)
-    assert vac["removed"] == 3  # the three superseded slots
+    assert vac["removed"] == 2  # the two superseded slots
 
 
 def test_streaming_sink_matches_sequential_and_replays(spark, tmp_path):
@@ -252,6 +255,23 @@ def test_streaming_sink_matches_sequential_and_replays(spark, tmp_path):
         (r.media_id, r.fp)
         for r in fingerprint_store_load(spark, path).collect()
     } == got
+
+
+def test_all_rejected_refresh_commits_no_slot(spark, tmp_path):
+    """A refresh whose every row is rejected (near-dups of history)
+    appends NO batch directory — a no-new-content stream would
+    otherwise grow one empty slot per trigger."""
+    path = str(tmp_path / "s")
+    fingerprint_store_build(
+        spark, _fp_df(spark, B1), path, max_hamming=RADIUS
+    )
+    st = fingerprint_store_refresh(
+        spark, _fp_df(spark, [(90, 0b1111)]), path
+    )
+    assert st["batch"] is None and st["rejected_history"] == 1
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0]
+    assert not os.path.exists(os.path.join(path, "fp", "b00001"))
 
 
 def test_probe_r06_matches_greedy_oracle(spark):
