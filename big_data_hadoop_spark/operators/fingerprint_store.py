@@ -117,8 +117,11 @@ def _accept(
         F.col(id_col), F.col(fp_col).alias("simhash")
     ).localCheckpoint(eager=True)
     usable = norm.filter(F.col("simhash").isNotNull())
-    n_in = norm.count()
-    n_usable = usable.count()
+    # one job for both totals (count(col) skips NULLs)
+    row = norm.agg(
+        F.count(F.lit(1)).alias("n"), F.count("simhash").alias("u")
+    ).first()
+    n_in, n_usable = row.n, row.u
     stats["null_fp"] = n_in - n_usable
     if prior is not None:
         hits = simhash_matches_against(

@@ -2236,7 +2236,15 @@ def r06_fingerprint_store(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    fp = simhash(docs).withColumnRenamed("simhash", "fp")
+    # ONE corpus fingerprint pass: build's duplicate-id validation,
+    # both halves' filters, and each _accept otherwise re-execute the
+    # un-checkpointed simhash aggregation (4x measured in the closing
+    # bench)
+    fp = (
+        simhash(docs)
+        .withColumnRenamed("simhash", "fp")
+        .localCheckpoint(eager=True)
+    )
     root = tempfile.mkdtemp(prefix="fingerprint_store_probe_")
     try:
         path = os.path.join(root, "store")
