@@ -184,6 +184,33 @@ def video_dhash_pairs(
     )
 
 
+def video_clip_fingerprint(
+    fh: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """The EXACT tier above the near-dup pairs: one 64-bit fingerprint
+    per clip — ``xxhash64`` over the clip's frame hashes in frame
+    order → ``(media_id, fp)``. Two clips collide iff every sampled
+    frame hashed identically (byte-level re-encodes and
+    palette-preserving rewrites do; any visual change to any sampled
+    frame does not), so this is the video analog of a content digest
+    that survives container changes — and the single-value shape the
+    persisted fingerprint store ingests (``fingerprint_store_build``
+    with ``max_hamming=0`` gives exact streaming video dedup;
+    near-dup matching stays with :func:`video_neardup_pairs`). One
+    keyed aggregation; NULL-safe by construction (frame rows exist
+    only for decoded clips)."""
+    return (
+        fh.groupBy(F.col(id_col))
+        .agg(
+            F.xxhash64(
+                F.array_sort(
+                    F.collect_list(F.struct("frame_no", "dhash"))
+                ).cast("array<struct<frame_no:int,dhash:bigint>>")
+            ).alias("fp")
+        )
+    )
+
+
 def documents_as_video(
     df: DataFrame,
     n_frames: int = 4,

@@ -77,6 +77,20 @@ def test_fingerprint_matches_independent_oracle():
         assert audio_fingerprint_pcm(x) == _ref_fingerprint(x), (seed, n)
 
 
+def test_fingerprint_oracle_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    @given(hst.integers(288, 2500), hst.integers(0, 2**32 - 1))
+    @settings(max_examples=20, deadline=None)
+    def check(n, seed):
+        x = np.random.default_rng(seed).normal(size=n)
+        x = x / (np.max(np.abs(x)) or 1.0)
+        assert audio_fingerprint_pcm(x) == _ref_fingerprint(x)
+
+    check()
+
+
 def test_fingerprint_invariances_and_short_refusal():
     x = _tone_mix(9)
     fp = audio_fingerprint_pcm(x)

@@ -66,6 +66,24 @@ def test_dhash_matches_independent_oracle_across_shapes():
         assert dhash_pixels(arr) == _ref_dhash(arr.tolist()), (h, w)
 
 
+def test_dhash_oracle_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    @given(
+        hst.integers(1, 30), hst.integers(1, 30),
+        hst.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def check(h, w, seed):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), np.uint8
+        )
+        assert dhash_pixels(arr) == _ref_dhash(arr.tolist())
+
+    check()
+
+
 def test_dhash_exact_bits_on_identity_grid():
     # 8 rows x 9 cols: the nearest-neighbor maps are the identity, so
     # each bit is exactly one adjacent comparison. Gray ramp rising

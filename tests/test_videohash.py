@@ -214,6 +214,45 @@ def test_video_pairs_match_brute_force(spark):
     assert (1, 2) in got  # the re-encode matches on every frame
 
 
+def test_video_clip_fingerprint_exact_tier(spark, tmp_path):
+    from big_data_hadoop_spark.operators.fingerprint_store import (
+        fingerprint_store_build,
+        fingerprint_store_load,
+    )
+    from big_data_hadoop_spark.operators.videohash import (
+        video_clip_fingerprint,
+    )
+
+    base = _rng_frames(41, 4, h=8, w=9)
+    changed = [f.copy() for f in base]
+    changed[2] = _rng_frames(42, 1, h=8, w=9)[0]
+    df = spark.createDataFrame(
+        [
+            (1, "image/gif", bytearray(encode_gif(base))),
+            (2, "image/gif", bytearray(encode_gif(base))),  # re-encode
+            (3, "image/gif", bytearray(encode_gif(changed))),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    fh = video_dhash(df, n_frames=4)
+    fps = {r.media_id: r.fp for r in video_clip_fingerprint(fh).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    # composes with the persisted store at radius 0 = exact video dedup
+    st = fingerprint_store_build(
+        spark,
+        video_clip_fingerprint(fh),
+        str(tmp_path / "s"),
+        max_hamming=0,
+        id_col="media_id",
+    )
+    assert st["accepted"] == 2 and st["rejected_within_batch"] == 1
+    kept = {
+        r.media_id
+        for r in fingerprint_store_load(spark, str(tmp_path / "s")).collect()
+    }
+    assert kept == {1, 3}  # min id survives the identical pair
+
+
 def test_validation(spark):
     with pytest.raises(ValueError, match="max_hamming"):
         video_neardup_pairs(None, max_hamming=4)
