@@ -503,6 +503,12 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
         )
         print(_json.dumps(st, sort_keys=True))
         return
+    if args.action == "stats":
+        # inspect before you mutate: committed meta verbatim (params +
+        # manifest), no Spark session — a metadata read must not cost
+        # a JVM spin-up
+        print(_json.dumps(ng_ops._read_meta(args.store), sort_keys=True))
+        return
     spark = _spark("neardup-graph")
     if args.action in ("build", "refresh"):
         if not args.input:
@@ -621,6 +627,16 @@ def cmd_fingerprint_store(args: argparse.Namespace) -> None:
             args.store, grace_seconds=args.grace_seconds
         )
         print(_json.dumps(st, sort_keys=True))
+        return
+    if args.action == "stats":
+        from big_data_hadoop_spark.sources import batch_store
+
+        print(
+            _json.dumps(
+                batch_store.read_meta(args.store, "fingerprint_store_build"),
+                sort_keys=True,
+            )
+        )
         return
     spark = _spark("fingerprint-store")
     if args.action in ("build", "refresh"):
@@ -1110,7 +1126,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     ng.add_argument(
         "action",
-        choices=["build", "refresh", "compact", "vacuum", "export"],
+        choices=["build", "refresh", "compact", "vacuum", "export", "stats"],
     )
     ng.add_argument("store")
     ng.add_argument(
@@ -1133,7 +1149,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     fs.add_argument(
         "action",
-        choices=["build", "refresh", "compact", "vacuum", "export"],
+        choices=["build", "refresh", "compact", "vacuum", "export", "stats"],
     )
     fs.add_argument("store")
     fs.add_argument(

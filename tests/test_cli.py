@@ -557,6 +557,7 @@ def test_cli_fingerprint_store_simhash_lifecycle(tmp_path, spark, capsys):
     main(["fingerprint-store", "compact", store])
     main(["fingerprint-store", "vacuum", store, "--grace-seconds", "0"])
     main(["fingerprint-store", "export", store, "--output", out])
+    main(["fingerprint-store", "stats", store])
     lines = [
         json.loads(ln)
         for ln in capsys.readouterr().out.splitlines()
@@ -574,6 +575,10 @@ def test_cli_fingerprint_store_simhash_lifecycle(tmp_path, spark, capsys):
         (r.item_id, r.fp) for r in spark.read.parquet(out).collect()
     }
     assert exported == lib and lines[4]["fingerprints"] == len(lib) > 0
+    # stats: the committed meta verbatim, Spark-free
+    assert lines[5]["family"] == "simhash"
+    # post-compact manifest: one slot (build 0 + refresh 1 folded -> 2)
+    assert lines[5]["id_col"] == "item_id" and lines[5]["batches"] == [2]
 
 
 def test_cli_fingerprint_store_tiers_and_refusals(tmp_path, spark, capsys):
