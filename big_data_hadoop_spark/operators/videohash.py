@@ -184,6 +184,81 @@ def video_dhash_pairs(
     )
 
 
+def video_matches_against(
+    fh: DataFrame,
+    stored_fh: DataFrame,
+    max_hamming: int = 2,
+    min_matching_frames: int = 2,
+    id_col: str = "media_id",
+    drop_constant: bool = False,
+) -> DataFrame:
+    """Incremental tier for clip NEAR-dups (the ``image_matches_against``
+    symmetry; the exact tier goes through :func:`video_clip_fingerprint`
+    + the fingerprint store): batch clip ids whose sampled frames match
+    at least ``min_matching_frames`` distinct frame pairs of ANY single
+    stored clip within the Hamming radius → one id column, distinct.
+    History is the stored frame-hash table — ``n_frames`` 8-byte values
+    per past clip (``(id_col, frame_no, dhash)``, the
+    :func:`video_dhash` shape); payloads never ship. The frame-value
+    join is the shared multi-index banding over DISTINCT hash values on
+    each side, expanded back through the two frame tables output-bound,
+    then one keyed rollup per (batch clip, stored clip).
+    ``drop_constant`` excludes dHash-0 frames on BOTH sides (the
+    :func:`video_neardup_pairs` blank-frame filter — content-free
+    frames otherwise match every clip with a black lead-in)."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
+    if min_matching_frames < 1:
+        raise ValueError("min_matching_frames must be >= 1")
+    if drop_constant:
+        fh = fh.filter(F.col("dhash") != 0)
+        stored_fh = stored_fh.filter(F.col("dhash") != 0)
+    new = fh.select(
+        F.col(id_col).alias("_nid"),
+        F.col("frame_no").alias("_nf"),
+        F.col("dhash").alias("_nh"),
+    ).localCheckpoint(eager=True)
+    old = stored_fh.select(
+        F.col(id_col).alias("_oid"),
+        F.col("frame_no").alias("_of"),
+        F.col("dhash").alias("_oh"),
+    )
+    from big_data_hadoop_spark.operators.dedup import _fp_band_keys
+
+    a = _fp_band_keys(
+        new.select(F.col("_nh").alias("simhash")).distinct(), max_hamming
+    ).alias("a")
+    b = _fp_band_keys(
+        old.select(F.col("_oh").alias("simhash")).distinct(), max_hamming
+    ).alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    vpairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.simhash").alias("_nh"),
+            F.col("b.simhash").alias("_oh"),
+        )
+        .distinct()
+    )
+    return (
+        vpairs.join(new, "_nh")
+        .join(old, "_oh")
+        # rows are already unique: each (clip, frame) carries ONE hash
+        # and the value pairs are distinct, so no dedup shuffle here
+        .select("_nid", "_oid")
+        .groupBy("_nid", "_oid")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= int(min_matching_frames))
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+
+
 def video_clip_fingerprint(
     fh: DataFrame, id_col: str = "media_id"
 ) -> DataFrame:

@@ -214,6 +214,51 @@ def test_video_pairs_match_brute_force(spark):
     assert (1, 2) in got  # the re-encode matches on every frame
 
 
+def test_video_matches_against_brute_force(spark):
+    from big_data_hadoop_spark.operators.videohash import (
+        video_matches_against,
+    )
+
+    hist_clips = {1: _rng_frames(51, 4, h=8, w=9),
+                  2: _rng_frames(52, 4, h=8, w=9)}
+    batch_clips = {
+        100: hist_clips[1][:2] + _rng_frames(53, 2, h=8, w=9),  # 2 shared
+        101: hist_clips[2][:1] + _rng_frames(54, 3, h=8, w=9),  # 1 shared
+        102: _rng_frames(55, 4, h=8, w=9),                      # none
+    }
+    def fh_df(clips):
+        rows = [
+            (cid, i, dhash_pixels(RAMP[f]))
+            for cid, frames in clips.items()
+            for i, f in enumerate(frames)
+        ]
+        return spark.createDataFrame(
+            rows, "media_id long, frame_no int, dhash long"
+        )
+    radius, m = 2, 2
+    got = {
+        r.media_id
+        for r in video_matches_against(
+            fh_df(batch_clips), fh_df(hist_clips),
+            max_hamming=radius, min_matching_frames=m,
+        ).collect()
+    }
+    want = set()
+    for bid, bframes in batch_clips.items():
+        bh = [dhash_pixels(RAMP[f]) for f in bframes]
+        for hframes in hist_clips.values():
+            hh = [dhash_pixels(RAMP[f]) for f in hframes]
+            n = sum(
+                1
+                for x in bh
+                for y in hh
+                if bin((x ^ y) & ((1 << 64) - 1)).count("1") <= radius
+            )
+            if n >= m:
+                want.add(bid)
+    assert got == want and 100 in got and 102 not in got
+
+
 def test_video_clip_fingerprint_exact_tier(spark, tmp_path):
     from big_data_hadoop_spark.operators.fingerprint_store import (
         fingerprint_store_build,
