@@ -552,7 +552,7 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
     print(_json.dumps(st, sort_keys=True))
 
 
-_FP_TIERS = ("image", "audio", "simhash", "raw")
+_FP_TIERS = ("image", "audio", "video", "simhash", "raw")
 
 
 def _fp_tier_frame(spark, tier: str, path: str, args):
@@ -575,6 +575,18 @@ def _fp_tier_frame(spark, tier: str, path: str, args):
             audio_fingerprint(df).withColumnRenamed("afp", "fp"),
             "media_id",
         )
+    if tier == "video":
+        # the EXACT clip tier: ordered-frame-hash digest — the store's
+        # single-value shape (build with --max-hamming 0 for exact
+        # dedup; clip NEAR-dup stays with video_neardup_pairs/
+        # video_matches_against, whose per-frame rows don't fit a
+        # one-fp-per-id history)
+        from big_data_hadoop_spark.operators.videohash import (
+            video_clip_fingerprint,
+            video_dhash,
+        )
+
+        return video_clip_fingerprint(video_dhash(df)), "media_id"
     if tier == "simhash":
         from big_data_hadoop_spark.operators.dedup import simhash
 

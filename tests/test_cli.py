@@ -608,6 +608,17 @@ def test_cli_fingerprint_store_tiers_and_refusals(tmp_path, spark, capsys):
         main(["fingerprint-store", "refresh", store, "--input", media,
               "--max-hamming", "2"])
 
+    # video tier: exact clip digests into the store at radius 0
+    from big_data_hadoop_spark.operators.videohash import (
+        documents_as_video,
+    )
+
+    vmedia = str(tmp_path / "vmedia")
+    documents_as_video(docs.limit(30), n_frames=2).write.parquet(vmedia)
+    vstore = str(tmp_path / "vstore")
+    main(["fingerprint-store", "build", vstore, "--input", vmedia,
+          "--tier", "video", "--max-hamming", "0"])
+
     raw = str(tmp_path / "rawfps")
     spark.createDataFrame(
         [(1, 0), (2, 7 << 60)], "k long, h long"
