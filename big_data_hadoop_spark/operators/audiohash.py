@@ -173,8 +173,12 @@ def audio_neardup_pairs(
     """Near-duplicate clip pairs from precomputed fingerprints →
     ``(id_a, id_b, hamming)``, ``id_a < id_b`` — the SimHash pigeonhole
     band join, exact for radius <= 3. NULL fingerprints are filtered
-    before banding. Lazy (input is typically a stored fingerprint
-    table; the image-tier rationale)."""
+    before banding. NOT lazy: the shared join eagerly checkpoints the
+    fingerprints at call time so both band-join sides share one
+    upstream execution — construction runs Spark jobs (round-10
+    docstring fix). Rows must be unique per (id, fingerprint), the
+    ``_simhash_pairs_given_fps`` precondition — true for every
+    fingerprint/store producer."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     fps = fp.filter(F.col("afp").isNotNull()).select(

@@ -699,6 +699,15 @@ def _fp_band_keys(fp: DataFrame, max_hamming: int) -> DataFrame:
     near-uniform chunks, never noticed)."""
     r = max(0, min(3, int(max_hamming)))
     keep = 4 - r
+    if keep == 4:
+        # radius 0: the single combination keeps ALL chunks, so the key
+        # IS the fingerprint — no array build, no explode (round-10
+        # micro-fix; the brute-force equality pins cover this path)
+        return fp.select(
+            "*",
+            F.lit(0).alias("ci"),
+            F.col("simhash").alias("cv"),
+        )
     chunks = [
         F.shiftright("simhash", j * 16)
         .bitwiseAND(F.lit(0xFFFF))
@@ -739,7 +748,15 @@ def _simhash_pairs_given_fps(
     — each join row IS a result row), and same-value id pairs come
     from a per-value self-join that only ever emits true Hamming-0
     results. Output is pair-for-pair identical to the row-level form
-    (pinned by the brute-force equality tests across radii 0–3)."""
+    (pinned by the brute-force equality tests across radii 0–3).
+
+    NOT lazy: the input fingerprints are eagerly localCheckpointed at
+    call time (both join sides must share ONE execution of the
+    caller's — possibly decode-backed — upstream), so construction
+    runs Spark jobs. PRECONDITION: input rows are unique per
+    ``(id_col, simhash)`` — every caller passes one fingerprint per id
+    (aggregation outputs / store representatives); duplicated input
+    rows would emit duplicated pair rows (round-10 review note)."""
     fps = fp.select(F.col(id_col), "simhash").localCheckpoint(eager=True)
     vals = fps.select("simhash").distinct().localCheckpoint(eager=True)
     banded = _fp_band_keys(vals, max_hamming)

@@ -165,7 +165,11 @@ def image_neardup_pairs(
     ``max_hamming``. Delegates to the shared multi-index band join
     (``dedup.py``) — radius-scaled chunk-combination keys over distinct
     fingerprint values, exact for radius <= 3, never all-pairs. NULL
-    fingerprints (undecodable images) are filtered before banding."""
+    fingerprints (undecodable images) are filtered before banding.
+    NOT lazy: the shared join eagerly checkpoints the fingerprints at
+    call time (both sides must share one upstream execution), and it
+    requires rows unique per (id, fingerprint) — true for every
+    fingerprint producer (one hash per media id)."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     fps = fp.filter(F.col("dhash").isNotNull()).select(
