@@ -990,6 +990,83 @@ def streaming_neardup_graph(
     return writer.start()
 
 
+def streaming_video_dedup(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    frame_hashes,
+    available_now: bool = True,
+):
+    """Continuous NEAR-dup video dedup against a persisted frame-hash
+    store (``operators.framehash_store``) — the round-10 completion of
+    the store-sink family (graph / fingerprint / this): each
+    micro-batch is frame-hashed by the caller-supplied ``frame_hashes``
+    callable (a batch ``DataFrame -> (id, frame_no, dhash)`` frame —
+    typically ``video_dhash`` with the production sampling parameters;
+    keeping the sampling choice OUT of the sink mirrors
+    ``streaming_fingerprint_dedup``'s tier-agnostic contract) and
+    refreshed into the store, which accepts only clips matching
+    nothing already accepted at the store's pinned (radius, min
+    matching frames, blank-frame rule). The store IS the output: its
+    clip-id set is the surviving catalog, queryable mid-stream via
+    ``framehash_store_load``.
+
+    Effectively-once on an at-least-once channel, the established
+    argument verbatim: replayed clip ids drop INSIDE the store's
+    writer claim (``drop_known=True`` — an out-of-lock pre-check is a
+    TOCTOU against a concurrent backfill), and a clip an earlier batch
+    REJECTED is judged again by the same history on replay — rejected
+    again, idempotent. Within a micro-batch, duplicate
+    ``(id, frame_no)`` rows collapse to one arbitrary row (same-id
+    rows in a media stream are replays of the same immutable clip).
+    The store must exist (``framehash_store_build``) BEFORE wiring —
+    checked here at wiring time, with the callable's output columns
+    validated per batch against the store's pinned id column (the
+    ``streaming_fingerprint_dedup`` fp_col lesson, applied from birth).
+
+    Per micro-batch cost: one decode/hash pass over the batch's clips
+    (the only heavy work — payloads never shuffle), one multi-index
+    band join of the batch's distinct frame-hash values against the
+    stored history's, one within-batch pair join, one immutable
+    directory append."""
+    from big_data_hadoop_spark.operators.framehash_store import (
+        framehash_store_refresh,
+    )
+    from big_data_hadoop_spark.sources import batch_store
+
+    meta = batch_store.read_meta(path, "framehash_store_build")
+    id_col = meta["id_col"]
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fh = frame_hashes(batch)
+        missing = [
+            c for c in (id_col, "frame_no", "dhash") if c not in fh.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"frame_hashes callable returned columns {fh.columns} — "
+                f"the store's pinned column(s) {missing} are missing; "
+                "return an (id, frame_no, dhash) frame matching the "
+                "store's meta"
+            )
+        fh = fh.dropDuplicates([id_col, "frame_no"])
+        framehash_store_refresh(
+            spark, fh, path, drop_known=True, validate_ids=False
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_fingerprint_dedup(
     stream: DataFrame,
     path: str,
@@ -1034,18 +1111,23 @@ def streaming_fingerprint_dedup(
     from big_data_hadoop_spark.sources import batch_store
 
     meta = batch_store.read_meta(path, "fingerprint_store_build")
-    id_col = meta["id_col"]
+    id_col, fp_col = meta["id_col"], meta["fp_col"]
 
     def fold(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         fp = fingerprint(batch)
-        if id_col not in fp.columns:
+        # validate BOTH pinned columns (round-10 ADVICE: a callable
+        # returning the right id but a differently-named fingerprint
+        # column previously died later inside _accept with a raw
+        # unresolved-column AnalysisException instead of this error)
+        missing = [c for c in (id_col, fp_col) if c not in fp.columns]
+        if missing:
             raise ValueError(
                 f"fingerprint callable returned columns {fp.columns} — "
-                f"the store's id column '{id_col}' is missing; return "
-                "an (id, fp) frame matching the store's meta"
+                f"the store's pinned column(s) {missing} are missing; "
+                "return an (id, fp) frame matching the store's meta"
             )
         fp = fp.dropDuplicates([id_col])
         # drop_known dedups against accepted history INSIDE the writer
