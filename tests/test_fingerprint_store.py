@@ -298,6 +298,71 @@ def test_probe_r06_matches_greedy_oracle(spark):
     assert got == want and len(got) > 0
 
 
+def test_probe_r08_matches_greedy_oracle(spark):
+    """The r08 probe composition (clip fingerprints -> radius-0 store
+    on evens -> refresh odds -> load) replicated with the pure-Python
+    greedy fold over the engine's own clip fingerprints (the frame
+    hash / clip digest contracts are pinned in test_videohash.py)."""
+    from big_data_hadoop_spark.operators.videohash import (
+        documents_as_video,
+        video_clip_fingerprint,
+        video_dhash,
+    )
+    from big_data_hadoop_spark.probes import QUERIES
+
+    got = [
+        (r.media_id, r.fp)
+        for r in QUERIES["r08_video_exact_store"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    fh = video_dhash(
+        documents_as_video(docs, n_frames=4, width=12, height=12),
+        n_frames=4,
+    )
+    fps = {
+        r.media_id: r.fp for r in video_clip_fingerprint(fh).collect()
+    }
+    evens = sorted((i, f) for i, f in fps.items() if i % 2 == 0)
+    odds = sorted((i, f) for i, f in fps.items() if i % 2 == 1)
+    want = sorted(_greedy([evens, odds], 0).items())
+    assert got == want and len(got) > 0
+    # radius 0 is EXACT dedup: accepted fingerprints pairwise distinct,
+    # and every corpus fingerprint value is represented
+    vals = [f for _, f in got]
+    assert len(set(vals)) == len(vals)
+    assert set(vals) == set(fps.values())
+
+
+def test_streaming_sink_validates_fp_col(spark, tmp_path):
+    """A callable returning the right id but a differently-named
+    fingerprint column fails with the sink's explanatory error, not a
+    raw unresolved-column AnalysisException from inside _accept
+    (round-10 ADVICE)."""
+    from big_data_hadoop_spark.streaming.pipelines import (
+        streaming_fingerprint_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    _fp_df(spark, B2).write.parquet(src)
+    path = str(tmp_path / "store")
+    fingerprint_store_build(
+        spark, _fp_df(spark, B1), path, max_hamming=RADIUS
+    )
+    stream = spark.readStream.schema("media_id long, fp long").parquet(src)
+    q = streaming_fingerprint_dedup(
+        stream,
+        path,
+        str(tmp_path / "ckpt"),
+        lambda b: b.select("media_id", F.col("fp").alias("dhash")),
+    )
+    with pytest.raises(Exception, match="pinned column"):
+        q.awaitTermination(180)
+
+
 def test_streaming_sink_requires_existing_store(spark, tmp_path):
     from big_data_hadoop_spark.streaming.pipelines import (
         streaming_fingerprint_dedup,

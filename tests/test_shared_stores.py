@@ -1,0 +1,183 @@
+"""Shared per-corpus persisted stores behind the graph probes (round-10
+judge task 1): q88/q97/q98/q99 load the near-dup pair graph from ONE
+build-if-absent store instead of re-running the minhash pipeline per
+probe, and q93's fingerprint history is the maintained SimHash store.
+Pins: build-at-most-once, content-keyed staleness, edge equality with a
+fresh one-shot build, probe==consumer-off-store wiring, and a full
+pure-Python replication of q93's store-backed greedy semantics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.probes import (
+    QUERIES,
+    _shared_neardup_edges,
+    _shared_simhash_history,
+    shared_neardup_store_path,
+    shared_simhash_store_path,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _edges(df):
+    return {(r.id_a, r.id_b, r.jac_est) for r in df.collect()}
+
+
+def test_shared_store_built_at_most_once(spark):
+    e1 = _edges(_shared_neardup_edges(spark, SF_SMOKE))
+    meta = os.path.join(shared_neardup_store_path(SF_SMOKE), "meta.json")
+    mtime = os.stat(meta).st_mtime_ns
+    e2 = _edges(_shared_neardup_edges(spark, SF_SMOKE))
+    assert e1 == e2 and len(e1) > 0
+    # second call LOADED — no rebuild, no meta recommit
+    assert os.stat(meta).st_mtime_ns == mtime
+
+
+def test_shared_edges_equal_fresh_one_shot_build(spark, tmp_path):
+    from big_data_hadoop_spark.operators.neardup_graph import (
+        neardup_graph_build,
+        neardup_graph_load,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "fresh")
+    neardup_graph_build(spark, docs, path, threshold=0.7)
+    want = _edges(neardup_graph_load(spark, path))
+    got = _edges(_shared_neardup_edges(spark, SF_SMOKE))
+    assert got == want
+
+
+def test_store_key_tracks_corpus_content(tmp_path):
+    src = os.path.join(SF_SMOKE, "documents.parquet")
+    sf2 = str(tmp_path / "sf")
+    os.makedirs(sf2)
+    dst = os.path.join(sf2, "documents.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+    p1 = shared_neardup_store_path(sf2)
+    assert p1 != shared_neardup_store_path(SF_SMOKE)  # path is in the key
+    # content mutation (mtime bump) -> new key, stale store unreachable
+    target = dst
+    if os.path.isdir(dst):
+        target = os.path.join(
+            dst, sorted(os.listdir(dst))[0]
+        )
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert shared_neardup_store_path(sf2) != p1
+
+
+def test_graph_probes_equal_consumers_off_loaded_store(spark):
+    from big_data_hadoop_spark.operators.graph import (
+        bfs_distances,
+        k_core,
+        label_propagation,
+        pagerank,
+    )
+
+    edges = _shared_neardup_edges(spark, SF_SMOKE).select("id_a", "id_b")
+
+    got88 = [
+        (r.id, r.rank)
+        for r in QUERIES["q88_pagerank_neardup"](spark, SF_SMOKE).collect()
+    ]
+    want88 = [
+        (r.id, round(r.rank, 8))
+        for r in pagerank(edges, tol=1e-4, max_iter=15)
+        .orderBy("id")
+        .collect()
+    ]
+    assert got88 == want88 and len(got88) > 0
+
+    got97 = [
+        tuple(r) for r in QUERIES["q97_kcore_neardup"](spark, SF_SMOKE).collect()
+    ]
+    want97 = [tuple(r) for r in k_core(edges, 2).orderBy("id").collect()]
+    assert got97 == want97
+
+    got98 = [
+        tuple(r)
+        for r in QUERIES["q98_lpa_communities"](spark, SF_SMOKE).collect()
+    ]
+    want98 = [
+        tuple(r) for r in label_propagation(edges).orderBy("id").collect()
+    ]
+    assert got98 == want98 and len(got98) > 0
+
+    seed = edges.agg(F.min(F.least("id_a", "id_b")).alias("m")).first().m
+    got99 = [
+        tuple(r)
+        for r in QUERIES["q99_bfs_expansion"](spark, SF_SMOKE).collect()
+    ]
+    want99 = [
+        tuple(r) for r in bfs_distances(edges, [seed]).orderBy("id").collect()
+    ]
+    assert got99 == want99 and len(got99) > 0
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_q93_matches_store_backed_greedy_replication(spark):
+    """q93 == pure-Python fold of its round-10 semantics: the history
+    split grows a greedy keep-first fingerprint store (union-find at
+    radius 3, min-id representative per component), the batch is
+    rejected against the STORE's accepted fps, then within-batch
+    greedy dedup — all over the engine's own simhash values (the
+    fingerprint computation itself is oracle-pinned elsewhere)."""
+    from big_data_hadoop_spark.operators.dedup import simhash
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    # greedy store accept over the history split (one batch, min-id)
+    hist = {i: f for i, f in fps.items() if i % 3 == 0}
+    parent = {i: i for i in hist}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(hist)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            if _ham(hist[ids[ai]], hist[ids[bi]]) <= 3:
+                ra, rb = find(ids[ai]), find(ids[bi])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    stored = [hist[i] for i in ids if find(i) == i]
+    # the shared store holds exactly these fingerprints
+    store_fps = sorted(
+        r.simhash for r in _shared_simhash_history(spark, SF_SMOKE).collect()
+    )
+    assert store_fps == sorted(stored)
+
+    # batch vs store, then within-batch greedy keep-min
+    batch = {i: f for i, f in fps.items() if i % 3 != 0}
+    fresh = {
+        i: f
+        for i, f in batch.items()
+        if all(_ham(f, s) > 3 for s in stored)
+    }
+    parent = {i: i for i in fresh}
+    ids = sorted(fresh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            if _ham(fresh[ids[ai]], fresh[ids[bi]]) <= 3:
+                ra, rb = find(ids[ai]), find(ids[bi])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = sorted(i for i in ids if find(i) == i)
+    got = [
+        r.doc_id
+        for r in QUERIES["q93_simhash_incremental"](spark, SF_SMOKE).collect()
+    ]
+    assert got == want and len(got) > 0
