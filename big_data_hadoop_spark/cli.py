@@ -546,9 +546,13 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
     else:  # export
         if not args.output:
             raise SystemExit("neardup-graph export requires --output")
+        # count the STORE's immutable directories, then write — no bare
+        # re-read of the freshly-written mutable output path (round-10;
+        # the last such reads on the CLI surface)
         edges = ng_ops.neardup_graph_load(spark, args.store)
+        n = edges.count()
         edges.write.mode("overwrite").parquet(args.output)
-        st = {"edges": spark.read.parquet(args.output).count()}
+        st = {"edges": n}
     print(_json.dumps(st, sort_keys=True))
 
 
@@ -562,17 +566,30 @@ def _fp_tier_frame(spark, tier: str, path: str, args):
     (``--id-col``/``--text-col``); raw passes precomputed fingerprints
     (``--id-col``/``--fp-col``) through."""
     df = _read_table_cli(spark, path)
+    # decode/fingerprint-backed tiers are eagerly checkpointed: the
+    # store verbs reference the frame 3-5 times (duplicate-id check,
+    # isEmpty, history match, _accept's own checkpoint) and would
+    # otherwise re-execute the expensive media-decode mapInPandas per
+    # reference (round-10 ADVICE — the same 4x re-execution the r06
+    # probe measured and fixed probe-side)
     if tier == "image":
         from big_data_hadoop_spark.operators.imagehash import image_dhash
 
-        return image_dhash(df).withColumnRenamed("dhash", "fp"), "media_id"
+        return (
+            image_dhash(df)
+            .withColumnRenamed("dhash", "fp")
+            .localCheckpoint(eager=True),
+            "media_id",
+        )
     if tier == "audio":
         from big_data_hadoop_spark.operators.audiohash import (
             audio_fingerprint,
         )
 
         return (
-            audio_fingerprint(df).withColumnRenamed("afp", "fp"),
+            audio_fingerprint(df)
+            .withColumnRenamed("afp", "fp")
+            .localCheckpoint(eager=True),
             "media_id",
         )
     if tier == "video":
@@ -586,7 +603,12 @@ def _fp_tier_frame(spark, tier: str, path: str, args):
             video_dhash,
         )
 
-        return video_clip_fingerprint(video_dhash(df)), "media_id"
+        return (
+            video_clip_fingerprint(video_dhash(df)).localCheckpoint(
+                eager=True
+            ),
+            "media_id",
+        )
     if tier == "simhash":
         from big_data_hadoop_spark.operators.dedup import simhash
 
@@ -595,7 +617,12 @@ def _fp_tier_frame(spark, tier: str, path: str, args):
             text_col=args.text_col,
             id_col=args.id_col,
         )
-        return fp.withColumnRenamed("simhash", "fp"), args.id_col
+        return (
+            fp.withColumnRenamed("simhash", "fp").localCheckpoint(
+                eager=True
+            ),
+            args.id_col,
+        )
     # raw: already (id, fp) — keep the caller's column names; build
     # pins them in meta and refresh reads them back, so a store built
     # from custom columns stays refreshable (the neardup-graph CLI
@@ -662,6 +689,18 @@ def cmd_fingerprint_store(args: argparse.Namespace) -> None:
                     "fingerprint-store build requires --tier "
                     f"({'|'.join(_FP_TIERS)})"
                 )
+            if args.tier == "video" and args.max_hamming != 0:
+                # round-10 ADVICE: the clip fingerprint is an xxhash64
+                # avalanche digest — visually-near clips land ~32 bits
+                # apart, so any nonzero radius silently degrades to
+                # exact-only dedup while CLAIMING a near-dup radius
+                raise SystemExit(
+                    "--tier video requires --max-hamming 0 (the clip "
+                    "fingerprint is an avalanche digest; Hamming "
+                    "distance on it is meaningless) — for NEAR-dup "
+                    "video matching use the frame-hash tier "
+                    "(video_neardup_pairs / video_matches_against)"
+                )
             fp, id_col = _fp_tier_frame(spark, args.tier, args.input, args)
             st = fs_ops.fingerprint_store_build(
                 spark,
@@ -710,9 +749,151 @@ def cmd_fingerprint_store(args: argparse.Namespace) -> None:
     else:  # export
         if not args.output:
             raise SystemExit("fingerprint-store export requires --output")
+        # count the store, then write (see the neardup-graph export)
         accepted = fs_ops.fingerprint_store_load(spark, args.store)
+        n = accepted.count()
         accepted.write.mode("overwrite").parquet(args.output)
-        st = {"fingerprints": spark.read.parquet(args.output).count()}
+        st = {"fingerprints": n}
+    print(_json.dumps(st, sort_keys=True))
+
+
+_FH_TIERS = ("video", "raw")
+
+
+def _fh_tier_frame(spark, tier: str, path: str, args):
+    """Input parquet → ``(id, frame_no, dhash)`` frame for the
+    framehash store: video decodes a binary media table through
+    ``video_dhash`` (sampling ``--n-frames``, pinned in meta); raw
+    passes a precomputed frame-hash table through (``--id-col``)."""
+    df = _read_table_cli(spark, path)
+    if tier == "video":
+        from big_data_hadoop_spark.operators.videohash import video_dhash
+
+        # decode-backed: checkpoint so the store verbs' 3-5 references
+        # share ONE execution of the codec mapInPandas (the
+        # _fp_tier_frame discipline)
+        return (
+            video_dhash(df, n_frames=args.n_frames).localCheckpoint(
+                eager=True
+            ),
+            "media_id",
+        )
+    return (
+        df.select(F.col(args.id_col), F.col("frame_no"), F.col("dhash")),
+        args.id_col,
+    )
+
+
+def cmd_framehash_store(args: argparse.Namespace) -> None:
+    """Maintain a persisted video frame-hash store
+    (``operators.framehash_store``): NEAR-dup clip dedup with history
+    = n_frames 8-byte hashes per accepted clip. The tier and the
+    sampling parameter are pinned in meta at build time and validated/
+    re-read on refresh — mixed sampling in one history would silently
+    change clip identities (the fingerprint-store family contract)."""
+    import json as _json
+
+    from big_data_hadoop_spark.operators import framehash_store as fh_ops
+
+    if args.action != "build":
+        defaults = {
+            "max_hamming": 1,
+            "min_matching_frames": 2,
+            "n_frames": 8,
+            "id_col": "media_id",
+            "match_constant_frames": False,
+        }
+        passed = [
+            f"--{k.replace('_', '-')}"
+            for k, d in defaults.items()
+            if getattr(args, k) != d
+        ]
+        if passed:
+            raise SystemExit(
+                f"{' '.join(passed)} only apply to 'build' — "
+                f"'{args.action}' takes every store parameter from "
+                "the store's meta.json (a mid-history change would "
+                "silently redefine what 'duplicate' means)"
+            )
+    if args.action == "vacuum":
+        st = fh_ops.framehash_store_vacuum(
+            args.store, grace_seconds=args.grace_seconds
+        )
+        print(_json.dumps(st, sort_keys=True))
+        return
+    if args.action == "stats":
+        from big_data_hadoop_spark.sources import batch_store
+
+        print(
+            _json.dumps(
+                batch_store.read_meta(args.store, "framehash_store_build"),
+                sort_keys=True,
+            )
+        )
+        return
+    spark = _spark("framehash-store")
+    if args.action in ("build", "refresh"):
+        if not args.input:
+            raise SystemExit(
+                f"framehash-store {args.action} requires --input"
+            )
+        if args.action == "build":
+            if not args.tier:
+                raise SystemExit(
+                    "framehash-store build requires --tier "
+                    f"({'|'.join(_FH_TIERS)})"
+                )
+            fh, id_col = _fh_tier_frame(spark, args.tier, args.input, args)
+            st = fh_ops.framehash_store_build(
+                spark,
+                fh,
+                args.store,
+                max_hamming=args.max_hamming,
+                min_matching_frames=args.min_matching_frames,
+                drop_constant=not args.match_constant_frames,
+                id_col=id_col,
+                family=args.tier,
+                extras=(
+                    {"n_frames": args.n_frames}
+                    if args.tier == "video"
+                    else None
+                ),
+            )
+        else:
+            from big_data_hadoop_spark.sources import batch_store
+
+            meta = batch_store.read_meta(
+                args.store, "framehash_store_build"
+            )
+            tier = meta.get("family")
+            if args.tier and tier and args.tier != tier:
+                raise SystemExit(
+                    f"--tier {args.tier} conflicts with the store's "
+                    f"pinned family '{tier}' — one history, one "
+                    "frame-hash family"
+                )
+            tier = args.tier or tier
+            if not tier:
+                raise SystemExit(
+                    "the store's meta has no pinned family (built via "
+                    "the library?) — pass --tier explicitly"
+                )
+            args.id_col = meta["id_col"]
+            args.n_frames = meta.get("extras", {}).get(
+                "n_frames", args.n_frames
+            )
+            fh, _ = _fh_tier_frame(spark, tier, args.input, args)
+            st = fh_ops.framehash_store_refresh(spark, fh, args.store)
+    elif args.action == "compact":
+        st = fh_ops.framehash_store_compact(spark, args.store)
+    else:  # export
+        if not args.output:
+            raise SystemExit("framehash-store export requires --output")
+        # count the store, then write (see the neardup-graph export)
+        stored = fh_ops.framehash_store_load(spark, args.store)
+        n = stored.count()
+        stored.write.mode("overwrite").parquet(args.output)
+        st = {"frame_rows": n}
     print(_json.dumps(st, sort_keys=True))
 
 
@@ -1176,11 +1357,62 @@ def main(argv: list[str] | None = None) -> None:
         "--tier", default=None, choices=list(_FP_TIERS),
         help="fingerprint family (build; pinned in meta thereafter)",
     )
-    fs.add_argument("--max-hamming", type=int, default=3)
+    fs.add_argument(
+        "--max-hamming", type=int, default=3,
+        help="dedup radius in bits (build; 0..3). The video tier "
+        "REQUIRES 0: its clip fingerprint is an avalanche digest, so "
+        "a nonzero Hamming radius is meaningless — near-dup video "
+        "matching uses video_neardup_pairs/video_matches_against",
+    )
     fs.add_argument("--text-col", default="text")
     fs.add_argument("--id-col", default="doc_id")
     fs.add_argument("--fp-col", default="fp")
     fs.add_argument("--grace-seconds", type=float, default=86400.0)
+
+    fhp = sub.add_parser(
+        "framehash-store",
+        help="maintain a persisted video frame-hash store "
+        "(near-dup clip dedup; history = n_frames hashes per clip)",
+    )
+    fhp.add_argument(
+        "action",
+        choices=["build", "refresh", "compact", "vacuum", "export", "stats"],
+    )
+    fhp.add_argument("store")
+    fhp.add_argument(
+        "--input", default=None,
+        help="media/frame-hash parquet (build/refresh)",
+    )
+    fhp.add_argument(
+        "--output", default=None,
+        help="accepted frame-hash destination (export)",
+    )
+    fhp.add_argument(
+        "--tier", default=None, choices=list(_FH_TIERS),
+        help="input shape: video decodes media payloads; raw passes a "
+        "precomputed (id, frame_no, dhash) table (build; pinned)",
+    )
+    fhp.add_argument(
+        "--max-hamming", type=int, default=1,
+        help="per-frame Hamming radius (build; 0..3)",
+    )
+    fhp.add_argument(
+        "--min-matching-frames", type=int, default=2,
+        help="distinct frame pairs within the radius that make two "
+        "clips duplicates (build)",
+    )
+    fhp.add_argument(
+        "--match-constant-frames", action="store_true",
+        help="include dHash-0 (blank) frames in matching — default "
+        "excludes them, the standard blank-frame filter (build)",
+    )
+    fhp.add_argument(
+        "--n-frames", type=int, default=8,
+        help="sampled frames per clip for the video tier (build; "
+        "pinned in meta and reused on refresh)",
+    )
+    fhp.add_argument("--id-col", default="media_id")
+    fhp.add_argument("--grace-seconds", type=float, default=86400.0)
 
     sq = sub.add_parser(
         "score-quality", help="score a corpus with a saved quality model"
@@ -1218,6 +1450,7 @@ def main(argv: list[str] | None = None) -> None:
         "score-quality": cmd_score_quality,
         "neardup-graph": cmd_neardup_graph,
         "fingerprint-store": cmd_fingerprint_store,
+        "framehash-store": cmd_framehash_store,
         "clean": cmd_clean,
         "compact": cmd_compact,
         "diff": cmd_diff,

@@ -618,6 +618,11 @@ def test_cli_fingerprint_store_tiers_and_refusals(tmp_path, spark, capsys):
     vstore = str(tmp_path / "vstore")
     main(["fingerprint-store", "build", vstore, "--input", vmedia,
           "--tier", "video", "--max-hamming", "0"])
+    # a nonzero radius on an avalanche clip digest is meaningless —
+    # refused at build, BEFORE any decode job (round-10 ADVICE)
+    with _pytest.raises(SystemExit, match="max-hamming 0"):
+        main(["fingerprint-store", "build", str(tmp_path / "vbad"),
+              "--input", vmedia, "--tier", "video"])
 
     raw = str(tmp_path / "rawfps")
     spark.createDataFrame(
@@ -637,6 +642,69 @@ def test_cli_fingerprint_store_tiers_and_refusals(tmp_path, spark, capsys):
         if ln.startswith("{")
     ]
     assert lines[-1]["accepted"] == 1  # custom columns survived refresh
+
+
+def test_cli_framehash_store_lifecycle(tmp_path, spark, capsys):
+    """framehash-store build(video tier) -> refresh -> compact ->
+    vacuum -> export -> stats through the CLI: refresh re-reads the
+    sampling parameter from meta (never argparse defaults), exported
+    table equals the library load, and non-build tuning flags refuse
+    loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.operators.framehash_store import (
+        framehash_store_load,
+    )
+    from big_data_hadoop_spark.operators.videohash import (
+        documents_as_video,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(40)
+    media = documents_as_video(docs, n_frames=2, width=8, height=8)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    media.filter("media_id % 2 = 0").write.parquet(a)
+    media.filter("media_id % 2 = 1").write.parquet(b)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    main(["framehash-store", "build", store, "--input", a,
+          "--tier", "video", "--n-frames", "2"])
+    main(["framehash-store", "refresh", store, "--input", b])
+    main(["framehash-store", "compact", store])
+    main(["framehash-store", "vacuum", store, "--grace-seconds", "0"])
+    main(["framehash-store", "export", store, "--output", out])
+    main(["framehash-store", "stats", store])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines[0]["batch"] == 0 and lines[0]["accepted"] > 0
+    assert lines[1]["batch"] == 1
+    assert lines[2]["batches_before"] == 2
+    assert lines[3]["removed"] == 2
+    lib = {
+        (r.media_id, r.frame_no, r.dhash)
+        for r in framehash_store_load(spark, store).collect()
+    }
+    exported = {
+        (r.media_id, r.frame_no, r.dhash)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert exported == lib and lines[4]["frame_rows"] == len(lib) > 0
+    assert lines[5]["family"] == "video"
+    assert lines[5]["extras"] == {"n_frames": 2}
+    assert lines[5]["batches"] == [2]
+    # tier conflict + non-build tuning flags refuse loudly
+    with _pytest.raises(SystemExit, match="pinned family"):
+        main(["framehash-store", "refresh", store, "--input", b,
+              "--tier", "raw"])
+    with _pytest.raises(SystemExit, match="only apply to 'build'"):
+        main(["framehash-store", "refresh", store, "--input", b,
+              "--min-matching-frames", "3"])
 
 
 def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
