@@ -1067,6 +1067,70 @@ def streaming_video_dedup(
     return writer.start()
 
 
+def streaming_embedding_dedup(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    embeddings=None,
+    available_now: bool = True,
+):
+    """Continuous SEMANTIC dedup against a persisted embedding store
+    (``operators.embedding_store``) — the last store-sink in the
+    family: each micro-batch is embedded by the caller-supplied
+    ``embeddings`` callable (a batch ``DataFrame -> (id, vec)`` frame;
+    pass ``None`` when the stream already carries the store's id and
+    vector columns) and refreshed into the store, which assigns rows
+    to the PINNED centroids and accepts only rows with no same-cell
+    cosine match at the pinned eps. The store IS the output: its id
+    set is the semantically-novel corpus, queryable mid-stream via
+    ``embedding_store_load``; ``embedding_store_matches`` is the
+    read-only novelty check.
+
+    Effectively-once on an at-least-once channel — the established
+    argument verbatim: replayed ids drop INSIDE the store's writer
+    claim (``drop_known=True``), previously-rejected rows are judged
+    again by the same history and rejected again, duplicate in-batch
+    ids collapse to one arbitrary row. The store must exist
+    (``embedding_store_build``) BEFORE wiring — the centroids and eps
+    are meta-pinned, so the stream can never move a cell boundary
+    mid-history. Per micro-batch cost: one embedding/assignment pass
+    over the batch (k x dim per row, no shuffle), one within-cell
+    equi-join against accepted history, one immutable append."""
+    from big_data_hadoop_spark.operators.embedding_store import (
+        embedding_store_refresh,
+    )
+    from big_data_hadoop_spark.sources import batch_store
+
+    meta = batch_store.read_meta(path, "embedding_store_build")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        emb = embeddings(batch) if embeddings is not None else batch
+        missing = [c for c in (id_col, vec_col) if c not in emb.columns]
+        if missing:
+            raise ValueError(
+                f"embedding frame has columns {emb.columns} — the "
+                f"store's pinned column(s) {missing} are missing; "
+                "return an (id, vector) frame matching the store's meta"
+            )
+        emb = emb.select(id_col, vec_col).dropDuplicates([id_col])
+        embedding_store_refresh(
+            spark, emb, path, drop_known=True, validate_ids=False
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_fingerprint_dedup(
     stream: DataFrame,
     path: str,

@@ -1,0 +1,373 @@
+"""Persisted embedding store (``operators.embedding_store``): greedy
+incremental SemDeDup semantics replicated by a pure-Python union-find
+oracle over the STORE's own pinned centroids, the cell-assignment rule
+pinned directly, crash/replay/validation behavior, the streaming sink
+drained against the greedy control, and the r10 probe composition on
+real testdata embeddings (the fingerprint/framehash-store battery,
+semantic tier)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hadoop_spark.operators.embedding_store import (
+    assign_cells,
+    embedding_store_build,
+    embedding_store_compact,
+    embedding_store_load,
+    embedding_store_matches,
+    embedding_store_refresh,
+    embedding_store_vacuum,
+)
+
+EPS = 0.9
+DIM = 4
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb) if na and nb else 0.0
+
+
+def _assign(v, centroids):
+    if not centroids:
+        return 0
+    best, cell = None, 0
+    for i, c in enumerate(centroids):
+        d = sum((x - y) * (x - y) for x, y in zip(v, c))
+        if best is None or d < best:
+            best, cell = d, i
+    return cell
+
+
+def _greedy(batches, centroids, eps=EPS):
+    """Per batch: drop zero-norm rows, reject rows with a same-cell
+    stored neighbor at cosine >= eps, union-find survivors on
+    same-cell pairs, keep min id per component."""
+    stored: dict[int, list] = {}
+    for batch in batches:
+        batch = {
+            i: v for i, v in batch.items() if any(x != 0 for x in v)
+        }
+        cells = {i: _assign(v, centroids) for i, v in batch.items()}
+        scells = {i: _assign(v, centroids) for i, v in stored.items()}
+        fresh = {
+            i: v
+            for i, v in batch.items()
+            if not any(
+                cells[i] == scells[j] and _cos(v, w) >= eps
+                for j, w in stored.items()
+            )
+        }
+        parent = {i: i for i in fresh}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(fresh)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                if cells[a] == cells[b] and _cos(fresh[a], fresh[b]) >= eps:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        for i, v in fresh.items():
+            if find(i) == i:
+                stored[i] = v
+    return stored
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+
+# one near-dup family (cos ~0.995), an orthogonal vector, a zero-norm
+# row; n_cells=1 in the crafted battery so cells are deterministic and
+# the within-cell rule is all-pairs (the KMeans path is exercised on
+# real data below)
+B1 = {1: (1, 0, 0, 0), 2: (0.95, 0.1, 0, 0), 3: (0, 1, 0, 0),
+      4: (0, 0, 0, 0)}
+B2 = {10: (0.97, 0.05, 0, 0), 11: (0, 0.99, 0.05, 0), 12: (0, 0, 1, 0)}
+
+
+def _grow(spark, tmp_path, name="s"):
+    path = str(tmp_path / name)
+    st0 = embedding_store_build(
+        spark, _emb_df(spark, B1), path, eps=EPS, n_cells=1, dim=DIM
+    )
+    st1 = embedding_store_refresh(spark, _emb_df(spark, B2), path)
+    return path, (st0, st1)
+
+
+def _centroids(path):
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)["centroids"]
+
+
+def _loaded(spark, path):
+    return {
+        r.vec_id: (r.cell, tuple(r.embedding))
+        for r in embedding_store_load(spark, path).collect()
+    }
+
+
+def test_grown_store_matches_greedy_oracle(spark, tmp_path):
+    path, (st0, st1) = _grow(spark, tmp_path)
+    cents = _centroids(path)
+    got = _loaded(spark, path)
+    want = _greedy([B1, B2], cents)
+    assert sorted(got) == sorted(want)
+    for i, (cell, emb) in got.items():
+        assert cell == _assign(want[i], cents)
+        assert emb == tuple(float(x) for x in want[i])
+    # stats add up; zero-norm disclosed
+    assert st0["zero_norm"] == 1 and st0["rejected_history"] == 0
+    assert st0["accepted"] + st0["rejected_within_batch"] == 3
+    assert st1["zero_norm"] == 0
+    assert (
+        st1["accepted"] + st1["rejected_history"]
+        + st1["rejected_within_batch"] == 3
+    )
+    # invariant: no two stored rows share a cell at cosine >= eps
+    ids = sorted(got)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = got[ids[i]], got[ids[j]]
+            assert not (
+                a[0] == b[0] and _cos(a[1], b[1]) >= EPS
+            ), (ids[i], ids[j])
+
+
+def test_assign_cells_rule_pinned(spark):
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = {1: (0.9, 0.2, 0, 0), 2: (0.1, 2.0, 0, 0), 3: (0, 0, 0, 0)}
+    got = {
+        r.vec_id: r.cell
+        for r in assign_cells(_emb_df(spark, rows), cents).collect()
+    }
+    assert got == {i: _assign(v, cents) for i, v in rows.items()}
+    # empty centroid list -> everything in cell 0
+    got0 = {
+        r.vec_id: r.cell
+        for r in assign_cells(_emb_df(spark, rows), []).collect()
+    }
+    assert set(got0.values()) == {0}
+
+
+def test_refusals_and_validation(spark, tmp_path):
+    path, _ = _grow(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        embedding_store_build(
+            spark, _emb_df(spark, B1), path, dim=DIM
+        )
+    with pytest.raises(ValueError, match="already accepted"):
+        embedding_store_refresh(spark, _emb_df(spark, B1), path)
+    before = _loaded(spark, path)
+    st = embedding_store_refresh(
+        spark, _emb_df(spark, B1), path, drop_known=True
+    )
+    assert _loaded(spark, path) == before and st["accepted"] == 0
+    with pytest.raises(ValueError, match="NULL ids"):
+        embedding_store_refresh(
+            spark,
+            spark.createDataFrame(
+                [(None, [1.0, 0.0, 0.0, 0.0])],
+                "vec_id long, embedding array<double>",
+            ),
+            path,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        embedding_store_refresh(
+            spark, _emb_df(spark, {50: (1, 1, 1, 1)}).unionAll(
+                _emb_df(spark, {50: (1, 1, 1, 1)})
+            ), path,
+        )
+    with pytest.raises(ValueError, match="dim is required"):
+        embedding_store_build(
+            spark, _emb_df(spark, B1), str(tmp_path / "bad")
+        )
+    with pytest.raises(ValueError, match="cosine threshold"):
+        embedding_store_build(
+            spark, _emb_df(spark, B1), str(tmp_path / "bad2"),
+            eps=1.5, dim=DIM,
+        )
+
+
+def test_meta_pins_params_and_centroids(spark, tmp_path):
+    path, _ = _grow(spark, tmp_path)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["eps"] == EPS and meta["dim"] == DIM
+    assert meta["id_col"] == "vec_id" and meta["vec_col"] == "embedding"
+    # n_cells=1 -> the pinned centroid IS the min-id build row
+    assert meta["centroids"] == [[1.0, 0.0, 0.0, 0.0]]
+
+
+def test_matches_read_path(spark, tmp_path):
+    path, _ = _grow(spark, tmp_path)
+    cents = _centroids(path)
+    stored = _greedy([B1, B2], cents)
+    probe = {90: (0.96, 0.08, 0, 0), 91: (0, 0, 0, 1), 92: (0, 0, 0, 0)}
+    got = sorted(
+        r.vec_id
+        for r in embedding_store_matches(
+            spark, _emb_df(spark, probe), path
+        ).collect()
+    )
+    want = sorted(
+        i
+        for i, v in probe.items()
+        if any(x != 0 for x in v)
+        and any(
+            _assign(v, cents) == _assign(w, cents)
+            and _cos(v, w) >= EPS
+            for w in stored.values()
+        )
+    )
+    assert got == want and 90 in got and 91 not in got
+
+
+def test_all_rejected_refresh_commits_no_slot(spark, tmp_path):
+    path, _ = _grow(spark, tmp_path)
+    with open(os.path.join(path, "meta.json")) as fh:
+        before = json.load(fh)["batches"]
+    st = embedding_store_refresh(
+        spark, _emb_df(spark, {90: (1, 0.01, 0, 0)}), path
+    )
+    assert st["batch"] is None and st["rejected_history"] == 1
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == before
+
+
+def test_compact_vacuum_and_crashed_compact(spark, tmp_path):
+    from unittest import mock
+
+    from big_data_hadoop_spark.sources import batch_store
+
+    path, _ = _grow(spark, tmp_path)
+    before = _loaded(spark, path)
+    with mock.patch.object(
+        batch_store, "write_meta", side_effect=RuntimeError("killed (test)")
+    ):
+        with pytest.raises(RuntimeError, match="killed"):
+            embedding_store_compact(spark, path)
+    assert _loaded(spark, path) == before
+    assert embedding_store_vacuum(path, grace_seconds=0.0)["removed"] == 1
+    st = embedding_store_compact(spark, path)
+    assert st["batches_before"] == 2 and st["embeddings"] == len(before)
+    assert _loaded(spark, path) == before
+    assert embedding_store_vacuum(path, grace_seconds=0.0)["removed"] == 2
+
+
+def test_streaming_sink_matches_greedy_and_replays(spark, tmp_path):
+    from big_data_hadoop_spark.streaming.pipelines import (
+        streaming_embedding_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    _emb_df(spark, B2).write.parquet(src)
+    B3 = {20: (0, 0, 0.99, 0.05), 21: (0.5, 0.5, 0.5, 0.5)}
+    _emb_df(spark, B3).write.mode("append").parquet(src)
+    path = str(tmp_path / "store")
+    embedding_store_build(
+        spark, _emb_df(spark, B1), path, eps=EPS, n_cells=1, dim=DIM
+    )
+    cents = _centroids(path)
+
+    schema = "vec_id long, embedding array<double>"
+    q = streaming_embedding_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        path, str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(180)
+    got = sorted(_loaded(spark, path))
+    want_two = sorted(_greedy([B1, B2, B3], cents))
+    want_one = sorted(_greedy([B1, {**B2, **B3}], cents))
+    assert got in (want_two, want_one)
+
+    q2 = streaming_embedding_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        path, str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    assert sorted(_loaded(spark, path)) == got
+
+
+def test_streaming_sink_validates_columns_and_store(spark, tmp_path):
+    from big_data_hadoop_spark.streaming.pipelines import (
+        streaming_embedding_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    _emb_df(spark, B2).write.parquet(src)
+    schema = "vec_id long, embedding array<double>"
+    with pytest.raises(FileNotFoundError, match="embedding_store_build"):
+        streaming_embedding_dedup(
+            spark.readStream.schema(schema).parquet(src),
+            str(tmp_path / "absent"), str(tmp_path / "c"),
+        )
+    path = str(tmp_path / "store")
+    embedding_store_build(
+        spark, _emb_df(spark, B1), path, eps=EPS, n_cells=1, dim=DIM
+    )
+    q = streaming_embedding_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        path, str(tmp_path / "ckpt"),
+        embeddings=lambda b: b.select(
+            "vec_id", F.col("embedding").alias("vec")
+        ),
+    )
+    with pytest.raises(Exception, match="pinned column"):
+        q.awaitTermination(180)
+
+
+def test_library_composition_matches_oracle_on_real_embeddings(
+    spark, tmp_path
+):
+    """The r10 probe composition (build evens at eps=0.4/8 cells/
+    dim=64, refresh odds, load) replicated on the real sf0.001
+    embeddings table: the library store is grown, then the greedy fold
+    is replayed in pure Python over the STORE's own pinned centroids —
+    no cross-fit determinism assumption, the meta IS the contract."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    rows = {
+        r.vec_id: tuple(float(x) for x in r.embedding)
+        for r in emb.collect()
+    }
+    evens = {i: v for i, v in rows.items() if i % 2 == 0}
+    odds = {i: v for i, v in rows.items() if i % 2 == 1}
+    path = str(tmp_path / "store")
+    embedding_store_build(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        path, eps=0.4, n_cells=8, dim=64,
+    )
+    embedding_store_refresh(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), path
+    )
+    cents = _centroids(path)
+    want = _greedy([evens, odds], cents, eps=0.4)
+    got = {
+        r.vec_id: r.cell
+        for r in embedding_store_load(spark, path).collect()
+    }
+    assert sorted(got) == sorted(want)
+    for i, cell in got.items():
+        assert cell == _assign(want[i], cents)
+    assert len(got) > 0
