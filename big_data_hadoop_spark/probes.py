@@ -183,6 +183,41 @@ def _shared_simhash_history(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def shared_exact_pairs_path(sf: str) -> str:
+    """Deterministic location of the per-corpus EXACT-verified minhash
+    pair table (``minhash_lsh_pairs`` at threshold 0.7 — the q58/q67/
+    q85 construction)."""
+    return _shared_store_path(
+        "exactpairs07", _corpus_fingerprint(sf, "documents")
+    )
+
+
+def _shared_exact_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """``minhash_lsh_pairs(docs, threshold=0.7)`` — the EXACT-verified
+    pair relation (output unchanged, operator unchanged) — computed at
+    most once per corpus and published as a derived parquet table
+    (content-keyed path, write-then-atomic-rename; a racing builder's
+    rename loss means an identical table already landed —
+    deterministic construction). The dedup-action probes (q58 cluster
+    rollup, q67 leakage-safe split, q85 star components) consume ONE
+    relation instead of re-verifying the same candidates three times;
+    the est-scored GRAPH probes ride the near-dup graph STORE instead
+    (different product: estimate edges, incremental maintenance)."""
+    import shutil
+
+    path = shared_exact_pairs_path(sf)
+    if not os.path.isdir(path):
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        pairs = minhash_lsh_pairs(docs, threshold=0.7)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pairs.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def shared_video_framehash_path(sf: str) -> str:
     """Deterministic location of the per-corpus video frame-hash table
     (documents rendered as 4-frame 12x12 GIFs, decoded and dHashed —
@@ -970,11 +1005,13 @@ def q58_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     propagation over q19's MinHash-LSH pairs; xxhash64-based + iterative
     — rows-only check, value-verified against Python union-find in
     pytest). One row per non-singleton cluster with its canonical id,
-    member count, and key-sorted member list."""
+    member count, and key-sorted member list. Round 10: the pair
+    relation loads from the per-corpus derived table
+    (``_shared_exact_pairs`` — same operator, same output, computed
+    once for q58/q67/q85)."""
     from big_data_hadoop_spark.operators.dedup import duplicate_clusters
 
-    docs = load_table(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    pairs = _shared_exact_pairs(spark, sf)
     cl = duplicate_clusters(pairs)
     return (
         cl.groupBy("cluster_id")
@@ -1137,15 +1174,13 @@ def q67_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     split — rows-only check; atomicity, determinism, and hash-split
     degradation are pinned in tests/test_split.py). Groups come from
     the q19/q58 MinHash-LSH duplicate clusters, so near-duplicate
-    documents can never straddle train and test."""
-    from big_data_hadoop_spark.operators.dedup import (
-        duplicate_clusters,
-        minhash_lsh_pairs,
-    )
+    documents can never straddle train and test. Round 10: pairs load
+    from the per-corpus derived table (see q58)."""
+    from big_data_hadoop_spark.operators.dedup import duplicate_clusters
     from big_data_hadoop_spark.pipeline import split_leakage_safe
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    clusters = duplicate_clusters(minhash_lsh_pairs(docs, threshold=0.7))
+    clusters = duplicate_clusters(_shared_exact_pairs(spark, sf))
     return (
         split_leakage_safe(
             docs, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters=clusters
@@ -1798,14 +1833,11 @@ def q85_star_clusters(spark: SparkSession, sf: str) -> DataFrame:
     AND to the jump method on these exact pairs in
     tests/test_clusters.py). Same pair relation as q58, resolved with
     ``method='star'`` — the O(log n)-alternation planet-scale scheme —
-    then aggregated to (cluster_id, n_members)."""
-    from big_data_hadoop_spark.operators.dedup import (
-        duplicate_clusters,
-        minhash_lsh_pairs,
-    )
+    then aggregated to (cluster_id, n_members). Round 10: pairs load
+    from the per-corpus derived table (see q58)."""
+    from big_data_hadoop_spark.operators.dedup import duplicate_clusters
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    pairs = _shared_exact_pairs(spark, sf)
     return (
         duplicate_clusters(pairs, method="star")
         .groupBy("cluster_id")
@@ -2582,6 +2614,61 @@ def r09_video_framehash_store(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r10_embedding_store(spark: SparkSession, sf: str) -> DataFrame:
+    """The persisted EMBEDDING store end-to-end — incremental SEMANTIC
+    dedup (round-10: the incremental-tier symmetry completion — exact
+    q64 / minhash q68 / simhash q93 / video r09 / embeddings here):
+    build from half the embeddings table (one bounded seeded KMeans
+    fit, centroids PINNED in meta; within-build SemDeDup at the q62
+    parameters eps=0.4, 8 cells), refresh with the other half — rows
+    are assigned to the PINNED centroids (no refit, no moving cell
+    boundaries), rejected on any same-cell cosine >= eps against the
+    accepted history, survivors near-dedup within the batch — then
+    load the accepted table. Output is (vec_id, cell) — the surviving
+    semantically-novel corpus and its pinned partition. Rows-only slot
+    (KMeans + iterative components aren't ANSI-SQL); the greedy
+    store contract is pinned against a pure-Python replication (cell
+    assignment + cosine + union-find over the STORE's own pinned
+    centroids) in tests/test_embedding_store.py, including this
+    probe's composition. Scale shape: history is the accepted
+    embedding rows themselves; per refresh one k x dim assignment pass
+    (no shuffle), one within-cell flat-column equi-join against
+    history (the measured ~10x `_flat` scoring path), one immutable
+    append."""
+    import shutil
+    import tempfile
+
+    from big_data_hadoop_spark.operators.embedding_store import (
+        embedding_store_build,
+        embedding_store_load,
+        embedding_store_refresh,
+    )
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="embedding_store_probe_")
+    try:
+        path = os.path.join(root, "store")
+        embedding_store_build(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            path,
+            eps=0.4,
+            n_cells=8,
+            dim=EMBED_DIM,
+        )
+        embedding_store_refresh(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), path
+        )
+        return (
+            embedding_store_load(spark, path)
+            .select("vec_id", "cell")
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2708,6 +2795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r07_video_gif_neardup": r07_video_gif_neardup,
     "r08_video_exact_store": r08_video_exact_store,
     "r09_video_framehash_store": r09_video_framehash_store,
+    "r10_embedding_store": r10_embedding_store,
 }
 
 _EN = ts.STOPWORDS["en"]

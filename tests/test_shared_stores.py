@@ -119,6 +119,26 @@ def test_graph_probes_equal_consumers_off_loaded_store(spark):
     assert got99 == want99 and len(got99) > 0
 
 
+def test_shared_exact_pairs_equal_direct_operator(spark):
+    """The cached derived table is the operator's own output, value
+    for value — q58/q67/q85 consume the identical relation they used
+    to build inline."""
+    from big_data_hadoop_spark.operators.dedup import minhash_lsh_pairs
+    from big_data_hadoop_spark.probes import _shared_exact_pairs
+    from big_data_hadoop_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = {
+        (r.id_a, r.id_b, r.jac)
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.jac)
+        for r in _shared_exact_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def _ham(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
