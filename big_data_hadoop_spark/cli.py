@@ -897,6 +897,110 @@ def cmd_framehash_store(args: argparse.Namespace) -> None:
     print(_json.dumps(st, sort_keys=True))
 
 
+def cmd_embedding_store(args: argparse.Namespace) -> None:
+    """Maintain a persisted embedding store
+    (``operators.embedding_store``): incremental semantic dedup with
+    centroids pinned at build. Input is an ``(id, embedding)`` parquet
+    table (``--id-col``/``--vec-col``, pinned in meta and re-read on
+    refresh). ``matches`` is the read-only novelty check: it prints
+    the ids of input rows the store would reject right now."""
+    import json as _json
+
+    from big_data_hadoop_spark.operators import embedding_store as es_ops
+
+    if args.action != "build":
+        defaults = {
+            "eps": 0.95,
+            "n_cells": 16,
+            "dim": None,
+            "id_col": "vec_id",
+            "vec_col": "embedding",
+            "seed": 42,
+        }
+        passed = [
+            f"--{k.replace('_', '-')}"
+            for k, d in defaults.items()
+            if getattr(args, k) != d
+        ]
+        if passed:
+            raise SystemExit(
+                f"{' '.join(passed)} only apply to 'build' — "
+                f"'{args.action}' takes every store parameter from "
+                "the store's meta.json (a mid-history change would "
+                "silently redefine what 'duplicate' means, or move a "
+                "cell boundary)"
+            )
+    if args.action == "vacuum":
+        st = es_ops.embedding_store_vacuum(
+            args.store, grace_seconds=args.grace_seconds
+        )
+        print(_json.dumps(st, sort_keys=True))
+        return
+    if args.action == "stats":
+        from big_data_hadoop_spark.sources import batch_store
+
+        meta = batch_store.read_meta(args.store, "embedding_store_build")
+        # centroids are k x dim floats — summarize, don't dump
+        meta["centroids"] = f"<{len(meta['centroids'])} pinned>"
+        print(_json.dumps(meta, sort_keys=True))
+        return
+    spark = _spark("embedding-store")
+    if args.action in ("build", "refresh", "matches"):
+        if not args.input:
+            raise SystemExit(
+                f"embedding-store {args.action} requires --input"
+            )
+        if args.action == "build":
+            if args.dim is None:
+                raise SystemExit(
+                    "embedding-store build requires --dim (the fixed "
+                    "embedding width; the flat scoring path needs it)"
+                )
+            df = _read_table_cli(spark, args.input).select(
+                F.col(args.id_col), F.col(args.vec_col)
+            )
+            st = es_ops.embedding_store_build(
+                spark,
+                df,
+                args.store,
+                eps=args.eps,
+                n_cells=args.n_cells,
+                dim=args.dim,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                seed=args.seed,
+            )
+        else:
+            from big_data_hadoop_spark.sources import batch_store
+
+            meta = batch_store.read_meta(
+                args.store, "embedding_store_build"
+            )
+            df = _read_table_cli(spark, args.input).select(
+                F.col(meta["id_col"]), F.col(meta["vec_col"])
+            )
+            if args.action == "refresh":
+                st = es_ops.embedding_store_refresh(spark, df, args.store)
+            else:  # matches: read-only, no writer claim
+                hits = es_ops.embedding_store_matches(
+                    spark, df, args.store
+                )
+                for r in hits.orderBy(meta["id_col"]).collect():
+                    print(r[0])
+                st = {"matches": hits.count()}
+    elif args.action == "compact":
+        st = es_ops.embedding_store_compact(spark, args.store)
+    else:  # export
+        if not args.output:
+            raise SystemExit("embedding-store export requires --output")
+        # count the store, then write (the neardup-graph export rule)
+        stored = es_ops.embedding_store_load(spark, args.store)
+        n = stored.count()
+        stored.write.mode("overwrite").parquet(args.output)
+        st = {"embeddings": n}
+    print(_json.dumps(st, sort_keys=True))
+
+
 def cmd_skew(args: argparse.Namespace) -> None:
     """Pre-flight skew report for a planned groupBy/join key
     (``operators.counts.diagnose_skew``): exact heavy hitters, key
@@ -1414,6 +1518,44 @@ def main(argv: list[str] | None = None) -> None:
     fhp.add_argument("--id-col", default="media_id")
     fhp.add_argument("--grace-seconds", type=float, default=86400.0)
 
+    es = sub.add_parser(
+        "embedding-store",
+        help="maintain a persisted embedding store "
+        "(incremental semantic dedup; centroids pinned at build)",
+    )
+    es.add_argument(
+        "action",
+        choices=[
+            "build", "refresh", "matches", "compact", "vacuum",
+            "export", "stats",
+        ],
+    )
+    es.add_argument("store")
+    es.add_argument(
+        "--input", default=None,
+        help="(id, embedding) parquet (build/refresh/matches)",
+    )
+    es.add_argument(
+        "--output", default=None,
+        help="accepted-embeddings destination (export)",
+    )
+    es.add_argument(
+        "--eps", type=float, default=0.95,
+        help="same-cell cosine duplicate threshold (build)",
+    )
+    es.add_argument(
+        "--n-cells", type=int, default=16,
+        help="IVF cells; hot cells are the skew lever (build)",
+    )
+    es.add_argument(
+        "--dim", type=int, default=None,
+        help="fixed embedding width (build; required)",
+    )
+    es.add_argument("--id-col", default="vec_id")
+    es.add_argument("--vec-col", default="embedding")
+    es.add_argument("--seed", type=int, default=42)
+    es.add_argument("--grace-seconds", type=float, default=86400.0)
+
     sq = sub.add_parser(
         "score-quality", help="score a corpus with a saved quality model"
     )
@@ -1451,6 +1593,7 @@ def main(argv: list[str] | None = None) -> None:
         "neardup-graph": cmd_neardup_graph,
         "fingerprint-store": cmd_fingerprint_store,
         "framehash-store": cmd_framehash_store,
+        "embedding-store": cmd_embedding_store,
         "clean": cmd_clean,
         "compact": cmd_compact,
         "diff": cmd_diff,

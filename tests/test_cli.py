@@ -707,6 +707,61 @@ def test_cli_framehash_store_lifecycle(tmp_path, spark, capsys):
               "--min-matching-frames", "3"])
 
 
+def test_cli_embedding_store_lifecycle(tmp_path, spark, capsys):
+    """embedding-store build -> refresh -> matches -> compact ->
+    vacuum -> export -> stats through the CLI; refresh/matches derive
+    columns from meta; non-build tuning flags refuse loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from big_data_hadoop_spark.operators.embedding_store import (
+        embedding_store_load,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    emb.filter("vec_id % 2 = 0").write.parquet(a)
+    emb.filter("vec_id % 2 = 1").write.parquet(b)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    main(["embedding-store", "build", store, "--input", a,
+          "--eps", "0.4", "--n-cells", "4", "--dim", "64"])
+    main(["embedding-store", "refresh", store, "--input", b])
+    main(["embedding-store", "matches", store, "--input", b])
+    main(["embedding-store", "compact", store])
+    main(["embedding-store", "vacuum", store, "--grace-seconds", "0"])
+    main(["embedding-store", "export", store, "--output", out])
+    main(["embedding-store", "stats", store])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines[0]["batch"] == 0 and lines[0]["accepted"] > 0
+    assert lines[1]["batch"] == 1
+    # every re-presented odd row is either already accepted (not a
+    # match against itself — known ids are only dropped on refresh,
+    # matches is read-only so accepted rows DO match themselves) or
+    # was rejected; matched count >= rejected count
+    assert lines[2]["matches"] > 0
+    assert lines[3]["batches_before"] == 2
+    assert lines[4]["removed"] == 2
+    n = embedding_store_load(spark, store).count()
+    assert lines[5]["embeddings"] == n > 0
+    assert spark.read.parquet(out).count() == n
+    assert lines[6]["eps"] == 0.4 and lines[6]["dim"] == 64
+    assert lines[6]["centroids"].startswith("<")
+    with _pytest.raises(SystemExit, match="only apply to 'build'"):
+        main(["embedding-store", "refresh", store, "--input", b,
+              "--eps", "0.5"])
+    with _pytest.raises(SystemExit, match="requires --dim"):
+        main(["embedding-store", "build", str(tmp_path / "s2"),
+              "--input", a])
+
+
 def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
     """refresh/compact/vacuum/export take every store parameter from
     meta.json; an explicitly-passed tuning flag is a silent no-op
