@@ -335,6 +335,54 @@ def test_streaming_sink_validates_columns_and_store(spark, tmp_path):
         q.awaitTermination(180)
 
 
+def test_concurrent_refreshes_serialize_and_both_commit(spark, tmp_path):
+    """Two refreshes racing on one store SERIALIZE on the writer claim
+    and both commit in distinct slots; the grown store equals the
+    greedy fold under ONE of the two serialization orders, and the
+    same-cell spacing invariant holds either way. The crafted batches
+    are mutually non-matching so BOTH always commit a slot (a fully-
+    rejected batch legitimately commits none — the no-empty-slot rule,
+    pinned elsewhere)."""
+    import threading
+
+    B3 = {20: (0.7, 0.7, 0, 0), 21: (0, 0, 0, 1)}
+    path = str(tmp_path / "s")
+    embedding_store_build(
+        spark, _emb_df(spark, B1), path, eps=EPS, n_cells=1, dim=DIM
+    )
+    cents = _centroids(path)
+    errs = []
+
+    def refresh(rows):
+        try:
+            embedding_store_refresh(spark, _emb_df(spark, rows), path)
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [
+        threading.Thread(target=refresh, args=(r,)) for r in (B2, B3)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0, 1, 2]
+    got = {i: v for i, (_, v) in _loaded(spark, path).items()}
+    assert sorted(got) in (
+        sorted(_greedy([B1, B2, B3], cents)),
+        sorted(_greedy([B1, B3, B2], cents)),
+    )
+    ids = sorted(got)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            assert not (
+                _assign(got[ids[i]], cents) == _assign(got[ids[j]], cents)
+                and _cos(got[ids[i]], got[ids[j]]) >= EPS
+            )
+
+
 def test_library_composition_matches_oracle_on_real_embeddings(
     spark, tmp_path
 ):

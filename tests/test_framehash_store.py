@@ -296,6 +296,69 @@ def test_streaming_sink_validates_columns_and_store(spark, tmp_path):
         q.awaitTermination(180)
 
 
+def test_concurrent_refreshes_serialize_and_both_commit(spark, tmp_path):
+    """Two refreshes racing on one store SERIALIZE on the writer claim
+    and both commit in distinct slots; the grown store equals the
+    greedy fold under ONE of the two serialization orders (greedy
+    outcomes are order-dependent BY CONTRACT — the disclosed
+    keep-first semantics — but never corrupt: the no-two-stored-clips-
+    match invariant holds either way)."""
+    import threading
+
+    B3 = {30: {0: 1 << 45, 1: 1 << 46, 2: 1 << 47}}
+    path = str(tmp_path / "s")
+    framehash_store_build(
+        spark, _fh_df(spark, B1), path,
+        max_hamming=RADIUS, min_matching_frames=MIN_FRAMES,
+        drop_constant=DROP_CONSTANT,
+    )
+    errs = []
+
+    def refresh(clips):
+        try:
+            framehash_store_refresh(spark, _fh_df(spark, clips), path)
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [
+        threading.Thread(target=refresh, args=(c,)) for c in (B2, B3)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0, 1, 2]
+    got = _loaded(spark, path)
+    assert got in (_greedy([B1, B2, B3]), _greedy([B1, B3, B2]))
+    ids = sorted(got)
+    assert all(
+        not _match(got[a], got[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+    )
+
+
+def test_reader_isolated_from_concurrent_refresh(spark, tmp_path):
+    """A frame loaded before a refresh keeps returning its own meta
+    generation after the refresh commits (immutable batch dirs — the
+    no-swap-window reader contract, pinned per store)."""
+    path = str(tmp_path / "s")
+    framehash_store_build(
+        spark, _fh_df(spark, B1), path,
+        max_hamming=RADIUS, min_matching_frames=MIN_FRAMES,
+        drop_constant=DROP_CONSTANT,
+    )
+    held = framehash_store_load(spark, path)
+    before = {(r.media_id, r.frame_no, r.dhash) for r in held.collect()}
+    framehash_store_refresh(spark, _fh_df(spark, B2), path)
+    assert {
+        (r.media_id, r.frame_no, r.dhash) for r in held.collect()
+    } == before
+    assert len(_loaded(spark, path)) > len({i for i, _, _ in before})
+
+
 def test_probe_r09_matches_greedy_oracle(spark):
     """The r09 probe composition (shared frame-hash table -> build on
     evens -> refresh odds -> load) replicated with the pure-Python
