@@ -802,6 +802,7 @@ def cmd_framehash_store(args: argparse.Namespace) -> None:
             "n_frames": 8,
             "id_col": "media_id",
             "match_constant_frames": False,
+            "max_frame_df": None,
         }
         passed = [
             f"--{k.replace('_', '-')}"
@@ -851,6 +852,7 @@ def cmd_framehash_store(args: argparse.Namespace) -> None:
                 max_hamming=args.max_hamming,
                 min_matching_frames=args.min_matching_frames,
                 drop_constant=not args.match_constant_frames,
+                max_frame_df=args.max_frame_df,
                 id_col=id_col,
                 family=args.tier,
                 extras=(
@@ -1514,6 +1516,12 @@ def main(argv: list[str] | None = None) -> None:
         "--n-frames", type=int, default=8,
         help="sampled frames per clip for the video tier (build; "
         "pinned in meta and reused on refresh)",
+    )
+    fhp.add_argument(
+        "--max-frame-df", type=int, default=None,
+        help="boilerplate-frame valve: exclude frame-hash values "
+        "appearing in more than this many clips from matching "
+        "(intro/outro cards manufacture quadratic pairs; build)",
     )
     fhp.add_argument("--id-col", default="media_id")
     fhp.add_argument("--grace-seconds", type=float, default=86400.0)

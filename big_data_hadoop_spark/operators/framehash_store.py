@@ -109,6 +109,7 @@ def _accept(
     max_hamming: int,
     min_frames: int,
     drop_constant: bool,
+    max_frame_df: int | None,
     id_col: str,
     stats: dict,
 ) -> DataFrame:
@@ -132,6 +133,7 @@ def _accept(
             min_matching_frames=min_frames,
             id_col=id_col,
             drop_constant=drop_constant,
+            max_frame_df=max_frame_df,
         ).localCheckpoint(eager=True)
         fresh = norm.join(hits, id_col, "left_anti").localCheckpoint(
             eager=True
@@ -148,6 +150,7 @@ def _accept(
         min_matching_frames=min_frames,
         id_col=id_col,
         drop_constant=drop_constant,
+        max_frame_df=max_frame_df,
     ).select("id_a", "id_b")
     clips = fresh.select(id_col).distinct()
     keep = dedup_by_clusters(clips, pairs, id_col=id_col)
@@ -167,6 +170,7 @@ def framehash_store_build(
     max_hamming: int = 1,
     min_matching_frames: int = 2,
     drop_constant: bool = True,
+    max_frame_df: int | None = None,
     id_col: str = "media_id",
     validate_ids: bool = True,
     family: str | None = None,
@@ -190,6 +194,8 @@ def framehash_store_build(
         raise ValueError("max_hamming must be in 0..3 (4x16-bit banding)")
     if min_matching_frames < 1:
         raise ValueError("min_matching_frames must be >= 1")
+    if max_frame_df is not None and max_frame_df < 1:
+        raise ValueError("max_frame_df must be >= 1 (or None)")
     if os.path.exists(batch_store.meta_path(path)):
         # instant filesystem refusal BEFORE any Spark scan
         raise ValueError(
@@ -209,7 +215,7 @@ def framehash_store_build(
         stats: dict = {}
         accepted = _accept(
             fh, None, max_hamming, min_matching_frames, drop_constant,
-            id_col, stats,
+            max_frame_df, id_col, stats,
         )
         out = batch_store.batch_dirs(path, "fh", [0])[0]
         accepted.write.mode("overwrite").parquet(out)
@@ -221,6 +227,9 @@ def framehash_store_build(
             "max_hamming": int(max_hamming),
             "min_matching_frames": int(min_matching_frames),
             "drop_constant": bool(drop_constant),
+            "max_frame_df": (
+                int(max_frame_df) if max_frame_df is not None else None
+            ),
             "id_col": id_col,
             "family": family,
             "extras": dict(extras or {}),
@@ -261,6 +270,9 @@ def framehash_store_refresh(
         max_hamming, min_frames, drop_constant, id_col = (
             meta[k] for k in _PARAM_KEYS
         )
+        # pre-round-10 stores have no max_frame_df key: None (pure
+        # contract), exactly what they were built under
+        max_frame_df = meta.get("max_frame_df")
         batches = list(meta["batches"])
         if fh.isEmpty():
             return {"batch": None, "accepted": 0}
@@ -295,8 +307,8 @@ def framehash_store_refresh(
                 )
         stats: dict = {}
         accepted = _accept(
-            fh, prior, max_hamming, min_frames, drop_constant, id_col,
-            stats,
+            fh, prior, max_hamming, min_frames, drop_constant,
+            max_frame_df, id_col, stats,
         )
         if accepted.isEmpty():
             return {"batch": None, "accepted": 0, **stats}

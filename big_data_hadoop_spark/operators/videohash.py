@@ -104,12 +104,35 @@ def video_dhash(
     )
 
 
+def _drop_hot_frames(
+    fh: DataFrame, max_frame_df: int, id_col: str
+) -> DataFrame:
+    """Boilerplate-frame valve (the BM25 ``max_df`` pattern, round
+    10): drop frame-hash VALUES appearing in more than ``max_frame_df``
+    distinct clips. ``drop_constant`` kills dHash-0 blanks, but a
+    NON-blank frame shared corpus-wide — an intro card, an outro
+    slate, a channel watermark frame — carries no clip identity
+    either, and in pair space it manufactures output quadratic in its
+    clip count (every pair of clips sharing TWO such frames "matches").
+    One keyed count over the frame rows; the dropped values are
+    content-free by construction, a disclosed drop like the blank
+    filter."""
+    hot = (
+        fh.groupBy("dhash")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > int(max_frame_df))
+        .select("dhash")
+    )
+    return fh.join(hot, "dhash", "left_anti")
+
+
 def video_neardup_pairs(
     fh: DataFrame,
     max_hamming: int = 2,
     min_matching_frames: int = 2,
     id_col: str = "media_id",
     drop_constant: bool = False,
+    max_frame_df: int | None = None,
 ) -> DataFrame:
     """Clip-level near-dup pairs from precomputed frame hashes →
     ``(id_a, id_b, n_frame_matches, min_hamming)``, ``id_a < id_b``,
@@ -126,13 +149,26 @@ def video_neardup_pairs(
     dedup: two unrelated clips sharing black lead-ins would otherwise
     "match" on content-free frames, and a popular blank hash is also a
     banding hot bucket. Off by default (the pure contract — the
-    brute-force tests pin it); the r07 probe runs with it on."""
+    brute-force tests pin it); the r07 probe runs with it on.
+
+    ``max_frame_df`` extends the same argument to NON-blank
+    boilerplate (:func:`_drop_hot_frames`): a frame-hash value in more
+    than that many distinct clips is excluded from matching — without
+    it, a corpus-wide intro+outro pair makes EVERY clip pair "match"
+    and the output (and the value-pair expansion join) goes quadratic
+    in the corpus, the round-10 scale-hazard audit finding. ``None``
+    (default) keeps the pure contract; per matched value the pair
+    output is bounded by ``max_frame_df``^2."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     if min_matching_frames < 1:
         raise ValueError("min_matching_frames must be >= 1")
+    if max_frame_df is not None and max_frame_df < 1:
+        raise ValueError("max_frame_df must be >= 1 (or None)")
     if drop_constant:
         fh = fh.filter(F.col("dhash") != 0)
+    if max_frame_df is not None:
+        fh = _drop_hot_frames(fh, max_frame_df, id_col)
     fp = fh.select(
         F.struct(
             F.col(id_col).alias("clip"), F.col("frame_no").alias("f")
@@ -191,6 +227,7 @@ def video_matches_against(
     min_matching_frames: int = 2,
     id_col: str = "media_id",
     drop_constant: bool = False,
+    max_frame_df: int | None = None,
 ) -> DataFrame:
     """Incremental tier for clip NEAR-dups (the ``image_matches_against``
     symmetry; the exact tier goes through :func:`video_clip_fingerprint`
@@ -205,14 +242,23 @@ def video_matches_against(
     then one keyed rollup per (batch clip, stored clip).
     ``drop_constant`` excludes dHash-0 frames on BOTH sides (the
     :func:`video_neardup_pairs` blank-frame filter — content-free
-    frames otherwise match every clip with a black lead-in)."""
+    frames otherwise match every clip with a black lead-in);
+    ``max_frame_df`` applies the boilerplate-frame valve
+    (:func:`_drop_hot_frames`) to both sides INDEPENDENTLY, so per
+    matched value the expansion join's output is bounded by
+    ``max_frame_df`` on each side."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     if min_matching_frames < 1:
         raise ValueError("min_matching_frames must be >= 1")
+    if max_frame_df is not None and max_frame_df < 1:
+        raise ValueError("max_frame_df must be >= 1 (or None)")
     if drop_constant:
         fh = fh.filter(F.col("dhash") != 0)
         stored_fh = stored_fh.filter(F.col("dhash") != 0)
+    if max_frame_df is not None:
+        fh = _drop_hot_frames(fh, max_frame_df, id_col)
+        stored_fh = _drop_hot_frames(stored_fh, max_frame_df, id_col)
     new = fh.select(
         F.col(id_col).alias("_nid"),
         F.col("frame_no").alias("_nf"),

@@ -188,7 +188,40 @@ def test_meta_pins_params(spark, tmp_path):
     assert meta["max_hamming"] == RADIUS
     assert meta["min_matching_frames"] == MIN_FRAMES
     assert meta["drop_constant"] is DROP_CONSTANT
+    assert meta["max_frame_df"] is None  # pure contract by default
     assert meta["id_col"] == "media_id"
+
+
+def test_max_frame_df_pinned_and_honored_on_refresh(spark, tmp_path):
+    """A store built with the boilerplate-frame valve pins it in meta
+    and applies it on refresh: a batch clip sharing ONLY the
+    corpus-wide intro/outro with history is accepted (novel content),
+    while a true re-encode of a stored clip is rejected."""
+    INTRO, OUTRO = 1 << 20, 1 << 40
+    hist = {
+        c: {0: INTRO, 1: (1 << (2 * c)) | 1, 2: (1 << (2 * c)) | 3,
+            3: OUTRO}
+        for c in range(1, 9)
+    }
+    path = str(tmp_path / "s")
+    st = framehash_store_build(
+        spark, _fh_df(spark, hist), path,
+        max_hamming=0, min_matching_frames=2, drop_constant=False,
+        max_frame_df=4,
+    )
+    # without the valve every clip pair would match on INTRO+OUTRO and
+    # one clip would survive; with it all 8 are mutually novel
+    assert st["accepted"] == 8 and st["rejected_within_batch"] == 0
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["max_frame_df"] == 4
+    batch = {
+        100: {0: INTRO, 1: 1 << 55, 2: 1 << 56, 3: OUTRO},  # novel
+        101: dict(hist[1]),  # re-encode of stored clip 1
+    }
+    st2 = framehash_store_refresh(spark, _fh_df(spark, batch), path)
+    assert st2["accepted"] == 1 and st2["rejected_history"] == 1
+    got = _loaded(spark, path)
+    assert 100 in got and 101 not in got
 
 
 def test_all_rejected_refresh_commits_no_slot(spark, tmp_path):

@@ -259,6 +259,72 @@ def test_video_matches_against_brute_force(spark):
     assert got == want and 100 in got and 102 not in got
 
 
+def test_max_frame_df_valve_drops_boilerplate_frames(spark):
+    """The boilerplate-frame valve (round 10): two frame-hash values
+    shared by EVERY clip (intro/outro cards) make all C(n,2) pairs
+    'match' without the valve; with it, only the genuinely-similar
+    pair (two shared low-df frames) survives — equal to brute force
+    over the df-filtered frame set."""
+    from big_data_hadoop_spark.operators.videohash import (
+        video_matches_against,
+        video_neardup_pairs,
+    )
+
+    INTRO, OUTRO = 1 << 20, 1 << 40
+    n = 10
+    clips = {}
+    for c in range(1, n + 1):
+        clips[c] = {0: INTRO, 1: (1 << c) | 1, 2: (1 << c) | 3, 3: OUTRO}
+    # a genuine near-dup pair: clips 1 and 2 also share their two
+    # middle frames (df=2, under any sane cap)
+    clips[2][1], clips[2][2] = clips[1][1], clips[1][2]
+
+    def fh_df(cs):
+        rows = [
+            (cid, i, h)
+            for cid, frames in cs.items()
+            for i, h in sorted(frames.items())
+        ]
+        return spark.createDataFrame(
+            rows, "media_id long, frame_no int, dhash long"
+        )
+
+    kw = dict(max_hamming=0, min_matching_frames=2)
+    unvalved = video_neardup_pairs(fh_df(clips), **kw)
+    assert unvalved.count() == n * (n - 1) // 2  # quadratic output
+    valved = {
+        (r.id_a, r.id_b)
+        for r in video_neardup_pairs(
+            fh_df(clips), max_frame_df=5, **kw
+        ).collect()
+    }
+    assert valved == {(1, 2)}
+    # a value at exactly the cap is kept
+    at_cap = {
+        (r.id_a, r.id_b)
+        for r in video_neardup_pairs(
+            fh_df(clips), max_frame_df=n, **kw
+        ).collect()
+    }
+    assert len(at_cap) == n * (n - 1) // 2
+
+    # incremental tier: history carries the same boilerplate
+    hist = {100 + c: dict(clips[c]) for c in range(1, n + 1)}
+    batch = {200: {0: INTRO, 1: 1 << 55, 2: 1 << 56, 3: OUTRO},
+             201: dict(clips[1])}
+    got = {
+        r.media_id
+        for r in video_matches_against(
+            fh_df(batch), fh_df(hist), max_frame_df=5, **kw
+        ).collect()
+    }
+    # 200 shares only boilerplate -> no match; 201 is a true re-encode
+    # of stored clip 101 (its identity frames have df 2 per side)
+    assert got == {201}
+    with pytest.raises(ValueError, match="max_frame_df"):
+        video_neardup_pairs(fh_df(clips), max_frame_df=0, **kw)
+
+
 def test_video_clip_fingerprint_exact_tier(spark, tmp_path):
     from big_data_hadoop_spark.operators.fingerprint_store import (
         fingerprint_store_build,
