@@ -2012,9 +2012,10 @@ def q92_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 def q93_simhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental SimHash dedup against a stored fingerprint history
-    (rows-only slot — xxhash64 fingerprints; pinned in
+    (rows-only slot — xxhash64 fingerprints; the operator is pinned in
     tests/test_minhash_incremental.py against a brute-force Hamming +
-    union-find replication over the same fingerprints). Completes the
+    union-find replication, and THIS probe's store-backed composition
+    in tests/test_shared_stores.py). Completes the
     incremental tier symmetry the registry already exercises: exact
     digests (q64), MinHash signatures (q68), and — here — ONE 8-byte
     fingerprint per past document, the cheapest history of the three.
