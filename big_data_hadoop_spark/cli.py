@@ -510,12 +510,24 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
         print(_json.dumps(ng_ops._read_meta(args.store), sort_keys=True))
         return
     spark = _spark("neardup-graph")
-    if args.action in ("build", "refresh"):
+    if args.action in ("build", "refresh", "matches"):
         if not args.input:
             raise SystemExit(
                 f"neardup-graph {args.action} requires --input"
             )
-        if args.action == "build":
+        if args.action == "matches":
+            # read-only novelty check: matches of the batch against the
+            # stored signature history, no writer claim
+            meta = ng_ops._read_meta(args.store)
+            docs = _read_table_cli(spark, args.input).select(
+                meta["id_col"], meta["text_col"]
+            )
+            hits = ng_ops.neardup_graph_matches(spark, docs, args.store)
+            rows = hits.orderBy(meta["id_col"], "prior_id").collect()
+            for r in rows:
+                print(f"{r[0]}\t{r[1]}\t{r[2]:.6f}")
+            st = {"matches": len(rows)}
+        elif args.action == "build":
             docs = _read_table_cli(spark, args.input).select(
                 args.id_col, args.text_col
             )
@@ -678,7 +690,7 @@ def cmd_fingerprint_store(args: argparse.Namespace) -> None:
         )
         return
     spark = _spark("fingerprint-store")
-    if args.action in ("build", "refresh"):
+    if args.action in ("build", "refresh", "matches"):
         if not args.input:
             raise SystemExit(
                 f"fingerprint-store {args.action} requires --input"
@@ -743,7 +755,20 @@ def cmd_fingerprint_store(args: argparse.Namespace) -> None:
                 "text_col", args.text_col
             )
             fp, _ = _fp_tier_frame(spark, tier, args.input, args)
-            st = fs_ops.fingerprint_store_refresh(spark, fp, args.store)
+            if args.action == "matches":
+                # read-only novelty check: ids the store would reject
+                rows = (
+                    fs_ops.fingerprint_store_matches(spark, fp, args.store)
+                    .orderBy(meta["id_col"])
+                    .collect()
+                )
+                for r in rows:
+                    print(r[0])
+                st = {"matches": len(rows)}
+            else:
+                st = fs_ops.fingerprint_store_refresh(
+                    spark, fp, args.store
+                )
     elif args.action == "compact":
         st = fs_ops.fingerprint_store_compact(spark, args.store)
     else:  # export
@@ -833,7 +858,7 @@ def cmd_framehash_store(args: argparse.Namespace) -> None:
         )
         return
     spark = _spark("framehash-store")
-    if args.action in ("build", "refresh"):
+    if args.action in ("build", "refresh", "matches"):
         if not args.input:
             raise SystemExit(
                 f"framehash-store {args.action} requires --input"
@@ -885,7 +910,19 @@ def cmd_framehash_store(args: argparse.Namespace) -> None:
                 "n_frames", args.n_frames
             )
             fh, _ = _fh_tier_frame(spark, tier, args.input, args)
-            st = fh_ops.framehash_store_refresh(spark, fh, args.store)
+            if args.action == "matches":
+                # read-only novelty check: clip ids the store would
+                # reject at its pinned parameters
+                rows = (
+                    fh_ops.framehash_store_matches(spark, fh, args.store)
+                    .orderBy(meta["id_col"])
+                    .collect()
+                )
+                for r in rows:
+                    print(r[0])
+                st = {"matches": len(rows)}
+            else:
+                st = fh_ops.framehash_store_refresh(spark, fh, args.store)
     elif args.action == "compact":
         st = fh_ops.framehash_store_compact(spark, args.store)
     else:  # export
@@ -1425,7 +1462,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     ng.add_argument(
         "action",
-        choices=["build", "refresh", "compact", "vacuum", "export", "stats"],
+        choices=[
+            "build", "refresh", "matches", "compact", "vacuum",
+            "export", "stats",
+        ],
     )
     ng.add_argument("store")
     ng.add_argument(
@@ -1448,7 +1488,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     fs.add_argument(
         "action",
-        choices=["build", "refresh", "compact", "vacuum", "export", "stats"],
+        choices=[
+            "build", "refresh", "matches", "compact", "vacuum",
+            "export", "stats",
+        ],
     )
     fs.add_argument("store")
     fs.add_argument(
@@ -1482,7 +1525,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     fhp.add_argument(
         "action",
-        choices=["build", "refresh", "compact", "vacuum", "export", "stats"],
+        choices=[
+            "build", "refresh", "matches", "compact", "vacuum",
+            "export", "stats",
+        ],
     )
     fhp.add_argument("store")
     fhp.add_argument(

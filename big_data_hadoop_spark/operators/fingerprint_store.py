@@ -310,6 +310,31 @@ def fingerprint_store_load(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def fingerprint_store_matches(
+    spark: SparkSession, fps: DataFrame, path: str
+) -> DataFrame:
+    """Read-only novelty check (round 10 — the store-family `matches`
+    verb): ids of ``fps`` (``(id_col, fp_col)`` per the store's meta)
+    that WOULD be rejected against the store right now — within the
+    pinned Hamming radius of ANY accepted fingerprint. No writer
+    claim, no mutation; the decontamination / pre-ingest filter read
+    path. NULL fingerprints never match (an un-fingerprintable blob
+    can't collide)."""
+    meta = batch_store.read_meta(path, _HINT)
+    id_col, fp_col = meta["id_col"], meta["fp_col"]
+    stored = fingerprint_store_load(spark, path).select(
+        F.col(fp_col).alias("simhash")
+    )
+    return simhash_matches_against(
+        fps.select(F.col(id_col), F.col(fp_col).alias("simhash")).filter(
+            F.col("simhash").isNotNull()
+        ),
+        stored,
+        max_hamming=meta["max_hamming"],
+        id_col=id_col,
+    )
+
+
 def fingerprint_store_compact(spark: SparkSession, path: str) -> dict:
     """Fold all committed batch directories into one slot →
     ``{"batches_before": k, "fingerprints": n}`` (the shared

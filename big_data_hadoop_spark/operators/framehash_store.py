@@ -333,6 +333,26 @@ def framehash_store_load(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def framehash_store_matches(
+    spark: SparkSession, fh: DataFrame, path: str
+) -> DataFrame:
+    """Read-only novelty check (the store-family `matches` verb): clip
+    ids of ``fh`` (``(id_col, frame_no, dhash)``) that WOULD be
+    rejected against the stored history right now, under the store's
+    pinned (radius, min matching frames, blank-frame, boilerplate-
+    valve) parameters. No writer claim, no mutation."""
+    meta = batch_store.read_meta(path, _HINT)
+    return video_matches_against(
+        fh,
+        framehash_store_load(spark, path),
+        max_hamming=meta["max_hamming"],
+        min_matching_frames=meta["min_matching_frames"],
+        id_col=meta["id_col"],
+        drop_constant=meta["drop_constant"],
+        max_frame_df=meta.get("max_frame_df"),
+    )
+
+
 def framehash_store_compact(spark: SparkSession, path: str) -> dict:
     """Fold all committed batch directories into one slot →
     ``{"batches_before": k, "frame_rows": n}`` (shared protocol;

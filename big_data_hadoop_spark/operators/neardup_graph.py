@@ -403,6 +403,34 @@ def neardup_graph_vacuum(
     )
 
 
+def neardup_graph_matches(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Read-only novelty check (the store-family `matches` verb):
+    ``(id, prior_id, jac_est)`` matches of a document batch against
+    the STORED signature history at the store's pinned parameters —
+    one signature pass over the batch text, band join against stored
+    signatures, no writer claim, no mutation. The decontamination /
+    pre-ingest filter read path; ``neardup_graph_refresh`` computes
+    exactly these matches when the batch is actually ingested."""
+    meta = _read_meta(path)
+    sigs = minhash_signatures(
+        df,
+        n=meta["n"],
+        num_perm=meta["num_perm"],
+        text_col=meta["text_col"],
+        id_col=meta["id_col"],
+    )
+    return minhash_matches_against(
+        sigs,
+        neardup_graph_signatures(spark, path),
+        num_perm=meta["num_perm"],
+        bands=meta["bands"],
+        threshold=meta["threshold"],
+        id_col=meta["id_col"],
+    )
+
+
 def neardup_graph_signatures(spark: SparkSession, path: str) -> DataFrame:
     """The stored signature history → ``(id, sig)``: the
     ``prior_sigs`` input for ``minhash_dedup_against`` /

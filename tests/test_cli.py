@@ -529,6 +529,11 @@ def test_cli_neardup_graph_refresh_honors_meta_columns(
     ]
     assert lines[0]["batch"] == 0 and lines[0]["docs"] > 0
     assert lines[1]["batch"] == 1 and lines[1]["docs"] > 0
+    # read-only matches: ingested docs match themselves in the history
+    main(["neardup-graph", "matches", store, "--input", a])
+    out = capsys.readouterr().out
+    m = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+    assert m[-1]["matches"] > 0
 
 
 def test_cli_fingerprint_store_simhash_lifecycle(tmp_path, spark, capsys):
@@ -579,6 +584,11 @@ def test_cli_fingerprint_store_simhash_lifecycle(tmp_path, spark, capsys):
     assert lines[5]["family"] == "simhash"
     # post-compact manifest: one slot (build 0 + refresh 1 folded -> 2)
     assert lines[5]["id_col"] == "item_id" and lines[5]["batches"] == [2]
+    # read-only novelty check rides the same meta-derived tier plumbing
+    main(["fingerprint-store", "matches", store, "--input", a])
+    out = capsys.readouterr().out
+    m = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+    assert m[-1]["matches"] > 0
 
 
 def test_cli_fingerprint_store_tiers_and_refusals(tmp_path, spark, capsys):
@@ -705,6 +715,11 @@ def test_cli_framehash_store_lifecycle(tmp_path, spark, capsys):
     with _pytest.raises(SystemExit, match="only apply to 'build'"):
         main(["framehash-store", "refresh", store, "--input", b,
               "--min-matching-frames", "3"])
+    # read-only novelty check: already-accepted clips match themselves
+    main(["framehash-store", "matches", store, "--input", a])
+    out = capsys.readouterr().out
+    m = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+    assert m[-1]["matches"] > 0
 
 
 def test_cli_embedding_store_lifecycle(tmp_path, spark, capsys):

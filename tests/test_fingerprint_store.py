@@ -298,6 +298,37 @@ def test_probe_r06_matches_greedy_oracle(spark):
     assert got == want and len(got) > 0
 
 
+def test_matches_read_path(spark, tmp_path):
+    """fingerprint_store_matches: ids within the pinned radius of any
+    accepted fingerprint, read-only (store untouched), NULL fps never
+    match — equal to the brute-force rule over the loaded store."""
+    from big_data_hadoop_spark.operators.fingerprint_store import (
+        fingerprint_store_matches,
+    )
+
+    path, _ = _grow(spark, tmp_path)
+    stored = {
+        f for _, f in
+        ((r.media_id, r.fp)
+         for r in fingerprint_store_load(spark, path).collect())
+    }
+    probe = [(90, 0b1111 ^ 0b1), (91, 5 << 55), (92, None)]
+    got = sorted(
+        r.media_id
+        for r in fingerprint_store_matches(
+            spark, _fp_df(spark, probe), path
+        ).collect()
+    )
+    want = sorted(
+        i for i, f in probe
+        if f is not None and any(_ham(f, s) <= RADIUS for s in stored)
+    )
+    assert got == want and 90 in got and 92 not in got
+    # read-only: manifest unchanged
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0, 1]
+
+
 def test_probe_r08_matches_greedy_oracle(spark):
     """The r08 probe composition (clip fingerprints -> radius-0 store
     on evens -> refresh odds -> load) replicated with the pure-Python

@@ -329,6 +329,35 @@ def test_streaming_sink_validates_columns_and_store(spark, tmp_path):
         q.awaitTermination(180)
 
 
+def test_matches_read_path(spark, tmp_path):
+    """framehash_store_matches: clip ids that would be rejected right
+    now, under the pinned parameters — equal to the direct rule over
+    the loaded history; read-only (manifest unchanged)."""
+    from big_data_hadoop_spark.operators.framehash_store import (
+        framehash_store_matches,
+    )
+
+    path, _ = _grow(spark, tmp_path)
+    stored = _loaded(spark, path)
+    probe = {
+        90: dict(B1[1]),                                  # re-encode
+        91: {0: 9 << 50, 1: 11 << 50, 2: 13 << 50},       # novel
+    }
+    got = sorted(
+        r.media_id
+        for r in framehash_store_matches(
+            spark, _fh_df(spark, probe), path
+        ).collect()
+    )
+    want = sorted(
+        cid for cid, frames in probe.items()
+        if any(_match(frames, s) for s in stored.values())
+    )
+    assert got == want and 90 in got and 91 not in got
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0, 1]
+
+
 def test_concurrent_refreshes_serialize_and_both_commit(spark, tmp_path):
     """Two refreshes racing on one store SERIALIZE on the writer claim
     and both commit in distinct slots; the grown store equals the

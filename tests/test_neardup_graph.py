@@ -537,3 +537,45 @@ def test_reader_isolated_from_concurrent_refresh(spark, tmp_path):
     assert _edge_set(held) == before
     # …while a fresh load sees the grown one
     assert len(_edge_set(neardup_graph_load(spark, path))) > len(before)
+
+
+def test_matches_read_path(spark, tmp_path):
+    """neardup_graph_matches: (id, prior_id, jac_est) of a batch
+    against the STORED signatures at the pinned parameters — identical
+    to driving minhash_matches_against by hand over
+    neardup_graph_signatures, and read-only (manifest unchanged).
+    Non-vacuous: replanted history docs match their originals."""
+    from big_data_hadoop_spark.operators.dedup import (
+        minhash_matches_against,
+        minhash_signatures,
+    )
+    from big_data_hadoop_spark.operators.neardup_graph import (
+        neardup_graph_matches,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "g")
+    neardup_graph_build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), path, threshold=0.7
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .orderBy("doc_id")
+        .limit(25)
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    )
+    got = {
+        (r.doc_id, r.prior_id, round(r.jac_est, 12))
+        for r in neardup_graph_matches(spark, batch, path).collect()
+    }
+    want = {
+        (r.doc_id, r.prior_id, round(r.jac_est, 12))
+        for r in minhash_matches_against(
+            minhash_signatures(batch),
+            neardup_graph_signatures(spark, path),
+            threshold=0.7,
+        ).collect()
+    }
+    assert got == want and len(got) >= 25  # every replant hits its original
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == [0]
