@@ -419,3 +419,55 @@ def test_library_composition_matches_oracle_on_real_embeddings(
     for i, cell in got.items():
         assert cell == _assign(want[i], cents)
     assert len(got) > 0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# a small vector alphabet engineered for collisions: near-parallel
+# pairs (cos ~0.995), orthogonal axes, a zero vector
+_VECS = [
+    (1, 0, 0, 0), (0.95, 0.1, 0, 0), (0, 1, 0, 0), (0.1, 0.95, 0, 0),
+    (0, 0, 1, 0), (0, 0, 0, 1), (0, 0, 0, 0), (0.5, 0.5, 0.5, 0.5),
+]
+
+
+@st.composite
+def _emb_batches(draw):
+    def batch(ids):
+        return {i: draw(st.sampled_from(_VECS)) for i in ids}
+
+    n1 = draw(st.integers(1, 5))
+    n2 = draw(st.integers(1, 5))
+    return batch(range(1, n1 + 1)), batch(range(100, 100 + n2))
+
+
+@_SETTINGS
+@given(_emb_batches())
+def test_greedy_property_random_batches(spark, tmp_path_factory, data):
+    """Randomized greedy-equality property (n_cells=1 — deterministic
+    single cell, so the oracle needs no KMeans): build+refresh over
+    random small embedding batches equals the pure-Python fold, and
+    the spacing invariant holds."""
+    b1, b2 = data
+    path = str(tmp_path_factory.mktemp("embprop") / "s")
+    embedding_store_build(
+        spark, _emb_df(spark, b1), path, eps=EPS, n_cells=1, dim=DIM
+    )
+    embedding_store_refresh(
+        spark, _emb_df(spark, b2), path, drop_known=True
+    )
+    cents = _centroids(path)
+    got = {i: v for i, (_, v) in _loaded(spark, path).items()}
+    want = _greedy([b1, b2], cents)
+    assert sorted(got) == sorted(want)
+    ids = sorted(got)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            assert _cos(got[ids[i]], got[ids[j]]) < EPS

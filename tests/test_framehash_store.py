@@ -481,3 +481,58 @@ def test_store_composes_with_real_codec_tier(spark, tmp_path):
         spark, fh.filter(F.col("media_id") % 2 == 1), path
     )
     assert _loaded(spark, path) == _greedy([evens, odds])
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _clip_batches(draw):
+    """Two small clip batches over a tiny hash alphabet (low bits +
+    one-bit perturbations) so collisions, near-misses and blank frames
+    all occur."""
+    alphabet = [0, 1, 2, 3, 6, 1 << 10, (1 << 10) | 1, 5 << 20]
+
+    def batch(ids):
+        return {
+            i: {
+                f: draw(st.sampled_from(alphabet))
+                for f in range(draw(st.integers(2, 4)))
+            }
+            for i in ids
+        }
+
+    n1 = draw(st.integers(1, 5))
+    n2 = draw(st.integers(1, 5))
+    return batch(range(1, n1 + 1)), batch(range(100, 100 + n2))
+
+
+@_SETTINGS
+@given(_clip_batches())
+def test_greedy_property_random_batches(spark, tmp_path_factory, data):
+    """Randomized greedy-equality property: build+refresh over random
+    small clip batches equals the pure-Python fold, and the stored set
+    satisfies the no-two-match invariant."""
+    b1, b2 = data
+    path = str(tmp_path_factory.mktemp("fhprop") / "s")
+    framehash_store_build(
+        spark, _fh_df(spark, b1), path,
+        max_hamming=RADIUS, min_matching_frames=MIN_FRAMES,
+        drop_constant=DROP_CONSTANT,
+    )
+    framehash_store_refresh(spark, _fh_df(spark, b2), path)
+    got = _loaded(spark, path)
+    assert got == _greedy([b1, b2])
+    ids = sorted(got)
+    assert all(
+        not _match(got[a], got[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+    )
