@@ -260,7 +260,14 @@ def framehash_store_refresh(
     documented; a clip REJECTED earlier is simply judged again by the
     same history and rejected again — idempotent either way). An empty
     or fully-rejected batch commits no slot (``batch: None`` — the
-    fingerprint store's no-empty-slot rule)."""
+    fingerprint store's no-empty-slot rule).
+
+    Input frames backed by EXPENSIVE upstreams (media decode, model
+    scoring) should be eagerly localCheckpointed by the caller: the
+    validation probes (isEmpty / known-id check) and the accept fold
+    each reference the frame before its internal checkpoint, so an
+    un-materialized decode lineage executes more than once (the CLI
+    tier builders do this; round-9/10 convention)."""
     meta = batch_store.read_meta(path, _HINT)  # fail fast pre-lock
     id_col = meta["id_col"]
     if validate_ids:
