@@ -208,6 +208,26 @@ def _accept(
     )
     norm_in = df.select(F.col(id_col), F.col(vec_col))
     n_in = norm_in.count()
+    # wrong-width vectors refuse LOUDLY: assignment zip_with pads the
+    # short side with NULLs, which would give the row a NULL cell — it
+    # then joins nothing, is never rejected, and gets STORED corrupted
+    # (round-10 self-review). NULL embeddings stay the disclosed drop
+    # below (no norm, no direction — the NULL-fp contract).
+    bad = (
+        norm_in.filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) != F.lit(int(dim)))
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"embedding batch contains vectors whose width differs "
+            f"from the store's pinned dim={dim} — a wrong-width vector "
+            "cannot be assigned to a cell and would be stored "
+            "corrupted; fix the embedder or rebuild at the new width"
+        )
     usable = norm_in.filter(
         F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
     )

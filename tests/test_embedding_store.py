@@ -200,6 +200,25 @@ def test_refusals_and_validation(spark, tmp_path):
         embedding_store_build(
             spark, _emb_df(spark, B1), str(tmp_path / "bad")
         )
+    # wrong-width vectors refuse loudly (a silent NULL cell would be
+    # stored corrupted); NULL embeddings stay the disclosed drop
+    with pytest.raises(ValueError, match="pinned dim"):
+        embedding_store_refresh(
+            spark,
+            spark.createDataFrame(
+                [(60, [1.0, 2.0])],
+                "vec_id long, embedding array<double>",
+            ),
+            path,
+        )
+    st_null = embedding_store_refresh(
+        spark,
+        spark.createDataFrame(
+            [(61, None)], "vec_id long, embedding array<double>"
+        ),
+        path,
+    )
+    assert st_null["zero_norm"] == 1 and st_null["accepted"] == 0
     with pytest.raises(ValueError, match="cosine threshold"):
         embedding_store_build(
             spark, _emb_df(spark, B1), str(tmp_path / "bad2"),
