@@ -417,7 +417,23 @@ def embedding_store_matches(
     mutation. Zero-norm rows never match (no cosine direction)."""
     meta = batch_store.read_meta(path, _HINT)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    usable = df.select(F.col(id_col), F.col(vec_col)).filter(
+    base = df.select(F.col(id_col), F.col(vec_col))
+    # same wrong-width refusal as the accept fold: a malformed probe
+    # row silently reading as "novel" would invite ingesting it next
+    bad = (
+        base.filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) != F.lit(int(meta["dim"])))
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"probe batch contains vectors whose width differs from "
+            f"the store's pinned dim={meta['dim']} — fix the embedder"
+        )
+    usable = base.filter(
         F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
     )
     assigned = assign_cells(usable, meta["centroids"], vec_col=vec_col)

@@ -258,6 +258,15 @@ def test_matches_read_path(spark, tmp_path):
         )
     )
     assert got == want and 90 in got and 91 not in got
+    # the read path refuses wrong-width probes too
+    with pytest.raises(ValueError, match="pinned dim"):
+        embedding_store_matches(
+            spark,
+            spark.createDataFrame(
+                [(95, [1.0])], "vec_id long, embedding array<double>"
+            ),
+            path,
+        )
 
 
 def test_all_rejected_refresh_commits_no_slot(spark, tmp_path):
