@@ -1021,12 +1021,14 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
             if args.action == "refresh":
                 st = es_ops.embedding_store_refresh(spark, df, args.store)
             else:  # matches: read-only, no writer claim
-                hits = es_ops.embedding_store_matches(
-                    spark, df, args.store
+                rows = (
+                    es_ops.embedding_store_matches(spark, df, args.store)
+                    .orderBy(meta["id_col"])
+                    .collect()
                 )
-                for r in hits.orderBy(meta["id_col"]).collect():
+                for r in rows:
                     print(r[0])
-                st = {"matches": hits.count()}
+                st = {"matches": len(rows)}
     elif args.action == "compact":
         st = es_ops.embedding_store_compact(spark, args.store)
     else:  # export
