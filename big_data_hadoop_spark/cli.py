@@ -523,10 +523,16 @@ def cmd_neardup_graph(args: argparse.Namespace) -> None:
                 meta["id_col"], meta["text_col"]
             )
             hits = ng_ops.neardup_graph_matches(spark, docs, args.store)
-            rows = hits.orderBy(meta["id_col"], "prior_id").collect()
-            for r in rows:
-                print(f"{r[0]}\t{r[1]}\t{r[2]:.6f}")
-            st = {"matches": len(rows)}
+            if args.output:
+                # corpus-scale form: never collect the match list
+                n = hits.count()
+                hits.write.mode("overwrite").parquet(args.output)
+                st = {"matches": n}
+            else:
+                rows = hits.orderBy(meta["id_col"], "prior_id").collect()
+                for r in rows:
+                    print(f"{r[0]}\t{r[1]}\t{r[2]:.6f}")
+                st = {"matches": len(rows)}
         elif args.action == "build":
             docs = _read_table_cli(spark, args.input).select(
                 args.id_col, args.text_col
@@ -757,14 +763,19 @@ def cmd_fingerprint_store(args: argparse.Namespace) -> None:
             fp, _ = _fp_tier_frame(spark, tier, args.input, args)
             if args.action == "matches":
                 # read-only novelty check: ids the store would reject
-                rows = (
-                    fs_ops.fingerprint_store_matches(spark, fp, args.store)
-                    .orderBy(meta["id_col"])
-                    .collect()
+                hits = fs_ops.fingerprint_store_matches(
+                    spark, fp, args.store
                 )
-                for r in rows:
-                    print(r[0])
-                st = {"matches": len(rows)}
+                if args.output:
+                    # corpus-scale form: never collect the match list
+                    n = hits.count()
+                    hits.write.mode("overwrite").parquet(args.output)
+                    st = {"matches": n}
+                else:
+                    rows = hits.orderBy(meta["id_col"]).collect()
+                    for r in rows:
+                        print(r[0])
+                    st = {"matches": len(rows)}
             else:
                 st = fs_ops.fingerprint_store_refresh(
                     spark, fp, args.store
@@ -913,14 +924,19 @@ def cmd_framehash_store(args: argparse.Namespace) -> None:
             if args.action == "matches":
                 # read-only novelty check: clip ids the store would
                 # reject at its pinned parameters
-                rows = (
-                    fh_ops.framehash_store_matches(spark, fh, args.store)
-                    .orderBy(meta["id_col"])
-                    .collect()
+                hits = fh_ops.framehash_store_matches(
+                    spark, fh, args.store
                 )
-                for r in rows:
-                    print(r[0])
-                st = {"matches": len(rows)}
+                if args.output:
+                    # corpus-scale form: never collect the match list
+                    n = hits.count()
+                    hits.write.mode("overwrite").parquet(args.output)
+                    st = {"matches": n}
+                else:
+                    rows = hits.orderBy(meta["id_col"]).collect()
+                    for r in rows:
+                        print(r[0])
+                    st = {"matches": len(rows)}
             else:
                 st = fh_ops.framehash_store_refresh(spark, fh, args.store)
     elif args.action == "compact":
@@ -1021,14 +1037,19 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
             if args.action == "refresh":
                 st = es_ops.embedding_store_refresh(spark, df, args.store)
             else:  # matches: read-only, no writer claim
-                rows = (
-                    es_ops.embedding_store_matches(spark, df, args.store)
-                    .orderBy(meta["id_col"])
-                    .collect()
+                hits = es_ops.embedding_store_matches(
+                    spark, df, args.store
                 )
-                for r in rows:
-                    print(r[0])
-                st = {"matches": len(rows)}
+                if args.output:
+                    # corpus-scale form: never collect the match list
+                    n = hits.count()
+                    hits.write.mode("overwrite").parquet(args.output)
+                    st = {"matches": n}
+                else:
+                    rows = hits.orderBy(meta["id_col"]).collect()
+                    for r in rows:
+                        print(r[0])
+                    st = {"matches": len(rows)}
     elif args.action == "compact":
         st = es_ops.embedding_store_compact(spark, args.store)
     else:  # export

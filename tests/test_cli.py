@@ -720,6 +720,14 @@ def test_cli_framehash_store_lifecycle(tmp_path, spark, capsys):
     out = capsys.readouterr().out
     m = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
     assert m[-1]["matches"] > 0
+    # corpus-scale form: --output writes the match list, never collects
+    mout = str(tmp_path / "mout")
+    main(["framehash-store", "matches", store, "--input", a,
+          "--output", mout])
+    out = capsys.readouterr().out
+    m2 = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+    assert m2[-1]["matches"] == m[-1]["matches"]
+    assert spark.read.parquet(mout).count() == m[-1]["matches"]
 
 
 def test_cli_embedding_store_lifecycle(tmp_path, spark, capsys):
