@@ -71,15 +71,22 @@ def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    with_dist: bool = False,
 ) -> DataFrame:
     """Add ``cell int``: index of the nearest pinned centroid by
     squared L2, FIRST minimum on ties (deterministic — a pure function
     of the embedding and the centroid list). One narrow pass, k x dim
     multiply-adds per row via array HOFs — this runs once per INPUT
     row; the per-PAIR hot path downstream uses the flat-column
-    scoring."""
+    scoring. ``with_dist`` also emits ``cell_dist double`` (the
+    squared L2 to the winning centroid — the assignment metric itself,
+    so the store's drift diagnostic measures exactly what assignment
+    optimizes)."""
     if not centroids:
-        return df.withColumn("cell", F.lit(0).cast("int"))
+        out = df.withColumn("cell", F.lit(0).cast("int"))
+        if with_dist:
+            out = out.withColumn("cell_dist", F.lit(0.0))
+        return out
     cents = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in c])
@@ -95,10 +102,18 @@ def assign_cells(
             lambda acc, x: acc + x,
         ),
     )
-    return df.withColumn(
+    # materialize the k-vector ONCE per row; both the argmin and the
+    # min read it (inlining `dists` twice would double the k x dim work)
+    out = df.withColumn("_dists", dists).withColumn(
         "cell",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        (
+            F.array_position(F.col("_dists"), F.array_min(F.col("_dists")))
+            - 1
+        ).cast("int"),
     )
+    if with_dist:
+        out = out.withColumn("cell_dist", F.array_min(F.col("_dists")))
+    return out.drop("_dists")
 
 
 def _matches(
@@ -166,6 +181,43 @@ def _within_pairs(
     ).select("id_a", "id_b")
 
 
+def _refuse_malformed(
+    df: DataFrame, dim: int, vec_col: str, what: str = "batch"
+) -> None:
+    """Loud refusal for vectors that cannot be honestly assigned a
+    cell: wrong width (zip_with pads the short side with NULLs → NULL
+    cell) or a NULL/NaN ELEMENT (every centroid distance becomes
+    NULL/NaN, so assignment is undefined — round-10's width guard had
+    exactly this bypass: a correct-width vector with one NULL element
+    sailed past ``F.size`` and past the zero-norm filter, got a NULL
+    cell, joined nothing, and was STORED permanently invisible to all
+    future dedup). Whole-NULL embeddings are NOT refused here — they
+    stay the disclosed zero-norm drop (no direction, counted in
+    stats). One limit-1 scan; callers run it exactly once per verb."""
+    bad = (
+        df.filter(
+            F.col(vec_col).isNotNull()
+            & (
+                (F.size(F.col(vec_col)) != F.lit(int(dim)))
+                | F.exists(
+                    F.col(vec_col),
+                    lambda x: x.isNull() | F.isnan(x.cast("double")),
+                )
+            )
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"{what} contains vectors whose width differs from the "
+            f"store's pinned dim={dim}, or with NULL/NaN elements — "
+            "such a vector cannot be assigned a cell and would be "
+            "stored (or silently read as novel) corrupted; fix the "
+            "embedder or rebuild at the new width"
+        )
+
+
 def _refuse_null_ids(df: DataFrame, id_col: str) -> None:
     if df.filter(F.col(id_col).isNull()).limit(1).count():
         raise ValueError(
@@ -198,46 +250,46 @@ def _accept(
     prior: DataFrame | None,
     meta: dict,
     stats: dict,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """The dedup fold: drop zero-norm rows (counted), reject same-cell
     history matches at eps (counted), within-batch cluster dedup
-    (counted) → accepted ``(id, cell, embedding)`` rows, eagerly
-    checkpointed."""
+    (counted) → (accepted ``(id, cell, embedding)`` rows, eagerly
+    checkpointed; their count — already paid for by the stats
+    bookkeeping, so callers never re-count the write). Also reports
+    the centroid-staleness diagnostic: ``assign_dist_mean`` /
+    ``assign_dist_p99`` (squared L2 to the winning PINNED centroid —
+    exact percentile, deterministic), folded into the SAME aggregation
+    job as the usable-row count."""
     eps, dim, id_col, vec_col = (
         meta["eps"], meta["dim"], meta["id_col"], meta["vec_col"]
     )
     norm_in = df.select(F.col(id_col), F.col(vec_col))
     n_in = norm_in.count()
-    # wrong-width vectors refuse LOUDLY: assignment zip_with pads the
-    # short side with NULLs, which would give the row a NULL cell — it
-    # then joins nothing, is never rejected, and gets STORED corrupted
-    # (round-10 self-review). NULL embeddings stay the disclosed drop
-    # below (no norm, no direction — the NULL-fp contract).
-    bad = (
-        norm_in.filter(
-            F.col(vec_col).isNotNull()
-            & (F.size(F.col(vec_col)) != F.lit(int(dim)))
-        )
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError(
-            f"embedding batch contains vectors whose width differs "
-            f"from the store's pinned dim={dim} — a wrong-width vector "
-            "cannot be assigned to a cell and would be stored "
-            "corrupted; fix the embedder or rebuild at the new width"
-        )
+    # malformed vectors (wrong width / NULL/NaN elements) were refused
+    # by the calling verb (_refuse_malformed) — exactly once per verb,
+    # BEFORE any expensive work. NULL embeddings stay the disclosed
+    # drop below (no norm, no direction — the NULL-fp contract).
     usable = norm_in.filter(
         F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
     )
     # ONE execution of the caller's upstream: assignment + every
     # downstream join reads this narrow checkpoint
     assigned = assign_cells(
-        usable, meta["centroids"], vec_col=vec_col
+        usable, meta["centroids"], vec_col=vec_col, with_dist=True
     ).localCheckpoint(eager=True)
-    n_usable = assigned.count()
+    drow = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("cell_dist").alias("mean"),
+        F.percentile("cell_dist", F.lit(0.99)).alias("p99"),
+    ).first()
+    n_usable = drow["n"]
     stats["zero_norm"] = n_in - n_usable
+    stats["assign_dist_mean"] = (
+        float(drow["mean"]) if drow["mean"] is not None else None
+    )
+    stats["assign_dist_p99"] = (
+        float(drow["p99"]) if drow["p99"] is not None else None
+    )
     if prior is not None:
         hits = _matches(
             assigned, prior, eps, dim, id_col, vec_col
@@ -255,8 +307,59 @@ def _accept(
     accepted = dedup_by_clusters(fresh, pairs, id_col=id_col).localCheckpoint(
         eager=True
     )
-    stats["rejected_within_batch"] = n_fresh - accepted.count()
-    return accepted.select(F.col(id_col), "cell", F.col(vec_col))
+    n_accepted = accepted.count()
+    stats["rejected_within_batch"] = n_fresh - n_accepted
+    return accepted.select(F.col(id_col), "cell", F.col(vec_col)), n_accepted
+
+
+def _occupancy(cells: DataFrame, stats: dict) -> int:
+    """Per-cell occupancy of a one-column ``cell`` frame → the hot-cell
+    row count, with ``hot_cell_rows`` / ``occupied_cells`` disclosed in
+    stats (the within-cell join is quadratic IN THE CELL — occupancy is
+    the number an operator must watch). One small aggregation job,
+    bounded by the cell count."""
+    row = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .agg(
+            F.max("rows").alias("mx"),
+            F.count(F.lit(1)).alias("cells"),
+        )
+        .first()
+    )
+    hot = int(row["mx"]) if row["mx"] is not None else 0
+    stats["hot_cell_rows"] = hot
+    stats["occupied_cells"] = int(row["cells"])
+    return hot
+
+
+def _refuse_hot_cell(hot: int, max_cell_rows, path: str) -> None:
+    if max_cell_rows is not None and hot > int(max_cell_rows):
+        raise ValueError(
+            f"hot cell: {hot} accepted rows would share one IVF cell "
+            f"at {path}, over the store's pinned max_cell_rows="
+            f"{max_cell_rows} — the within-cell join is quadratic in "
+            "cell occupancy, so this cell is on its way to becoming "
+            "the refresh bottleneck; rebuild with more cells "
+            "(embedding_store_rebuild(n_cells=...)) or raise the valve "
+            "deliberately"
+        )
+
+
+def _drift(meta: dict, stats: dict) -> None:
+    """Centroid-staleness diagnostic: this batch's mean assignment
+    distance over the BUILD corpus's pinned mean (``build_dist_mean``
+    in meta). Centroids are pinned forever by design — this ratio is
+    the signal that the embedding distribution has walked away from
+    them (a drifting embedder, a domain shift): batches that the
+    pinned cells fit as well as the build corpus sit near 1.0; a
+    sustained climb means cells are coarsening and the cross-cell
+    miss rate (measure it: ``embedding_store_recall_audit``) is
+    growing — time for ``embedding_store_rebuild``. ``None`` when the
+    store predates the diagnostic or the build mean was zero."""
+    base = meta.get("build_dist_mean")
+    cur = stats.get("assign_dist_mean")
+    stats["dist_drift"] = cur / base if base and cur is not None else None
 
 
 def embedding_store_build(
@@ -270,20 +373,41 @@ def embedding_store_build(
     vec_col: str = "embedding",
     seed: int = 42,
     train_cap: int = 100_000,
+    max_cell_rows: int | None = None,
     validate_ids: bool = True,
 ) -> dict:
     """One-shot creation at ``path`` from an embedding frame
     (``(id_col, vec_col array<float/double>)``) → stats ``{"batch": 0,
     "accepted": n, "zero_norm": z, "rejected_within_batch": m,
-    "rejected_history": 0}``. Fits the IVF coarse quantizer once
-    (bounded seeded sample — the ``ivf_build`` machinery) and PINS the
-    centroids in meta; refuses if a store already exists. ``dim`` is
-    required (the flat-column scoring is the only shape that survives
-    scale; embeddings are fixed-dim by contract)."""
+    "rejected_history": 0, "assign_dist_mean": d, "assign_dist_p99":
+    p, "hot_cell_rows": h, "occupied_cells": c}``. Fits the IVF coarse
+    quantizer once (bounded seeded sample — the ``ivf_build``
+    machinery) and PINS the centroids in meta; refuses if a store
+    already exists. ``dim`` is required (the flat-column scoring is
+    the only shape that survives scale; embeddings are fixed-dim by
+    contract).
+
+    ``max_cell_rows`` (default off) is the hot-cell valve, pinned in
+    meta: the within-cell history join is quadratic in cell occupancy,
+    so a cell accumulating a large fraction of history quietly becomes
+    the refresh bottleneck at scale (the framehash store's
+    ``max_frame_df`` argument, one tier over). With the valve set, any
+    verb that would leave a cell holding more than this many ACCEPTED
+    rows refuses loudly BEFORE committing, naming the fix
+    (``embedding_store_rebuild`` at higher ``n_cells``) — a refusal
+    never changes what "duplicate" means, unlike silently skipping the
+    hot cell would. Occupancy is disclosed in stats either way.
+
+    The build corpus's assignment-distance profile (mean / exact p99
+    squared L2 to the winning centroid) is pinned in meta as
+    ``build_dist_mean`` / ``build_dist_p99`` — the baseline every
+    refresh's drift diagnostic compares against."""
     if dim is None or dim < 1:
         raise ValueError("dim is required (fixed embedding width >= 1)")
     if not -1.0 <= eps <= 1.0:
         raise ValueError("eps is a cosine threshold in [-1, 1]")
+    if max_cell_rows is not None and max_cell_rows < 1:
+        raise ValueError("max_cell_rows must be >= 1 (or None)")
     if os.path.exists(batch_store.meta_path(path)):
         raise ValueError(
             f"an embedding store already exists at {path} — append "
@@ -299,6 +423,10 @@ def embedding_store_build(
                 "(created while waiting for the writer claim)"
             )
         _refuse_null_ids(df, id_col)
+        # refuse malformed input BEFORE paying for the KMeans fit —
+        # otherwise a bad build frame dies inside MLlib with an opaque
+        # error after the fit cost (round-10 advice)
+        _refuse_malformed(df, dim, vec_col, "embedding build frame")
         idx = ivf_build(
             df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
             seed=seed, train_cap=train_cap,
@@ -311,14 +439,20 @@ def embedding_store_build(
             "id_col": id_col,
             "vec_col": vec_col,
             "seed": int(seed),
+            "max_cell_rows": (
+                int(max_cell_rows) if max_cell_rows is not None else None
+            ),
             "centroids": idx.centroids,
             "batches": [0],
         }
         stats: dict = {}
-        accepted = _accept(df, None, meta, stats)
+        accepted, n = _accept(df, None, meta, stats)
+        hot = _occupancy(accepted.select("cell"), stats)
+        _refuse_hot_cell(hot, max_cell_rows, path)
         out = batch_store.batch_dirs(path, "emb", [0])[0]
         accepted.write.mode("overwrite").parquet(out)
-        n = spark.read.parquet(out).count()
+        meta["build_dist_mean"] = stats["assign_dist_mean"]
+        meta["build_dist_p99"] = stats["assign_dist_p99"]
         batch_store.write_meta(path, meta, lock)
     return {"batch": 0, "accepted": n, **stats}
 
@@ -349,7 +483,15 @@ def embedding_store_refresh(
     validation probes (isEmpty / known-id check) and the accept fold
     each reference the frame before its internal checkpoint, so an
     un-materialized decode lineage executes more than once (the CLI
-    tier builders do this; round-9/10 convention)."""
+    tier builders do this; round-9/10 convention).
+
+    Stats carry the store's two health diagnostics (round 11):
+    ``assign_dist_mean`` / ``assign_dist_p99`` / ``dist_drift``
+    (centroid staleness vs the build corpus — see ``_drift``) and
+    ``hot_cell_rows`` / ``occupied_cells`` (post-commit occupancy; if
+    the store pinned ``max_cell_rows`` at build, a batch that would
+    push a cell past it REFUSES before committing — the hot-cell
+    valve)."""
     meta = batch_store.read_meta(path, _HINT)  # fail fast pre-lock
     id_col = meta["id_col"]
     if validate_ids:
@@ -361,6 +503,9 @@ def embedding_store_refresh(
         if df.isEmpty():
             return {"batch": None, "accepted": 0}
         _refuse_null_ids(df, id_col)
+        _refuse_malformed(
+            df, meta["dim"], meta["vec_col"], "embedding refresh batch"
+        )
         prior = spark.read.parquet(
             *batch_store.batch_dirs(path, "emb", batches)
         )
@@ -385,13 +530,20 @@ def embedding_store_refresh(
                     "to skip known ids (the streaming/replay mode)"
                 )
         stats: dict = {}
-        accepted = _accept(df, prior, meta, stats)
-        if accepted.isEmpty():
+        accepted, n = _accept(df, prior, meta, stats)
+        _drift(meta, stats)
+        if n == 0:
             return {"batch": None, "accepted": 0, **stats}
+        # occupancy AFTER this commit (history + the new rows): the
+        # valve refuses BEFORE the write, so a refused batch leaves
+        # the store untouched
+        hot = _occupancy(
+            prior.select("cell").unionAll(accepted.select("cell")), stats
+        )
+        _refuse_hot_cell(hot, meta.get("max_cell_rows"), path)
         batch = max(batches) + 1
         out = batch_store.batch_dirs(path, "emb", [batch])[0]
         accepted.write.mode("overwrite").parquet(out)
-        n = spark.read.parquet(out).count()
         meta["batches"] = batches + [batch]
         batch_store.write_meta(path, meta, lock)
     return {"batch": batch, "accepted": n, **stats}
@@ -418,21 +570,9 @@ def embedding_store_matches(
     meta = batch_store.read_meta(path, _HINT)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     base = df.select(F.col(id_col), F.col(vec_col))
-    # same wrong-width refusal as the accept fold: a malformed probe
+    # same malformed-vector refusal as the accept fold: a bad probe
     # row silently reading as "novel" would invite ingesting it next
-    bad = (
-        base.filter(
-            F.col(vec_col).isNotNull()
-            & (F.size(F.col(vec_col)) != F.lit(int(meta["dim"])))
-        )
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError(
-            f"probe batch contains vectors whose width differs from "
-            f"the store's pinned dim={meta['dim']} — fix the embedder"
-        )
+    _refuse_malformed(base, meta["dim"], vec_col, "probe batch")
     usable = base.filter(
         F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
     )
@@ -445,6 +585,189 @@ def embedding_store_matches(
         id_col,
         vec_col,
     )
+
+
+def embedding_store_rebuild(
+    spark: SparkSession,
+    path: str,
+    n_cells: int | None = None,
+    seed: int | None = None,
+    train_cap: int = 100_000,
+    max_cell_rows: int | None | str = "keep",
+) -> dict:
+    """Refit the coarse quantizer and replay the accepted history
+    through the NEW cells — the guarded escape hatch from the
+    pin-forever centroid contract, for when the drift diagnostic
+    (``dist_drift`` in refresh stats) shows the embedding distribution
+    has walked away from the build-time cells, or the hot-cell valve
+    fires (``n_cells`` too small for how history grew).
+
+    Semantics: row-identical to a FRESH ``embedding_store_build`` on
+    the accepted history as one frame, at (``n_cells``, ``seed``)
+    defaulting to the store's pinned values (pinned in tests). Replay
+    re-litigates under the new geometry: pairs that straddled an OLD
+    cell boundary may now share a cell and collapse (min id survives)
+    — exactly what a fresh build would decide, and the honest meaning
+    of "rebuild". eps/dim/columns never change (a different eps would
+    redefine "duplicate" — build a new store for that).
+
+    Crash-window: the replayed rows land in a NEW immutable batch
+    directory first; meta (new centroids + the single new batch) swaps
+    last, under the writer claim. A crash between the two leaves the
+    old store fully intact and one unreferenced directory for
+    ``embedding_store_vacuum`` — the compact verb's argument verbatim.
+    """
+    meta = batch_store.read_meta(path, _HINT)  # fail fast pre-lock
+    with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+        meta = batch_store.read_meta(path, _HINT)
+        batches = list(meta["batches"])
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        history = (
+            spark.read.parquet(
+                *batch_store.batch_dirs(path, "emb", batches)
+            )
+            .select(F.col(id_col), F.col(vec_col))
+            .localCheckpoint(eager=True)
+        )
+        new_cells = int(n_cells if n_cells is not None else meta["n_cells"])
+        new_seed = int(seed if seed is not None else meta["seed"])
+        idx = ivf_build(
+            history, n_cells=new_cells, id_col=id_col, vec_col=vec_col,
+            seed=new_seed, train_cap=train_cap,
+        )
+        new_meta = dict(meta)
+        new_meta.update(
+            n_cells=new_cells, seed=new_seed, centroids=idx.centroids
+        )
+        if max_cell_rows != "keep":
+            if max_cell_rows is not None and int(max_cell_rows) < 1:
+                raise ValueError("max_cell_rows must be >= 1 (or None)")
+            new_meta["max_cell_rows"] = (
+                int(max_cell_rows) if max_cell_rows is not None else None
+            )
+        stats: dict = {}
+        accepted, n = _accept(history, None, new_meta, stats)
+        hot = _occupancy(accepted.select("cell"), stats)
+        _refuse_hot_cell(hot, new_meta.get("max_cell_rows"), path)
+        batch = max(batches) + 1
+        out = batch_store.batch_dirs(path, "emb", [batch])[0]
+        accepted.write.mode("overwrite").parquet(out)
+        new_meta["build_dist_mean"] = stats["assign_dist_mean"]
+        new_meta["build_dist_p99"] = stats["assign_dist_p99"]
+        new_meta["batches"] = [batch]
+        batch_store.write_meta(path, new_meta, lock)
+    return {
+        "batch": batch,
+        "accepted": n,
+        "history_rows": n + stats["rejected_within_batch"]
+        + stats["zero_norm"],
+        **stats,
+    }
+
+
+def embedding_store_recall_audit(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    sample_rows: int = 256,
+    seed: int = 0,
+) -> tuple[DataFrame, dict]:
+    """MEASURE the within-cell approximation's miss rate instead of
+    trusting the SemDeDup citation — the q92 pattern
+    (``operators.dedup.lsh_recall_audit``) applied to the embedding
+    store's IVF tier. Cross-cell near-duplicates are missed BY
+    CONSTRUCTION (module docstring); this verb reports how often that
+    actually happens on a deterministic sample of ``df``: exact cosine
+    TRUTH (brute scan of the sample against the FULL history — no cell
+    constraint; linear in history because the sample side is fixed)
+    vs the store's within-cell verdict (``_matches``, the exact
+    machinery refresh uses). The tuning loop at 100 TB: exact truth on
+    the full batch is off the table, but a fixed-size sample costs the
+    same at every corpus size — audit (n_cells, eps) on the sample,
+    then trust only the measured recall, and rebuild
+    (``embedding_store_rebuild``) when drift pushes it down.
+
+    Sampling is by ``xxhash64(id, seed)`` order (a top-K, not a full
+    sort), reproducible and layout-independent. Zero-norm sample rows
+    can never match (no cosine direction) and are excluded; malformed
+    vectors refuse loudly (the store's contract). Within-cell matches
+    are a SUBSET of exact truth (same eps, same cosine), so precision
+    is 1.0 by construction and the interesting number is recall.
+
+    Returns ``(missed, summary)``: ``missed`` = sample ids the store
+    would NOT reject but whose best exact cosine against history is
+    >= eps (``id_col``, ``best_cos`` — how far over the threshold the
+    miss sits), ``summary`` = ``{"sample_rows": actual,
+    "truth_matches": t, "cell_matches": c, "missed": m, "recall":
+    (t-m)/t or 1.0, "missed_max_cos": ...}``."""
+    if sample_rows < 1:
+        raise ValueError("sample_rows must be >= 1")
+    meta = batch_store.read_meta(path, _HINT)
+    eps, dim = meta["eps"], meta["dim"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    base = df.select(F.col(id_col), F.col(vec_col))
+    _refuse_malformed(base, dim, vec_col, "audit batch")
+    sample = (
+        base.filter(
+            F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
+        )
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
+        .limit(int(sample_rows))
+        .localCheckpoint(eager=True)
+    )
+    n_sample = sample.count()
+    history = embedding_store_load(spark, path)
+    # exact truth: every history row, NO cell constraint — the brute
+    # flat-column scan (cost |history| x sample_rows, linear in
+    # history). best_cos diagnoses HOW FAR over eps the misses sit.
+    sa = _flat(sample, id_col, vec_col, dim, "_a")
+    hb = (
+        _flat(
+            history.select(F.col(id_col).alias("_sid"), F.col(vec_col)),
+            "_sid",
+            vec_col,
+            dim,
+            "_b",
+        )
+        .withColumnRenamed("nrm", "nrm_b")
+    )
+    dotc = _flat_dot("_a", "_b", dim)
+    truth = (
+        sa.join(hb, dotc >= F.lit(float(eps)) * F.col("nrm") * F.col("nrm_b"))
+        .groupBy(F.col(id_col))
+        .agg(
+            F.max(dotc / (F.col("nrm") * F.col("nrm_b"))).alias("best_cos")
+        )
+        .localCheckpoint(eager=True)
+    )
+    got = _matches(
+        assign_cells(sample, meta["centroids"], vec_col=vec_col),
+        history,
+        eps,
+        dim,
+        id_col,
+        vec_col,
+    ).localCheckpoint(eager=True)
+    missed = truth.join(got, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_truth, n_got, n_missed = truth.count(), got.count(), missed.count()
+    summary = {
+        "sample_rows": n_sample,
+        "truth_matches": n_truth,
+        "cell_matches": n_got,
+        "missed": n_missed,
+        # from the anti-join directly, NOT n_got/n_truth — stays
+        # honest even if the subset invariant ever breaks (q92's
+        # bookkeeping argument verbatim)
+        "recall": ((n_truth - n_missed) / n_truth) if n_truth else 1.0,
+        "missed_max_cos": (
+            float(missed.agg(F.max("best_cos")).first()[0])
+            if n_missed
+            else None
+        ),
+    }
+    return missed, summary
 
 
 def embedding_store_compact(spark: SparkSession, path: str) -> dict:

@@ -95,10 +95,41 @@ def _corpus_fingerprint(sf: str, table: str) -> str:
 
 
 def _shared_store_path(kind: str, key: str) -> str:
+    import shutil
     import tempfile
+    import time
 
-    base = os.path.join(tempfile.gettempdir(), "bdhs_shared_stores")
+    # PER-USER base: the tempdir is world-shared, so a same-corpus
+    # store owned by another user would yield permission failures on
+    # the lock files — or mean trusting parquet this process never
+    # built (round-10 advice)
+    try:
+        import getpass
+
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "anon"
+    base = os.path.join(
+        tempfile.gettempdir(), f"bdhs_shared_stores-{user}"
+    )
     os.makedirs(base, exist_ok=True)
+    # sweep crash-leaked write-then-rename temporaries: a builder that
+    # died between parquet write and rename leaves <path>.tmp-<pid>
+    # forever. Age-gated well past any build time so a LIVE concurrent
+    # builder's in-flight tmp is never raced; per-user base means every
+    # candidate is ours to remove.
+    now = time.time()
+    try:
+        leaked = [fn for fn in os.listdir(base) if ".tmp-" in fn]
+    except OSError:
+        leaked = []
+    for fn in leaked:
+        p = os.path.join(base, fn)
+        try:
+            if now - os.path.getmtime(p) > 3600.0:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     return os.path.join(base, f"{kind}-{key}")
 
 

@@ -1052,7 +1052,14 @@ def streaming_video_dedup(
                 "return an (id, frame_no, dhash) frame matching the "
                 "store's meta"
             )
-        fh = fh.dropDuplicates([id_col, "frame_no"])
+        # ONE execution of the decode/hash upstream: refresh's isEmpty
+        # probe, drop_known join, and accept fold each reference the
+        # frame before its internal checkpoint — the caller-checkpoint
+        # convention the refresh docstring pins (round-10 advice; the
+        # CLI tier builders already follow it)
+        fh = fh.dropDuplicates([id_col, "frame_no"]).localCheckpoint(
+            eager=True
+        )
         framehash_store_refresh(
             spark, fh, path, drop_known=True, validate_ids=False
         )
@@ -1116,7 +1123,15 @@ def streaming_embedding_dedup(
                 f"store's pinned column(s) {missing} are missing; "
                 "return an (id, vector) frame matching the store's meta"
             )
-        emb = emb.select(id_col, vec_col).dropDuplicates([id_col])
+        # ONE execution of the (possibly model-backed) embedding
+        # upstream: refresh probes the frame several times before its
+        # internal checkpoint — the caller-checkpoint convention the
+        # refresh docstring pins (round-10 advice)
+        emb = (
+            emb.select(id_col, vec_col)
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)
+        )
         embedding_store_refresh(
             spark, emb, path, drop_known=True, validate_ids=False
         )
@@ -1193,9 +1208,13 @@ def streaming_fingerprint_dedup(
                 f"the store's pinned column(s) {missing} are missing; "
                 "return an (id, fp) frame matching the store's meta"
             )
-        fp = fp.dropDuplicates([id_col])
-        # drop_known dedups against accepted history INSIDE the writer
-        # claim; validate_ids is redundant after the dropDuplicates
+        # ONE execution of the decode/fingerprint upstream: refresh
+        # probes the frame several times before its internal
+        # checkpoint (the caller-checkpoint convention; round-10
+        # advice). drop_known dedups against accepted history INSIDE
+        # the writer claim; validate_ids is redundant after the
+        # dropDuplicates.
+        fp = fp.dropDuplicates([id_col]).localCheckpoint(eager=True)
         fingerprint_store_refresh(
             spark, fp, path, drop_known=True, validate_ids=False
         )

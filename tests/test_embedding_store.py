@@ -21,6 +21,8 @@ from big_data_hadoop_spark.operators.embedding_store import (
     embedding_store_compact,
     embedding_store_load,
     embedding_store_matches,
+    embedding_store_rebuild,
+    embedding_store_recall_audit,
     embedding_store_refresh,
     embedding_store_vacuum,
 )
@@ -219,6 +221,23 @@ def test_refusals_and_validation(spark, tmp_path):
         path,
     )
     assert st_null["zero_norm"] == 1 and st_null["accepted"] == 0
+    # a CORRECT-width vector with a NULL (or NaN) element refuses
+    # loudly too: it would bypass the width guard AND the zero-norm
+    # filter, get a NULL/NaN cell, join nothing, and be stored
+    # permanently invisible to all future dedup (round-10 advice)
+    for poison in ([1.0, None, 0.0, 0.0], [1.0, float("nan"), 0.0, 0.0]):
+        bad_df = spark.createDataFrame(
+            [(62, poison)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="NULL/NaN"):
+            embedding_store_refresh(spark, bad_df, path)
+        with pytest.raises(ValueError, match="NULL/NaN"):
+            embedding_store_matches(spark, bad_df, path)
+        with pytest.raises(ValueError, match="NULL/NaN"):
+            embedding_store_build(
+                spark, bad_df, str(tmp_path / "poison"), dim=DIM
+            )
+        assert not os.path.exists(str(tmp_path / "poison" / "meta.json"))
     with pytest.raises(ValueError, match="cosine threshold"):
         embedding_store_build(
             spark, _emb_df(spark, B1), str(tmp_path / "bad2"),
@@ -299,6 +318,206 @@ def test_compact_vacuum_and_crashed_compact(spark, tmp_path):
     assert st["batches_before"] == 2 and st["embeddings"] == len(before)
     assert _loaded(spark, path) == before
     assert embedding_store_vacuum(path, grace_seconds=0.0)["removed"] == 2
+
+
+def test_occupancy_and_drift_stats(spark, tmp_path):
+    """Round-11 diagnostics: per-verb occupancy + assignment-distance
+    stats, build-time pins, refresh drift — all replicated in pure
+    Python from the store's OWN pinned centroids."""
+    path, (st0, st1) = _grow(spark, tmp_path)
+    cents = _centroids(path)
+
+    def dists(batch):
+        out = []
+        for v in batch.values():
+            if any(x != 0 for x in v):
+                c = cents[_assign(v, cents)]
+                out.append(sum((x - y) * (x - y) for x, y in zip(v, c)))
+        return out
+
+    d0 = dists(B1)
+    assert st0["assign_dist_mean"] == pytest.approx(sum(d0) / len(d0))
+    # n_cells=1: every accepted row shares the one cell
+    assert st0["hot_cell_rows"] == 2 and st0["occupied_cells"] == 1
+    assert st1["hot_cell_rows"] == 3 and st1["occupied_cells"] == 1
+    d1 = dists(B2)
+    assert st1["assign_dist_mean"] == pytest.approx(sum(d1) / len(d1))
+    assert st1["dist_drift"] == pytest.approx(
+        (sum(d1) / len(d1)) / (sum(d0) / len(d0))
+    )
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["build_dist_mean"] == pytest.approx(sum(d0) / len(d0))
+    assert meta["build_dist_p99"] is not None
+    assert meta["max_cell_rows"] is None  # valve default-off
+
+
+def test_hot_cell_valve(spark, tmp_path):
+    """max_cell_rows refuses BEFORE committing — quadratic-to-bounded
+    collapse: the store never accumulates a cell past the pin."""
+    three = {1: (1, 0, 0, 0), 2: (0, 1, 0, 0), 3: (0, 0, 1, 0)}
+    # build refusal: 3 mutually-orthogonal rows into one cell, cap 2
+    with pytest.raises(ValueError, match="hot cell"):
+        embedding_store_build(
+            spark, _emb_df(spark, three), str(tmp_path / "b"),
+            eps=EPS, n_cells=1, dim=DIM, max_cell_rows=2,
+        )
+    assert not os.path.exists(str(tmp_path / "b" / "meta.json"))
+    # two rows fit under the cap; a third refuses at refresh and the
+    # store is left byte-identical (no slot, meta unchanged)
+    path = str(tmp_path / "s")
+    st = embedding_store_build(
+        spark, _emb_df(spark, {1: (1, 0, 0, 0), 2: (0, 1, 0, 0)}),
+        path, eps=EPS, n_cells=1, dim=DIM, max_cell_rows=2,
+    )
+    assert st["accepted"] == 2 and st["hot_cell_rows"] == 2
+    before = _loaded(spark, path)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta_before = json.load(fh)
+    assert meta_before["max_cell_rows"] == 2
+    with pytest.raises(ValueError, match="hot cell"):
+        embedding_store_refresh(
+            spark, _emb_df(spark, {9: (0, 0, 1, 0)}), path
+        )
+    assert _loaded(spark, path) == before
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["batches"] == meta_before["batches"]
+    # a duplicate of stored history is REJECTED, not stored — it must
+    # sail through under the same valve (occupancy counts ACCEPTED
+    # rows only)
+    st = embedding_store_refresh(
+        spark, _emb_df(spark, {10: (1, 0.001, 0, 0)}), path
+    )
+    assert st["batch"] is None and st["rejected_history"] == 1
+    # rebuild with more cells is the advertised fix
+    st = embedding_store_rebuild(spark, path, n_cells=2)
+    assert st["accepted"] == 2
+    st = embedding_store_refresh(
+        spark, _emb_df(spark, {9: (0, 0, 1, 0)}), path
+    )
+    assert st["accepted"] == 1 and st["hot_cell_rows"] <= 2
+
+
+def test_rebuild_row_identical_to_fresh_build(spark, tmp_path):
+    """rebuild == embedding_store_build on the accepted history as one
+    frame, at the same (n_cells, seed) — centroids, cells, accepted
+    rows all identical; meta swaps to the single new batch."""
+    from big_data_hadoop_spark.sources import batch_store
+
+    path, _ = _grow(spark, tmp_path)
+    history = _loaded(spark, path)
+    # the fresh control build reads the SAME parquet directories the
+    # rebuild replays (KMeans init samples by partition — identical
+    # physical input makes the comparison exact, not approximate)
+    with open(os.path.join(path, "meta.json")) as fh:
+        dirs = batch_store.batch_dirs(
+            path, "emb", json.load(fh)["batches"]
+        )
+    hist_df = spark.read.parquet(*dirs).select("vec_id", "embedding")
+    fresh = str(tmp_path / "fresh")
+    embedding_store_build(
+        spark, hist_df, fresh, eps=EPS, n_cells=2, dim=DIM, seed=7
+    )
+    st = embedding_store_rebuild(spark, path, n_cells=2, seed=7)
+    assert st["history_rows"] == len(history)
+    assert _loaded(spark, path) == _loaded(spark, fresh)
+    assert _centroids(path) == _centroids(fresh)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert len(meta["batches"]) == 1 and meta["n_cells"] == 2
+    assert meta["seed"] == 7 and meta["eps"] == EPS
+    # the old batch directories are unreferenced now — vacuum sweeps
+    # them, and the store reads back identically
+    after = _loaded(spark, path)
+    assert embedding_store_vacuum(path, grace_seconds=0.0)["removed"] == 2
+    assert _loaded(spark, path) == after
+    # refresh keeps working against the NEW geometry
+    st = embedding_store_refresh(
+        spark, _emb_df(spark, {70: (0, 0, 0, 1)}), path
+    )
+    assert st["accepted"] == 1
+
+
+def test_rebuild_crash_window_leaves_store_intact(spark, tmp_path):
+    from unittest import mock
+
+    from big_data_hadoop_spark.sources import batch_store
+
+    path, _ = _grow(spark, tmp_path)
+    before = _loaded(spark, path)
+    cents_before = _centroids(path)
+    with mock.patch.object(
+        batch_store, "write_meta", side_effect=RuntimeError("killed (test)")
+    ):
+        with pytest.raises(RuntimeError, match="killed"):
+            embedding_store_rebuild(spark, path, n_cells=2, seed=7)
+    # meta never swapped: old batches, old centroids, same rows
+    assert _loaded(spark, path) == before
+    assert _centroids(path) == cents_before
+    # the orphaned replay directory is swept
+    assert embedding_store_vacuum(path, grace_seconds=0.0)["removed"] == 1
+    assert _loaded(spark, path) == before
+
+
+def test_recall_audit_measures_planted_cross_cell_miss(spark, tmp_path):
+    """The q92 pattern for the IVF tier: plant a near-dup pair that
+    straddles a cell boundary (constructed FROM the store's own pinned
+    centroids, so the miss exists by geometry, not by seed luck) and
+    check the audit's books: truth sees it, the within-cell tier
+    doesn't, recall and missed_max_cos report exactly that."""
+    # two well-separated clusters -> 2 pinned cells
+    corpus = {}
+    for k in range(5):
+        corpus[k] = (5.0, 3.0 + 0.01 * k, 0.0, 0.0)
+        corpus[10 + k] = (5.0, -3.0 - 0.01 * k, 0.0, 0.0)
+    path = str(tmp_path / "s")
+    embedding_store_build(
+        spark, _emb_df(spark, corpus), path, eps=0.99, n_cells=2, dim=DIM
+    )
+    cents = _centroids(path)
+    assert len(cents) == 2
+    # h sits just on c0's side of the midplane, b just on c1's side;
+    # cos(h, b) ~ 1 >> eps while neither is within eps of the clusters
+    import numpy as np
+
+    c0, c1 = np.array(cents[0]), np.array(cents[1])
+    m = (c0 + c1) / 2.0
+    d = (c1 - c0) / np.linalg.norm(c1 - c0)
+    h = (m - 0.2 * d).tolist()
+    b = (m + 0.2 * d).tolist()
+    assert _cos(h, b) >= 0.99
+    st = embedding_store_refresh(spark, _emb_df(spark, {50: h}), path)
+    assert st["accepted"] == 1
+    stored_h_cell = _loaded(spark, path)[50][0]
+    assert _assign(b, cents) != stored_h_cell
+    # probe: b (cross-cell miss), an exact copy of h (same-cell hit),
+    # a zero-norm row (excluded), a novel direction (no truth match)
+    probe = {60: b, 61: h, 62: (0, 0, 0, 0), 63: (0, 0, 1, 0)}
+    missed, summ = embedding_store_recall_audit(
+        spark, _emb_df(spark, probe), path, sample_rows=10
+    )
+    assert summ["sample_rows"] == 3  # zero-norm row excluded
+    assert summ["truth_matches"] == 2 and summ["cell_matches"] == 1
+    assert summ["missed"] == 1 and summ["recall"] == 0.5
+    rows = missed.collect()
+    assert [r.vec_id for r in rows] == [60]
+    assert rows[0].best_cos == pytest.approx(_cos(h, b))
+    assert summ["missed_max_cos"] == pytest.approx(_cos(h, b))
+    # all-in-one-cell store: within-cell IS exact, recall 1.0
+    one = str(tmp_path / "one")
+    embedding_store_build(
+        spark, _emb_df(spark, corpus), one, eps=0.99, n_cells=1, dim=DIM
+    )
+    embedding_store_refresh(spark, _emb_df(spark, {50: h}), one)
+    _m, s1 = embedding_store_recall_audit(
+        spark, _emb_df(spark, probe), one, sample_rows=10
+    )
+    assert s1["missed"] == 0 and s1["recall"] == 1.0
+    assert s1["truth_matches"] == 2 and s1["cell_matches"] == 2
+    with pytest.raises(ValueError, match="sample_rows"):
+        embedding_store_recall_audit(
+            spark, _emb_df(spark, probe), one, sample_rows=0
+        )
 
 
 def test_streaming_sink_matches_greedy_and_replays(spark, tmp_path):
