@@ -169,6 +169,23 @@ def main() -> None:
     pass_totals = [round(sum(t.values()), 3) for t in passes]
     total = round(sum(best.values()), 3)
 
+    # Two-tier recording (round-11 suite-budget governance): the CORE
+    # tier is the pinned q01–q56 registry of the original recorded
+    # baseline — a like-for-like total that survives registry growth —
+    # and EXTENSIONS is everything added since (q57+ and the r-prefix
+    # store/graph lifecycles). Each tier keeps its own per-query gate
+    # via `best`; the split only adds the two subtotals.
+    def _is_core(name: str) -> bool:
+        head = name.split("_", 1)[0]
+        return (
+            head[:1] == "q"
+            and head[1:].isdigit()
+            and int(head[1:]) <= 56
+        )
+
+    core_total = round(sum(v for k, v in best.items() if _is_core(k)), 3)
+    ext_total = round(total - core_total, 3)
+
     # Full diagnostics (per-pass, first-pass, execute-only rerun) go to a
     # side file + stderr: the driver captures only the LAST ~2000 chars of
     # output and parses the final JSON line from it, so the stdout line
@@ -176,6 +193,8 @@ def main() -> None:
     detail = {
         "passes": n_passes,
         "pass_totals": pass_totals,
+        "core_total": core_total,
+        "ext_total": ext_total,
         "first_pass": passes[0],
         "rerun": rerun,
         "best": best,
@@ -200,6 +219,8 @@ def main() -> None:
             "sf": sf,
             "passes": n_passes,
             "pass_totals": pass_totals,
+            "core": core_total,
+            "ext": ext_total,
         }
     )
     # Stay inside the driver's ~2000-char tail-capture window (BENCH_r04
@@ -219,6 +240,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "core": core_total,
+                "ext": ext_total,
             },
             separators=(",", ":"),
         )

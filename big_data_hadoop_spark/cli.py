@@ -462,119 +462,186 @@ def cmd_shard(args: argparse.Namespace) -> None:
     print(f"[shard] wrote {args.n_shards} shards to {args.output}")
 
 
-def cmd_neardup_graph(args: argparse.Namespace) -> None:
-    """Maintain the persisted near-dup pair graph store
-    (``operators.neardup_graph``): build it from a corpus, refresh it
-    with an ingest batch (history is never re-shingled), compact its
-    batch directories, vacuum orphans, or export the edge table."""
+def _run_store_cli(args: argparse.Namespace, spec: dict) -> None:
+    """ONE lifecycle driver for all four persisted stores (near-dup
+    graph, fingerprint, frame-hash, embedding) — they share the
+    immutable-batch protocol (``sources/batch_store.py``), so they
+    share the CLI surface too: build / refresh / matches / compact /
+    vacuum / export / stats plus store-specific extras (round-11: the
+    four ~170-line near-clones folded into this).
+
+    ``spec`` keys: ``name`` (CLI command), ``hint`` (meta hint),
+    ``build_defaults`` (build-only flags with their argparse defaults
+    — passing one to a non-build action refuses loudly: params come
+    from the store's meta, a mid-history change would silently
+    redefine "duplicate"), ``flag_actions`` (flags additionally legal
+    for specific extra actions), ``refusal_suffix``, ``vacuum`` /
+    ``build`` / ``batch_frame`` / ``refresh`` / ``matches`` /
+    ``compact`` / ``load`` callables, ``match_order`` / ``match_fmt``
+    (stdout form of the read-only novelty check), ``export_key``,
+    ``stats_view`` (meta → printable dict), ``extra`` (action →
+    ``fn(spark, args) -> stats``)."""
     import json as _json
 
-    from big_data_hadoop_spark.operators import neardup_graph as ng_ops
-
+    flag_actions = spec.get("flag_actions", {})
     if args.action != "build":
-        # build-only tuning flags are SILENT no-ops elsewhere (params
-        # come from the store's meta) — refuse instead of letting a
-        # user believe `refresh --threshold 0.5` loosened anything
-        # (round-9 review, 2nd pass)
-        defaults = {
-            "ngram": 3,
-            "num_perm": 128,
-            "bands": 32,
-            "threshold": 0.9,
-            "text_col": "text",
-            "id_col": "doc_id",
-        }
         passed = [
             f"--{k.replace('_', '-')}"
-            for k, d in defaults.items()
+            for k, d in spec["build_defaults"].items()
             if getattr(args, k) != d
+            and args.action not in flag_actions.get(k, ())
         ]
         if passed:
             raise SystemExit(
                 f"{' '.join(passed)} only apply to 'build' — "
                 f"'{args.action}' takes every store parameter from "
                 "the store's meta.json (a mid-history change would "
-                "silently redefine what 'duplicate' means)"
+                "silently redefine what 'duplicate' means"
+                f"{spec.get('refusal_suffix', '')})"
             )
     if args.action == "vacuum":
         # filesystem-only: no Spark session spin-up for a sweep
-        st = ng_ops.neardup_graph_vacuum(
-            args.store, grace_seconds=args.grace_seconds
-        )
+        st = spec["vacuum"](args.store, args.grace_seconds)
         print(_json.dumps(st, sort_keys=True))
         return
     if args.action == "stats":
         # inspect before you mutate: committed meta verbatim (params +
         # manifest), no Spark session — a metadata read must not cost
         # a JVM spin-up
-        print(_json.dumps(ng_ops._read_meta(args.store), sort_keys=True))
+        from big_data_hadoop_spark.sources import batch_store
+
+        meta = batch_store.read_meta(args.store, spec["hint"])
+        print(
+            _json.dumps(
+                spec.get("stats_view", lambda m: m)(meta), sort_keys=True
+            )
+        )
         return
-    spark = _spark("neardup-graph")
+    spark = _spark(spec["name"])
     if args.action in ("build", "refresh", "matches"):
         if not args.input:
             raise SystemExit(
-                f"neardup-graph {args.action} requires --input"
+                f"{spec['name']} {args.action} requires --input"
             )
-        if args.action == "matches":
-            # read-only novelty check: matches of the batch against the
-            # stored signature history, no writer claim
-            meta = ng_ops._read_meta(args.store)
-            docs = _read_table_cli(spark, args.input).select(
-                meta["id_col"], meta["text_col"]
-            )
-            hits = ng_ops.neardup_graph_matches(spark, docs, args.store)
-            if args.output:
-                # corpus-scale form: never collect the match list
-                n = hits.count()
-                hits.write.mode("overwrite").parquet(args.output)
-                st = {"matches": n}
-            else:
-                rows = hits.orderBy(meta["id_col"], "prior_id").collect()
-                for r in rows:
-                    print(f"{r[0]}\t{r[1]}\t{r[2]:.6f}")
-                st = {"matches": len(rows)}
-        elif args.action == "build":
-            docs = _read_table_cli(spark, args.input).select(
-                args.id_col, args.text_col
-            )
-            st = ng_ops.neardup_graph_build(
-                spark,
-                docs,
-                args.store,
-                n=args.ngram,
-                num_perm=args.num_perm,
-                bands=args.bands,
-                threshold=args.threshold,
-                text_col=args.text_col,
-                id_col=args.id_col,
-            )
+        if args.action == "build":
+            st = spec["build"](spark, args)
         else:
-            # column names come from the STORE's meta, like every other
-            # refresh parameter — the argparse defaults would make a
-            # store built with custom --id-col/--text-col permanently
-            # un-refreshable from the CLI (the same flags are refused
-            # above for non-build actions)
-            meta = ng_ops._read_meta(args.store)
-            docs = _read_table_cli(spark, args.input).select(
-                meta["id_col"], meta["text_col"]
-            )
-            st = ng_ops.neardup_graph_refresh(spark, docs, args.store)
+            from big_data_hadoop_spark.sources import batch_store
+
+            # refresh/matches derive EVERY parameter (tier, column
+            # names) from the store's meta — argparse defaults would
+            # make a store built with custom columns permanently
+            # un-refreshable from the CLI
+            meta = batch_store.read_meta(args.store, spec["hint"])
+            df = spec["batch_frame"](spark, args, meta)
+            if args.action == "matches":
+                # read-only novelty check: what the store would reject
+                # right now — no writer claim, no mutation
+                hits = spec["matches"](spark, df, args.store)
+                if args.output:
+                    # corpus-scale form: never collect the match list
+                    n = hits.count()
+                    hits.write.mode("overwrite").parquet(args.output)
+                    st = {"matches": n}
+                else:
+                    rows = hits.orderBy(*spec["match_order"](meta)).collect()
+                    fmt = spec.get("match_fmt", lambda r: str(r[0]))
+                    for r in rows:
+                        print(fmt(r))
+                    st = {"matches": len(rows)}
+            else:
+                st = spec["refresh"](spark, df, args.store)
     elif args.action == "compact":
-        st = ng_ops.neardup_graph_compact(spark, args.store)
-    else:  # export
+        st = spec["compact"](spark, args.store)
+    elif args.action == "export":
         if not args.output:
-            raise SystemExit("neardup-graph export requires --output")
+            raise SystemExit(f"{spec['name']} export requires --output")
         # count the STORE's immutable directories, then write — no bare
         # re-read of the freshly-written mutable output path (round-10;
         # the last such reads on the CLI surface)
-        edges = ng_ops.neardup_graph_load(spark, args.store)
-        n = edges.count()
-        edges.write.mode("overwrite").parquet(args.output)
-        st = {"edges": n}
+        stored = spec["load"](spark, args.store)
+        n = stored.count()
+        stored.write.mode("overwrite").parquet(args.output)
+        st = {spec["export_key"]: n}
+    else:
+        st = spec["extra"][args.action](spark, args)
     print(_json.dumps(st, sort_keys=True))
 
 
+def cmd_neardup_graph(args: argparse.Namespace) -> None:
+    """Maintain the persisted near-dup pair graph store
+    (``operators.neardup_graph``): build it from a corpus, refresh it
+    with an ingest batch (history is never re-shingled), compact its
+    batch directories, vacuum orphans, or export the edge table."""
+    from big_data_hadoop_spark.operators import neardup_graph as ng_ops
+
+    def build(spark, args):
+        docs = _read_table_cli(spark, args.input).select(
+            args.id_col, args.text_col
+        )
+        return ng_ops.neardup_graph_build(
+            spark,
+            docs,
+            args.store,
+            n=args.ngram,
+            num_perm=args.num_perm,
+            bands=args.bands,
+            threshold=args.threshold,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+
+    _run_store_cli(
+        args,
+        {
+            "name": "neardup-graph",
+            "hint": "neardup_graph_build",
+            "build_defaults": {
+                "ngram": 3,
+                "num_perm": 128,
+                "bands": 32,
+                "threshold": 0.9,
+                "text_col": "text",
+                "id_col": "doc_id",
+            },
+            "vacuum": lambda store, grace: ng_ops.neardup_graph_vacuum(
+                store, grace_seconds=grace
+            ),
+            "build": build,
+            "batch_frame": lambda spark, args, meta: _read_table_cli(
+                spark, args.input
+            ).select(meta["id_col"], meta["text_col"]),
+            "refresh": ng_ops.neardup_graph_refresh,
+            "matches": ng_ops.neardup_graph_matches,
+            "match_order": lambda meta: (meta["id_col"], "prior_id"),
+            "match_fmt": lambda r: f"{r[0]}\t{r[1]}\t{r[2]:.6f}",
+            "compact": ng_ops.neardup_graph_compact,
+            "load": ng_ops.neardup_graph_load,
+            "export_key": "edges",
+        },
+    )
+
+
 _FP_TIERS = ("image", "audio", "video", "simhash", "raw")
+
+
+def _resolve_tier(args, meta: dict, family_word: str) -> str:
+    """The pinned-family handshake shared by the tiered stores: an
+    explicit ``--tier`` must agree with the family pinned at build;
+    a store built via the library (no family) needs it passed."""
+    tier = meta.get("family")
+    if args.tier and tier and args.tier != tier:
+        raise SystemExit(
+            f"--tier {args.tier} conflicts with the store's pinned "
+            f"family '{tier}' — one history, one {family_word} family"
+        )
+    tier = args.tier or tier
+    if not tier:
+        raise SystemExit(
+            "the store's meta has no pinned family (built via the "
+            "library?) — pass --tier explicitly"
+        )
+    return tier
 
 
 def _fp_tier_frame(spark, tier: str, path: str, args):
@@ -656,141 +723,78 @@ def cmd_fingerprint_store(args: argparse.Namespace) -> None:
     table. The tier is pinned in the store's meta at build time and
     validated on refresh — mixing fingerprint families in one history
     would silently redefine what "duplicate" means."""
-    import json as _json
-
     from big_data_hadoop_spark.operators import fingerprint_store as fs_ops
 
-    if args.action != "build":
-        defaults = {
-            "max_hamming": 3,
-            "text_col": "text",
-            "id_col": "doc_id",
-            "fp_col": "fp",
-        }
-        passed = [
-            f"--{k.replace('_', '-')}"
-            for k, d in defaults.items()
-            if getattr(args, k) != d
-        ]
-        if passed:
+    def build(spark, args):
+        if not args.tier:
             raise SystemExit(
-                f"{' '.join(passed)} only apply to 'build' — "
-                f"'{args.action}' takes every store parameter from "
-                "the store's meta.json (a mid-history change would "
-                "silently redefine what 'duplicate' means)"
+                "fingerprint-store build requires --tier "
+                f"({'|'.join(_FP_TIERS)})"
             )
-    if args.action == "vacuum":
-        st = fs_ops.fingerprint_store_vacuum(
-            args.store, grace_seconds=args.grace_seconds
-        )
-        print(_json.dumps(st, sort_keys=True))
-        return
-    if args.action == "stats":
-        from big_data_hadoop_spark.sources import batch_store
-
-        print(
-            _json.dumps(
-                batch_store.read_meta(args.store, "fingerprint_store_build"),
-                sort_keys=True,
-            )
-        )
-        return
-    spark = _spark("fingerprint-store")
-    if args.action in ("build", "refresh", "matches"):
-        if not args.input:
+        if args.tier == "video" and args.max_hamming != 0:
+            # round-10 ADVICE: the clip fingerprint is an xxhash64
+            # avalanche digest — visually-near clips land ~32 bits
+            # apart, so any nonzero radius silently degrades to
+            # exact-only dedup while CLAIMING a near-dup radius
             raise SystemExit(
-                f"fingerprint-store {args.action} requires --input"
+                "--tier video requires --max-hamming 0 (the clip "
+                "fingerprint is an avalanche digest; Hamming "
+                "distance on it is meaningless) — for NEAR-dup "
+                "video matching use the frame-hash tier "
+                "(video_neardup_pairs / video_matches_against)"
             )
-        if args.action == "build":
-            if not args.tier:
-                raise SystemExit(
-                    "fingerprint-store build requires --tier "
-                    f"({'|'.join(_FP_TIERS)})"
-                )
-            if args.tier == "video" and args.max_hamming != 0:
-                # round-10 ADVICE: the clip fingerprint is an xxhash64
-                # avalanche digest — visually-near clips land ~32 bits
-                # apart, so any nonzero radius silently degrades to
-                # exact-only dedup while CLAIMING a near-dup radius
-                raise SystemExit(
-                    "--tier video requires --max-hamming 0 (the clip "
-                    "fingerprint is an avalanche digest; Hamming "
-                    "distance on it is meaningless) — for NEAR-dup "
-                    "video matching use the frame-hash tier "
-                    "(video_neardup_pairs / video_matches_against)"
-                )
-            fp, id_col = _fp_tier_frame(spark, args.tier, args.input, args)
-            st = fs_ops.fingerprint_store_build(
-                spark,
-                fp,
-                args.store,
-                max_hamming=args.max_hamming,
-                id_col=id_col,
-                fp_col=args.fp_col if args.tier == "raw" else "fp",
-                family=args.tier,
-                extras=(
-                    {"text_col": args.text_col}
-                    if args.tier == "simhash"
-                    else None
-                ),
-            )
-        else:
-            from big_data_hadoop_spark.sources import batch_store
+        fp, id_col = _fp_tier_frame(spark, args.tier, args.input, args)
+        return fs_ops.fingerprint_store_build(
+            spark,
+            fp,
+            args.store,
+            max_hamming=args.max_hamming,
+            id_col=id_col,
+            fp_col=args.fp_col if args.tier == "raw" else "fp",
+            family=args.tier,
+            extras=(
+                {"text_col": args.text_col}
+                if args.tier == "simhash"
+                else None
+            ),
+        )
 
-            meta = batch_store.read_meta(
-                args.store, "fingerprint_store_build"
-            )
-            tier = meta.get("family")
-            if args.tier and tier and args.tier != tier:
-                raise SystemExit(
-                    f"--tier {args.tier} conflicts with the store's "
-                    f"pinned family '{tier}' — one history, one "
-                    "fingerprint family"
-                )
-            tier = args.tier or tier
-            if not tier:
-                raise SystemExit(
-                    "the store's meta has no pinned family (built via "
-                    "the library?) — pass --tier explicitly"
-                )
-            # for simhash/raw tiers the column names come from meta
-            # (a store built with custom columns must stay refreshable)
-            args.id_col = meta["id_col"]
-            args.fp_col = meta["fp_col"]
-            args.text_col = meta.get("extras", {}).get(
-                "text_col", args.text_col
-            )
-            fp, _ = _fp_tier_frame(spark, tier, args.input, args)
-            if args.action == "matches":
-                # read-only novelty check: ids the store would reject
-                hits = fs_ops.fingerprint_store_matches(
-                    spark, fp, args.store
-                )
-                if args.output:
-                    # corpus-scale form: never collect the match list
-                    n = hits.count()
-                    hits.write.mode("overwrite").parquet(args.output)
-                    st = {"matches": n}
-                else:
-                    rows = hits.orderBy(meta["id_col"]).collect()
-                    for r in rows:
-                        print(r[0])
-                    st = {"matches": len(rows)}
-            else:
-                st = fs_ops.fingerprint_store_refresh(
-                    spark, fp, args.store
-                )
-    elif args.action == "compact":
-        st = fs_ops.fingerprint_store_compact(spark, args.store)
-    else:  # export
-        if not args.output:
-            raise SystemExit("fingerprint-store export requires --output")
-        # count the store, then write (see the neardup-graph export)
-        accepted = fs_ops.fingerprint_store_load(spark, args.store)
-        n = accepted.count()
-        accepted.write.mode("overwrite").parquet(args.output)
-        st = {"fingerprints": n}
-    print(_json.dumps(st, sort_keys=True))
+    def batch_frame(spark, args, meta):
+        tier = _resolve_tier(args, meta, "fingerprint")
+        # for simhash/raw tiers the column names come from meta
+        # (a store built with custom columns must stay refreshable)
+        args.id_col = meta["id_col"]
+        args.fp_col = meta["fp_col"]
+        args.text_col = meta.get("extras", {}).get(
+            "text_col", args.text_col
+        )
+        fp, _ = _fp_tier_frame(spark, tier, args.input, args)
+        return fp
+
+    _run_store_cli(
+        args,
+        {
+            "name": "fingerprint-store",
+            "hint": "fingerprint_store_build",
+            "build_defaults": {
+                "max_hamming": 3,
+                "text_col": "text",
+                "id_col": "doc_id",
+                "fp_col": "fp",
+            },
+            "vacuum": lambda store, grace: fs_ops.fingerprint_store_vacuum(
+                store, grace_seconds=grace
+            ),
+            "build": build,
+            "batch_frame": batch_frame,
+            "refresh": fs_ops.fingerprint_store_refresh,
+            "matches": fs_ops.fingerprint_store_matches,
+            "match_order": lambda meta: (meta["id_col"],),
+            "compact": fs_ops.fingerprint_store_compact,
+            "load": fs_ops.fingerprint_store_load,
+            "export_key": "fingerprints",
+        },
+    )
 
 
 _FH_TIERS = ("video", "raw")
@@ -827,129 +831,67 @@ def cmd_framehash_store(args: argparse.Namespace) -> None:
     sampling parameter are pinned in meta at build time and validated/
     re-read on refresh — mixed sampling in one history would silently
     change clip identities (the fingerprint-store family contract)."""
-    import json as _json
-
     from big_data_hadoop_spark.operators import framehash_store as fh_ops
 
-    if args.action != "build":
-        defaults = {
-            "max_hamming": 1,
-            "min_matching_frames": 2,
-            "n_frames": 8,
-            "id_col": "media_id",
-            "match_constant_frames": False,
-            "max_frame_df": None,
-        }
-        passed = [
-            f"--{k.replace('_', '-')}"
-            for k, d in defaults.items()
-            if getattr(args, k) != d
-        ]
-        if passed:
+    def build(spark, args):
+        if not args.tier:
             raise SystemExit(
-                f"{' '.join(passed)} only apply to 'build' — "
-                f"'{args.action}' takes every store parameter from "
-                "the store's meta.json (a mid-history change would "
-                "silently redefine what 'duplicate' means)"
+                "framehash-store build requires --tier "
+                f"({'|'.join(_FH_TIERS)})"
             )
-    if args.action == "vacuum":
-        st = fh_ops.framehash_store_vacuum(
-            args.store, grace_seconds=args.grace_seconds
+        fh, id_col = _fh_tier_frame(spark, args.tier, args.input, args)
+        return fh_ops.framehash_store_build(
+            spark,
+            fh,
+            args.store,
+            max_hamming=args.max_hamming,
+            min_matching_frames=args.min_matching_frames,
+            drop_constant=not args.match_constant_frames,
+            max_frame_df=args.max_frame_df,
+            id_col=id_col,
+            family=args.tier,
+            extras=(
+                {"n_frames": args.n_frames}
+                if args.tier == "video"
+                else None
+            ),
         )
-        print(_json.dumps(st, sort_keys=True))
-        return
-    if args.action == "stats":
-        from big_data_hadoop_spark.sources import batch_store
 
-        print(
-            _json.dumps(
-                batch_store.read_meta(args.store, "framehash_store_build"),
-                sort_keys=True,
-            )
+    def batch_frame(spark, args, meta):
+        tier = _resolve_tier(args, meta, "frame-hash")
+        args.id_col = meta["id_col"]
+        args.n_frames = meta.get("extras", {}).get(
+            "n_frames", args.n_frames
         )
-        return
-    spark = _spark("framehash-store")
-    if args.action in ("build", "refresh", "matches"):
-        if not args.input:
-            raise SystemExit(
-                f"framehash-store {args.action} requires --input"
-            )
-        if args.action == "build":
-            if not args.tier:
-                raise SystemExit(
-                    "framehash-store build requires --tier "
-                    f"({'|'.join(_FH_TIERS)})"
-                )
-            fh, id_col = _fh_tier_frame(spark, args.tier, args.input, args)
-            st = fh_ops.framehash_store_build(
-                spark,
-                fh,
-                args.store,
-                max_hamming=args.max_hamming,
-                min_matching_frames=args.min_matching_frames,
-                drop_constant=not args.match_constant_frames,
-                max_frame_df=args.max_frame_df,
-                id_col=id_col,
-                family=args.tier,
-                extras=(
-                    {"n_frames": args.n_frames}
-                    if args.tier == "video"
-                    else None
-                ),
-            )
-        else:
-            from big_data_hadoop_spark.sources import batch_store
+        fh, _ = _fh_tier_frame(spark, tier, args.input, args)
+        return fh
 
-            meta = batch_store.read_meta(
-                args.store, "framehash_store_build"
-            )
-            tier = meta.get("family")
-            if args.tier and tier and args.tier != tier:
-                raise SystemExit(
-                    f"--tier {args.tier} conflicts with the store's "
-                    f"pinned family '{tier}' — one history, one "
-                    "frame-hash family"
-                )
-            tier = args.tier or tier
-            if not tier:
-                raise SystemExit(
-                    "the store's meta has no pinned family (built via "
-                    "the library?) — pass --tier explicitly"
-                )
-            args.id_col = meta["id_col"]
-            args.n_frames = meta.get("extras", {}).get(
-                "n_frames", args.n_frames
-            )
-            fh, _ = _fh_tier_frame(spark, tier, args.input, args)
-            if args.action == "matches":
-                # read-only novelty check: clip ids the store would
-                # reject at its pinned parameters
-                hits = fh_ops.framehash_store_matches(
-                    spark, fh, args.store
-                )
-                if args.output:
-                    # corpus-scale form: never collect the match list
-                    n = hits.count()
-                    hits.write.mode("overwrite").parquet(args.output)
-                    st = {"matches": n}
-                else:
-                    rows = hits.orderBy(meta["id_col"]).collect()
-                    for r in rows:
-                        print(r[0])
-                    st = {"matches": len(rows)}
-            else:
-                st = fh_ops.framehash_store_refresh(spark, fh, args.store)
-    elif args.action == "compact":
-        st = fh_ops.framehash_store_compact(spark, args.store)
-    else:  # export
-        if not args.output:
-            raise SystemExit("framehash-store export requires --output")
-        # count the store, then write (see the neardup-graph export)
-        stored = fh_ops.framehash_store_load(spark, args.store)
-        n = stored.count()
-        stored.write.mode("overwrite").parquet(args.output)
-        st = {"frame_rows": n}
-    print(_json.dumps(st, sort_keys=True))
+    _run_store_cli(
+        args,
+        {
+            "name": "framehash-store",
+            "hint": "framehash_store_build",
+            "build_defaults": {
+                "max_hamming": 1,
+                "min_matching_frames": 2,
+                "n_frames": 8,
+                "id_col": "media_id",
+                "match_constant_frames": False,
+                "max_frame_df": None,
+            },
+            "vacuum": lambda store, grace: fh_ops.framehash_store_vacuum(
+                store, grace_seconds=grace
+            ),
+            "build": build,
+            "batch_frame": batch_frame,
+            "refresh": fh_ops.framehash_store_refresh,
+            "matches": fh_ops.framehash_store_matches,
+            "match_order": lambda meta: (meta["id_col"],),
+            "compact": fh_ops.framehash_store_compact,
+            "load": fh_ops.framehash_store_load,
+            "export_key": "frame_rows",
+        },
+    )
 
 
 def cmd_embedding_store(args: argparse.Namespace) -> None:
@@ -957,110 +899,113 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
     (``operators.embedding_store``): incremental semantic dedup with
     centroids pinned at build. Input is an ``(id, embedding)`` parquet
     table (``--id-col``/``--vec-col``, pinned in meta and re-read on
-    refresh). ``matches`` is the read-only novelty check: it prints
-    the ids of input rows the store would reject right now."""
-    import json as _json
-
+    refresh). ``matches`` is the read-only novelty check; ``audit``
+    measures the within-cell approximation's recall on a sample
+    (``embedding_store_recall_audit``); ``rebuild`` refits the
+    quantizer and replays accepted history through the new cells
+    (``--n-cells``/``--seed`` optionally override the pinned
+    values)."""
     from big_data_hadoop_spark.operators import embedding_store as es_ops
+    from big_data_hadoop_spark.sources import batch_store
 
-    if args.action != "build":
-        defaults = {
-            "eps": 0.95,
-            "n_cells": 16,
-            "dim": None,
-            "id_col": "vec_id",
-            "vec_col": "embedding",
-            "seed": 42,
-        }
-        passed = [
-            f"--{k.replace('_', '-')}"
-            for k, d in defaults.items()
-            if getattr(args, k) != d
-        ]
-        if passed:
+    def build(spark, args):
+        if args.dim is None:
             raise SystemExit(
-                f"{' '.join(passed)} only apply to 'build' — "
-                f"'{args.action}' takes every store parameter from "
-                "the store's meta.json (a mid-history change would "
-                "silently redefine what 'duplicate' means, or move a "
-                "cell boundary)"
+                "embedding-store build requires --dim (the fixed "
+                "embedding width; the flat scoring path needs it)"
             )
-    if args.action == "vacuum":
-        st = es_ops.embedding_store_vacuum(
-            args.store, grace_seconds=args.grace_seconds
+        df = _read_table_cli(spark, args.input).select(
+            F.col(args.id_col), F.col(args.vec_col)
         )
-        print(_json.dumps(st, sort_keys=True))
-        return
-    if args.action == "stats":
-        from big_data_hadoop_spark.sources import batch_store
+        return es_ops.embedding_store_build(
+            spark,
+            df,
+            args.store,
+            eps=args.eps,
+            n_cells=args.n_cells if args.n_cells is not None else 16,
+            dim=args.dim,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            seed=args.seed if args.seed is not None else 42,
+            max_cell_rows=args.max_cell_rows,
+        )
 
-        meta = batch_store.read_meta(args.store, "embedding_store_build")
-        # centroids are k x dim floats — summarize, don't dump
-        meta["centroids"] = f"<{len(meta['centroids'])} pinned>"
-        print(_json.dumps(meta, sort_keys=True))
-        return
-    spark = _spark("embedding-store")
-    if args.action in ("build", "refresh", "matches"):
+    def rebuild(spark, args):
+        return es_ops.embedding_store_rebuild(
+            spark,
+            args.store,
+            n_cells=args.n_cells,
+            seed=args.seed,
+            max_cell_rows=(
+                "keep" if args.max_cell_rows is None else args.max_cell_rows
+            ),
+        )
+
+    def audit(spark, args):
         if not args.input:
-            raise SystemExit(
-                f"embedding-store {args.action} requires --input"
-            )
-        if args.action == "build":
-            if args.dim is None:
-                raise SystemExit(
-                    "embedding-store build requires --dim (the fixed "
-                    "embedding width; the flat scoring path needs it)"
-                )
-            df = _read_table_cli(spark, args.input).select(
-                F.col(args.id_col), F.col(args.vec_col)
-            )
-            st = es_ops.embedding_store_build(
-                spark,
-                df,
-                args.store,
-                eps=args.eps,
-                n_cells=args.n_cells,
-                dim=args.dim,
-                id_col=args.id_col,
-                vec_col=args.vec_col,
-                seed=args.seed,
-            )
-        else:
-            from big_data_hadoop_spark.sources import batch_store
+            raise SystemExit("embedding-store audit requires --input")
+        meta = batch_store.read_meta(args.store, "embedding_store_build")
+        df = _read_table_cli(spark, args.input).select(
+            F.col(meta["id_col"]), F.col(meta["vec_col"])
+        )
+        missed, summary = es_ops.embedding_store_recall_audit(
+            spark,
+            df,
+            args.store,
+            sample_rows=args.sample_rows,
+            seed=args.seed if args.seed is not None else 0,
+        )
+        if args.output:
+            # the missed pairs ARE the evidence — persist on request
+            summary["missed_rows_written"] = missed.count()
+            missed.write.mode("overwrite").parquet(args.output)
+        return summary
 
-            meta = batch_store.read_meta(
-                args.store, "embedding_store_build"
-            )
-            df = _read_table_cli(spark, args.input).select(
-                F.col(meta["id_col"]), F.col(meta["vec_col"])
-            )
-            if args.action == "refresh":
-                st = es_ops.embedding_store_refresh(spark, df, args.store)
-            else:  # matches: read-only, no writer claim
-                hits = es_ops.embedding_store_matches(
-                    spark, df, args.store
-                )
-                if args.output:
-                    # corpus-scale form: never collect the match list
-                    n = hits.count()
-                    hits.write.mode("overwrite").parquet(args.output)
-                    st = {"matches": n}
-                else:
-                    rows = hits.orderBy(meta["id_col"]).collect()
-                    for r in rows:
-                        print(r[0])
-                    st = {"matches": len(rows)}
-    elif args.action == "compact":
-        st = es_ops.embedding_store_compact(spark, args.store)
-    else:  # export
-        if not args.output:
-            raise SystemExit("embedding-store export requires --output")
-        # count the store, then write (the neardup-graph export rule)
-        stored = es_ops.embedding_store_load(spark, args.store)
-        n = stored.count()
-        stored.write.mode("overwrite").parquet(args.output)
-        st = {"embeddings": n}
-    print(_json.dumps(st, sort_keys=True))
+    def stats_view(meta):
+        # centroids are k x dim floats — summarize, don't dump
+        meta = dict(meta)
+        meta["centroids"] = f"<{len(meta['centroids'])} pinned>"
+        return meta
+
+    _run_store_cli(
+        args,
+        {
+            "name": "embedding-store",
+            "hint": "embedding_store_build",
+            "build_defaults": {
+                "eps": 0.95,
+                "n_cells": None,
+                "dim": None,
+                "id_col": "vec_id",
+                "vec_col": "embedding",
+                "seed": None,
+                "max_cell_rows": None,
+            },
+            # rebuild legitimately re-pins the quantizer geometry and
+            # the valve; audit takes a sampling seed
+            "flag_actions": {
+                "n_cells": ("rebuild",),
+                "seed": ("rebuild", "audit"),
+                "max_cell_rows": ("rebuild",),
+            },
+            "refusal_suffix": ", or move a cell boundary",
+            "vacuum": lambda store, grace: es_ops.embedding_store_vacuum(
+                store, grace_seconds=grace
+            ),
+            "build": build,
+            "batch_frame": lambda spark, args, meta: _read_table_cli(
+                spark, args.input
+            ).select(F.col(meta["id_col"]), F.col(meta["vec_col"])),
+            "refresh": es_ops.embedding_store_refresh,
+            "matches": es_ops.embedding_store_matches,
+            "match_order": lambda meta: (meta["id_col"],),
+            "compact": es_ops.embedding_store_compact,
+            "load": es_ops.embedding_store_load,
+            "export_key": "embeddings",
+            "stats_view": stats_view,
+            "extra": {"rebuild": rebuild, "audit": audit},
+        },
+    )
 
 
 def cmd_skew(args: argparse.Namespace) -> None:
@@ -1604,25 +1549,27 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=[
             "build", "refresh", "matches", "compact", "vacuum",
-            "export", "stats",
+            "export", "stats", "rebuild", "audit",
         ],
     )
     es.add_argument("store")
     es.add_argument(
         "--input", default=None,
-        help="(id, embedding) parquet (build/refresh/matches)",
+        help="(id, embedding) parquet (build/refresh/matches/audit)",
     )
     es.add_argument(
         "--output", default=None,
-        help="accepted-embeddings destination (export)",
+        help="accepted-embeddings destination (export) / missed-rows "
+        "destination (audit)",
     )
     es.add_argument(
         "--eps", type=float, default=0.95,
         help="same-cell cosine duplicate threshold (build)",
     )
     es.add_argument(
-        "--n-cells", type=int, default=16,
-        help="IVF cells; hot cells are the skew lever (build)",
+        "--n-cells", type=int, default=None,
+        help="IVF cells; hot cells are the skew lever (build, "
+        "default 16; rebuild, default = pinned value)",
     )
     es.add_argument(
         "--dim", type=int, default=None,
@@ -1630,7 +1577,21 @@ def main(argv: list[str] | None = None) -> None:
     )
     es.add_argument("--id-col", default="vec_id")
     es.add_argument("--vec-col", default="embedding")
-    es.add_argument("--seed", type=int, default=42)
+    es.add_argument(
+        "--seed", type=int, default=None,
+        help="KMeans seed (build, default 42; rebuild, default = "
+        "pinned value) / sampling seed (audit, default 0)",
+    )
+    es.add_argument(
+        "--max-cell-rows", type=int, default=None,
+        help="hot-cell valve: refuse any verb that would leave one "
+        "cell holding more accepted rows than this (build/rebuild; "
+        "pinned in meta, default off)",
+    )
+    es.add_argument(
+        "--sample-rows", type=int, default=256,
+        help="audit sample size (fixed cost at every corpus scale)",
+    )
     es.add_argument("--grace-seconds", type=float, default=86400.0)
 
     sq = sub.add_parser(

@@ -42,8 +42,27 @@ nothing more); per refresh one narrow assignment pass over the batch
 (k x dim multiply-adds per row, no shuffle), one within-cell equi-join
 against history (flat scalar-column scoring — the measured ~10x fast
 path from ``similarity._flat``), one within-batch cell join, one
-immutable directory append. Hot cells are the skew lever: raise
-``n_cells`` at build.
+immutable directory append.
+
+ROUND-11 HEALTH SURFACE — the three levers an operator needs once a
+store lives for months:
+
+* hot cells ARE the skew hazard (the within-cell join is quadratic in
+  cell occupancy): occupancy is disclosed per verb
+  (``hot_cell_rows`` / ``occupied_cells`` in stats) and an optional
+  meta-pinned ``max_cell_rows`` valve refuses-before-commit (default
+  off — a refusal never silently changes what "duplicate" means, the
+  way skipping a hot cell would);
+* cross-cell misses are MEASURED, not cited:
+  ``embedding_store_recall_audit`` runs exact cosine truth over the
+  full history on a fixed-size sample (linear in history — the audit
+  costs the same at every corpus size) vs the store's within-cell
+  verdict;
+* centroid staleness is visible (``assign_dist_mean``/``p99`` per
+  refresh vs the build-time pins; ``dist_drift``), and
+  ``embedding_store_rebuild`` is the guarded escape hatch: refit +
+  replay accepted history through the new cells under the writer
+  claim, row-identical to a fresh build, crash-safe swap.
 """
 
 from __future__ import annotations
@@ -181,68 +200,83 @@ def _within_pairs(
     ).select("id_a", "id_b")
 
 
-def _refuse_malformed(
-    df: DataFrame, dim: int, vec_col: str, what: str = "batch"
-) -> None:
-    """Loud refusal for vectors that cannot be honestly assigned a
-    cell: wrong width (zip_with pads the short side with NULLs → NULL
-    cell) or a NULL/NaN ELEMENT (every centroid distance becomes
-    NULL/NaN, so assignment is undefined — round-10's width guard had
-    exactly this bypass: a correct-width vector with one NULL element
-    sailed past ``F.size`` and past the zero-norm filter, got a NULL
-    cell, joined nothing, and was STORED permanently invisible to all
-    future dedup). Whole-NULL embeddings are NOT refused here — they
-    stay the disclosed zero-norm drop (no direction, counted in
-    stats). One limit-1 scan; callers run it exactly once per verb."""
-    bad = (
-        df.filter(
-            F.col(vec_col).isNotNull()
-            & (
-                (F.size(F.col(vec_col)) != F.lit(int(dim)))
-                | F.exists(
-                    F.col(vec_col),
-                    lambda x: x.isNull() | F.isnan(x.cast("double")),
-                )
-            )
+def _bad_vector(dim: int, vec_col: str):
+    """Predicate: vector that cannot be honestly assigned a cell —
+    wrong width (zip_with pads the short side with NULLs → NULL cell)
+    or a NULL/NaN ELEMENT (every centroid distance becomes NULL/NaN,
+    so assignment is undefined; round-10's width guard had exactly
+    this bypass — a correct-width vector with one NULL element sailed
+    past ``F.size`` and the zero-norm filter, got a NULL cell, joined
+    nothing, and was STORED permanently invisible to future dedup).
+    Whole-NULL embeddings are NOT flagged — they stay the disclosed
+    zero-norm drop (no direction, counted in stats)."""
+    return F.col(vec_col).isNotNull() & (
+        (F.size(F.col(vec_col)) != F.lit(int(dim)))
+        | F.exists(
+            F.col(vec_col),
+            lambda x: x.isNull() | F.isnan(x.cast("double")),
         )
-        .limit(1)
-        .count()
     )
-    if bad:
-        raise ValueError(
-            f"{what} contains vectors whose width differs from the "
-            f"store's pinned dim={dim}, or with NULL/NaN elements — "
-            "such a vector cannot be assigned a cell and would be "
-            "stored (or silently read as novel) corrupted; fix the "
-            "embedder or rebuild at the new width"
-        )
 
 
-def _refuse_null_ids(df: DataFrame, id_col: str) -> None:
-    if df.filter(F.col(id_col).isNull()).limit(1).count():
+def _malformed_msg(dim: int, what: str) -> str:
+    return (
+        f"{what} contains vectors whose width differs from the "
+        f"store's pinned dim={dim}, or with NULL/NaN elements — "
+        "such a vector cannot be assigned a cell and would be "
+        "stored (or silently read as novel) corrupted; fix the "
+        "embedder or rebuild at the new width"
+    )
+
+
+def _validate_batch(
+    df: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    what: str,
+    check_dups: bool = True,
+) -> int:
+    """Every write-path batch refusal in ONE aggregation job (round-11
+    verb diet: the NULL-id scan, the duplicate-id groupBy, the
+    malformed-vector scan, and the row count the accept fold needs
+    were four separate jobs — store-verb job count IS the fixed cost
+    the suite pays per lifecycle). Returns the batch row count.
+    ``check_dups=False`` is the ``validate_ids=False`` contract
+    (uniqueness guaranteed upstream); NULL ids and malformed vectors
+    always refuse — both corrupt the store silently."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(id_col)).alias("n_ids"),
+        F.count_distinct(F.col(id_col)).alias("n_distinct"),
+        F.count(F.when(_bad_vector(dim, vec_col), 1)).alias("n_bad"),
+    ).first()
+    if row["n_ids"] < row["n"]:
         raise ValueError(
             "NULL ids in the embedding batch — a NULL id neither "
             "equi-joins nor orders, so its dedup outcome would be "
             "silent; assign real ids first"
         )
-
-
-def _refuse_duplicate_ids(df: DataFrame, id_col: str) -> None:
-    dup = (
-        df.filter(F.col(id_col).isNotNull())
-        .groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
+    if check_dups and row["n_distinct"] < row["n_ids"]:
         raise ValueError(
             f"duplicate {id_col} values within the batch — the greedy "
             "keep-first outcome for an id seen twice is undefined; "
             "dropDuplicates the batch first, or pass "
             "validate_ids=False if uniqueness is guaranteed upstream"
         )
+    if row["n_bad"]:
+        raise ValueError(_malformed_msg(dim, what))
+    return row["n"]
+
+
+def _refuse_malformed(
+    df: DataFrame, dim: int, vec_col: str, what: str = "batch"
+) -> None:
+    """Read-path form of the malformed-vector refusal (see
+    ``_bad_vector``): one limit-1 scan — the read-only verbs (matches,
+    audit) have no id validation to fold it into."""
+    if df.filter(_bad_vector(dim, vec_col)).limit(1).count():
+        raise ValueError(_malformed_msg(dim, what))
 
 
 def _accept(
@@ -250,6 +284,7 @@ def _accept(
     prior: DataFrame | None,
     meta: dict,
     stats: dict,
+    n_in: int,
 ) -> tuple[DataFrame, int]:
     """The dedup fold: drop zero-norm rows (counted), reject same-cell
     history matches at eps (counted), within-batch cluster dedup
@@ -264,11 +299,11 @@ def _accept(
         meta["eps"], meta["dim"], meta["id_col"], meta["vec_col"]
     )
     norm_in = df.select(F.col(id_col), F.col(vec_col))
-    n_in = norm_in.count()
-    # malformed vectors (wrong width / NULL/NaN elements) were refused
-    # by the calling verb (_refuse_malformed) — exactly once per verb,
-    # BEFORE any expensive work. NULL embeddings stay the disclosed
-    # drop below (no norm, no direction — the NULL-fp contract).
+    # n_in comes from the calling verb's single validation job
+    # (_validate_batch) — malformed vectors (wrong width / NULL/NaN
+    # elements) were refused there, BEFORE any expensive work. NULL
+    # embeddings stay the disclosed drop below (no norm, no direction
+    # — the NULL-fp contract).
     usable = norm_in.filter(
         F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
     )
@@ -413,8 +448,6 @@ def embedding_store_build(
             f"an embedding store already exists at {path} — append "
             "batches with embedding_store_refresh, or choose a new path"
         )
-    if validate_ids:
-        _refuse_duplicate_ids(df, id_col)
     os.makedirs(path, exist_ok=True)
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         if os.path.exists(batch_store.meta_path(path)):
@@ -422,11 +455,14 @@ def embedding_store_build(
                 f"an embedding store already exists at {path} "
                 "(created while waiting for the writer claim)"
             )
-        _refuse_null_ids(df, id_col)
-        # refuse malformed input BEFORE paying for the KMeans fit —
-        # otherwise a bad build frame dies inside MLlib with an opaque
-        # error after the fit cost (round-10 advice)
-        _refuse_malformed(df, dim, vec_col, "embedding build frame")
+        # ONE validation job (NULL/duplicate ids + malformed vectors +
+        # row count), BEFORE paying for the KMeans fit — a bad build
+        # frame would otherwise die inside MLlib with an opaque error
+        # after the fit cost (round-10 advice)
+        n_in = _validate_batch(
+            df, dim, id_col, vec_col, "embedding build frame",
+            check_dups=validate_ids,
+        )
         idx = ivf_build(
             df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
             seed=seed, train_cap=train_cap,
@@ -446,7 +482,7 @@ def embedding_store_build(
             "batches": [0],
         }
         stats: dict = {}
-        accepted, n = _accept(df, None, meta, stats)
+        accepted, n = _accept(df, None, meta, stats, n_in)
         hot = _occupancy(accepted.select("cell"), stats)
         _refuse_hot_cell(hot, max_cell_rows, path)
         out = batch_store.batch_dirs(path, "emb", [0])[0]
@@ -494,18 +530,18 @@ def embedding_store_refresh(
     valve)."""
     meta = batch_store.read_meta(path, _HINT)  # fail fast pre-lock
     id_col = meta["id_col"]
-    if validate_ids:
-        _refuse_duplicate_ids(df, id_col)
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         meta = batch_store.read_meta(path, _HINT)  # re-read under claim
         id_col = meta["id_col"]
         batches = list(meta["batches"])
-        if df.isEmpty():
-            return {"batch": None, "accepted": 0}
-        _refuse_null_ids(df, id_col)
-        _refuse_malformed(
-            df, meta["dim"], meta["vec_col"], "embedding refresh batch"
+        # ONE validation job: NULL/duplicate ids, malformed vectors,
+        # and the emptiness probe all come out of the same aggregation
+        n_in = _validate_batch(
+            df, meta["dim"], id_col, meta["vec_col"],
+            "embedding refresh batch", check_dups=validate_ids,
         )
+        if n_in == 0:
+            return {"batch": None, "accepted": 0}
         prior = spark.read.parquet(
             *batch_store.batch_dirs(path, "emb", batches)
         )
@@ -513,7 +549,8 @@ def embedding_store_refresh(
             df = df.join(
                 prior.select(F.col(id_col)), id_col, "left_anti"
             ).localCheckpoint(eager=True)
-            if df.isEmpty():
+            n_in = df.count()
+            if n_in == 0:
                 return {"batch": None, "accepted": 0}
         else:
             clash = (
@@ -530,7 +567,7 @@ def embedding_store_refresh(
                     "to skip known ids (the streaming/replay mode)"
                 )
         stats: dict = {}
-        accepted, n = _accept(df, prior, meta, stats)
+        accepted, n = _accept(df, prior, meta, stats, n_in)
         _drift(meta, stats)
         if n == 0:
             return {"batch": None, "accepted": 0, **stats}
@@ -646,7 +683,9 @@ def embedding_store_rebuild(
                 int(max_cell_rows) if max_cell_rows is not None else None
             )
         stats: dict = {}
-        accepted, n = _accept(history, None, new_meta, stats)
+        accepted, n = _accept(
+            history, None, new_meta, stats, history.count()
+        )
         hot = _occupancy(accepted.select("cell"), stats)
         _refuse_hot_cell(hot, new_meta.get("max_cell_rows"), path)
         batch = max(batches) + 1

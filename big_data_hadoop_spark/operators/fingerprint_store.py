@@ -105,11 +105,12 @@ def _accept(
     id_col: str,
     fp_col: str,
     stats: dict,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """The dedup fold: drop NULL fps (counted), reject history matches
-    (counted), within-batch cluster dedup (counted) → accepted
-    ``(id_col, fp_col)`` rows, eagerly checkpointed (referenced by the
-    write AND the post-write counts)."""
+    (counted), within-batch cluster dedup (counted) → (accepted
+    ``(id_col, fp_col)`` rows, eagerly checkpointed; their count —
+    already paid for by the stats bookkeeping, so callers never
+    re-count the write)."""
     # ONE execution of the caller's (possibly decode-backed) upstream:
     # every downstream frame — the null filter, the history match, the
     # anti-join, the within-batch pairs — reads this narrow checkpoint
@@ -154,8 +155,12 @@ def _accept(
     accepted = dedup_by_clusters(reps, pairs, id_col=id_col).localCheckpoint(
         eager=True
     )
-    stats["rejected_within_batch"] = n_fresh - accepted.count()
-    return accepted.select(F.col(id_col), F.col("simhash").alias(fp_col))
+    n_accepted = accepted.count()
+    stats["rejected_within_batch"] = n_fresh - n_accepted
+    return (
+        accepted.select(F.col(id_col), F.col("simhash").alias(fp_col)),
+        n_accepted,
+    )
 
 
 def fingerprint_store_build(
@@ -206,10 +211,9 @@ def fingerprint_store_build(
             )
         _refuse_null_ids(fps, id_col)
         stats: dict = {}
-        accepted = _accept(fps, None, max_hamming, id_col, fp_col, stats)
+        accepted, n = _accept(fps, None, max_hamming, id_col, fp_col, stats)
         out = batch_store.batch_dirs(path, "fp", [0])[0]
         accepted.write.mode("overwrite").parquet(out)
-        n = spark.read.parquet(out).count()
         meta = {
             "version": 1,
             "max_hamming": int(max_hamming),
@@ -282,8 +286,8 @@ def fingerprint_store_refresh(
                     "to skip known ids (the streaming/replay mode)"
                 )
         stats: dict = {}
-        accepted = _accept(fps, prior, max_hamming, id_col, fp_col, stats)
-        if accepted.isEmpty():
+        accepted, n = _accept(fps, prior, max_hamming, id_col, fp_col, stats)
+        if n == 0:
             # nothing survived (all near-dups / NULL fps): commit no
             # slot — a no-new-content stream would otherwise append
             # one empty directory per trigger, pure small-files churn
@@ -291,7 +295,6 @@ def fingerprint_store_refresh(
         batch = max(batches) + 1
         out = batch_store.batch_dirs(path, "fp", [batch])[0]
         accepted.write.mode("overwrite").parquet(out)
-        n = spark.read.parquet(out).count()
         meta["batches"] = batches + [batch]
         batch_store.write_meta(path, meta, lock)
     return {"batch": batch, "accepted": n, **stats}

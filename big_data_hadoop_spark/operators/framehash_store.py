@@ -112,11 +112,12 @@ def _accept(
     max_frame_df: int | None,
     id_col: str,
     stats: dict,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """The clip-granularity dedup fold: reject history matches
-    (counted), within-batch cluster dedup (counted) → the accepted
-    clips' FULL frame rows, eagerly checkpointed (referenced by the
-    write and the post-write count)."""
+    (counted), within-batch cluster dedup (counted) → (the accepted
+    clips' FULL frame rows, eagerly checkpointed; the accepted CLIP
+    count — already paid for by the stats bookkeeping, so callers
+    never re-count the write)."""
     # ONE execution of the caller's (possibly decode-backed) upstream
     norm = fh.select(
         F.col(id_col),
@@ -157,10 +158,9 @@ def _accept(
     accepted = fresh.join(
         keep.select(id_col), id_col, "semi"
     ).localCheckpoint(eager=True)
-    stats["rejected_within_batch"] = (
-        n_fresh - accepted.select(id_col).distinct().count()
-    )
-    return accepted
+    n_clips = accepted.select(id_col).distinct().count()
+    stats["rejected_within_batch"] = n_fresh - n_clips
+    return accepted, n_clips
 
 
 def framehash_store_build(
@@ -213,15 +213,12 @@ def framehash_store_build(
             )
         _refuse_null_ids(fh, id_col)
         stats: dict = {}
-        accepted = _accept(
+        accepted, n = _accept(
             fh, None, max_hamming, min_matching_frames, drop_constant,
             max_frame_df, id_col, stats,
         )
         out = batch_store.batch_dirs(path, "fh", [0])[0]
         accepted.write.mode("overwrite").parquet(out)
-        n = (
-            spark.read.parquet(out).select(id_col).distinct().count()
-        )
         meta = {
             "version": 1,
             "max_hamming": int(max_hamming),
@@ -313,16 +310,15 @@ def framehash_store_refresh(
                     "streaming/replay mode)"
                 )
         stats: dict = {}
-        accepted = _accept(
+        accepted, n = _accept(
             fh, prior, max_hamming, min_frames, drop_constant,
             max_frame_df, id_col, stats,
         )
-        if accepted.isEmpty():
+        if n == 0:
             return {"batch": None, "accepted": 0, **stats}
         batch = max(batches) + 1
         out = batch_store.batch_dirs(path, "fh", [batch])[0]
         accepted.write.mode("overwrite").parquet(out)
-        n = spark.read.parquet(out).select(id_col).distinct().count()
         meta["batches"] = batches + [batch]
         batch_store.write_meta(path, meta, lock)
     return {"batch": batch, "accepted": n, **stats}

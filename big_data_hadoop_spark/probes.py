@@ -2701,6 +2701,99 @@ def r10_embedding_store(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def shared_embedding_store_path(sf: str) -> str:
+    """Deterministic location of the per-corpus embedding store (built
+    from the even half at the q62 parameters eps=0.4, 8 cells — the
+    r10 composition's history)."""
+    return _shared_store_path(
+        "embstore04", _corpus_fingerprint(sf, "embeddings")
+    )
+
+
+def _shared_embedding_store(spark: SparkSession, sf: str) -> str:
+    """Path of the per-corpus persisted embedding store,
+    build-if-absent (the shared-store protocol of
+    ``_shared_neardup_edges``): one KMeans fit + one accept fold per
+    corpus, reused across probes, passes, and processes. The build
+    runs under the store's writer lock; a racing builder's "already
+    exists" refusal means someone else won. Read-only consumers only
+    — the store's centroid literals staying FIXED is also what lets
+    Spark's codegen cache hit across bench passes (a per-pass refit
+    would re-Janino the 64-wide flat joins every time)."""
+    from big_data_hadoop_spark.operators.embedding_store import (
+        embedding_store_build,
+    )
+    from big_data_hadoop_spark.sources import batch_store
+
+    path = shared_embedding_store_path(sf)
+    if not os.path.exists(batch_store.meta_path(path)):
+        emb = load_table(spark, sf, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        try:
+            embedding_store_build(
+                spark,
+                emb.filter(F.col("vec_id") % 2 == 0),
+                path,
+                eps=0.4,
+                n_cells=8,
+                dim=EMBED_DIM,
+                validate_ids=False,  # vec_id is the table's key
+            )
+        except ValueError as e:
+            if "already exists" not in str(e):
+                raise
+    return path
+
+
+def r11_embedding_store_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """MEASURE the embedding store's within-cell approximation instead
+    of trusting the SemDeDup citation: ``embedding_store_recall_audit``
+    — exact cosine truth over the FULL history on a fixed-size sample
+    (no cell constraint; linear in history because the sample side is
+    fixed) vs the store's within-cell verdict, the q92 recall-audit
+    pattern applied to the IVF tier. Runs against the per-corpus
+    SHARED store (built once from the even half at eps=0.4/8 cells —
+    the r10 composition's history; r10 itself keeps exhibiting the
+    honest build/refresh lifecycle cost), auditing the out-of-store
+    odd half at sample 128. Output: one row per audit metric (recall,
+    truth/cell matches, misses, sample size) plus the store's pinned
+    build-distance diagnostics from meta — the numbers an operator
+    watches before deciding to ``embedding_store_rebuild`` (the
+    rebuild verb's row-identical/crash-window/occupancy contracts are
+    pinned in tests/test_embedding_store.py + test_cli.py; a registry
+    probe that refit per pass would mutate a shared artifact and
+    re-pay the KMeans + Janino tail every run for no extra evidence).
+    Rows-only slot (KMeans + xxhash64 sampling aren't ANSI-SQL); the
+    audit's books are replicated by a pure-Python oracle over the
+    store's own pinned centroids in tests/test_embedding_store.py."""
+    from big_data_hadoop_spark.operators.embedding_store import (
+        embedding_store_recall_audit,
+    )
+    from big_data_hadoop_spark.sources import batch_store
+
+    path = _shared_embedding_store(spark, sf)
+    odds = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") % 2 == 1)
+    _missed, s = embedding_store_recall_audit(
+        spark, odds, path, sample_rows=128
+    )
+    meta = batch_store.read_meta(path, "embedding_store_build")
+    rows = [
+        ("audit_cell_matches", float(s["cell_matches"])),
+        ("audit_missed", float(s["missed"])),
+        ("audit_recall", float(s["recall"])),
+        ("audit_sample_rows", float(s["sample_rows"])),
+        ("audit_truth_matches", float(s["truth_matches"])),
+        ("store_build_dist_mean", float(meta["build_dist_mean"])),
+        ("store_n_cells", float(meta["n_cells"])),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, value double"
+    ).orderBy("metric")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2828,6 +2921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r08_video_exact_store": r08_video_exact_store,
     "r09_video_framehash_store": r09_video_framehash_store,
     "r10_embedding_store": r10_embedding_store,
+    "r11_embedding_store_audit": r11_embedding_store_audit,
 }
 
 _EN = ts.STOPWORDS["en"]

@@ -785,6 +785,55 @@ def test_cli_embedding_store_lifecycle(tmp_path, spark, capsys):
               "--input", a])
 
 
+def test_cli_embedding_store_rebuild_and_audit(tmp_path, spark, capsys):
+    """Round-11 actions: audit (sampled recall of the within-cell
+    approximation vs exact truth, missed rows optionally persisted)
+    and rebuild (refit + replay under new n_cells/seed); the tuning
+    flags they legitimately take are NOT refused for them, while
+    build-only flags still are."""
+    import json
+
+    import pytest as _pytest
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    emb.filter("vec_id % 2 = 0").write.parquet(a)
+    emb.filter("vec_id % 2 = 1").write.parquet(b)
+    store = str(tmp_path / "store")
+    missed_out = str(tmp_path / "missed")
+    main(["embedding-store", "build", store, "--input", a,
+          "--eps", "0.4", "--n-cells", "4", "--dim", "64"])
+    main(["embedding-store", "audit", store, "--input", b,
+          "--sample-rows", "64", "--output", missed_out])
+    main(["embedding-store", "rebuild", store,
+          "--n-cells", "2", "--seed", "7"])
+    main(["embedding-store", "stats", store])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    audit = lines[1]
+    assert 0 < audit["sample_rows"] <= 64
+    assert 0.0 <= audit["recall"] <= 1.0
+    assert audit["missed"] == audit["truth_matches"] - round(
+        audit["recall"] * audit["truth_matches"]
+    )
+    assert spark.read.parquet(missed_out).count() == audit["missed"]
+    rebuild = lines[2]
+    assert rebuild["accepted"] > 0 and rebuild["history_rows"] > 0
+    stats = lines[3]
+    assert stats["n_cells"] == 2 and stats["seed"] == 7
+    assert stats["build_dist_mean"] is not None
+    # build-only flags still refuse on the new actions
+    with _pytest.raises(SystemExit, match="only apply to 'build'"):
+        main(["embedding-store", "rebuild", store, "--eps", "0.5"])
+    with _pytest.raises(SystemExit, match="requires --input"):
+        main(["embedding-store", "audit", store])
+
+
 def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
     """refresh/compact/vacuum/export take every store parameter from
     meta.json; an explicitly-passed tuning flag is a silent no-op

@@ -668,6 +668,68 @@ def test_library_composition_matches_oracle_on_real_embeddings(
     assert len(got) > 0
 
 
+def test_recall_audit_books_match_python_oracle_on_real_embeddings(
+    spark, tmp_path
+):
+    """The r11 probe's audit half, independently replicated: grow the
+    store on the real sf0.001 embeddings (evens), audit the odds, then
+    recompute truth / cell matches / misses in PURE PYTHON from the
+    loaded history and the store's own pinned centroids (the sample
+    membership is read back with a direct xxhash64 expression — the
+    only piece not replicable off-Spark). Pins that `truth` really is
+    cell-free exact cosine, `cell_matches` really is the within-cell
+    subset, and `missed` is their difference row-for-row."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "store")
+    embedding_store_build(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+        eps=0.4, n_cells=8, dim=64,
+    )
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    missed, summ = embedding_store_recall_audit(
+        spark, odds, path, sample_rows=64, seed=0
+    )
+    cents = _centroids(path)
+    history = {
+        r.vec_id: (r.cell, tuple(float(x) for x in r.embedding))
+        for r in embedding_store_load(spark, path).collect()
+    }
+    sample = {
+        r.vec_id: tuple(float(x) for x in r.embedding)
+        for r in odds.filter(
+            F.exists(F.col("embedding").cast("array<double>"),
+                     lambda x: x != F.lit(0.0))
+        )
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(0)))
+        .limit(64)
+        .collect()
+    }
+    assert summ["sample_rows"] == len(sample) == 64
+    truth, cell_hits = {}, set()
+    for i, v in sample.items():
+        best = None
+        for _j, (hc, hv) in history.items():
+            c = _cos(v, hv)
+            if c >= 0.4:
+                best = c if best is None else max(best, c)
+                if hc == _assign(v, cents):
+                    cell_hits.add(i)
+        if best is not None:
+            truth[i] = best
+    assert summ["truth_matches"] == len(truth)
+    assert summ["cell_matches"] == len(cell_hits)
+    got_missed = {r.vec_id: r.best_cos for r in missed.collect()}
+    assert sorted(got_missed) == sorted(set(truth) - cell_hits)
+    for i, c in got_missed.items():
+        assert c == pytest.approx(truth[i])
+    assert summ["missed"] == len(got_missed)
+    assert summ["recall"] == pytest.approx(
+        (len(truth) - len(got_missed)) / len(truth) if truth else 1.0
+    )
+
+
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
