@@ -71,31 +71,34 @@ _HINT = "fingerprint_store_build"
 _KINDS = ("fp",)
 
 
-def _refuse_null_ids(fps: DataFrame, id_col: str) -> None:
-    if fps.filter(F.col(id_col).isNull()).limit(1).count():
+def _validate_batch(
+    fps: DataFrame, id_col: str, check_dups: bool = True
+) -> int:
+    """NULL-id refusal, duplicate-id refusal, and the emptiness probe
+    in ONE aggregation job (round-11 verb diet — these were three
+    separate scans of a possibly decode-backed frame). Returns the
+    batch row count. ``check_dups=False`` is the ``validate_ids=False``
+    contract (uniqueness guaranteed upstream); NULL ids always refuse
+    — their dedup outcome would be silent."""
+    row = fps.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(id_col)).alias("n_ids"),
+        F.count_distinct(F.col(id_col)).alias("n_distinct"),
+    ).first()
+    if row["n_ids"] < row["n"]:
         raise ValueError(
             "NULL ids in the fingerprint batch — a NULL id neither "
             "equi-joins nor orders, so its dedup outcome would be "
             "silent; assign real ids first"
         )
-
-
-def _refuse_duplicate_ids(fps: DataFrame, id_col: str) -> None:
-    dup = (
-        fps.filter(F.col(id_col).isNotNull())
-        .groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
+    if check_dups and row["n_distinct"] < row["n_ids"]:
         raise ValueError(
             f"duplicate {id_col} values within the batch — the greedy "
             "keep-first outcome for an id seen twice is undefined; "
             "dropDuplicates the batch first, or pass "
             "validate_ids=False if uniqueness is guaranteed upstream"
         )
+    return row["n"]
 
 
 def _accept(
@@ -200,8 +203,6 @@ def fingerprint_store_build(
             f"a fingerprint store already exists at {path} — append "
             "batches with fingerprint_store_refresh, or choose a new path"
         )
-    if validate_ids:
-        _refuse_duplicate_ids(fps, id_col)
     os.makedirs(path, exist_ok=True)
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         if os.path.exists(batch_store.meta_path(path)):
@@ -209,7 +210,7 @@ def fingerprint_store_build(
                 f"a fingerprint store already exists at {path} "
                 "(created while waiting for the writer claim)"
             )
-        _refuse_null_ids(fps, id_col)
+        _validate_batch(fps, id_col, check_dups=validate_ids)
         stats: dict = {}
         accepted, n = _accept(fps, None, max_hamming, id_col, fp_col, stats)
         out = batch_store.batch_dirs(path, "fp", [0])[0]
@@ -251,17 +252,15 @@ def fingerprint_store_refresh(
     either way. An empty batch commits nothing, ``batch: None``."""
     meta = batch_store.read_meta(path, _HINT)  # fail fast pre-lock
     id_col = meta["id_col"]
-    if validate_ids:
-        _refuse_duplicate_ids(fps, id_col)
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         meta = batch_store.read_meta(path, _HINT)  # re-read under claim
         max_hamming, id_col, fp_col = (
             meta["max_hamming"], meta["id_col"], meta["fp_col"]
         )
         batches = list(meta["batches"])
-        if fps.isEmpty():
+        # ONE validation job: NULL/duplicate ids + the emptiness probe
+        if _validate_batch(fps, id_col, check_dups=validate_ids) == 0:
             return {"batch": None, "accepted": 0}
-        _refuse_null_ids(fps, id_col)
         prior = spark.read.parquet(
             *batch_store.batch_dirs(path, "fp", batches)
         )

@@ -73,34 +73,37 @@ _KINDS = ("fh",)
 _PARAM_KEYS = ("max_hamming", "min_matching_frames", "drop_constant", "id_col")
 
 
-def _refuse_null_ids(fh: DataFrame, id_col: str) -> None:
-    if fh.filter(F.col(id_col).isNull()).limit(1).count():
+def _validate_batch(
+    fh: DataFrame, id_col: str, check_dups: bool = True
+) -> int:
+    """NULL-clip-id refusal, duplicate-(clip, frame_no) refusal, and
+    the emptiness probe in ONE aggregation job (round-11 verb diet —
+    these were three separate scans of a possibly decode-backed
+    frame). Returns the batch ROW count (frame rows, not clips).
+    ``check_dups=False`` is the ``validate_ids=False`` contract; NULL
+    ids always refuse. Two hash rows for one (clip, frame_no) would
+    store a chimera clip whose identity matches neither source."""
+    row = fh.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(id_col)).alias("n_ids"),
+        F.count_distinct(F.col(id_col), F.col("frame_no")).alias(
+            "n_distinct"
+        ),
+    ).first()
+    if row["n_ids"] < row["n"]:
         raise ValueError(
             "NULL clip ids in the frame-hash batch — a NULL id neither "
             "equi-joins nor orders, so its dedup outcome would be "
             "silent; assign real ids first"
         )
-
-
-def _refuse_duplicate_frames(fh: DataFrame, id_col: str) -> None:
-    """Two hash rows for one (clip, frame_no) would store a chimera
-    clip whose identity matches neither source — refuse loudly (one
-    column-pruned scan, skippable via ``validate_ids``)."""
-    dup = (
-        fh.filter(F.col(id_col).isNotNull())
-        .groupBy(F.col(id_col), F.col("frame_no"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
+    if check_dups and row["n_distinct"] < row["n_ids"]:
         raise ValueError(
             f"duplicate ({id_col}, frame_no) rows within the batch — "
             "two hashes for one sampled frame make a chimera clip; "
             "dropDuplicates the batch first, or pass "
             "validate_ids=False if uniqueness is guaranteed upstream"
         )
+    return row["n"]
 
 
 def _accept(
@@ -202,8 +205,6 @@ def framehash_store_build(
             f"a frame-hash store already exists at {path} — append "
             "batches with framehash_store_refresh, or choose a new path"
         )
-    if validate_ids:
-        _refuse_duplicate_frames(fh, id_col)
     os.makedirs(path, exist_ok=True)
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         if os.path.exists(batch_store.meta_path(path)):
@@ -211,7 +212,7 @@ def framehash_store_build(
                 f"a frame-hash store already exists at {path} "
                 "(created while waiting for the writer claim)"
             )
-        _refuse_null_ids(fh, id_col)
+        _validate_batch(fh, id_col, check_dups=validate_ids)
         stats: dict = {}
         accepted, n = _accept(
             fh, None, max_hamming, min_matching_frames, drop_constant,
@@ -267,8 +268,6 @@ def framehash_store_refresh(
     tier builders do this; round-9/10 convention)."""
     meta = batch_store.read_meta(path, _HINT)  # fail fast pre-lock
     id_col = meta["id_col"]
-    if validate_ids:
-        _refuse_duplicate_frames(fh, id_col)
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         meta = batch_store.read_meta(path, _HINT)  # re-read under claim
         max_hamming, min_frames, drop_constant, id_col = (
@@ -278,9 +277,9 @@ def framehash_store_refresh(
         # contract), exactly what they were built under
         max_frame_df = meta.get("max_frame_df")
         batches = list(meta["batches"])
-        if fh.isEmpty():
+        # ONE validation job: NULL/duplicate checks + emptiness probe
+        if _validate_batch(fh, id_col, check_dups=validate_ids) == 0:
             return {"batch": None, "accepted": 0}
-        _refuse_null_ids(fh, id_col)
         prior = spark.read.parquet(
             *batch_store.batch_dirs(path, "fh", batches)
         )
