@@ -200,6 +200,37 @@ def _within_pairs(
     ).select("id_a", "id_b")
 
 
+def _truth_frame(
+    sample: DataFrame,
+    history: DataFrame,
+    eps: float,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The recall audit's EXACT truth: per sample id, the best cosine
+    against ANY history row at >= eps — no cell constraint, the brute
+    flat-column scan. ``broadcast()`` pins the fixed-size SAMPLE as
+    the nested-loop join's built side: the sample ships to executors
+    and the history STREAMS — cost |history| x sample_rows, linear in
+    history (never the reverse, which would materialize the history
+    driver-side). Plan shape pinned in tests/test_plans.py."""
+    sa = F.broadcast(_flat(sample, id_col, vec_col, dim, "_a"))
+    hb = _flat(
+        history.select(F.col(id_col).alias("_sid"), F.col(vec_col)),
+        "_sid",
+        vec_col,
+        dim,
+        "_b",
+    ).withColumnRenamed("nrm", "nrm_b")
+    dotc = _flat_dot("_a", "_b", dim)
+    return (
+        sa.join(hb, dotc >= F.lit(float(eps)) * F.col("nrm") * F.col("nrm_b"))
+        .groupBy(F.col(id_col))
+        .agg(F.max(dotc / (F.col("nrm") * F.col("nrm_b"))).alias("best_cos"))
+    )
+
+
 def _bad_vector(dim: int, vec_col: str):
     """Predicate: vector that cannot be honestly assigned a cell —
     wrong width (zip_with pads the short side with NULLs → NULL cell)
@@ -756,29 +787,9 @@ def embedding_store_recall_audit(
     )
     n_sample = sample.count()
     history = embedding_store_load(spark, path)
-    # exact truth: every history row, NO cell constraint — the brute
-    # flat-column scan (cost |history| x sample_rows, linear in
-    # history). best_cos diagnoses HOW FAR over eps the misses sit.
-    sa = _flat(sample, id_col, vec_col, dim, "_a")
-    hb = (
-        _flat(
-            history.select(F.col(id_col).alias("_sid"), F.col(vec_col)),
-            "_sid",
-            vec_col,
-            dim,
-            "_b",
-        )
-        .withColumnRenamed("nrm", "nrm_b")
-    )
-    dotc = _flat_dot("_a", "_b", dim)
-    truth = (
-        sa.join(hb, dotc >= F.lit(float(eps)) * F.col("nrm") * F.col("nrm_b"))
-        .groupBy(F.col(id_col))
-        .agg(
-            F.max(dotc / (F.col("nrm") * F.col("nrm_b"))).alias("best_cos")
-        )
-        .localCheckpoint(eager=True)
-    )
+    truth = _truth_frame(
+        sample, history, eps, dim, id_col, vec_col
+    ).localCheckpoint(eager=True)
     got = _matches(
         assign_cells(sample, meta["centroids"], vec_col=vec_col),
         history,

@@ -394,3 +394,41 @@ def test_shuffled_shards_single_exchange_no_global_sort(spark):
         r"\(\d+\) Sort\b[\s\S]*?Arguments: \[[^\]]*\], (\w+)", plan
     )
     assert sorts and all(g == "false" for g in sorts), plan
+
+
+def test_recall_audit_truth_broadcasts_sample_not_history(spark, tmp_path):
+    """The audit's exact-truth scan must ship the FIXED-SIZE sample to
+    executors and stream the history past it (|history| x sample,
+    linear in history). A plan that broadcast the history — or fell
+    into an unconditioned CartesianProduct — would stop scaling the
+    moment the store grows."""
+    from big_data_hadoop_spark.operators.embedding_store import (
+        _truth_frame,
+        embedding_store_build,
+        embedding_store_load,
+    )
+    from big_data_hadoop_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "store")
+    embedding_store_build(
+        spark, emb.filter("vec_id % 2 = 0"), path,
+        eps=0.4, n_cells=2, dim=64, validate_ids=False,
+    )
+    sample = emb.filter("vec_id % 2 = 1").limit(16).localCheckpoint(
+        eager=True
+    )
+    truth = _truth_frame(
+        sample, embedding_store_load(spark, path), 0.4, 64,
+        "vec_id", "embedding",
+    )
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(truth)
+    # non-equi join -> nested loop; the BUILT (broadcast) side must be
+    # the sample, which sits on the LEFT of the join in _truth_frame
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BuildLeft" in plan, plan
+    assert not has_cartesian_product(truth)
