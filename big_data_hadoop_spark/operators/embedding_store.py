@@ -378,24 +378,28 @@ def _accept(
     return accepted.select(F.col(id_col), "cell", F.col(vec_col)), n_accepted
 
 
-def _occupancy(cells: DataFrame, stats: dict) -> int:
-    """Per-cell occupancy of a one-column ``cell`` frame → the hot-cell
-    row count, with ``hot_cell_rows`` / ``occupied_cells`` disclosed in
-    stats (the within-cell join is quadratic IN THE CELL — occupancy is
-    the number an operator must watch). One small aggregation job,
-    bounded by the cell count."""
-    row = (
-        cells.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .agg(
-            F.max("rows").alias("mx"),
-            F.count(F.lit(1)).alias("cells"),
-        )
-        .first()
-    )
-    hot = int(row["mx"]) if row["mx"] is not None else 0
+def _cell_counts(cells: DataFrame) -> dict[int, int]:
+    """Per-cell accepted-row counts as a tiny driver dict — bounded by
+    ``n_cells``, the same state class as the pinned centroids. The
+    counts live in meta (``cell_counts``) and are maintained
+    INCREMENTALLY: each verb aggregates only the rows it just accepted
+    and merges driver-side — occupancy tracking never re-scans the
+    history (a per-refresh full-history groupBy would add a
+    data-proportional pass that exists only for bookkeeping)."""
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _occupancy_stats(counts: dict[int, int], stats: dict) -> int:
+    """Disclose occupancy (the within-cell join is quadratic IN THE
+    CELL — this is the number an operator must watch) → hot-cell rows."""
+    hot = max(counts.values(), default=0)
     stats["hot_cell_rows"] = hot
-    stats["occupied_cells"] = int(row["cells"])
+    stats["occupied_cells"] = len(counts)
     return hot
 
 
@@ -514,12 +518,15 @@ def embedding_store_build(
         }
         stats: dict = {}
         accepted, n = _accept(df, None, meta, stats, n_in)
-        hot = _occupancy(accepted.select("cell"), stats)
-        _refuse_hot_cell(hot, max_cell_rows, path)
+        counts = _cell_counts(accepted.select("cell"))
+        _refuse_hot_cell(
+            _occupancy_stats(counts, stats), max_cell_rows, path
+        )
         out = batch_store.batch_dirs(path, "emb", [0])[0]
         accepted.write.mode("overwrite").parquet(out)
         meta["build_dist_mean"] = stats["assign_dist_mean"]
         meta["build_dist_p99"] = stats["assign_dist_p99"]
+        meta["cell_counts"] = {str(k): v for k, v in counts.items()}
         batch_store.write_meta(path, meta, lock)
     return {"batch": 0, "accepted": n, **stats}
 
@@ -602,17 +609,27 @@ def embedding_store_refresh(
         _drift(meta, stats)
         if n == 0:
             return {"batch": None, "accepted": 0, **stats}
-        # occupancy AFTER this commit (history + the new rows): the
-        # valve refuses BEFORE the write, so a refused batch leaves
-        # the store untouched
-        hot = _occupancy(
-            prior.select("cell").unionAll(accepted.select("cell")), stats
+        # occupancy AFTER this commit = meta's incremental counts + the
+        # rows just accepted (one cell-bounded agg — NEVER a history
+        # re-scan); the valve refuses BEFORE the write, so a refused
+        # batch leaves the store untouched. A store written before the
+        # counts existed upgrades with a one-time history scan.
+        stored = meta.get("cell_counts")
+        total = (
+            {int(k): v for k, v in stored.items()}
+            if stored is not None
+            else _cell_counts(prior.select("cell"))
         )
-        _refuse_hot_cell(hot, meta.get("max_cell_rows"), path)
+        for c, k in _cell_counts(accepted.select("cell")).items():
+            total[c] = total.get(c, 0) + k
+        _refuse_hot_cell(
+            _occupancy_stats(total, stats), meta.get("max_cell_rows"), path
+        )
         batch = max(batches) + 1
         out = batch_store.batch_dirs(path, "emb", [batch])[0]
         accepted.write.mode("overwrite").parquet(out)
         meta["batches"] = batches + [batch]
+        meta["cell_counts"] = {str(k): v for k, v in total.items()}
         batch_store.write_meta(path, meta, lock)
     return {"batch": batch, "accepted": n, **stats}
 
@@ -717,13 +734,18 @@ def embedding_store_rebuild(
         accepted, n = _accept(
             history, None, new_meta, stats, history.count()
         )
-        hot = _occupancy(accepted.select("cell"), stats)
-        _refuse_hot_cell(hot, new_meta.get("max_cell_rows"), path)
+        counts = _cell_counts(accepted.select("cell"))
+        _refuse_hot_cell(
+            _occupancy_stats(counts, stats),
+            new_meta.get("max_cell_rows"),
+            path,
+        )
         batch = max(batches) + 1
         out = batch_store.batch_dirs(path, "emb", [batch])[0]
         accepted.write.mode("overwrite").parquet(out)
         new_meta["build_dist_mean"] = stats["assign_dist_mean"]
         new_meta["build_dist_p99"] = stats["assign_dist_p99"]
+        new_meta["cell_counts"] = {str(k): v for k, v in counts.items()}
         new_meta["batches"] = [batch]
         batch_store.write_meta(path, new_meta, lock)
     return {

@@ -350,6 +350,16 @@ def test_occupancy_and_drift_stats(spark, tmp_path):
     assert meta["build_dist_mean"] == pytest.approx(sum(d0) / len(d0))
     assert meta["build_dist_p99"] is not None
     assert meta["max_cell_rows"] is None  # valve default-off
+    # meta's incremental per-cell counts == a recount of the loaded
+    # store (occupancy never re-scans history; this pins the merge)
+    want_counts: dict = {}
+    for _i, (cell, _v) in _loaded(spark, path).items():
+        want_counts[str(cell)] = want_counts.get(str(cell), 0) + 1
+    assert meta["cell_counts"] == want_counts
+    # compact folds directories, not rows: counts survive verbatim
+    embedding_store_compact(spark, path)
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["cell_counts"] == want_counts
 
 
 def test_hot_cell_valve(spark, tmp_path):
@@ -396,6 +406,28 @@ def test_hot_cell_valve(spark, tmp_path):
         spark, _emb_df(spark, {9: (0, 0, 1, 0)}), path
     )
     assert st["accepted"] == 1 and st["hot_cell_rows"] <= 2
+
+
+def test_refresh_upgrades_store_without_cell_counts(spark, tmp_path):
+    """A store whose meta predates the incremental occupancy counts
+    upgrades on its first refresh (one-time history scan) and the
+    merged counts match a full recount."""
+    path, _ = _grow(spark, tmp_path)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    del meta["cell_counts"]
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    st = embedding_store_refresh(
+        spark, _emb_df(spark, {40: (0.5, 0.5, 0.5, 0.5)}), path
+    )
+    assert st["accepted"] == 1
+    want: dict = {}
+    for _i, (cell, _v) in _loaded(spark, path).items():
+        want[str(cell)] = want.get(str(cell), 0) + 1
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["cell_counts"] == want
+    assert st["hot_cell_rows"] == max(want.values())
 
 
 def test_rebuild_row_identical_to_fresh_build(spark, tmp_path):
