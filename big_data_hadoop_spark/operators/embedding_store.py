@@ -343,10 +343,13 @@ def _accept(
     assigned = assign_cells(
         usable, meta["centroids"], vec_col=vec_col, with_dist=True
     ).localCheckpoint(eager=True)
+    # ONE job: usable count, distance diagnostics, AND the batch's
+    # occupied cell set (bounded by n_cells) for history pruning
     drow = assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("cell_dist").alias("mean"),
         F.percentile("cell_dist", F.lit(0.99)).alias("p99"),
+        F.collect_set("cell").alias("cells"),
     ).first()
     n_usable = drow["n"]
     stats["zero_norm"] = n_in - n_usable
@@ -357,6 +360,22 @@ def _accept(
         float(drow["p99"]) if drow["p99"] is not None else None
     )
     if prior is not None:
+        # prune the history scan to the batch's own cells BEFORE the
+        # within-cell join: the predicate pushes into the parquet scan
+        # and — because committed batches are CLUSTERED by cell at
+        # write time — skips whole row groups. A batch that touches
+        # k of n_cells reads ~k/n_cells of history instead of all of
+        # it; the join result is unchanged (cross-cell rows can never
+        # match the cell equi-key). Skipped when the batch occupies
+        # EVERY cell — the filter can prune nothing and would only
+        # add plan noise (the dense toy-scale case; production
+        # batches against many-cell stores touch a subset).
+        cells = [int(c) for c in (drow["cells"] or [])]
+        n_total = len(meta.get("centroids") or []) or 1
+        if not cells:
+            prior = prior.filter(F.lit(False))
+        elif len(cells) < n_total:
+            prior = prior.filter(F.col("cell").isin(cells))
         hits = _matches(
             assigned, prior, eps, dim, id_col, vec_col
         ).localCheckpoint(eager=True)
@@ -376,6 +395,23 @@ def _accept(
     n_accepted = accepted.count()
     stats["rejected_within_batch"] = n_fresh - n_accepted
     return accepted.select(F.col(id_col), "cell", F.col(vec_col)), n_accepted
+
+
+def _write_clustered(accepted: DataFrame, out: str) -> None:
+    """Commit one immutable batch CLUSTERED by cell: sort each
+    partition by cell before writing, so every row GROUP spans few
+    cells and the cell-pruning filter the refresh path pushes into the
+    scan skips row groups via parquet min/max stats — most of
+    partition-by-cell's I/O win without a layout migration.
+    Deliberately sortWithinPartitions, NOT repartition("cell"): the
+    in-memory sort is nearly free, while a per-commit shuffle measured
+    +29% on the store's e2e probe for a concentration benefit that
+    row-group stats already capture (at scale each large file holds
+    many row groups, so within-file ordering is what the reader
+    skips on)."""
+    accepted.sortWithinPartitions("cell").write.mode("overwrite").parquet(
+        out
+    )
 
 
 def _cell_counts(cells: DataFrame) -> dict[int, int]:
@@ -523,7 +559,7 @@ def embedding_store_build(
             _occupancy_stats(counts, stats), max_cell_rows, path
         )
         out = batch_store.batch_dirs(path, "emb", [0])[0]
-        accepted.write.mode("overwrite").parquet(out)
+        _write_clustered(accepted, out)
         meta["build_dist_mean"] = stats["assign_dist_mean"]
         meta["build_dist_p99"] = stats["assign_dist_p99"]
         meta["cell_counts"] = {str(k): v for k, v in counts.items()}
@@ -627,7 +663,7 @@ def embedding_store_refresh(
         )
         batch = max(batches) + 1
         out = batch_store.batch_dirs(path, "emb", [batch])[0]
-        accepted.write.mode("overwrite").parquet(out)
+        _write_clustered(accepted, out)
         meta["batches"] = batches + [batch]
         meta["cell_counts"] = {str(k): v for k, v in total.items()}
         batch_store.write_meta(path, meta, lock)
@@ -742,7 +778,7 @@ def embedding_store_rebuild(
         )
         batch = max(batches) + 1
         out = batch_store.batch_dirs(path, "emb", [batch])[0]
-        accepted.write.mode("overwrite").parquet(out)
+        _write_clustered(accepted, out)
         new_meta["build_dist_mean"] = stats["assign_dist_mean"]
         new_meta["build_dist_p99"] = stats["assign_dist_p99"]
         new_meta["cell_counts"] = {str(k): v for k, v in counts.items()}
@@ -845,7 +881,7 @@ def embedding_store_recall_audit(
 def embedding_store_compact(spark: SparkSession, path: str) -> dict:
     """Fold all committed batch directories into one slot →
     ``{"batches_before": k, "embeddings": n}`` (shared protocol)."""
-    st = batch_store.compact(spark, path, _KINDS, _HINT)
+    st = batch_store.compact(spark, path, _KINDS, _HINT, cluster_by="cell")
     return {
         "batches_before": st["batches_before"],
         "embeddings": st["rows"]["emb"],

@@ -77,14 +77,23 @@ def batch_dirs(path: str, kind: str, batches) -> list[str]:
     return [os.path.join(path, kind, f"b{b:05d}") for b in batches]
 
 
-def compact(spark, path: str, kinds: tuple[str, ...], hint: str) -> dict:
+def compact(
+    spark,
+    path: str,
+    kinds: tuple[str, ...],
+    hint: str,
+    cluster_by: str | None = None,
+) -> dict:
     """Fold all committed batch directories into ONE slot per kind →
     ``{"batches_before": k, "rows": {kind: n, ...}}``. Crash safety is
     the refresh protocol's: the consolidated directories land in a NEW
     slot (max + 1) while every old directory stays committed until the
     atomic meta replace. After the commit the old directories are
     orphans for :func:`vacuum` (two-phase: commit first, delete later,
-    grace-windowed)."""
+    grace-windowed). ``cluster_by`` re-clusters the consolidated slot
+    on that column (repartition + sort-within) so a store whose read
+    paths rely on row-group skipping keeps its clustering through
+    compaction (the embedding store's cell pruning)."""
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         meta = read_meta(path, hint)
         batches = list(meta["batches"])
@@ -93,6 +102,8 @@ def compact(spark, path: str, kinds: tuple[str, ...], hint: str) -> dict:
         for kind in kinds:
             df = spark.read.parquet(*batch_dirs(path, kind, batches))
             out = batch_dirs(path, kind, [slot])[0]
+            if cluster_by is not None and cluster_by in df.columns:
+                df = df.sortWithinPartitions(cluster_by)
             df.write.mode("overwrite").parquet(out)
             rows[kind] = spark.read.parquet(out).count()
         meta["batches"] = [slot]
