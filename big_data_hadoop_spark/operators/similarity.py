@@ -731,6 +731,70 @@ def cosine_topk_vectors(
     )
 
 
+def topk_recall_audit(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> tuple[DataFrame, dict]:
+    """MEASURE an ANN tier's recall@k against its exact brute-force
+    twin instead of trusting the index parameters — the q92 /
+    embedding-store-audit discipline extended to the RETRIEVAL tiers:
+    feed the same queries to the exact path (``cosine_topk`` /
+    ``cosine_topk_vectors``) and the approximate one (``ivf_search``,
+    ``lsh_ann``'s bucketed candidates, ``pq_topk``), then count, per
+    query, how many of the exact neighbors the approximate result
+    found. SET recall (rank-agnostic): both paths use the same
+    deterministic tie-break, so a tie-boundary substitution counts as
+    a miss — the strictest reading. The tuning loop at 100 TB: exact
+    top-k over the full corpus is affordable only on a fixed query
+    SAMPLE, which costs the same at every corpus size — audit
+    (n_cells, n_probe) / (num_planes) / (m, n_probe) there, then run
+    only the ANN tier at scale.
+
+    Returns ``(per_query, summary)``: ``per_query`` =
+    ``(query_col, exact_k, hit, recall)`` (one row per query that HAS
+    exact neighbors), ``summary`` = ``{"queries": n, "macro_recall":
+    mean of per-query recalls, "min_recall": worst query,
+    "micro_recall": pooled hits / pooled exact}``. Queries with no
+    exact neighbors are excluded (recall undefined); approximate
+    neighbors absent from the exact set are impossible when both
+    paths verify with exact cosine, and are simply ignored if a
+    caller audits an unverified tier."""
+    e = exact.select(F.col(query_col), F.col(neighbor_col)).distinct()
+    a = approx.select(F.col(query_col), F.col(neighbor_col)).distinct()
+    hits = e.join(a, [query_col, neighbor_col], "left_semi")
+    per_query = (
+        e.groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("exact_k"))
+        .join(
+            hits.groupBy(query_col).agg(F.count(F.lit(1)).alias("hit")),
+            query_col,
+            "left",
+        )
+        .fillna(0, ["hit"])
+        .withColumn("recall", F.col("hit") / F.col("exact_k"))
+    )
+    row = per_query.agg(
+        F.count(F.lit(1)).alias("queries"),
+        F.avg("recall").alias("macro"),
+        F.min("recall").alias("mn"),
+        F.sum("hit").alias("h"),
+        F.sum("exact_k").alias("t"),
+    ).first()
+    summary = {
+        "queries": int(row["queries"]),
+        "macro_recall": (
+            float(row["macro"]) if row["macro"] is not None else 1.0
+        ),
+        "min_recall": float(row["mn"]) if row["mn"] is not None else 1.0,
+        "micro_recall": (
+            (int(row["h"]) / int(row["t"])) if row["t"] else 1.0
+        ),
+    }
+    return per_query, summary
+
+
 def ivf_save(index: IVFIndex, table: str, buckets: int = 16) -> None:
     """Persist a built :class:`IVFIndex` entirely to storage: the cell
     assignment as a parquet table bucketed by ``cell`` (exchange-free

@@ -183,3 +183,52 @@ def test_save_load_roundtrip_serves_identically(spark, corpus):
     assert sim.IVF_FIT_COUNT == fits_before  # no refit anywhere
     spark.sql("DROP TABLE IF EXISTS ivf_rt")
     spark.sql("DROP TABLE IF EXISTS ivf_rt_meta")
+
+
+def test_topk_recall_audit_books(spark, corpus):
+    """The retrieval-tier recall audit (q92/r11 discipline): exact ==
+    approx gives recall 1.0 on every book; a starved probe budget
+    (n_probe=1) measures BELOW 1.0 with misses concentrated on
+    cross-cell queries; full probe restores 1.0 (ivf degrades to
+    exact). Books verified against a hand count."""
+    qids = [0, 1, 2, 40]
+    exact = sim.cosine_topk(corpus, qids, k=4)
+    # self-audit: identical frames -> perfect recall, one row per query
+    per_q, s = sim.topk_recall_audit(exact, exact)
+    assert s["queries"] == 4
+    assert s["macro_recall"] == s["micro_recall"] == s["min_recall"] == 1.0
+    assert all(r.recall == 1.0 and r.hit == r.exact_k for r in per_q.collect())
+    index = sim.ivf_build(corpus, n_cells=6)
+    # full probe degrades to exact: measured recall must be 1.0
+    _pq, full = sim.topk_recall_audit(
+        exact, sim.ivf_search(index, qids, k=4, n_probe=6)
+    )
+    assert full["macro_recall"] == 1.0 and full["min_recall"] == 1.0
+    # starved probe budget: recall is a measured number in [0, 1], and
+    # the books must agree with a pure-Python recount of the two frames
+    approx = sim.ivf_search(index, qids, k=4, n_probe=1)
+    per_q2, s2 = sim.topk_recall_audit(exact, approx)
+    want_e = {}
+    for r in exact.collect():
+        want_e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got_a = {}
+    for r in approx.collect():
+        got_a.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = {q: len(want_e[q] & got_a.get(q, set())) for q in want_e}
+    assert s2["queries"] == len(want_e)
+    assert s2["micro_recall"] == pytest.approx(
+        sum(hits.values()) / sum(len(v) for v in want_e.values())
+    )
+    assert s2["macro_recall"] == pytest.approx(
+        sum(hits[q] / len(want_e[q]) for q in want_e) / len(want_e)
+    )
+    assert s2["min_recall"] == pytest.approx(
+        min(hits[q] / len(want_e[q]) for q in want_e)
+    )
+    for r in per_q2.collect():
+        assert r.hit == hits[r.query_id] and r.exact_k == len(
+            want_e[r.query_id]
+        )
+    # an empty approximate result is measured as recall 0, not an error
+    _pq3, s3 = sim.topk_recall_audit(exact, approx.limit(0))
+    assert s3["macro_recall"] == 0.0 and s3["micro_recall"] == 0.0
