@@ -201,3 +201,47 @@ def test_q93_matches_store_backed_greedy_replication(spark):
         for r in QUERIES["q93_simhash_incremental"](spark, SF_SMOKE).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_shared_embedding_store_built_once_and_r11_books(spark):
+    """The r11 audit probe's shared embedding store (round 11): built
+    at most once per corpus (meta untouched on the second call), and
+    the probe's output is the audit's books — metric names pinned,
+    recall in [0, 1], cell ⊆ truth, missed = truth − cell, sample
+    bounded, store diagnostics positive. Value-level audit books are
+    independently replicated against a pure-Python oracle in
+    tests/test_embedding_store.py."""
+    from big_data_hadoop_spark.probes import (
+        _shared_embedding_store,
+        shared_embedding_store_path,
+    )
+
+    path1 = _shared_embedding_store(spark, SF_SMOKE)
+    meta = os.path.join(shared_embedding_store_path(SF_SMOKE), "meta.json")
+    mtime = os.stat(meta).st_mtime_ns
+    assert _shared_embedding_store(spark, SF_SMOKE) == path1
+    assert os.stat(meta).st_mtime_ns == mtime  # loaded, not rebuilt
+    rows = {
+        r.metric: r.value
+        for r in QUERIES["r11_embedding_store_audit"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert sorted(rows) == [
+        "audit_cell_matches",
+        "audit_missed",
+        "audit_recall",
+        "audit_sample_rows",
+        "audit_truth_matches",
+        "store_build_dist_mean",
+        "store_n_cells",
+    ]
+    assert 0.0 <= rows["audit_recall"] <= 1.0
+    assert rows["audit_cell_matches"] <= rows["audit_truth_matches"]
+    assert (
+        rows["audit_missed"]
+        == rows["audit_truth_matches"] - rows["audit_cell_matches"]
+    )
+    assert 0 < rows["audit_sample_rows"] <= 128
+    assert rows["store_n_cells"] == 8.0
+    assert rows["store_build_dist_mean"] > 0.0
