@@ -484,14 +484,19 @@ def _run_store_cli(args: argparse.Namespace, spec: dict) -> None:
     import json as _json
 
     flag_actions = spec.get("flag_actions", {})
-    if args.action != "build":
-        passed = [
-            f"--{k.replace('_', '-')}"
-            for k, d in spec["build_defaults"].items()
-            if getattr(args, k) != d
-            and args.action not in flag_actions.get(k, ())
-        ]
-        if passed:
+    flag_allowed = spec.get("flag_allowed", {})
+    passed, off_build = [], []
+    for k, d in spec["build_defaults"].items():
+        if getattr(args, k) == d:
+            continue
+        allowed = flag_allowed.get(
+            k, ("build",) + tuple(flag_actions.get(k, ()))
+        )
+        if args.action not in allowed:
+            passed.append(f"--{k.replace('_', '-')}")
+            off_build.append(allowed)
+    if passed:
+        if all(a == ("build",) or "build" in a for a in off_build):
             raise SystemExit(
                 f"{' '.join(passed)} only apply to 'build' — "
                 f"'{args.action}' takes every store parameter from "
@@ -499,6 +504,14 @@ def _run_store_cli(args: argparse.Namespace, spec: dict) -> None:
                 "silently redefine what 'duplicate' means"
                 f"{spec.get('refusal_suffix', '')})"
             )
+        allowed_names = sorted(
+            {a for al in off_build for a in al}
+        )
+        raise SystemExit(
+            f"{' '.join(passed)} only apply to "
+            f"{'/'.join(repr(a) for a in allowed_names)} — a flag "
+            "that is a silent no-op refuses loudly instead"
+        )
     if args.action == "vacuum":
         # filesystem-only: no Spark session spin-up for a sweep
         st = spec["vacuum"](args.store, args.grace_seconds)
@@ -931,14 +944,23 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
         )
 
     def rebuild(spark, args):
+        if args.clear_max_cell_rows and args.max_cell_rows is not None:
+            raise SystemExit(
+                "--clear-max-cell-rows and --max-cell-rows are "
+                "mutually exclusive"
+            )
+        if args.clear_max_cell_rows:
+            max_cell_rows = None  # remove the valve
+        elif args.max_cell_rows is not None:
+            max_cell_rows = args.max_cell_rows
+        else:
+            max_cell_rows = "keep"
         return es_ops.embedding_store_rebuild(
             spark,
             args.store,
             n_cells=args.n_cells,
             seed=args.seed,
-            max_cell_rows=(
-                "keep" if args.max_cell_rows is None else args.max_cell_rows
-            ),
+            max_cell_rows=max_cell_rows,
         )
 
     def audit(spark, args):
@@ -957,7 +979,7 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
         )
         if args.output:
             # the missed pairs ARE the evidence — persist on request
-            summary["missed_rows_written"] = missed.count()
+            # (their count is already summary["missed"]; no re-count)
             missed.write.mode("overwrite").parquet(args.output)
         return summary
 
@@ -980,13 +1002,21 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
                 "vec_col": "embedding",
                 "seed": None,
                 "max_cell_rows": None,
+                "sample_rows": 256,
+                "clear_max_cell_rows": False,
             },
             # rebuild legitimately re-pins the quantizer geometry and
-            # the valve; audit takes a sampling seed
+            # the valve; audit takes a sampling seed + sample size;
+            # flag_allowed FULLY overrides the implicit build set for
+            # flags that are NOT build parameters at all
             "flag_actions": {
                 "n_cells": ("rebuild",),
                 "seed": ("rebuild", "audit"),
                 "max_cell_rows": ("rebuild",),
+            },
+            "flag_allowed": {
+                "sample_rows": ("audit",),
+                "clear_max_cell_rows": ("rebuild",),
             },
             "refusal_suffix": ", or move a cell boundary",
             "vacuum": lambda store, grace: es_ops.embedding_store_vacuum(
@@ -1587,6 +1617,12 @@ def main(argv: list[str] | None = None) -> None:
         help="hot-cell valve: refuse any verb that would leave one "
         "cell holding more accepted rows than this (build/rebuild; "
         "pinned in meta, default off)",
+    )
+    es.add_argument(
+        "--clear-max-cell-rows", action="store_true",
+        help="rebuild only: remove the pinned hot-cell valve (the "
+        "library's max_cell_rows=None; mutually exclusive with "
+        "--max-cell-rows)",
     )
     es.add_argument(
         "--sample-rows", type=int, default=256,

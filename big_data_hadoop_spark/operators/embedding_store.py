@@ -122,17 +122,23 @@ def assign_cells(
         ),
     )
     # materialize the k-vector ONCE per row; both the argmin and the
-    # min read it (inlining `dists` twice would double the k x dim work)
-    out = df.withColumn("_dists", dists).withColumn(
+    # min read it (inlining `dists` twice would double the k x dim
+    # work). The scratch column name is namespaced so a caller frame
+    # that happens to carry a same-named column is never clobbered
+    # then dropped (round-11 self-review).
+    scratch = "__bdhs_assign_dists"
+    while scratch in df.columns:
+        scratch += "_"
+    out = df.withColumn(scratch, dists).withColumn(
         "cell",
         (
-            F.array_position(F.col("_dists"), F.array_min(F.col("_dists")))
+            F.array_position(F.col(scratch), F.array_min(F.col(scratch)))
             - 1
         ).cast("int"),
     )
     if with_dist:
-        out = out.withColumn("cell_dist", F.array_min(F.col("_dists")))
-    return out.drop("_dists")
+        out = out.withColumn("cell_dist", F.array_min(F.col(scratch)))
+    return out.drop(scratch)
 
 
 def _matches(
@@ -519,51 +525,66 @@ def embedding_store_build(
             f"an embedding store already exists at {path} — append "
             "batches with embedding_store_refresh, or choose a new path"
         )
+    created = not os.path.exists(path)
     os.makedirs(path, exist_ok=True)
-    with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
-        if os.path.exists(batch_store.meta_path(path)):
-            raise ValueError(
-                f"an embedding store already exists at {path} "
-                "(created while waiting for the writer claim)"
+    try:
+        with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+            if os.path.exists(batch_store.meta_path(path)):
+                raise ValueError(
+                    f"an embedding store already exists at {path} "
+                    "(created while waiting for the writer claim)"
+                )
+            # ONE validation job (NULL/duplicate ids + malformed
+            # vectors + row count), BEFORE paying for the KMeans fit —
+            # a bad build frame would otherwise die inside MLlib with
+            # an opaque error after the fit cost (round-10 advice)
+            n_in = _validate_batch(
+                df, dim, id_col, vec_col, "embedding build frame",
+                check_dups=validate_ids,
             )
-        # ONE validation job (NULL/duplicate ids + malformed vectors +
-        # row count), BEFORE paying for the KMeans fit — a bad build
-        # frame would otherwise die inside MLlib with an opaque error
-        # after the fit cost (round-10 advice)
-        n_in = _validate_batch(
-            df, dim, id_col, vec_col, "embedding build frame",
-            check_dups=validate_ids,
-        )
-        idx = ivf_build(
-            df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
-            seed=seed, train_cap=train_cap,
-        )
-        meta = {
-            "version": 1,
-            "eps": float(eps),
-            "n_cells": int(n_cells),
-            "dim": int(dim),
-            "id_col": id_col,
-            "vec_col": vec_col,
-            "seed": int(seed),
-            "max_cell_rows": (
-                int(max_cell_rows) if max_cell_rows is not None else None
-            ),
-            "centroids": idx.centroids,
-            "batches": [0],
-        }
-        stats: dict = {}
-        accepted, n = _accept(df, None, meta, stats, n_in)
-        counts = _cell_counts(accepted.select("cell"))
-        _refuse_hot_cell(
-            _occupancy_stats(counts, stats), max_cell_rows, path
-        )
-        out = batch_store.batch_dirs(path, "emb", [0])[0]
-        _write_clustered(accepted, out)
-        meta["build_dist_mean"] = stats["assign_dist_mean"]
-        meta["build_dist_p99"] = stats["assign_dist_p99"]
-        meta["cell_counts"] = {str(k): v for k, v in counts.items()}
-        batch_store.write_meta(path, meta, lock)
+            idx = ivf_build(
+                df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+                seed=seed, train_cap=train_cap,
+            )
+            meta = {
+                "version": 1,
+                "eps": float(eps),
+                "n_cells": int(n_cells),
+                "dim": int(dim),
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "seed": int(seed),
+                "max_cell_rows": (
+                    int(max_cell_rows)
+                    if max_cell_rows is not None
+                    else None
+                ),
+                "centroids": idx.centroids,
+                "batches": [0],
+            }
+            stats: dict = {}
+            accepted, n = _accept(df, None, meta, stats, n_in)
+            counts = _cell_counts(accepted.select("cell"))
+            _refuse_hot_cell(
+                _occupancy_stats(counts, stats), max_cell_rows, path
+            )
+            out = batch_store.batch_dirs(path, "emb", [0])[0]
+            _write_clustered(accepted, out)
+            meta["build_dist_mean"] = stats["assign_dist_mean"]
+            meta["build_dist_p99"] = stats["assign_dist_p99"]
+            meta["cell_counts"] = {str(k): v for k, v in counts.items()}
+            batch_store.write_meta(path, meta, lock)
+    except BaseException:
+        # a REFUSED build must leave the filesystem as it found it:
+        # if this call created the directory and nothing was ever
+        # committed (no meta), sweep the litter (lock files, an
+        # uncommitted data dir). A concurrent builder that won the
+        # race has meta on disk and is never touched.
+        if created and not os.path.exists(batch_store.meta_path(path)):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        raise
     return {"batch": 0, "accepted": n, **stats}
 
 

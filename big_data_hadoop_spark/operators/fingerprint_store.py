@@ -203,28 +203,41 @@ def fingerprint_store_build(
             f"a fingerprint store already exists at {path} — append "
             "batches with fingerprint_store_refresh, or choose a new path"
         )
+    created = not os.path.exists(path)
     os.makedirs(path, exist_ok=True)
-    with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
-        if os.path.exists(batch_store.meta_path(path)):
-            raise ValueError(
-                f"a fingerprint store already exists at {path} "
-                "(created while waiting for the writer claim)"
-            )
-        _validate_batch(fps, id_col, check_dups=validate_ids)
-        stats: dict = {}
-        accepted, n = _accept(fps, None, max_hamming, id_col, fp_col, stats)
-        out = batch_store.batch_dirs(path, "fp", [0])[0]
-        accepted.write.mode("overwrite").parquet(out)
-        meta = {
-            "version": 1,
-            "max_hamming": int(max_hamming),
-            "id_col": id_col,
-            "fp_col": fp_col,
-            "family": family,
-            "extras": dict(extras or {}),
-            "batches": [0],
-        }
-        batch_store.write_meta(path, meta, lock)
+    try:
+        with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+            if os.path.exists(batch_store.meta_path(path)):
+                raise ValueError(
+                    f"a fingerprint store already exists at {path} "
+                    "(created while waiting for the writer claim)"
+                )
+            _validate_batch(fps, id_col, check_dups=validate_ids)
+            stats: dict = {}
+            accepted, n = _accept(fps, None, max_hamming, id_col, fp_col, stats)
+            out = batch_store.batch_dirs(path, "fp", [0])[0]
+            accepted.write.mode("overwrite").parquet(out)
+            meta = {
+                "version": 1,
+                "max_hamming": int(max_hamming),
+                "id_col": id_col,
+                "fp_col": fp_col,
+                "family": family,
+                "extras": dict(extras or {}),
+                "batches": [0],
+            }
+            batch_store.write_meta(path, meta, lock)
+    except BaseException:
+        # a REFUSED build must leave the filesystem as it found it:
+        # if this call created the directory and nothing was ever
+        # committed (no meta), sweep the litter (lock files, an
+        # uncommitted data dir). A concurrent builder that won the
+        # race has meta on disk and is never touched.
+        if created and not os.path.exists(batch_store.meta_path(path)):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        raise
     return {"batch": 0, "accepted": n, **stats}
 
 

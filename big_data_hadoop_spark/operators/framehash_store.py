@@ -83,12 +83,22 @@ def _validate_batch(
     ``check_dups=False`` is the ``validate_ids=False`` contract; NULL
     ids always refuse. Two hash rows for one (clip, frame_no) would
     store a chimera clip whose identity matches neither source."""
+    # distinct over a STRUCT, not count_distinct(id, frame_no): the
+    # multi-argument form drops rows where ANY argument is NULL, so a
+    # legitimate NULL frame_no would be spuriously refused as a
+    # duplicate (round-11 self-review). The when() keeps NULL-id rows
+    # out of the distinct count (they get the NULL refusal instead),
+    # matching the old groupBy semantics exactly — including treating
+    # (id, NULL) pairs seen twice as duplicates.
     row = fh.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.col(id_col)).alias("n_ids"),
-        F.count_distinct(F.col(id_col), F.col("frame_no")).alias(
-            "n_distinct"
-        ),
+        F.count_distinct(
+            F.when(
+                F.col(id_col).isNotNull(),
+                F.struct(F.col(id_col), F.col("frame_no")),
+            )
+        ).alias("n_distinct"),
     ).first()
     if row["n_ids"] < row["n"]:
         raise ValueError(
@@ -205,35 +215,48 @@ def framehash_store_build(
             f"a frame-hash store already exists at {path} — append "
             "batches with framehash_store_refresh, or choose a new path"
         )
+    created = not os.path.exists(path)
     os.makedirs(path, exist_ok=True)
-    with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
-        if os.path.exists(batch_store.meta_path(path)):
-            raise ValueError(
-                f"a frame-hash store already exists at {path} "
-                "(created while waiting for the writer claim)"
+    try:
+        with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+            if os.path.exists(batch_store.meta_path(path)):
+                raise ValueError(
+                    f"a frame-hash store already exists at {path} "
+                    "(created while waiting for the writer claim)"
+                )
+            _validate_batch(fh, id_col, check_dups=validate_ids)
+            stats: dict = {}
+            accepted, n = _accept(
+                fh, None, max_hamming, min_matching_frames, drop_constant,
+                max_frame_df, id_col, stats,
             )
-        _validate_batch(fh, id_col, check_dups=validate_ids)
-        stats: dict = {}
-        accepted, n = _accept(
-            fh, None, max_hamming, min_matching_frames, drop_constant,
-            max_frame_df, id_col, stats,
-        )
-        out = batch_store.batch_dirs(path, "fh", [0])[0]
-        accepted.write.mode("overwrite").parquet(out)
-        meta = {
-            "version": 1,
-            "max_hamming": int(max_hamming),
-            "min_matching_frames": int(min_matching_frames),
-            "drop_constant": bool(drop_constant),
-            "max_frame_df": (
-                int(max_frame_df) if max_frame_df is not None else None
-            ),
-            "id_col": id_col,
-            "family": family,
-            "extras": dict(extras or {}),
-            "batches": [0],
-        }
-        batch_store.write_meta(path, meta, lock)
+            out = batch_store.batch_dirs(path, "fh", [0])[0]
+            accepted.write.mode("overwrite").parquet(out)
+            meta = {
+                "version": 1,
+                "max_hamming": int(max_hamming),
+                "min_matching_frames": int(min_matching_frames),
+                "drop_constant": bool(drop_constant),
+                "max_frame_df": (
+                    int(max_frame_df) if max_frame_df is not None else None
+                ),
+                "id_col": id_col,
+                "family": family,
+                "extras": dict(extras or {}),
+                "batches": [0],
+            }
+            batch_store.write_meta(path, meta, lock)
+    except BaseException:
+        # a REFUSED build must leave the filesystem as it found it:
+        # if this call created the directory and nothing was ever
+        # committed (no meta), sweep the litter (lock files, an
+        # uncommitted data dir). A concurrent builder that won the
+        # race has meta on disk and is never touched.
+        if created and not os.path.exists(batch_store.meta_path(path)):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        raise
     return {"batch": 0, "accepted": n, **stats}
 
 

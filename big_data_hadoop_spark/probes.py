@@ -115,9 +115,12 @@ def _shared_store_path(kind: str, key: str) -> str:
     os.makedirs(base, exist_ok=True)
     # sweep crash-leaked write-then-rename temporaries: a builder that
     # died between parquet write and rename leaves <path>.tmp-<pid>
-    # forever. Age-gated well past any build time so a LIVE concurrent
-    # builder's in-flight tmp is never raced; per-user base means every
-    # candidate is ours to remove.
+    # forever. Staleness is judged by the NEWEST directory mtime in
+    # the tree, not the top-level dir's (a long parquet write lands
+    # part files under nested _temporary/ dirs, so the top-level
+    # mtime can sit at job start while the write is very much alive
+    # — round-11 self-review); age-gated on top of that, and the
+    # per-user base means every candidate is ours to remove.
     now = time.time()
     try:
         leaked = [fn for fn in os.listdir(base) if ".tmp-" in fn]
@@ -126,7 +129,10 @@ def _shared_store_path(kind: str, key: str) -> str:
     for fn in leaked:
         p = os.path.join(base, fn)
         try:
-            if now - os.path.getmtime(p) > 3600.0:
+            newest = os.path.getmtime(p)
+            for dirpath, _dirs, _files in os.walk(p):
+                newest = max(newest, os.path.getmtime(dirpath))
+            if now - newest > 3600.0:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass

@@ -90,10 +90,12 @@ def compact(
     slot (max + 1) while every old directory stays committed until the
     atomic meta replace. After the commit the old directories are
     orphans for :func:`vacuum` (two-phase: commit first, delete later,
-    grace-windowed). ``cluster_by`` re-clusters the consolidated slot
-    on that column (repartition + sort-within) so a store whose read
-    paths rely on row-group skipping keeps its clustering through
-    compaction (the embedding store's cell pruning)."""
+    grace-windowed). ``cluster_by`` re-sorts the consolidated slot's
+    partitions on that column (sortWithinPartitions — deliberately no
+    repartition; row-group min/max skipping only needs WITHIN-file
+    ordering) so a store whose read paths rely on row-group skipping
+    keeps its clustering through compaction (the embedding store's
+    cell pruning)."""
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         meta = read_meta(path, hint)
         batches = list(meta["batches"])

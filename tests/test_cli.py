@@ -832,6 +832,29 @@ def test_cli_embedding_store_rebuild_and_audit(tmp_path, spark, capsys):
         main(["embedding-store", "rebuild", store, "--eps", "0.5"])
     with _pytest.raises(SystemExit, match="requires --input"):
         main(["embedding-store", "audit", store])
+    # action-scoped flags refuse OUTSIDE their action too (round-11
+    # review: --sample-rows off audit was a silent no-op)
+    with _pytest.raises(SystemExit, match="only apply to 'audit'"):
+        main(["embedding-store", "refresh", store, "--input", b,
+              "--sample-rows", "64"])
+    with _pytest.raises(SystemExit, match="'rebuild'"):
+        main(["embedding-store", "refresh", store, "--input", b,
+              "--clear-max-cell-rows"])
+    with _pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["embedding-store", "rebuild", store,
+              "--clear-max-cell-rows", "--max-cell-rows", "5"])
+    # clearing the valve from the CLI: pin one, then remove it
+    main(["embedding-store", "rebuild", store, "--max-cell-rows", "500"])
+    main(["embedding-store", "stats", store])
+    main(["embedding-store", "rebuild", store, "--clear-max-cell-rows"])
+    main(["embedding-store", "stats", store])
+    lines2 = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines2[1]["max_cell_rows"] == 500
+    assert lines2[3]["max_cell_rows"] is None
 
 
 def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):

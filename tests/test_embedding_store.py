@@ -237,7 +237,9 @@ def test_refusals_and_validation(spark, tmp_path):
             embedding_store_build(
                 spark, bad_df, str(tmp_path / "poison"), dim=DIM
             )
-        assert not os.path.exists(str(tmp_path / "poison" / "meta.json"))
+        # a refused build leaves the filesystem as it found it: no
+        # meta, and no littered directory/lock files either
+        assert not os.path.exists(str(tmp_path / "poison"))
     with pytest.raises(ValueError, match="cosine threshold"):
         embedding_store_build(
             spark, _emb_df(spark, B1), str(tmp_path / "bad2"),
@@ -318,6 +320,24 @@ def test_compact_vacuum_and_crashed_compact(spark, tmp_path):
     assert st["batches_before"] == 2 and st["embeddings"] == len(before)
     assert _loaded(spark, path) == before
     assert embedding_store_vacuum(path, grace_seconds=0.0)["removed"] == 2
+
+
+def test_assign_cells_preserves_caller_columns(spark):
+    """assign_cells must never clobber a caller's columns with its
+    internal scratch (round-11 review): a frame already carrying the
+    scratch name keeps it verbatim, and with_dist only adds
+    cell_dist."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], "keepme")],
+        "vec_id long, embedding array<double>, __bdhs_assign_dists string",
+    )
+    out = assign_cells(df, [[1.0, 0, 0, 0], [0, 1.0, 0, 0]], with_dist=True)
+    row = out.first()
+    assert row["__bdhs_assign_dists"] == "keepme"
+    assert row.cell == 0 and row.cell_dist == 0.0
+    assert sorted(out.columns) == sorted(
+        ["vec_id", "embedding", "__bdhs_assign_dists", "cell", "cell_dist"]
+    )
 
 
 def test_occupancy_and_drift_stats(spark, tmp_path):

@@ -170,6 +170,28 @@ def test_refusals_and_validation(spark, tmp_path):
             ),
             path,
         )
+    # a NULL frame_no is NOT a duplicate (round-11 review: the naive
+    # multi-arg count_distinct dropped such rows and spuriously fired
+    # the chimera refusal) — the batch flows through validation;
+    # two rows on the SAME (id, NULL) slot still refuse
+    st_nullframe = framehash_store_refresh(
+        spark,
+        spark.createDataFrame(
+            [(51, None, 1234567), (51, 1, 7654321)],
+            "media_id long, frame_no int, dhash long",
+        ),
+        path,
+    )
+    assert st_nullframe["clips_in"] == 1  # validated, judged normally
+    with pytest.raises(ValueError, match="chimera"):
+        framehash_store_refresh(
+            spark,
+            spark.createDataFrame(
+                [(52, None, 5), (52, None, 6)],
+                "media_id long, frame_no int, dhash long",
+            ),
+            path,
+        )
     with pytest.raises(ValueError, match="max_hamming"):
         framehash_store_build(
             spark, _fh_df(spark, B1), str(tmp_path / "bad"), max_hamming=4
