@@ -217,8 +217,11 @@ def framehash_store_build(
         )
     created = not os.path.exists(path)
     os.makedirs(path, exist_ok=True)
-    try:
-        with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+    with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+        # fail-sweep runs INSIDE the claim: sweeping after release
+        # could rmtree a lock-losing contender's in-flight staging
+        # (round-11 advice; see batch_store.sweep_uncommitted)
+        with batch_store.sweep_uncommitted(path, created):
             if os.path.exists(batch_store.meta_path(path)):
                 raise ValueError(
                     f"a frame-hash store already exists at {path} "
@@ -246,17 +249,6 @@ def framehash_store_build(
                 "batches": [0],
             }
             batch_store.write_meta(path, meta, lock)
-    except BaseException:
-        # a REFUSED build must leave the filesystem as it found it:
-        # if this call created the directory and nothing was ever
-        # committed (no meta), sweep the litter (lock files, an
-        # uncommitted data dir). A concurrent builder that won the
-        # race has meta on disk and is never touched.
-        if created and not os.path.exists(batch_store.meta_path(path)):
-            import shutil
-
-            shutil.rmtree(path, ignore_errors=True)
-        raise
     return {"batch": 0, "accepted": n, **stats}
 
 

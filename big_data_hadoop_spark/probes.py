@@ -115,12 +115,17 @@ def _shared_store_path(kind: str, key: str) -> str:
     os.makedirs(base, exist_ok=True)
     # sweep crash-leaked write-then-rename temporaries: a builder that
     # died between parquet write and rename leaves <path>.tmp-<pid>
-    # forever. Staleness is judged by the NEWEST directory mtime in
-    # the tree, not the top-level dir's (a long parquet write lands
-    # part files under nested _temporary/ dirs, so the top-level
-    # mtime can sit at job start while the write is very much alive
-    # — round-11 self-review); age-gated on top of that, and the
-    # per-user base means every candidate is ours to remove.
+    # forever. Liveness first: the name embeds the OWNING pid, and the
+    # per-user base is host-local, so `os.kill(pid, 0)` answers "is the
+    # builder still running" directly — a live owner's temporary is
+    # NEVER swept, however old it looks (a single multi-hour part file
+    # updates no mtime until it closes — round-11 advice), and the
+    # check also short-circuits the tree walk that every call
+    # previously paid per leaked tree. Dead/unparseable owners fall to
+    # the staleness gate: newest mtime across the tree's dirs AND
+    # files (a long parquet write lands part files under nested
+    # _temporary/ dirs whose top-level mtime sits at job start —
+    # round-11 self-review), age-gated at 1h.
     now = time.time()
     try:
         leaked = [fn for fn in os.listdir(base) if ".tmp-" in fn]
@@ -128,10 +133,31 @@ def _shared_store_path(kind: str, key: str) -> str:
         leaked = []
     for fn in leaked:
         p = os.path.join(base, fn)
+        pid_str = fn.rsplit(".tmp-", 1)[-1]
+        if pid_str.isdigit():
+            try:
+                os.kill(int(pid_str), 0)
+                continue  # owner alive — its write may be in flight
+            except (ProcessLookupError, OverflowError):
+                pass  # owner dead (or impossible pid) — fall through
+                # to the staleness gate
+            except OSError:
+                continue  # EPERM etc.: someone lives there — keep
         try:
             newest = os.path.getmtime(p)
-            for dirpath, _dirs, _files in os.walk(p):
-                newest = max(newest, os.path.getmtime(dirpath))
+            for dirpath, _dirs, files in os.walk(p):
+                try:
+                    newest = max(newest, os.path.getmtime(dirpath))
+                except OSError:
+                    continue
+                for f in files:
+                    try:
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(dirpath, f)),
+                        )
+                    except OSError:
+                        pass
             if now - newest > 3600.0:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:

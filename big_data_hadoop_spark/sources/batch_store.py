@@ -33,6 +33,7 @@ not diverge from the first (the ``_sig_est`` sharing precedent)."""
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -41,6 +42,33 @@ import time
 from big_data_hadoop_spark.sources.io import _VERB_LOCK_OPTS, table_write_lock
 
 META = "meta.json"
+
+
+@contextlib.contextmanager
+def sweep_uncommitted(path: str, created: bool):
+    """Wrap a build's staging so a REFUSED build leaves the filesystem
+    as it found it: if this call created the directory and nothing was
+    ever committed (no meta), sweep the litter (an uncommitted data
+    dir). A concurrent builder that won the race has meta on disk and
+    is never touched.
+
+    MUST run INSIDE the ``table_write_lock`` block (the claim is a
+    SIBLING ``<path>.lock`` directory, so the sweep never deletes the
+    held claim itself): sweeping after the lock released could rmtree
+    a lock-losing contender's in-flight staging — the contender
+    acquires the claim the instant the failed builder releases it, and
+    can be mid-write (batch parquet down, meta not yet committed) when
+    a post-release except-block fires (round-11 advice). While the
+    claim is held, no contender can be staging, so the sweep decision
+    (``created`` + no committed meta) is race-free. A build that fails
+    to ACQUIRE the claim deliberately sweeps nothing: the holder it
+    timed out against may be mid-build under the directory."""
+    try:
+        yield
+    except BaseException:
+        if created and not os.path.exists(meta_path(path)):
+            shutil.rmtree(path, ignore_errors=True)
+        raise
 
 
 def meta_path(path: str) -> str:

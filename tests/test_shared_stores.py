@@ -245,3 +245,44 @@ def test_shared_embedding_store_built_once_and_r11_books(spark):
     assert 0 < rows["audit_sample_rows"] <= 128
     assert rows["store_n_cells"] == 8.0
     assert rows["store_build_dist_mean"] > 0.0
+
+
+def test_crash_leak_sweep_spares_live_owners_and_reads_file_mtimes(
+    tmp_path,
+):
+    """The shared-base crash-leak sweep (``_shared_store_path``) must
+    (a) never reap a temporary whose owning pid is still alive — a
+    single multi-hour part file updates no mtime until it closes, so
+    mtime alone cannot prove death (round-11 advice); (b) judge a
+    dead owner's staleness by the newest mtime across the tree's dirs
+    AND files; (c) still sweep a dead owner's genuinely stale tree."""
+    import time
+
+    from big_data_hadoop_spark.probes import _shared_store_path
+
+    base = os.path.dirname(_shared_store_path("sweeptest", "k0"))
+    old = time.time() - 7200.0
+    dead_pid = 4194000 + (os.getpid() % 100)  # near pid_max: no owner
+
+    def plant(name, file_mtime, dir_mtime):
+        p = os.path.join(base, name)
+        os.makedirs(os.path.join(p, "_temporary"), exist_ok=True)
+        f = os.path.join(p, "_temporary", "part-0")
+        with open(f, "w") as fh:
+            fh.write("x")
+        os.utime(f, (file_mtime, file_mtime))
+        os.utime(os.path.join(p, "_temporary"), (dir_mtime, dir_mtime))
+        os.utime(p, (dir_mtime, dir_mtime))
+        return p
+
+    live = plant(f"a.tmp-{os.getpid()}", old, old)  # we are the owner
+    dead_fresh = plant(f"b.tmp-{dead_pid}", time.time(), old)
+    dead_stale = plant(f"c.tmp-{dead_pid}", old, old)
+    try:
+        _shared_store_path("sweeptest", "k1")  # triggers the sweep
+        assert os.path.isdir(live), "live owner's temp was reaped"
+        assert os.path.isdir(dead_fresh), "fresh FILE mtime ignored"
+        assert not os.path.exists(dead_stale), "stale orphan kept"
+    finally:
+        for p in (live, dead_fresh, dead_stale):
+            shutil.rmtree(p, ignore_errors=True)
