@@ -504,13 +504,19 @@ def _run_store_cli(args: argparse.Namespace, spec: dict) -> None:
                 "silently redefine what 'duplicate' means"
                 f"{spec.get('refusal_suffix', '')})"
             )
-        allowed_names = sorted(
-            {a for al in off_build for a in al}
-        )
+        # one refusal line PER offending flag naming that flag's OWN
+        # allowed actions — a unioned action list can send the user to
+        # the wrong fix when flags from different actions are mixed
+        # (round-11 advice: `--eps --sample-rows` on refresh read as
+        # "audit or build take both")
+        lines = [
+            f"{flag} only apply to "
+            + "/".join(repr(a) for a in sorted(set(allowed)))
+            for flag, allowed in zip(passed, off_build)
+        ]
         raise SystemExit(
-            f"{' '.join(passed)} only apply to "
-            f"{'/'.join(repr(a) for a in allowed_names)} — a flag "
-            "that is a silent no-op refuses loudly instead"
+            "; ".join(lines)
+            + " — a flag that is a silent no-op refuses loudly instead"
         )
     if args.action == "vacuum":
         # filesystem-only: no Spark session spin-up for a sweep
@@ -941,6 +947,9 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
             vec_col=args.vec_col,
             seed=args.seed if args.seed is not None else 42,
             max_cell_rows=args.max_cell_rows,
+            check_cells=(
+                args.check_cells if args.check_cells is not None else 1
+            ),
         )
 
     def rebuild(spark, args):
@@ -961,6 +970,7 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
             n_cells=args.n_cells,
             seed=args.seed,
             max_cell_rows=max_cell_rows,
+            check_cells=args.check_cells,
         )
 
     def audit(spark, args):
@@ -1002,6 +1012,7 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
                 "vec_col": "embedding",
                 "seed": None,
                 "max_cell_rows": None,
+                "check_cells": None,
                 "sample_rows": 256,
                 "clear_max_cell_rows": False,
             },
@@ -1013,6 +1024,7 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
                 "n_cells": ("rebuild",),
                 "seed": ("rebuild", "audit"),
                 "max_cell_rows": ("rebuild",),
+                "check_cells": ("rebuild",),
             },
             "flag_allowed": {
                 "sample_rows": ("audit",),
@@ -1623,6 +1635,13 @@ def main(argv: list[str] | None = None) -> None:
         help="rebuild only: remove the pinned hot-cell valve (the "
         "library's max_cell_rows=None; mutually exclusive with "
         "--max-cell-rows)",
+    )
+    es.add_argument(
+        "--check-cells", type=int, default=None,
+        help="recall lever: every judged row checks its p nearest "
+        "cells instead of only its home cell (build, default 1; "
+        "rebuild, default = pinned value; measure the gain with "
+        "'audit')",
     )
     es.add_argument(
         "--sample-rows", type=int, default=256,

@@ -63,6 +63,27 @@ store lives for months:
   ``embedding_store_rebuild`` is the guarded escape hatch: refit +
   replay accepted history through the new cells under the writer
   claim, row-identical to a fresh build, crash-safe swap.
+
+ROUND-12 RECALL LEVER — acting on the number round 11 measured
+(within-cell recall as low as 0.28 at loose eps on this corpus):
+
+* ``check_cells = p`` (meta-pinned at build; changeable only via
+  ``rebuild``) assigns every JUDGED row — history probes and
+  within-batch pairs alike — to its p nearest cells, IVF's n_probe
+  applied to the dedup tier. Storage stays single-cell (each accepted
+  row lives at its home cell; occupancy, clustering, and the
+  refresh==rebuild replay invariants are untouched); the batch side
+  fans out xp through the cell equi-join while history never
+  re-ships. Within-batch pairs use the symmetric closure (a pair
+  exists when either row's home cell is in the other's checked set)
+  so batch dedup judges exactly what refresh-against-history would;
+* ``boundary_frac`` (every write verb's stats) is the truth-free
+  early warning between audits: the fraction of batch rows whose
+  runner-up centroid sits within ``BOUNDARY_MARGIN`` of the winner
+  (squared L2) — the rows whose near-duplicates can land one cell
+  over. Climbing boundary_frac → re-measure recall
+  (``embedding_store_recall_audit``) → raise ``check_cells`` via
+  rebuild (cheap) or refit cells (expensive), in that order.
 """
 
 from __future__ import annotations
@@ -85,12 +106,24 @@ from big_data_hadoop_spark.sources.io import _VERB_LOCK_OPTS, table_write_lock
 _HINT = "embedding_store_build"
 _KINDS = ("emb",)
 
+#: Boundary-margin window for the ``boundary_frac`` diagnostic: a row
+#: counts as boundary-risky when its runner-up centroid's SQUARED L2
+#: distance is within 25% of the winner's (``d2 <= 1.25 * d1``) — the
+#: cheap, truth-free proxy for cross-cell miss risk. Rows that sit
+#: that close to two cells are exactly the rows whose near-duplicates
+#: can land one cell over; a sustained climb in ``boundary_frac`` is
+#: the per-refresh early warning to re-measure recall
+#: (``embedding_store_recall_audit``) and consider raising the
+#: meta-pinned ``check_cells`` (cheap) before reaching for a rebuild.
+BOUNDARY_MARGIN = 0.25
+
 
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     with_dist: bool = False,
+    check_cells: int = 1,
 ) -> DataFrame:
     """Add ``cell int``: index of the nearest pinned centroid by
     squared L2, FIRST minimum on ties (deterministic — a pure function
@@ -100,12 +133,26 @@ def assign_cells(
     scoring. ``with_dist`` also emits ``cell_dist double`` (the
     squared L2 to the winning centroid — the assignment metric itself,
     so the store's drift diagnostic measures exactly what assignment
-    optimizes)."""
+    optimizes) and ``cell_dist2 double`` (to the RUNNER-UP centroid;
+    NULL with a single centroid) — the boundary-margin diagnostic's
+    raw input. ``check_cells`` = p > 1 also emits ``cells
+    array<int>``: the p nearest centroid indices in distance order,
+    ties broken by LOWER index (so ``cells[0] == cell`` always — the
+    same first-minimum rule, pinned in tests); capped at the centroid
+    count. This is IVF's n_probe applied to the dedup tier: a PROBE
+    row checks its p nearest cells while stored rows keep living in
+    exactly one."""
+    p = max(1, int(check_cells))
     if not centroids:
         out = df.withColumn("cell", F.lit(0).cast("int"))
+        if p > 1:
+            out = out.withColumn("cells", F.array(F.lit(0).cast("int")))
         if with_dist:
-            out = out.withColumn("cell_dist", F.lit(0.0))
+            out = out.withColumn("cell_dist", F.lit(0.0)).withColumn(
+                "cell_dist2", F.lit(None).cast("double")
+            )
         return out
+    k = len(centroids)
     cents = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in c])
@@ -121,11 +168,11 @@ def assign_cells(
             lambda acc, x: acc + x,
         ),
     )
-    # materialize the k-vector ONCE per row; both the argmin and the
-    # min read it (inlining `dists` twice would double the k x dim
-    # work). The scratch column name is namespaced so a caller frame
-    # that happens to carry a same-named column is never clobbered
-    # then dropped (round-11 self-review).
+    # materialize the k-vector ONCE per row; the argmin, min, runner-up
+    # and top-p all read it (inlining `dists` more than once would
+    # multiply the k x dim work). The scratch column name is namespaced
+    # so a caller frame that happens to carry a same-named column is
+    # never clobbered then dropped (round-11 self-review).
     scratch = "__bdhs_assign_dists"
     while scratch in df.columns:
         scratch += "_"
@@ -136,8 +183,32 @@ def assign_cells(
             - 1
         ).cast("int"),
     )
+    if p > 1:
+        # (distance, index) struct sort: lexicographic — distance
+        # ascending, index ascending on ties, so element 1 is exactly
+        # the argmin rule above
+        ranked = F.array_sort(
+            F.zip_with(
+                F.col(scratch),
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )
+        out = out.withColumn(
+            "cells",
+            F.transform(
+                F.slice(ranked, 1, min(p, k)),
+                lambda s: s["i"].cast("int"),
+            ),
+        )
     if with_dist:
         out = out.withColumn("cell_dist", F.array_min(F.col(scratch)))
+        out = out.withColumn(
+            "cell_dist2",
+            F.element_at(F.array_sort(F.col(scratch)), 2)
+            if k >= 2
+            else F.lit(None).cast("double"),
+        )
     return out.drop(scratch)
 
 
@@ -148,13 +219,27 @@ def _matches(
     dim: int,
     id_col: str,
     vec_col: str,
+    check_cells: int = 1,
 ) -> DataFrame:
-    """Batch ids with a same-cell stored neighbor at cosine >= eps →
-    one id column, distinct. Both inputs carry ``cell``; neither holds
+    """Batch ids with a stored neighbor at cosine >= eps in one of the
+    batch row's CHECKED cells → one id column, distinct. Stored rows
+    carry ``cell`` (their single home); batch rows carry ``cell`` at
+    ``check_cells`` = 1 or ``cells`` (the p nearest) above it, in
+    which case the BATCH side fans out xp through an explode below the
+    flatten — history never re-ships, the join stays a cell equi-join,
+    and the distinct collapses multi-cell hits. Neither side holds
     zero-norm rows (the store's accept fold drops them). Flat-column
     scoring below the cell equi-join — the multiplied-form threshold
     avoids a division per candidate pair."""
-    na = _flat(new_assigned, id_col, vec_col, dim, "_a", extra=("cell",))
+    if check_cells > 1:
+        na = _flat(
+            new_assigned, id_col, vec_col, dim, "_a", extra=("cells",)
+        )
+        na = na.withColumn("cell", F.explode("cells")).drop("cells")
+    else:
+        na = _flat(
+            new_assigned, id_col, vec_col, dim, "_a", extra=("cell",)
+        )
     sb = (
         _flat(
             stored.select(
@@ -182,12 +267,52 @@ def _matches(
 
 
 def _within_pairs(
-    assigned: DataFrame, eps: float, dim: int, id_col: str, vec_col: str
+    assigned: DataFrame,
+    eps: float,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    check_cells: int = 1,
 ) -> DataFrame:
     """Within-cell near-dup pairs ``(id_a, id_b)`` with ``id_a <
     id_b`` over one assigned frame — the ``semantic_neardup_pairs``
     dim path, specialized to a pre-assigned, zero-norm-free input (no
-    refit, no norm guard)."""
+    refit, no norm guard). With ``check_cells`` = p > 1 a pair exists
+    when EITHER row's home cell lies in the other's checked set (and
+    cosine >= eps) — the symmetric closure of the history rule, so
+    within-batch dedup judges exactly what refresh-against-history
+    would have: enumerate every directed (prober, home) orientation
+    via one explode of the prober's ``cells``, then canonicalize with
+    least/greatest + distinct (a pair can hit in both directions or
+    in several cells)."""
+    if check_cells > 1:
+        fa = _flat(
+            assigned, id_col, vec_col, dim, "_a", extra=("cells",)
+        ).withColumnRenamed(id_col, "id_a")
+        fa = fa.withColumn("cell", F.explode("cells")).drop("cells")
+        fb = (
+            _flat(assigned, id_col, vec_col, dim, "_b", extra=("cell",))
+            .withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("cell", "cell_b")
+            .withColumnRenamed("nrm", "nrm_b")
+        )
+        dotc = _flat_dot("_a", "_b", dim)
+        return (
+            fa.join(
+                fb,
+                (F.col("cell") == F.col("cell_b"))
+                & (F.col("id_a") != F.col("id_b"))
+                & (
+                    dotc
+                    >= F.lit(float(eps)) * F.col("nrm") * F.col("nrm_b")
+                ),
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )
     fa = _flat(
         assigned, id_col, vec_col, dim, "_a", extra=("cell",)
     ).withColumnRenamed(id_col, "id_a")
@@ -335,6 +460,7 @@ def _accept(
     eps, dim, id_col, vec_col = (
         meta["eps"], meta["dim"], meta["id_col"], meta["vec_col"]
     )
+    p = int(meta.get("check_cells", 1) or 1)
     norm_in = df.select(F.col(id_col), F.col(vec_col))
     # n_in comes from the calling verb's single validation job
     # (_validate_batch) — malformed vectors (wrong width / NULL/NaN
@@ -347,15 +473,27 @@ def _accept(
     # ONE execution of the caller's upstream: assignment + every
     # downstream join reads this narrow checkpoint
     assigned = assign_cells(
-        usable, meta["centroids"], vec_col=vec_col, with_dist=True
+        usable, meta["centroids"], vec_col=vec_col, with_dist=True,
+        check_cells=p,
     ).localCheckpoint(eager=True)
-    # ONE job: usable count, distance diagnostics, AND the batch's
-    # occupied cell set (bounded by n_cells) for history pruning
+    # ONE job: usable count, distance diagnostics, the boundary-margin
+    # fraction, AND the batch's CHECKED cell set (bounded by n_cells)
+    # for history pruning
     drow = assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("cell_dist").alias("mean"),
         F.percentile("cell_dist", F.lit(0.99)).alias("p99"),
-        F.collect_set("cell").alias("cells"),
+        F.collect_set("cells" if p > 1 else "cell").alias("cells"),
+        # boundary-margin diagnostic (see BOUNDARY_MARGIN): with one
+        # centroid cell_dist2 is NULL -> otherwise(0.0) -> 0.0, the
+        # honest value (no second cell to straddle into)
+        F.avg(
+            F.when(
+                F.col("cell_dist2")
+                <= F.lit(1.0 + BOUNDARY_MARGIN) * F.col("cell_dist"),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("boundary"),
     ).first()
     n_usable = drow["n"]
     stats["zero_norm"] = n_in - n_usable
@@ -365,25 +503,33 @@ def _accept(
     stats["assign_dist_p99"] = (
         float(drow["p99"]) if drow["p99"] is not None else None
     )
+    stats["boundary_frac"] = (
+        float(drow["boundary"]) if drow["boundary"] is not None else None
+    )
     if prior is not None:
-        # prune the history scan to the batch's own cells BEFORE the
-        # within-cell join: the predicate pushes into the parquet scan
-        # and — because committed batches are CLUSTERED by cell at
-        # write time — skips whole row groups. A batch that touches
+        # prune the history scan to the batch's CHECKED cells BEFORE
+        # the within-cell join: the predicate pushes into the parquet
+        # scan and — because committed batches are CLUSTERED by cell at
+        # write time — skips whole row groups. A batch that checks
         # k of n_cells reads ~k/n_cells of history instead of all of
-        # it; the join result is unchanged (cross-cell rows can never
-        # match the cell equi-key). Skipped when the batch occupies
-        # EVERY cell — the filter can prune nothing and would only
-        # add plan noise (the dense toy-scale case; production
-        # batches against many-cell stores touch a subset).
-        cells = [int(c) for c in (drow["cells"] or [])]
+        # it; the join result is unchanged (rows outside every checked
+        # cell can never match the cell equi-key). Skipped when the
+        # batch checks EVERY cell — the filter can prune nothing and
+        # would only add plan noise (the dense toy-scale case;
+        # production batches against many-cell stores touch a subset).
+        if p > 1:
+            cells = sorted(
+                {int(c) for arr in (drow["cells"] or []) for c in arr}
+            )
+        else:
+            cells = sorted(int(c) for c in (drow["cells"] or []))
         n_total = len(meta.get("centroids") or []) or 1
         if not cells:
             prior = prior.filter(F.lit(False))
         elif len(cells) < n_total:
             prior = prior.filter(F.col("cell").isin(cells))
         hits = _matches(
-            assigned, prior, eps, dim, id_col, vec_col
+            assigned, prior, eps, dim, id_col, vec_col, check_cells=p
         ).localCheckpoint(eager=True)
         fresh = assigned.join(hits, id_col, "left_anti").localCheckpoint(
             eager=True
@@ -394,7 +540,7 @@ def _accept(
         fresh = assigned
         n_fresh = n_usable
         stats["rejected_history"] = 0
-    pairs = _within_pairs(fresh, eps, dim, id_col, vec_col)
+    pairs = _within_pairs(fresh, eps, dim, id_col, vec_col, check_cells=p)
     accepted = dedup_by_clusters(fresh, pairs, id_col=id_col).localCheckpoint(
         eager=True
     )
@@ -486,18 +632,34 @@ def embedding_store_build(
     seed: int = 42,
     train_cap: int = 100_000,
     max_cell_rows: int | None = None,
+    check_cells: int = 1,
     validate_ids: bool = True,
 ) -> dict:
     """One-shot creation at ``path`` from an embedding frame
     (``(id_col, vec_col array<float/double>)``) → stats ``{"batch": 0,
     "accepted": n, "zero_norm": z, "rejected_within_batch": m,
     "rejected_history": 0, "assign_dist_mean": d, "assign_dist_p99":
-    p, "hot_cell_rows": h, "occupied_cells": c}``. Fits the IVF coarse
-    quantizer once (bounded seeded sample — the ``ivf_build``
-    machinery) and PINS the centroids in meta; refuses if a store
-    already exists. ``dim`` is required (the flat-column scoring is
-    the only shape that survives scale; embeddings are fixed-dim by
-    contract).
+    p, "boundary_frac": b, "hot_cell_rows": h, "occupied_cells": c}``.
+    Fits the IVF coarse quantizer once (bounded seeded sample — the
+    ``ivf_build`` machinery) and PINS the centroids in meta; refuses
+    if a store already exists. ``dim`` is required (the flat-column
+    scoring is the only shape that survives scale; embeddings are
+    fixed-dim by contract).
+
+    ``check_cells`` (default 1, meta-pinned) is the RECALL lever the
+    round-11 audit motivated: with p > 1 every judged row — history
+    probes AND within-batch pairs — checks its p nearest cells instead
+    of only its home cell (IVF's n_probe applied to the dedup tier),
+    buying back the boundary misses that are inherent to p=1 at the
+    cost of fanning the BATCH side xp through the cell join (history
+    rows still live in, and ship from, exactly one cell — storage,
+    occupancy, and the refresh==rebuild invariants are untouched).
+    Pinned in meta because it is part of what "duplicate" means: a
+    mid-history change would silently re-litigate past accept
+    decisions; ``embedding_store_rebuild(check_cells=...)`` is the
+    deliberate escape hatch. Measure the gain, don't assume it:
+    ``embedding_store_recall_audit`` reports the within-checked-cells
+    recall at whatever p the store pins.
 
     ``max_cell_rows`` (default off) is the hot-cell valve, pinned in
     meta: the within-cell history join is quadratic in cell occupancy,
@@ -520,6 +682,8 @@ def embedding_store_build(
         raise ValueError("eps is a cosine threshold in [-1, 1]")
     if max_cell_rows is not None and max_cell_rows < 1:
         raise ValueError("max_cell_rows must be >= 1 (or None)")
+    if int(check_cells) < 1:
+        raise ValueError("check_cells must be >= 1")
     if os.path.exists(batch_store.meta_path(path)):
         raise ValueError(
             f"an embedding store already exists at {path} — append "
@@ -527,8 +691,11 @@ def embedding_store_build(
         )
     created = not os.path.exists(path)
     os.makedirs(path, exist_ok=True)
-    try:
-        with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+    with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
+        # fail-sweep runs INSIDE the claim: sweeping after release
+        # could rmtree a lock-losing contender's in-flight staging
+        # (round-11 advice; see batch_store.sweep_uncommitted)
+        with batch_store.sweep_uncommitted(path, created):
             if os.path.exists(batch_store.meta_path(path)):
                 raise ValueError(
                     f"an embedding store already exists at {path} "
@@ -559,6 +726,7 @@ def embedding_store_build(
                     if max_cell_rows is not None
                     else None
                 ),
+                "check_cells": int(check_cells),
                 "centroids": idx.centroids,
                 "batches": [0],
             }
@@ -574,17 +742,6 @@ def embedding_store_build(
             meta["build_dist_p99"] = stats["assign_dist_p99"]
             meta["cell_counts"] = {str(k): v for k, v in counts.items()}
             batch_store.write_meta(path, meta, lock)
-    except BaseException:
-        # a REFUSED build must leave the filesystem as it found it:
-        # if this call created the directory and nothing was ever
-        # committed (no meta), sweep the litter (lock files, an
-        # uncommitted data dir). A concurrent builder that won the
-        # race has meta on disk and is never touched.
-        if created and not os.path.exists(batch_store.meta_path(path)):
-            import shutil
-
-            shutil.rmtree(path, ignore_errors=True)
-        raise
     return {"batch": 0, "accepted": n, **stats}
 
 
@@ -616,11 +773,13 @@ def embedding_store_refresh(
     un-materialized decode lineage executes more than once (the CLI
     tier builders do this; round-9/10 convention).
 
-    Stats carry the store's two health diagnostics (round 11):
-    ``assign_dist_mean`` / ``assign_dist_p99`` / ``dist_drift``
-    (centroid staleness vs the build corpus — see ``_drift``) and
-    ``hot_cell_rows`` / ``occupied_cells`` (post-commit occupancy; if
-    the store pinned ``max_cell_rows`` at build, a batch that would
+    Stats carry the store's health diagnostics: ``assign_dist_mean``
+    / ``assign_dist_p99`` / ``dist_drift`` (centroid staleness vs the
+    build corpus — see ``_drift``), ``boundary_frac`` (fraction of
+    batch rows sitting within ``BOUNDARY_MARGIN`` of a second cell —
+    the cross-cell miss-risk proxy, rides the same aggregation job),
+    and ``hot_cell_rows`` / ``occupied_cells`` (post-commit occupancy;
+    if the store pinned ``max_cell_rows`` at build, a batch that would
     push a cell past it REFUSES before committing — the hot-cell
     valve)."""
     meta = batch_store.read_meta(path, _HINT)  # fail fast pre-lock
@@ -706,11 +865,25 @@ def embedding_store_matches(
     spark: SparkSession, df: DataFrame, path: str
 ) -> DataFrame:
     """Read-only probe: ids of ``df`` that WOULD be rejected against
-    the store right now (same-cell cosine >= the pinned eps) — the
-    decontamination / novelty-check read path, no writer claim, no
-    mutation. Zero-norm rows never match (no cosine direction)."""
+    the store right now (cosine >= the pinned eps within the probe
+    row's pinned ``check_cells`` nearest cells) — the decontamination
+    / novelty-check read path, no writer claim, no mutation. Zero-norm
+    rows never match (no cosine direction).
+
+    The history read is CELL-PRUNED like refresh's (round-11 advice:
+    refresh got the ``In(cell, ...)`` pushdown over cell-clustered
+    batch files, this verb still scanned everything): the probe batch
+    is assigned + checkpointed, its checked-cell set collected (one
+    cell-bounded agg), and the store scan filtered to those cells —
+    a decontamination sweep whose small batch touches k of n cells
+    reads ~k/n of history instead of all of it, row-group min/max
+    skipping included. Skipped when the batch checks every cell (the
+    filter could prune nothing); the match set is identical either
+    way (rows outside every checked cell can never satisfy the cell
+    equi-join). Plan shape pinned in tests/test_plans.py."""
     meta = batch_store.read_meta(path, _HINT)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    p = int(meta.get("check_cells", 1) or 1)
     base = df.select(F.col(id_col), F.col(vec_col))
     # same malformed-vector refusal as the accept fold: a bad probe
     # row silently reading as "novel" would invite ingesting it next
@@ -718,14 +891,32 @@ def embedding_store_matches(
     usable = base.filter(
         F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
     )
-    assigned = assign_cells(usable, meta["centroids"], vec_col=vec_col)
+    assigned = assign_cells(
+        usable, meta["centroids"], vec_col=vec_col, check_cells=p
+    ).localCheckpoint(eager=True)
+    crow = assigned.agg(
+        F.collect_set("cells" if p > 1 else "cell").alias("cells")
+    ).first()
+    if p > 1:
+        cells = sorted(
+            {int(c) for arr in (crow["cells"] or []) for c in arr}
+        )
+    else:
+        cells = sorted(int(c) for c in (crow["cells"] or []))
+    history = embedding_store_load(spark, path)
+    n_total = len(meta.get("centroids") or []) or 1
+    if not cells:
+        history = history.filter(F.lit(False))
+    elif len(cells) < n_total:
+        history = history.filter(F.col("cell").isin(cells))
     return _matches(
         assigned,
-        embedding_store_load(spark, path),
+        history,
         meta["eps"],
         meta["dim"],
         id_col,
         vec_col,
+        check_cells=p,
     )
 
 
@@ -736,22 +927,27 @@ def embedding_store_rebuild(
     seed: int | None = None,
     train_cap: int = 100_000,
     max_cell_rows: int | None | str = "keep",
+    check_cells: int | None = None,
 ) -> dict:
     """Refit the coarse quantizer and replay the accepted history
     through the NEW cells — the guarded escape hatch from the
     pin-forever centroid contract, for when the drift diagnostic
     (``dist_drift`` in refresh stats) shows the embedding distribution
     has walked away from the build-time cells, or the hot-cell valve
-    fires (``n_cells`` too small for how history grew).
+    fires (``n_cells`` too small for how history grew), or a measured
+    recall shortfall calls for a wider ``check_cells``.
 
     Semantics: row-identical to a FRESH ``embedding_store_build`` on
-    the accepted history as one frame, at (``n_cells``, ``seed``)
-    defaulting to the store's pinned values (pinned in tests). Replay
-    re-litigates under the new geometry: pairs that straddled an OLD
-    cell boundary may now share a cell and collapse (min id survives)
-    — exactly what a fresh build would decide, and the honest meaning
-    of "rebuild". eps/dim/columns never change (a different eps would
-    redefine "duplicate" — build a new store for that).
+    the accepted history as one frame, at (``n_cells``, ``seed``,
+    ``check_cells``) defaulting to the store's pinned values (pinned
+    in tests). Replay re-litigates under the new geometry: pairs that
+    straddled an OLD cell boundary may now share a cell and collapse
+    (min id survives) — exactly what a fresh build would decide, and
+    the honest meaning of "rebuild". eps/dim/columns never change (a
+    different eps would redefine "duplicate" — build a new store for
+    that); ``check_cells`` IS changeable here precisely because
+    rebuild is the verb whose contract is "re-litigate everything
+    under the new rule".
 
     Crash-window: the replayed rows land in a NEW immutable batch
     directory first; meta (new centroids + the single new batch) swaps
@@ -759,6 +955,16 @@ def embedding_store_rebuild(
     old store fully intact and one unreferenced directory for
     ``embedding_store_vacuum`` — the compact verb's argument verbatim.
     """
+    # argument checks FIRST (matching embedding_store_build's
+    # ordering): a trivially invalid max_cell_rows previously refused
+    # only after the full-history localCheckpoint and the KMeans refit
+    # — the verb's most expensive work — while holding the writer
+    # claim (round-11 advice)
+    if max_cell_rows != "keep":
+        if max_cell_rows is not None and int(max_cell_rows) < 1:
+            raise ValueError("max_cell_rows must be >= 1 (or None)")
+    if check_cells is not None and int(check_cells) < 1:
+        raise ValueError("check_cells must be >= 1 (or None to keep)")
     meta = batch_store.read_meta(path, _HINT)  # fail fast pre-lock
     with table_write_lock(path, **_VERB_LOCK_OPTS) as lock:
         meta = batch_store.read_meta(path, _HINT)
@@ -779,11 +985,16 @@ def embedding_store_rebuild(
         )
         new_meta = dict(meta)
         new_meta.update(
-            n_cells=new_cells, seed=new_seed, centroids=idx.centroids
+            n_cells=new_cells,
+            seed=new_seed,
+            centroids=idx.centroids,
+            check_cells=int(
+                check_cells
+                if check_cells is not None
+                else meta.get("check_cells", 1)
+            ),
         )
         if max_cell_rows != "keep":
-            if max_cell_rows is not None and int(max_cell_rows) < 1:
-                raise ValueError("max_cell_rows must be >= 1 (or None)")
             new_meta["max_cell_rows"] = (
                 int(max_cell_rows) if max_cell_rows is not None else None
             )
@@ -820,6 +1031,7 @@ def embedding_store_recall_audit(
     path: str,
     sample_rows: int = 256,
     seed: int = 0,
+    check_cells: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """MEASURE the within-cell approximation's miss rate instead of
     trusting the SemDeDup citation — the q92 pattern
@@ -846,11 +1058,21 @@ def embedding_store_recall_audit(
     Returns ``(missed, summary)``: ``missed`` = sample ids the store
     would NOT reject but whose best exact cosine against history is
     >= eps (``id_col``, ``best_cos`` — how far over the threshold the
-    miss sits), ``summary`` = ``{"sample_rows": actual,
-    "truth_matches": t, "cell_matches": c, "missed": m, "recall":
-    (t-m)/t or 1.0, "missed_max_cos": ...}``."""
+    miss sits), ``summary`` = ``{"sample_rows": actual, "check_cells":
+    p, "truth_matches": t, "cell_matches": c, "missed": m, "recall":
+    (t-m)/t or 1.0, "missed_max_cos": ...}``.
+
+    ``check_cells`` (default None = the store's pinned value) audits a
+    HYPOTHETICAL probe width instead: the operator's tuning loop for
+    the round-12 recall lever — measure recall at p=2, 4, ... on the
+    fixed sample, pick the cheapest p that clears the target, THEN pay
+    the one-time ``embedding_store_rebuild(check_cells=p)``. The truth
+    side never changes; only the store-verdict side widens, so the
+    sweep's cost is one widened cell join per probed p."""
     if sample_rows < 1:
         raise ValueError("sample_rows must be >= 1")
+    if check_cells is not None and int(check_cells) < 1:
+        raise ValueError("check_cells must be >= 1 (or None for pinned)")
     meta = batch_store.read_meta(path, _HINT)
     eps, dim = meta["eps"], meta["dim"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -865,17 +1087,27 @@ def embedding_store_recall_audit(
         .localCheckpoint(eager=True)
     )
     n_sample = sample.count()
+    p = int(
+        check_cells
+        if check_cells is not None
+        else (meta.get("check_cells", 1) or 1)
+    )
     history = embedding_store_load(spark, path)
     truth = _truth_frame(
         sample, history, eps, dim, id_col, vec_col
     ).localCheckpoint(eager=True)
+    # the store's ACTUAL verdict, at the pinned check_cells — what the
+    # audit measures is the recall of whatever rule refresh enforces
     got = _matches(
-        assign_cells(sample, meta["centroids"], vec_col=vec_col),
+        assign_cells(
+            sample, meta["centroids"], vec_col=vec_col, check_cells=p
+        ),
         history,
         eps,
         dim,
         id_col,
         vec_col,
+        check_cells=p,
     ).localCheckpoint(eager=True)
     missed = truth.join(got, id_col, "left_anti").localCheckpoint(
         eager=True
@@ -883,6 +1115,7 @@ def embedding_store_recall_audit(
     n_truth, n_got, n_missed = truth.count(), got.count(), missed.count()
     summary = {
         "sample_rows": n_sample,
+        "check_cells": p,
         "truth_matches": n_truth,
         "cell_matches": n_got,
         "missed": n_missed,

@@ -2733,6 +2733,54 @@ def r10_embedding_store(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def r12_check_cells_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """MEASURE the round-12 recall lever instead of trusting it: the
+    r11 audit showed within-cell (p=1) recall as low as 0.28 at the
+    shared store's loose eps=0.4 — ``check_cells=p`` (IVF's n_probe
+    applied to the dedup tier) is the knob that buys those boundary
+    misses back without a rebuild's refit. This probe runs the
+    hypothetical-p audit sweep (``embedding_store_recall_audit``'s
+    ``check_cells`` override — the operator's pre-rebuild tuning loop)
+    against the SAME shared per-corpus store and sample r11 audits:
+    recall must rise monotonically with p, and at p = n_cells the
+    widened verdict degrades to the cell-free exact truth (recall 1.0
+    by construction — pinned in tests/test_embedding_store.py, and
+    exhibited here as a measured row). One audit per probed p; the
+    truth side costs the same each time (fixed 128-row sample,
+    |history| x sample scan — flat at every corpus size), the verdict
+    side fans the SAMPLE x p through the cell join, never history.
+    Rows-only slot (KMeans + xxhash64 sampling aren't ANSI-SQL); the
+    audit books and the monotone/exact-at-full-probe guarantees are
+    replicated in pure Python in tests/test_embedding_store.py."""
+    from big_data_hadoop_spark.operators.embedding_store import (
+        embedding_store_recall_audit,
+    )
+
+    path = _shared_embedding_store(spark, sf)
+    odds = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") % 2 == 1)
+    rows = []
+    for p in (1, 2, 8):  # pinned, the cheap lever, the exact endpoint
+        _missed, s = embedding_store_recall_audit(
+            spark, odds, path, sample_rows=128, check_cells=p
+        )
+        rows.append(
+            (
+                p,
+                float(s["recall"]),
+                int(s["truth_matches"]),
+                int(s["cell_matches"]),
+                int(s["missed"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "check_cells int, recall double, truth_matches long, "
+        "cell_matches long, missed long",
+    ).orderBy("check_cells")
+
+
 def shared_embedding_store_path(sf: str) -> str:
     """Deterministic location of the per-corpus embedding store (built
     from the even half at the q62 parameters eps=0.4, 8 cells — the
@@ -2954,6 +3002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r09_video_framehash_store": r09_video_framehash_store,
     "r10_embedding_store": r10_embedding_store,
     "r11_embedding_store_audit": r11_embedding_store_audit,
+    "r12_check_cells_recall_curve": r12_check_cells_recall_curve,
 }
 
 _EN = ts.STOPWORDS["en"]

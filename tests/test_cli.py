@@ -879,3 +879,60 @@ def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
     assert cli._read_table_cli(
         spark, str(tmp_path) + "/{t,nope}"
     ).count() == 1
+
+
+def test_cli_mixed_offaction_flags_refuse_per_flag(tmp_path):
+    """When flags scoped to DIFFERENT actions are both passed on the
+    wrong action, the refusal names each flag's OWN allowed actions
+    (round-11 advice: a unioned list read as 'audit or build take
+    both' and sent the user to the wrong fix). Pre-Spark, pre-store:
+    the flag check is the first thing the store driver does."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as ei:
+        main(["embedding-store", "refresh", str(tmp_path / "s"),
+              "--input", "x", "--eps", "0.5", "--sample-rows", "64"])
+    msg = str(ei.value)
+    assert "--eps only apply to 'build'" in msg, msg
+    assert "--sample-rows only apply to 'audit'" in msg, msg
+    # and the single-flag forms keep their established wording
+    with _pytest.raises(SystemExit, match="only apply to 'audit'"):
+        main(["embedding-store", "refresh", str(tmp_path / "s"),
+              "--input", "x", "--sample-rows", "64"])
+
+
+def test_cli_embedding_store_check_cells(tmp_path, spark, capsys):
+    """--check-cells pins the recall lever at build, is changeable via
+    rebuild only (refresh refuses it), and the audit line discloses
+    the pinned value."""
+    import json
+
+    import pytest as _pytest
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    emb.filter("vec_id % 2 = 0").write.parquet(a)
+    emb.filter("vec_id % 2 = 1").write.parquet(b)
+    store = str(tmp_path / "store")
+    main(["embedding-store", "build", store, "--input", a,
+          "--eps", "0.4", "--n-cells", "4", "--dim", "64",
+          "--check-cells", "2"])
+    main(["embedding-store", "stats", store])
+    main(["embedding-store", "audit", store, "--input", b,
+          "--sample-rows", "32"])
+    main(["embedding-store", "rebuild", store, "--check-cells", "4"])
+    main(["embedding-store", "stats", store])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines[1]["check_cells"] == 2
+    assert lines[2]["check_cells"] == 2  # audit discloses the rule
+    assert 0.0 <= lines[2]["recall"] <= 1.0
+    assert lines[4]["check_cells"] == 4
+    with _pytest.raises(SystemExit, match="only apply to 'build'"):
+        main(["embedding-store", "refresh", store, "--input", b,
+              "--check-cells", "2"])

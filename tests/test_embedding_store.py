@@ -49,22 +49,37 @@ def _assign(v, centroids):
     return cell
 
 
-def _greedy(batches, centroids, eps=EPS):
-    """Per batch: drop zero-norm rows, reject rows with a same-cell
-    stored neighbor at cosine >= eps, union-find survivors on
-    same-cell pairs, keep min id per component."""
+def _assign_p(v, centroids, p):
+    """The p nearest centroids by squared L2, ties by lower index —
+    the engine's check_cells rule (``assign_cells``'s ``cells``)."""
+    if not centroids:
+        return [0]
+    ranked = sorted(
+        (sum((x - y) * (x - y) for x, y in zip(v, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    return [i for _, i in ranked[:p]]
+
+
+def _greedy(batches, centroids, eps=EPS, p=1):
+    """Per batch: drop zero-norm rows, reject rows whose CHECKED cells
+    (the p nearest; home cell at p=1) contain a stored neighbor's home
+    cell at cosine >= eps, union-find survivors on pairs where either
+    row's home cell is in the other's checked set, keep min id per
+    component."""
     stored: dict[int, list] = {}
     for batch in batches:
         batch = {
             i: v for i, v in batch.items() if any(x != 0 for x in v)
         }
         cells = {i: _assign(v, centroids) for i, v in batch.items()}
+        checkp = {i: _assign_p(v, centroids, p) for i, v in batch.items()}
         scells = {i: _assign(v, centroids) for i, v in stored.items()}
         fresh = {
             i: v
             for i, v in batch.items()
             if not any(
-                cells[i] == scells[j] and _cos(v, w) >= eps
+                scells[j] in checkp[i] and _cos(v, w) >= eps
                 for j, w in stored.items()
             )
         }
@@ -80,7 +95,9 @@ def _greedy(batches, centroids, eps=EPS):
         for ai in range(len(ids)):
             for bi in range(ai + 1, len(ids)):
                 a, b = ids[ai], ids[bi]
-                if cells[a] == cells[b] and _cos(fresh[a], fresh[b]) >= eps:
+                if (
+                    cells[a] in checkp[b] or cells[b] in checkp[a]
+                ) and _cos(fresh[a], fresh[b]) >= eps:
                     ra, rb = find(a), find(b)
                     if ra != rb:
                         parent[max(ra, rb)] = min(ra, rb)
@@ -335,8 +352,10 @@ def test_assign_cells_preserves_caller_columns(spark):
     row = out.first()
     assert row["__bdhs_assign_dists"] == "keepme"
     assert row.cell == 0 and row.cell_dist == 0.0
+    assert row.cell_dist2 == 2.0  # runner-up distance (round 12)
     assert sorted(out.columns) == sorted(
-        ["vec_id", "embedding", "__bdhs_assign_dists", "cell", "cell_dist"]
+        ["vec_id", "embedding", "__bdhs_assign_dists", "cell",
+         "cell_dist", "cell_dist2"]
     )
 
 
@@ -832,3 +851,416 @@ def test_greedy_property_random_batches(spark, tmp_path_factory, data):
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             assert _cos(got[ids[i]], got[ids[j]]) < EPS
+
+
+def test_failed_build_sweeps_inside_claim_never_clobbers_contender(
+    spark, tmp_path, monkeypatch
+):
+    """A build that fails mid-staging sweeps its litter while STILL
+    HOLDING the writer claim (round-11 advice): a contender that lost
+    the lock race is blocked for the whole sweep window, so it can
+    never be mid-build when the rmtree fires. Raced here: builder A
+    stalls inside staging (holding the claim), then fails and sweeps;
+    builder B — started only after A is inside the claim — blocks on
+    the claim, then builds and commits. B's store must come out fully
+    readable, with meta referencing directories that exist."""
+    import threading
+    import time as _time
+
+    from big_data_hadoop_spark.operators import embedding_store as es
+
+    path = str(tmp_path / "s")
+    inside = threading.Event()
+    real_ivf = es.ivf_build
+    calls = {"n": 0}
+
+    def flaky_ivf(*a, **k):
+        # first caller is A (it holds the claim before B even starts);
+        # it stalls so B demonstrably blocks on the claim, then fails
+        calls["n"] += 1
+        if calls["n"] == 1:
+            inside.set()
+            _time.sleep(0.8)
+            raise RuntimeError("staging failed (planted)")
+        return real_ivf(*a, **k)
+
+    monkeypatch.setattr(es, "ivf_build", flaky_ivf)
+    errs: list[Exception] = []
+
+    def build():
+        try:
+            embedding_store_build(
+                spark, _emb_df(spark, B1), path, eps=EPS, n_cells=1,
+                dim=DIM,
+            )
+        except Exception as exc:  # noqa: BLE001 — collected for assert
+            errs.append(exc)
+
+    a = threading.Thread(target=build)
+    a.start()
+    assert inside.wait(30.0)
+    b = threading.Thread(target=build)
+    b.start()
+    a.join()
+    b.join()
+    # exactly A failed, with the planted error — never a sweep-induced
+    # missing-directory error from B
+    assert len(errs) == 1 and "planted" in str(errs[0]), errs
+    got = _loaded(spark, path)
+    cents = _centroids(path)
+    assert sorted(got) == sorted(_greedy([B1], cents))
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["batches"] == [0]
+    assert os.path.isdir(os.path.join(path, "emb", "b00000"))
+
+
+def test_rebuild_validates_args_before_any_expensive_work(
+    spark, tmp_path
+):
+    """A trivially invalid ``max_cell_rows`` refuses at function entry
+    — BEFORE the full-history localCheckpoint, the KMeans refit, and
+    the writer claim (round-11 advice: it previously refused only
+    after the verb's most expensive work, while holding the lock)."""
+    from big_data_hadoop_spark.operators import similarity as sim
+
+    path, _ = _grow(spark, tmp_path)
+    fits_before = sim.IVF_FIT_COUNT
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        embedding_store_rebuild(spark, path, max_cell_rows=0)
+    assert sim.IVF_FIT_COUNT == fits_before  # no refit was paid
+    assert not os.path.exists(path + ".lock")  # no claim was taken
+    # the store is untouched and still serves
+    assert sorted(_loaded(spark, path))
+
+
+def test_assign_cells_check_cells_rule_pinned(spark):
+    """``cells`` is the p nearest centroids by squared L2, ties by
+    LOWER index, ``cells[0] == cell`` always; capped at the centroid
+    count; ``cell_dist2`` is the runner-up distance (NULL with one
+    centroid). Pinned against the pure-Python rule directly."""
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    rows = {
+        1: (0.9, 0.2, 0.1, 0),
+        2: (0.1, 2.0, 0.3, 0),
+        3: (0, 0, 0, 0),          # zero vector: ties everywhere
+        4: (0.5, 0.5, 0.0, 0),    # exact tie between cents 0 and 1
+    }
+    df = _emb_df(spark, rows)
+    for p in (1, 2, 3, 7):  # 7 > k: capped at 3
+        got = {
+            r.vec_id: (
+                r.cell,
+                list(r.cells) if p > 1 else None,
+                r.cell_dist,
+                r.cell_dist2,
+            )
+            for r in assign_cells(
+                df, cents, with_dist=True, check_cells=p
+            ).collect()
+        }
+        for i, v in rows.items():
+            want = _assign_p(v, cents, min(p, len(cents)))
+            cell, cells, d1, d2 = got[i]
+            assert cell == _assign(v, cents) == want[0]
+            if p > 1:
+                assert cells == want
+                assert cells[0] == cell
+            ranked = sorted(
+                sum((x - y) * (x - y) for x, y in zip(v, c))
+                for c in cents
+            )
+            assert d1 == pytest.approx(ranked[0])
+            assert d2 == pytest.approx(ranked[1])
+    # single centroid: cell_dist2 is NULL, cells degenerates to [cell]
+    one = assign_cells(
+        df, [cents[0]], with_dist=True, check_cells=2
+    ).collect()
+    for r in one:
+        assert r.cell == 0 and list(r.cells) == [0]
+        assert r.cell_dist2 is None
+
+
+def test_check_cells_store_matches_greedy_oracle(spark, tmp_path):
+    """Grown store at check_cells=2 equals the extended pure-Python
+    greedy fold (reject when a stored row's home cell is in the probe
+    row's checked set; within-batch pairs on the symmetric closure),
+    over the store's own pinned centroids. The planted geometry
+    guarantees at least one pair that ONLY p=2 catches."""
+    corpus = {}
+    for k in range(5):
+        corpus[k] = (5.0, 3.0 + 0.01 * k, 0.0, 0.0)
+        corpus[10 + k] = (5.0, -3.0 - 0.01 * k, 0.0, 0.0)
+    path = str(tmp_path / "s")
+    st0 = embedding_store_build(
+        spark, _emb_df(spark, corpus), path, eps=0.99, n_cells=2,
+        dim=DIM, check_cells=2,
+    )
+    cents = _centroids(path)
+    assert len(cents) == 2
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["check_cells"] == 2
+    # straddling pair: h on one side of the midplane, b on the other,
+    # cos(h, b) ~ 1 — at p=1 both would be accepted (different home
+    # cells); at p=2 the refresh must reject b against stored h
+    import numpy as np
+
+    c0, c1 = np.array(cents[0]), np.array(cents[1])
+    m = (c0 + c1) / 2.0
+    d = (c1 - c0) / np.linalg.norm(c1 - c0)
+    h, b = (m - 0.2 * d).tolist(), (m + 0.2 * d).tolist()
+    assert _cos(h, b) >= 0.99 and _assign(h, cents) != _assign(b, cents)
+    st1 = embedding_store_refresh(spark, _emb_df(spark, {50: h}), path)
+    st2 = embedding_store_refresh(spark, _emb_df(spark, {60: b}), path)
+    assert st1["accepted"] == 1 and st2["accepted"] == 0
+    assert st2["rejected_history"] == 1  # the p=2 catch
+    got = {i: v for i, (_, v) in _loaded(spark, path).items()}
+    want = _greedy(
+        [corpus, {50: h}, {60: b}], cents, eps=0.99, p=2
+    )
+    assert sorted(got) == sorted(want)
+    # stats still add up under the new rule
+    for st, n in ((st0, len(corpus)), (st1, 1), (st2, 1)):
+        assert (
+            st["accepted"] + st["rejected_history"]
+            + st["rejected_within_batch"] + st["zero_norm"] == n
+        )
+    # matches read path honors pinned p: b is a match, a far row isn't
+    probe = {70: b, 71: (0.0, 0.0, 9.0, 0.0)}
+    hits = embedding_store_matches(spark, _emb_df(spark, probe), path)
+    assert [r.vec_id for r in hits.collect()] == [70]
+    # within-batch symmetric closure: h and b in ONE batch collapse to
+    # min id even though they live in different home cells
+    path2 = str(tmp_path / "s2")
+    embedding_store_build(
+        spark, _emb_df(spark, corpus), path2, eps=0.99, n_cells=2,
+        dim=DIM, check_cells=2, seed=42,
+    )
+    cents2 = _centroids(path2)
+    st3 = embedding_store_refresh(
+        spark, _emb_df(spark, {50: h, 60: b}), path2
+    )
+    assert st3["rejected_within_batch"] >= 1
+    got2 = {i: v for i, (_, v) in _loaded(spark, path2).items()}
+    assert sorted(got2) == sorted(
+        _greedy([corpus, {50: h, 60: b}], cents2, eps=0.99, p=2)
+    )
+
+
+def test_check_cells_monotone_matches_and_exact_at_full_probe(
+    spark, tmp_path
+):
+    """On one store/history, raising check_cells can only ADD matches
+    (checked sets are nested), and p = n_cells equals the cell-free
+    exact verdict — the mathematical guarantees behind 'the knob buys
+    recall back'. Run on the real sf0.001 embeddings at the audit's
+    loose eps=0.4 where round 11 measured the misses."""
+    from big_data_hadoop_spark.operators.embedding_store import (
+        _matches,
+        _truth_frame,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "s")
+    embedding_store_build(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+        eps=0.4, n_cells=8, dim=64,
+    )
+    cents = _centroids(path)
+    history = embedding_store_load(spark, path)
+    sample = emb.filter(F.col("vec_id") % 2 == 1).limit(
+        64
+    ).localCheckpoint(eager=True)
+    prev: set = set()
+    sizes = []
+    for p in (1, 2, 4, 8):
+        hit = {
+            r.vec_id
+            for r in _matches(
+                assign_cells(sample, cents, check_cells=p),
+                history, 0.4, 64, "vec_id", "embedding",
+                check_cells=p,
+            ).collect()
+        }
+        assert prev <= hit, f"p={p} lost matches"
+        prev = hit
+        sizes.append(len(hit))
+    truth = {
+        r.vec_id
+        for r in _truth_frame(
+            sample, history, 0.4, 64, "vec_id", "embedding"
+        ).collect()
+    }
+    assert prev == truth  # p = n_cells degrades to exact
+    assert sizes[0] < sizes[-1]  # the knob measurably buys matches here
+
+
+def test_boundary_frac_pinned_against_python_recount(spark, tmp_path):
+    """``boundary_frac`` (fraction of usable batch rows whose
+    runner-up centroid sits within BOUNDARY_MARGIN of the winner,
+    squared L2) equals a pure-Python recount over the store's pinned
+    centroids — in build AND refresh stats; 0.0 with one centroid."""
+    from big_data_hadoop_spark.operators.embedding_store import (
+        BOUNDARY_MARGIN,
+    )
+
+    def frac(rows, cents):
+        vals = []
+        for v in rows.values():
+            if not any(x != 0 for x in v):
+                continue  # zero-norm rows are dropped pre-assignment
+            d = sorted(
+                sum((x - y) * (x - y) for x, y in zip(v, c))
+                for c in cents
+            )
+            vals.append(
+                1.0 if len(d) > 1 and d[1] <= (1 + BOUNDARY_MARGIN) * d[0]
+                else 0.0
+            )
+        return sum(vals) / len(vals) if vals else None
+
+    corpus = {}
+    for k in range(4):
+        corpus[k] = (5.0, 3.0 + 0.1 * k, 0.0, 0.0)
+        corpus[10 + k] = (5.0, -3.0 - 0.1 * k, 0.0, 0.0)
+    corpus[21] = (0, 0, 0, 0)  # zero-norm: excluded from the frac
+    path = str(tmp_path / "s")
+    st0 = embedding_store_build(
+        spark, _emb_df(spark, corpus), path, eps=0.99, n_cells=2,
+        dim=DIM,
+    )
+    cents = _centroids(path)
+    assert st0["boundary_frac"] == pytest.approx(frac(corpus, cents))
+    # the refresh batch plants a TRUE straddler constructed FROM the
+    # pinned centroids (midpoint -> d1 == d2, inside any margin) and a
+    # row AT centroid 0 (d1 == 0 < d2 — never boundary): frac = 1/2
+    import numpy as np
+
+    c0, c1 = np.array(cents[0]), np.array(cents[1])
+    mid = tuple(((c0 + c1) / 2.0).tolist())
+    batch = {30: mid, 31: tuple(float(x) for x in cents[0])}
+    st1 = embedding_store_refresh(spark, _emb_df(spark, batch), path)
+    assert st1["boundary_frac"] == pytest.approx(frac(batch, cents))
+    assert st1["boundary_frac"] == pytest.approx(0.5)
+    # single-cell store: no second cell to straddle into -> 0.0
+    one = str(tmp_path / "one")
+    s = embedding_store_build(
+        spark, _emb_df(spark, B1), one, eps=EPS, n_cells=1, dim=DIM
+    )
+    assert s["boundary_frac"] == 0.0
+
+
+def test_rebuild_changes_check_cells_row_identical_to_fresh_build(
+    spark, tmp_path
+):
+    """``rebuild(check_cells=p)`` re-litigates the accepted history
+    under the new rule exactly as a fresh build at p would, pins the
+    new p in meta, and subsequent refreshes judge at p."""
+    corpus = {}
+    for k in range(5):
+        corpus[k] = (5.0, 3.0 + 0.01 * k, 0.0, 0.0)
+        corpus[10 + k] = (5.0, -3.0 - 0.01 * k, 0.0, 0.0)
+    path = str(tmp_path / "s")
+    embedding_store_build(
+        spark, _emb_df(spark, corpus), path, eps=0.99, n_cells=2,
+        dim=DIM,
+    )
+    cents = _centroids(path)
+    import numpy as np
+
+    c0, c1 = np.array(cents[0]), np.array(cents[1])
+    m, d = (c0 + c1) / 2.0, (c1 - c0) / np.linalg.norm(c1 - c0)
+    h, b = (m - 0.2 * d).tolist(), (m + 0.2 * d).tolist()
+    # at the pinned p=1 BOTH straddlers are accepted (different homes)
+    embedding_store_refresh(spark, _emb_df(spark, {50: h}), path)
+    st = embedding_store_refresh(spark, _emb_df(spark, {60: b}), path)
+    assert st["accepted"] == 1
+    history = {i: v for i, (_, v) in _loaded(spark, path).items()}
+    st_r = embedding_store_rebuild(spark, path, check_cells=2)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["check_cells"] == 2
+    new_cents = meta["centroids"]
+    got = {i: v for i, (_, v) in _loaded(spark, path).items()}
+    want = _greedy([history], new_cents, eps=0.99, p=2)
+    assert sorted(got) == sorted(want)
+    # the straddling pair collapsed under the new rule: 60 is gone
+    assert 50 in got and 60 not in got
+    assert st_r["rejected_within_batch"] >= 1
+    # default rebuild keeps the pinned p
+    embedding_store_rebuild(spark, path)
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert json.load(fh)["check_cells"] == 2
+    with pytest.raises(ValueError, match="check_cells"):
+        embedding_store_rebuild(spark, path, check_cells=0)
+    with pytest.raises(ValueError, match="check_cells"):
+        embedding_store_build(
+            spark, _emb_df(spark, B1), str(tmp_path / "bad"),
+            dim=DIM, check_cells=0,
+        )
+
+
+def test_streaming_sink_health_log_equals_sequential_control(
+    spark, tmp_path
+):
+    """``stats_path``: the streaming sink disclosing per-micro-batch
+    refresh stats (occupancy, drift, zero-norm/rejected counts,
+    boundary_frac) must report EXACTLY what the sequential batch verbs
+    report on an identical control store fed the same batches — the
+    batch verbs' health surface, streaming edition. Replays append new
+    attempt rows (accepted 0) instead of mutating the log."""
+    from big_data_hadoop_spark.streaming.pipelines import (
+        streaming_embedding_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    _emb_df(spark, B2).write.parquet(src)
+    B3 = {20: (0, 0, 0.99, 0.05), 21: (0.5, 0.5, 0.5, 0.5)}
+    _emb_df(spark, B3).write.mode("append").parquet(src)
+    path, control = str(tmp_path / "store"), str(tmp_path / "control")
+    for p in (path, control):  # n_cells=1: both stores judge alike
+        embedding_store_build(
+            spark, _emb_df(spark, B1), p, eps=EPS, n_cells=1, dim=DIM
+        )
+    stats_path = str(tmp_path / "health")
+    schema = "vec_id long, embedding array<double>"
+    q = streaming_embedding_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        path, str(tmp_path / "ckpt1"), stats_path=stats_path,
+    )
+    q.awaitTermination(180)
+    log = [
+        json.loads(r.stats)
+        for r in spark.read.parquet(stats_path).orderBy("epoch").collect()
+    ]
+    assert log, "no health rows written"
+    # replay the SAME batching through the sequential control verbs
+    # (availableNow may fold the two files into one or two batches —
+    # the log row count tells us which)
+    batches = [B2, B3] if len(log) == 2 else [{**B2, **B3}]
+    assert len(log) == len(batches)
+    for row, batch in zip(log, batches):
+        want = embedding_store_refresh(
+            spark, _emb_df(spark, batch), control,
+            drop_known=True, validate_ids=False,
+        )
+        assert row == want, (row, want)
+        assert "boundary_frac" in row and "hot_cell_rows" in row
+    # replayed stream (fresh checkpoint): the log gains attempt rows
+    # reporting accepted 0 — an honest per-attempt record, not state
+    q2 = streaming_embedding_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        path, str(tmp_path / "ckpt2"), stats_path=stats_path,
+    )
+    q2.awaitTermination(180)
+    log2 = [
+        json.loads(r.stats) for r in spark.read.parquet(stats_path).collect()
+    ]
+    assert len(log2) > len(log)
+    assert all(r["accepted"] == 0 for r in log2 if r not in log)

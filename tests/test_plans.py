@@ -432,3 +432,65 @@ def test_recall_audit_truth_broadcasts_sample_not_history(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "BuildLeft" in plan, plan
     assert not has_cartesian_product(truth)
+
+
+def test_matches_history_scan_is_cell_pruned(spark, tmp_path):
+    """The read-only novelty verb (``embedding_store_matches``) must
+    push its probe batch's checked-cell set into the history parquet
+    scan (``In(cell, ...)`` in PushedFilters — the refresh path's
+    pruning, round-11 advice applied to the read verb): a cell-sparse
+    decontamination batch against a big store reads ~k/n of history,
+    not all of it. Also pinned: the pruned verdict is row-identical to
+    an unpruned within-cell join."""
+    from pyspark.sql import functions as F
+
+    from big_data_hadoop_spark.operators.embedding_store import (
+        _matches,
+        assign_cells,
+        embedding_store_build,
+        embedding_store_load,
+        embedding_store_matches,
+    )
+    from big_data_hadoop_spark.plans.audit import pushed_filters
+    from big_data_hadoop_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "store")
+    embedding_store_build(
+        spark, emb.filter("vec_id % 2 = 0"), path,
+        eps=0.4, n_cells=4, dim=64, validate_ids=False,
+    )
+    # a probe that provably touches ONE cell: three stored rows from
+    # the history's most popular cell (their assignment is pinned)
+    hist = embedding_store_load(spark, path)
+    top_cell = (
+        hist.groupBy("cell").count().orderBy(F.desc("count")).first()[0]
+    )
+    probe = (
+        hist.filter(F.col("cell") == top_cell)
+        .select("vec_id", "embedding")
+        .limit(3)
+        .localCheckpoint(eager=True)
+    )
+    hits = embedding_store_matches(spark, probe, path)
+    # a one-cell probe pushes In(cell, ...) — which Catalyst rewrites
+    # to EqualTo(cell, k) for a single value; either form proves the
+    # membership predicate reached the parquet scan
+    pf = ",".join(pushed_filters(hits)).lower()
+    assert "in(cell" in pf or "equalto(cell" in pf, pushed_filters(hits)
+    # verdict identical to the unpruned join (same machinery, full
+    # history): pruning must never change the match set
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    unpruned = _matches(
+        assign_cells(probe, meta["centroids"]),
+        hist, meta["eps"], meta["dim"], "vec_id", "embedding",
+    )
+    assert sorted(r.vec_id for r in hits.collect()) == sorted(
+        r.vec_id for r in unpruned.collect()
+    )
