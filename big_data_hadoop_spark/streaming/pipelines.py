@@ -914,11 +914,36 @@ def streaming_upsert(
     return writer.start()
 
 
+def _append_sink_stats(
+    spark: SparkSession, stats_path: str, epoch: int, stats: dict
+) -> None:
+    """Append one ``(epoch, stats)`` row to a store sink's health log
+    (round-12: streaming parity for the batch verbs' stats surface —
+    occupancy, drift, zero-norm/rejected counts, boundary_frac...
+    whatever the refresh verb returned, as one sorted-key JSON string,
+    so the log's schema never churns as stores grow diagnostics).
+
+    This is an ATTEMPT log, not state: it is written after the store
+    commit succeeds, so a crash between commit and log loses at most
+    one row, and a replayed micro-batch appends a NEW row (its
+    ``drop_known`` rerun legitimately reports ``accepted: 0``) — the
+    honest per-attempt health record. One tiny file per micro-batch:
+    a health log's write volume is metadata-sized next to the store
+    appends it describes."""
+    import json
+
+    spark.createDataFrame(
+        [(int(epoch), json.dumps(stats, sort_keys=True))],
+        "epoch long, stats string",
+    ).coalesce(1).write.mode("append").parquet(stats_path)
+
+
 def streaming_neardup_graph(
     stream: DataFrame,
     path: str,
     checkpoint: str,
     available_now: bool = True,
+    stats_path: str | None = None,
 ):
     """Continuous maintenance of the persisted near-dup pair graph
     (``operators.neardup_graph``): a document stream refreshes the
@@ -953,7 +978,10 @@ def streaming_neardup_graph(
     the store's meta, so the stream cannot silently redefine
     "duplicate" mid-history. Per micro-batch cost: one pass over the
     batch text (signatures) + the band join against stored history —
-    the refresh scale shape, unchanged."""
+    the refresh scale shape, unchanged. ``stats_path`` (optional)
+    appends each micro-batch's refresh stats as an ``(epoch, stats
+    json)`` health-log row — the batch verbs' disclosure surface,
+    streaming edition (see ``_append_sink_stats``)."""
     from big_data_hadoop_spark.operators.neardup_graph import (
         _read_meta,
         neardup_graph_refresh,
@@ -976,9 +1004,11 @@ def streaming_neardup_graph(
         # drop_known dedups against history INSIDE the writer claim
         # (single history scan, no TOCTOU); validate_ids is redundant
         # after the dropDuplicates above
-        neardup_graph_refresh(
+        st = neardup_graph_refresh(
             spark, b, path, drop_known=True, validate_ids=False
         )
+        if stats_path is not None:
+            _append_sink_stats(spark, stats_path, epoch, st)
 
     writer = (
         stream.writeStream.foreachBatch(fold)
@@ -996,6 +1026,7 @@ def streaming_video_dedup(
     checkpoint: str,
     frame_hashes,
     available_now: bool = True,
+    stats_path: str | None = None,
 ):
     """Continuous NEAR-dup video dedup against a persisted frame-hash
     store (``operators.framehash_store``) — the round-10 completion of
@@ -1060,9 +1091,11 @@ def streaming_video_dedup(
         fh = fh.dropDuplicates([id_col, "frame_no"]).localCheckpoint(
             eager=True
         )
-        framehash_store_refresh(
+        st = framehash_store_refresh(
             spark, fh, path, drop_known=True, validate_ids=False
         )
+        if stats_path is not None:
+            _append_sink_stats(spark, stats_path, epoch, st)
 
     writer = (
         stream.writeStream.foreachBatch(fold)
@@ -1080,6 +1113,7 @@ def streaming_embedding_dedup(
     checkpoint: str,
     embeddings=None,
     available_now: bool = True,
+    stats_path: str | None = None,
 ):
     """Continuous SEMANTIC dedup against a persisted embedding store
     (``operators.embedding_store``) — the last store-sink in the
@@ -1132,9 +1166,11 @@ def streaming_embedding_dedup(
             .dropDuplicates([id_col])
             .localCheckpoint(eager=True)
         )
-        embedding_store_refresh(
+        st = embedding_store_refresh(
             spark, emb, path, drop_known=True, validate_ids=False
         )
+        if stats_path is not None:
+            _append_sink_stats(spark, stats_path, epoch, st)
 
     writer = (
         stream.writeStream.foreachBatch(fold)
@@ -1152,6 +1188,7 @@ def streaming_fingerprint_dedup(
     checkpoint: str,
     fingerprint,
     available_now: bool = True,
+    stats_path: str | None = None,
 ):
     """Continuous perceptual dedup against a persisted fingerprint
     store (``operators.fingerprint_store``): each micro-batch is
@@ -1215,9 +1252,11 @@ def streaming_fingerprint_dedup(
         # the writer claim; validate_ids is redundant after the
         # dropDuplicates.
         fp = fp.dropDuplicates([id_col]).localCheckpoint(eager=True)
-        fingerprint_store_refresh(
+        st = fingerprint_store_refresh(
             spark, fp, path, drop_known=True, validate_ids=False
         )
+        if stats_path is not None:
+            _append_sink_stats(spark, stats_path, epoch, st)
 
     writer = (
         stream.writeStream.foreachBatch(fold)

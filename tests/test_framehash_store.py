@@ -558,3 +558,52 @@ def test_greedy_property_random_batches(spark, tmp_path_factory, data):
         for i, a in enumerate(ids)
         for b in ids[i + 1:]
     )
+
+
+def test_streaming_sink_health_log_equals_sequential_control(
+    spark, tmp_path
+):
+    """``stats_path`` on the video sink: per-micro-batch refresh stats
+    equal the sequential control verbs' on an identical control store
+    — the embedding-sink health-parity pin, one tier over."""
+    from big_data_hadoop_spark.streaming.pipelines import (
+        streaming_video_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    _fh_df(spark, B2).write.parquet(src)
+    B3 = {20: {0: 1 << 25, 1: (1 << 26) ^ 1, 2: 5}}
+    _fh_df(spark, B3).write.mode("append").parquet(src)
+    path, control = str(tmp_path / "store"), str(tmp_path / "control")
+    for p in (path, control):
+        framehash_store_build(
+            spark, _fh_df(spark, B1), p,
+            max_hamming=RADIUS, min_matching_frames=MIN_FRAMES,
+            drop_constant=DROP_CONSTANT,
+        )
+    stats_path = str(tmp_path / "health")
+    stream = spark.readStream.schema(
+        "media_id long, frame_no int, dhash long"
+    ).parquet(src)
+    q = streaming_video_dedup(
+        stream, path, str(tmp_path / "ckpt"),
+        lambda b: b.select("media_id", "frame_no", "dhash"),
+        stats_path=stats_path,
+    )
+    q.awaitTermination(180)
+    log = [
+        json.loads(r.stats)
+        for r in spark.read.parquet(stats_path).orderBy("epoch").collect()
+    ]
+    batches = [B2, B3] if len(log) == 2 else [{**B2, **B3}]
+    assert len(log) == len(batches)
+    from big_data_hadoop_spark.operators.framehash_store import (
+        framehash_store_refresh,
+    )
+
+    for row, batch in zip(log, batches):
+        want = framehash_store_refresh(
+            spark, _fh_df(spark, batch), control,
+            drop_known=True, validate_ids=False,
+        )
+        assert row == want, (row, want)
