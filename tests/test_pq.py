@@ -206,3 +206,41 @@ def test_ivfpq_pruning_recall(spark, corpus):
         ).count()
     )
     assert n_probed_docs < corpus.count()
+
+
+def test_recall_curve_l2_twin_matches_numpy(spark, corpus):
+    """The recall-curve tool's exact squared-L2 top-k twin
+    (``tools/recall_curves.py::_l2_topk`` — the truth side of the
+    PQ/IVF-PQ measured-recall table in BASELINE.md) must equal a numpy
+    brute force: same metric, same (dist asc, id asc) tie-break as
+    ``pq_search``, self included."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "recall_curves",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "recall_curves.py",
+        ),
+    )
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+
+    rows = corpus.collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([r.embedding for r in rows], dtype=float)
+    qids = sorted(ids[:8].tolist())
+    queries = corpus.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    got: dict[int, list[int]] = {}
+    for r in rc._l2_topk(corpus, queries, k).collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q in qids:
+        qv = vecs[ids == q][0]
+        d2 = ((vecs - qv) ** 2).sum(axis=1)
+        # (d2 asc, id asc): sort a structured key like the engine does
+        want = sorted(zip(d2, ids))[:k]
+        assert sorted(got[q]) == sorted(int(i) for _, i in want), q
