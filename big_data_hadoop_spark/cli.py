@@ -986,6 +986,9 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
             args.store,
             sample_rows=args.sample_rows,
             seed=args.seed if args.seed is not None else 0,
+            # hypothetical width (default: the store's pinned value) —
+            # measure the lever's gain BEFORE paying the rebuild
+            check_cells=args.check_cells,
         )
         if args.output:
             # the missed pairs ARE the evidence — persist on request
@@ -1024,7 +1027,7 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
                 "n_cells": ("rebuild",),
                 "seed": ("rebuild", "audit"),
                 "max_cell_rows": ("rebuild",),
-                "check_cells": ("rebuild",),
+                "check_cells": ("rebuild", "audit"),
             },
             "flag_allowed": {
                 "sample_rows": ("audit",),
@@ -1640,8 +1643,8 @@ def main(argv: list[str] | None = None) -> None:
         "--check-cells", type=int, default=None,
         help="recall lever: every judged row checks its p nearest "
         "cells instead of only its home cell (build, default 1; "
-        "rebuild, default = pinned value; measure the gain with "
-        "'audit')",
+        "rebuild, default = pinned value; audit, the HYPOTHETICAL "
+        "width to measure before paying the rebuild)",
     )
     es.add_argument(
         "--sample-rows", type=int, default=256,

@@ -1132,6 +1132,79 @@ def embedding_store_recall_audit(
     return missed, summary
 
 
+def embedding_store_recall_sweep(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    check_cells: tuple[int, ...] = (1, 2, 4),
+    sample_rows: int = 256,
+    seed: int = 0,
+) -> list[dict]:
+    """The recall audit across SEVERAL hypothetical ``check_cells``
+    widths in one pass — the operator's full tuning loop (and the r12
+    probe's body): the exact-truth scan is the audit's dominant cost
+    (|history| x sample) and is IDENTICAL at every p, so running the
+    single-p audit per candidate width re-pays it needlessly; this
+    verb computes truth ONCE and re-runs only the widened store
+    verdict (sample x p through the cell join — the cheap side) per
+    probed p. Returns one ``recall_audit``-shaped summary dict per p,
+    ascending (same books minus ``missed_max_cos``, whose per-p
+    anti-join materialization is the sweep's point to avoid; run the
+    single-p audit at the chosen width for the miss evidence)."""
+    if sample_rows < 1:
+        raise ValueError("sample_rows must be >= 1")
+    ps = sorted({int(p) for p in check_cells})
+    if not ps or ps[0] < 1:
+        raise ValueError("check_cells must be a non-empty set of ints >= 1")
+    meta = batch_store.read_meta(path, _HINT)
+    eps, dim = meta["eps"], meta["dim"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    base = df.select(F.col(id_col), F.col(vec_col))
+    _refuse_malformed(base, dim, vec_col, "audit batch")
+    sample = (
+        base.filter(
+            F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
+        )
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
+        .limit(int(sample_rows))
+        .localCheckpoint(eager=True)
+    )
+    n_sample = sample.count()
+    history = embedding_store_load(spark, path)
+    truth = _truth_frame(
+        sample, history, eps, dim, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    n_truth = truth.count()
+    out = []
+    for p in ps:
+        got = _matches(
+            assign_cells(
+                sample, meta["centroids"], vec_col=vec_col, check_cells=p
+            ),
+            history,
+            eps,
+            dim,
+            id_col,
+            vec_col,
+            check_cells=p,
+        ).localCheckpoint(eager=True)
+        n_got = got.count()
+        n_missed = truth.join(got, id_col, "left_anti").count()
+        out.append(
+            {
+                "sample_rows": n_sample,
+                "check_cells": p,
+                "truth_matches": n_truth,
+                "cell_matches": n_got,
+                "missed": n_missed,
+                "recall": (
+                    (n_truth - n_missed) / n_truth if n_truth else 1.0
+                ),
+            }
+        )
+    return out
+
+
 def embedding_store_compact(spark: SparkSession, path: str) -> dict:
     """Fold all committed batch directories into one slot →
     ``{"batches_before": k, "embeddings": n}`` (shared protocol)."""

@@ -2745,35 +2745,35 @@ def r12_check_cells_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
     recall must rise monotonically with p, and at p = n_cells the
     widened verdict degrades to the cell-free exact truth (recall 1.0
     by construction — pinned in tests/test_embedding_store.py, and
-    exhibited here as a measured row). One audit per probed p; the
-    truth side costs the same each time (fixed 128-row sample,
-    |history| x sample scan — flat at every corpus size), the verdict
-    side fans the SAMPLE x p through the cell join, never history.
+    exhibited here as a measured row). The sweep verb pays the
+    dominant exact-truth scan ONCE (fixed 128-row sample, |history| x
+    sample — flat at every corpus size) and re-runs only the widened
+    verdict per p (the SAMPLE fans x p through the cell join, never
+    history) — ~1/3 the cost of three single-p audits, measured.
     Rows-only slot (KMeans + xxhash64 sampling aren't ANSI-SQL); the
     audit books and the monotone/exact-at-full-probe guarantees are
     replicated in pure Python in tests/test_embedding_store.py."""
     from big_data_hadoop_spark.operators.embedding_store import (
-        embedding_store_recall_audit,
+        embedding_store_recall_sweep,
     )
 
     path = _shared_embedding_store(spark, sf)
     odds = load_table(spark, sf, "embeddings").select(
         "vec_id", "embedding"
     ).filter(F.col("vec_id") % 2 == 1)
-    rows = []
-    for p in (1, 2, 8):  # pinned, the cheap lever, the exact endpoint
-        _missed, s = embedding_store_recall_audit(
-            spark, odds, path, sample_rows=128, check_cells=p
+    rows = [
+        (
+            int(s["check_cells"]),
+            float(s["recall"]),
+            int(s["truth_matches"]),
+            int(s["cell_matches"]),
+            int(s["missed"]),
         )
-        rows.append(
-            (
-                p,
-                float(s["recall"]),
-                int(s["truth_matches"]),
-                int(s["cell_matches"]),
-                int(s["missed"]),
-            )
+        # pinned width, the cheap lever, the exact endpoint
+        for s in embedding_store_recall_sweep(
+            spark, odds, path, check_cells=(1, 2, 8), sample_rows=128
         )
+    ]
     return spark.createDataFrame(
         rows,
         "check_cells int, recall double, truth_matches long, "

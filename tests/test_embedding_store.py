@@ -1264,3 +1264,40 @@ def test_streaming_sink_health_log_equals_sequential_control(
     ]
     assert len(log2) > len(log)
     assert all(r["accepted"] == 0 for r in log2 if r not in log)
+
+
+def test_recall_sweep_books_equal_single_p_audits(spark, tmp_path):
+    """``embedding_store_recall_sweep`` (truth computed once, verdict
+    re-run per p) must report exactly the single-p audit's books at
+    every probed width — same sample, same truth, same verdict
+    machinery; also monotone by the nested-checked-set guarantee."""
+    from big_data_hadoop_spark.operators.embedding_store import (
+        embedding_store_recall_sweep,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "s")
+    embedding_store_build(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+        eps=0.4, n_cells=8, dim=64, validate_ids=False,
+    )
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    sweep = embedding_store_recall_sweep(
+        spark, odds, path, check_cells=(8, 1, 2, 2), sample_rows=64
+    )
+    assert [s["check_cells"] for s in sweep] == [1, 2, 8]  # dedup+sort
+    prev = -1.0
+    for s in sweep:
+        _missed, single = embedding_store_recall_audit(
+            spark, odds, path, sample_rows=64,
+            check_cells=s["check_cells"],
+        )
+        single.pop("missed_max_cos")  # sweep omits the miss evidence
+        assert s == single, (s, single)
+        assert s["recall"] >= prev
+        prev = s["recall"]
+    assert sweep[-1]["recall"] == 1.0  # p = n_cells: exact
+    with pytest.raises(ValueError, match="check_cells"):
+        embedding_store_recall_sweep(spark, odds, path, check_cells=(0,))
