@@ -66,6 +66,7 @@ __all__ = [
     "ivfpq_search",
     "pq_train",
     "pq_encode",
+    "pq_refine",
     "pq_search",
     "pq_save",
     "pq_load",
@@ -262,6 +263,71 @@ def pq_search(
         dists.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
+def pq_refine(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of an ADC shortlist against the RAW corpus vectors
+    — the classic recall lever for quantization-limited PQ (Jégou,
+    Tavenard, Douze, Amsaleg 2011, "Searching in one billion vectors:
+    re-rank with source coding": IVFADC+R). The round-12 recall table
+    measured PQ/IVF-PQ recall@10 CEILING-limited by codebook error
+    (~0.17 at the registered m=4, FLAT-to-falling in n_probe — ADC-
+    favored false positives outrank true neighbors), which widening
+    the candidate pool cannot fix but exact re-scoring of a modest
+    shortlist can: run ``pq_search`` / ``ivfpq_search`` at ``topk =
+    shortlist`` (a few × the final k), then re-rank those candidates
+    by TRUE squared L2 and keep the final ``topk``.
+
+    Guarantee (pinned in tests): because the exact metric re-orders a
+    SUPERSET of the ADC top-k, recall@k of the refined result is >=
+    recall@k of plain ADC at the same shortlist, monotone in shortlist
+    size, and equals the exact brute-force top-k once the shortlist
+    covers the corpus.
+
+    Scale shape: ``cand`` is ``(query_id, id)`` pairs — queries ×
+    shortlist rows, small by the query-frame contract — BROADCAST into
+    one scan of the raw corpus (an id equi-join; no corpus shuffle, no
+    cross join), then broadcast-joined to the raw query vectors; the
+    per-pair exact distance is one codegen'd fold and top-k is the
+    standard per-query rank window. The corpus ships only the
+    candidate rows' vectors forward. Returns ``(query_id, id, dist,
+    rank)``, rank 1 = nearest by exact squared L2, ties broken by
+    corpus id ascending (deterministic, the ``pq_search`` rule); the
+    query row itself is kept if shortlisted (the ``pq_search``
+    self-inclusion contract)."""
+    pairs = cand.select(F.col(query_id_col), F.col(id_col))
+    raw = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_cd")
+    )
+    qd = queries.select(
+        F.col(query_id_col), _as_double(F.col(query_vec_col)).alias("_qd")
+    )
+    scored = (
+        raw.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(qd), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            _sq_l2(F.col("_qd"), F.col("_cd")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, id_col, "dist", "rank")
     )
 
 

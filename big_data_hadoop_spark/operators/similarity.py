@@ -325,23 +325,33 @@ def hyperplane_signatures(
     work is O(planes*dim) either way and signatures are computed once
     per row, below any join).
     """
+    cast_once = df.select(
+        F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("_ed")
+    )
+    sig = _hyperplane_sig(F.col("_ed"), dim, num_planes, seed)
+    return cast_once.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+
+
+def _hyperplane_sig(ed: Column, dim: int, num_planes: int, seed: int) -> Column:
+    """The ``num_planes``-bit hyperplane signature of a materialized
+    ``array<double>`` column — the expression body of
+    :func:`hyperplane_signatures`, factored so the multi-TABLE lever in
+    :func:`lsh_bucketed_topk` can emit one signature per (seed-offset)
+    table over a single cast (same plane stream, same bit packing)."""
     planes = []
     for p in range(num_planes):
         coeffs = [
             math.sin(seed + p * 1009 + i * 9176) for i in range(dim)
         ]
         planes.append(F.array(*[F.lit(c) for c in coeffs]))
-    cast_once = df.select(
-        F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("_ed")
-    )
     bits = [
-        F.when(dot(F.col("_ed"), plane) >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
+        F.when(dot(ed, plane) >= 0, F.shiftleft(F.lit(1), p)).otherwise(0)
         for p, plane in enumerate(planes)
     ]
     sig = bits[0]
     for b in bits[1:]:
         sig = sig.bitwiseOR(b)
-    return cast_once.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    return sig
 
 
 def lsh_bucketed_topk(
@@ -350,8 +360,10 @@ def lsh_bucketed_topk(
     k: int = 5,
     dim: int = 64,
     num_planes: int = 12,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket (equi-join on ``bucket``), exact cosine re-rank within.
@@ -359,6 +371,22 @@ def lsh_bucketed_topk(
     The 100 TB shape: corpus shuffled once by short bucket key; no cross
     join. Recall is tunable via ``num_planes`` (fewer planes → bigger
     buckets → higher recall, more compute).
+
+    ``n_tables`` is the OTHER recall lever — the classic multi-table
+    OR-construction (Indyk & Motwani 1998; the standard response to the
+    round-12 measurement that single-table recall at the registered 8
+    planes is only ~0.13 on weakly-clustered corpora, and FALLS as
+    planes rise): hash every row into ``n_tables`` independent plane
+    sets (seed-offset ``seed + t * 7919``; table 0 IS the single-table
+    plane set, so ``n_tables=1`` is plan-identical to the historical
+    behavior), candidate when query and corpus row share a bucket in
+    ANY table, then de-duplicate the candidate pairs before the exact
+    re-rank so a row found by several tables ranks once. Candidate
+    sets are nested in ``n_tables`` (each table only ADDS pairs), so
+    recall@k is monotone non-decreasing in it — pinned in tests, and
+    the measured curve lives in BASELINE.md. Cost: signatures and the
+    bucket join scale ×``n_tables`` on the corpus side; the join key
+    grows to ``(table, bucket)`` — still one shuffle by a short key.
 
     The re-rank keeps the HOF dot over the materialized ``emb_d`` column
     rather than the flat-column form: within-bucket candidate counts are
@@ -372,15 +400,72 @@ def lsh_bucketed_topk(
     # Spark but NaN in IEEE engines, diverging from the oracle and
     # polluting top-k tails; zero-norm rows cannot be ranked by cosine
     # and are excluded from corpus and query sides alike.
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     df = df.filter(
         F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
     )
-    sigs = hyperplane_signatures(
-        df, dim=dim, num_planes=num_planes, id_col=id_col, vec_col=vec_col
+    if n_tables == 1:
+        # the historical single-table plan, untouched: no (table,
+        # bucket) widening, no candidate-dedup shuffle (a pair can
+        # only be found once)
+        sigs = hyperplane_signatures(
+            df, dim=dim, num_planes=num_planes, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        )
+        e = with_norm(sigs, vec_col=vec_col).select(
+            F.col(id_col), "bucket", "emb_d", "nrm"
+        )
+        q = e.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col("bucket").alias("q_bucket"),
+            F.col("emb_d").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        sim = dot(F.col("q_emb"), F.col("emb_d")) / (
+            F.col("q_nrm") * F.col("nrm")
+        )
+        scored = e.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col(id_col)),
+        ).select(
+            "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "sim")
+        )
+    # multi-table: ONE cast + norm pass emits every table's signature
+    # (table t's planes come from seed + t*7919; t=0 reproduces the
+    # single-table stream), exploded to (id, t, bucket)
+    base = with_norm(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col=vec_col
+    ).select(F.col(id_col), "emb_d", "nrm")
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _hyperplane_sig(
+                    F.col("emb_d"), dim, num_planes, seed + t * 7919
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    e = with_norm(sigs, vec_col=vec_col).select(F.col(id_col), "bucket", "emb_d", "nrm")
+    e = base.select(
+        F.col(id_col), "emb_d", "nrm", F.explode(tables).alias("s")
+    ).select(
+        id_col, "emb_d", "nrm",
+        F.col("s.t").alias("t"), F.col("s.bucket").alias("bucket"),
+    )
     q = e.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
+        F.col("t").alias("q_t"),
         F.col("bucket").alias("q_bucket"),
         F.col("emb_d").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -388,9 +473,14 @@ def lsh_bucketed_topk(
     sim = dot(F.col("q_emb"), F.col("emb_d")) / (F.col("q_nrm") * F.col("nrm"))
     scored = e.join(
         F.broadcast(q),
-        (F.col("q_bucket") == F.col("bucket"))
+        (F.col("q_t") == F.col("t"))
+        & (F.col("q_bucket") == F.col("bucket"))
         & (F.col("query_id") != F.col(id_col)),
     ).select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    # a pair found by several tables carries IDENTICAL sim on every
+    # copy (same vectors) — keep one so the rank window counts each
+    # neighbor once
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

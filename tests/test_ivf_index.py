@@ -232,3 +232,51 @@ def test_topk_recall_audit_books(spark, corpus):
     # an empty approximate result is measured as recall 0, not an error
     _pq3, s3 = sim.topk_recall_audit(exact, approx.limit(0))
     assert s3["macro_recall"] == 0.0 and s3["micro_recall"] == 0.0
+
+
+def test_lsh_multi_table_backcompat_and_monotone_recall(spark, corpus):
+    """The round-12 LSH recall lever (multi-table OR-construction):
+    ``n_tables=1`` must be ROW-identical to the historical single-table
+    call (table 0's planes are the single-table plane set), the output
+    must stay duplicate-free (a pair found by several tables ranks
+    once) with at most k rows per query, and recall@k against the
+    exact cosine top-k must be monotone non-decreasing in ``n_tables``
+    (candidate sets are nested — each extra table only ADDS pairs)."""
+    qids = [0, 1, 2, 40]
+    k = 5
+    exact = sim.cosine_topk(corpus, query_ids=qids, k=k, dim=6)
+    legacy = {
+        (r.query_id, r.neighbor_id, round(r.sim, 12))
+        for r in sim.lsh_bucketed_topk(
+            corpus, query_ids=qids, k=k, dim=6, num_planes=6
+        ).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id, round(r.sim, 12))
+        for r in sim.lsh_bucketed_topk(
+            corpus, query_ids=qids, k=k, dim=6, num_planes=6, n_tables=1
+        ).collect()
+    }
+    assert single == legacy
+    prev = -1.0
+    for n_tables in (1, 2, 4):
+        got = sim.lsh_bucketed_topk(
+            corpus, query_ids=qids, k=k, dim=6, num_planes=6,
+            n_tables=n_tables,
+        ).collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in got]
+        assert len(pairs) == len(set(pairs))  # dup-free
+        per_q: dict = {}
+        for q, nbr in pairs:
+            per_q.setdefault(q, []).append(nbr)
+        assert all(len(v) <= k for v in per_q.values())
+        _m, s = sim.topk_recall_audit(exact, spark.createDataFrame(
+            [(r.query_id, r.neighbor_id, r.sim) for r in got],
+            "query_id long, neighbor_id long, sim double",
+        ))
+        assert s["macro_recall"] >= prev - 1e-12, (n_tables, s, prev)
+        prev = s["macro_recall"]
+    with pytest.raises(ValueError):
+        sim.lsh_bucketed_topk(
+            corpus, query_ids=qids, k=k, dim=6, num_planes=6, n_tables=0
+        )

@@ -244,3 +244,94 @@ def test_recall_curve_l2_twin_matches_numpy(spark, corpus):
         # (d2 asc, id asc): sort a structured key like the engine does
         want = sorted(zip(d2, ids))[:k]
         assert sorted(got[q]) == sorted(int(i) for _, i in want), q
+
+
+def _np_l2_topk_sets(vecs: dict, qids, k):
+    """Exact squared-L2 top-k id LISTS per query (self included,
+    (dist asc, id asc) — the ``pq_search``/``pq_refine`` rule)."""
+    ids = sorted(vecs)
+    arr = np.array(ids)
+    V = np.stack([vecs[i] for i in ids])
+    out = {}
+    for q in qids:
+        d2 = ((V - vecs[q]) ** 2).sum(axis=1)
+        order = np.lexsort((arr, d2))
+        out[q] = [int(arr[i]) for i in order[:k]]
+    return out
+
+
+def test_refine_full_shortlist_equals_exact_bruteforce(spark, corpus, cb):
+    """``pq_refine`` over a shortlist covering the WHOLE corpus is the
+    exact brute-force squared-L2 top-k — ids, ORDER, and distances
+    (numpy-pinned): the lever's endpoint guarantee, the analog of
+    IVF's n_probe = n_cells and the embedding store's check_cells =
+    n_cells rows."""
+    from big_data_hadoop_spark.operators.pq import pq_refine
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in corpus.collect()
+    }
+    n = len(vecs)
+    queries = corpus.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qids = [r["query_id"] for r in queries.select("query_id").collect()]
+    shortlist = pq_search(pq_encode(corpus, cb), cb, queries, topk=n)
+    got = pq_refine(shortlist, corpus, queries, topk=5).collect()
+    assert {f.name for f in pq_refine(
+        shortlist, corpus, queries, topk=5
+    ).schema} == {"query_id", "vec_id", "dist", "rank"}
+    want = _np_l2_topk_sets(vecs, qids, 5)
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(qids)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert [r["vec_id"] for r in rows] == want[q], q
+        for r in rows:
+            true_d = float(((vecs[q] - vecs[r["vec_id"]]) ** 2).sum())
+            assert r["dist"] == pytest.approx(true_d, rel=1e-9)
+
+
+def test_refine_recall_monotone_beats_adc(spark, corpus, cb):
+    """The re-rank guarantee the round-12 BASELINE table cites: at the
+    same shortlist the refined recall@k is >= plain ADC's (the exact
+    metric re-orders a superset of the ADC top-k), recall is monotone
+    in shortlist size, and the full-corpus shortlist reaches 1.0."""
+    from big_data_hadoop_spark.operators.pq import pq_refine
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in corpus.collect()
+    }
+    n = len(vecs)
+    k = 10
+    queries = corpus.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qids = [r["query_id"] for r in queries.select("query_id").collect()]
+    truth = {q: set(ids) for q, ids in _np_l2_topk_sets(vecs, qids, k).items()}
+    codes = pq_encode(corpus, cb)
+
+    def recall_of(result_rows):
+        by_q: dict = {}
+        for r in result_rows:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(by_q.get(q, set()) & truth[q]) / k for q in qids
+        ) / len(qids)
+
+    adc = recall_of(pq_search(codes, cb, queries, topk=k).collect())
+    prev = -1.0
+    for s in (k, 3 * k, n):
+        shortlist = pq_search(codes, cb, queries, topk=s)
+        ref = recall_of(
+            pq_refine(shortlist, corpus, queries, topk=k).collect()
+        )
+        assert ref >= adc - 1e-12, (s, ref, adc)
+        assert ref >= prev - 1e-12, (s, ref, prev)
+        prev = ref
+    assert prev == pytest.approx(1.0)  # full-corpus shortlist is exact

@@ -2,7 +2,11 @@
 settings — the round-12 completion of the measured-recall table
 (round 11 recorded the IVF curve; this script adds the hyperplane-LSH
 (q52) and PQ / IVF-PQ (q69) tiers, and can re-run IVF so all curves
-come from one reproducible place).
+come from one reproducible place) — plus the two round-12 recall
+LEVERS the first measurement motivated: the LSH multi-table
+OR-construction (``n_tables`` at the registered 8 planes) and the
+exact re-rank of the PQ / IVF-PQ ADC shortlist (``pq_refine``,
+IVFADC+R — the response to the measured quantization ceiling).
 
 Method: ``operators.similarity.topk_recall_audit`` — the same queries
 through the exact brute-force twin and the ANN path, per-query SET
@@ -42,6 +46,7 @@ from big_data_hadoop_spark.operators.pq import (  # noqa: E402
     ivfpq_build,
     ivfpq_search,
     pq_encode,
+    pq_refine,
     pq_search,
     pq_train,
 )
@@ -130,15 +135,39 @@ def main() -> None:
         _pq, s = sim.topk_recall_audit(exact_cos, approx)
         emit("lsh", "num_planes", planes, s)
 
+    # ---- LSH multi-table lever (round 12): n_tables at the
+    # registered 8 planes — the OR-construction's measured gain ----
+    for n_tables in (1, 2, 4, 8):
+        approx = sim.lsh_bucketed_topk(
+            emb, query_ids=qids, k=K, dim=DIM, num_planes=8,
+            n_tables=n_tables,
+        )
+        _pq, s = sim.topk_recall_audit(exact_cos, approx)
+        emit("lsh_multitable", "n_tables", n_tables, s)
+
     # ---- PQ ADC (q69 tier; squared-L2 metric, self included) ----
     exact_l2 = _l2_topk(emb, qvecs, K).localCheckpoint(eager=True)
+    cb4 = codes4 = None
     for m in (2, 4, 8):
         cb = pq_train(emb, dim=DIM, m=m, k=16, seed=7, max_iter=4)
-        approx = pq_search(
-            pq_encode(emb, cb), cb, qvecs, topk=K
-        ).withColumnRenamed("vec_id", "neighbor_id")
+        codes = pq_encode(emb, cb)
+        approx = pq_search(codes, cb, qvecs, topk=K).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        )
         _pq, s = sim.topk_recall_audit(exact_l2, approx)
         emit("pq_adc", "m_subspaces", m, s)
+        if m == 4:
+            cb4, codes4 = cb, codes.localCheckpoint(eager=True)
+
+    # ---- PQ + exact re-rank lever (round 12): shortlist sweep at
+    # the registered m=4 — IVFADC+R's measured gain ----
+    for mult in (1, 2, 5, 10):
+        short = pq_search(codes4, cb4, qvecs, topk=K * mult)
+        approx = pq_refine(short, emb, qvecs, topk=K).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        )
+        _pq, s = sim.topk_recall_audit(exact_l2, approx)
+        emit("pq_refine", "shortlist", K * mult, s)
 
     # ---- IVF-PQ (coarse pruning over the q69 codes) ----
     idx = ivfpq_build(
@@ -150,6 +179,16 @@ def main() -> None:
         ).withColumnRenamed("vec_id", "neighbor_id")
         _pq, s = sim.topk_recall_audit(exact_l2, approx)
         emit("ivfpq", "n_probe", n_probe, s)
+
+    # ---- IVF-PQ + exact re-rank (round 12): shortlist sweep at the
+    # registered n_probe=4 ----
+    for mult in (1, 2, 5, 10):
+        short = ivfpq_search(idx, qvecs, topk=K * mult, n_probe=4)
+        approx = pq_refine(short, emb, qvecs, topk=K).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        )
+        _pq, s = sim.topk_recall_audit(exact_l2, approx)
+        emit("ivfpq_refine", "shortlist", K * mult, s)
 
     # ---- IVF (the r11 curve, re-runnable from the same place) ----
     for n_probe in (1, 2, 4, 8, 16):
