@@ -494,3 +494,40 @@ def test_matches_history_scan_is_cell_pruned(spark, tmp_path):
     assert sorted(r.vec_id for r in hits.collect()) == sorted(
         r.vec_id for r in unpruned.collect()
     )
+
+
+def test_lsh_multi_table_broadcast_equi_join_no_cartesian(spark):
+    """Round-12 LSH multi-table lever: the (table, bucket) candidate
+    join must stay a BROADCAST hash equi-join (queries are the tiny
+    build side) — never a cartesian/nested-loop — and every table's
+    signature must read the ONE materialized ``emb_d`` cast: the
+    ``array<double>`` cast count in the optimized plan is a fixed
+    per-branch constant (filter predicate + corpus/query projections),
+    INDEPENDENT of ``n_tables`` (the HOF-recompute family's failure
+    mode would scale it ×L)."""
+    import re
+
+    from big_data_hadoop_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+    from big_data_hadoop_spark.plans.audit import formatted_plan
+    from big_data_hadoop_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def casts_at(n_tables: int) -> int:
+        df = lsh_bucketed_topk(
+            emb, query_ids=[1, 2, 3], k=5, dim=64, num_planes=8,
+            n_tables=n_tables,
+        )
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        return len(re.findall(r"cast\(embedding", opt))
+
+    df = lsh_bucketed_topk(
+        emb, query_ids=[1, 2, 3], k=5, dim=64, num_planes=8, n_tables=4
+    )
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert casts_at(2) == casts_at(8), "cast count must not scale with L"
