@@ -980,6 +980,41 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
         df = _read_table_cli(spark, args.input).select(
             F.col(meta["id_col"]), F.col(meta["vec_col"])
         )
+        if args.sweep_cells is not None:
+            # the multi-width tuning loop: truth computed ONCE, one
+            # widened verdict per probed p (the library sweep verb)
+            if args.check_cells is not None:
+                raise SystemExit(
+                    "--sweep-cells and --check-cells are mutually "
+                    "exclusive on audit (the sweep IS a multi-width "
+                    "audit)"
+                )
+            if args.output:
+                raise SystemExit(
+                    "--output applies to the single-width audit (the "
+                    "sweep skips materializing per-width miss "
+                    "evidence); rerun audit --check-cells <p> at the "
+                    "chosen width for the missed rows"
+                )
+            try:
+                widths = tuple(
+                    int(x) for x in args.sweep_cells.split(",") if x
+                )
+            except ValueError:
+                raise SystemExit(
+                    "--sweep-cells takes a comma-separated list of "
+                    f"ints, got {args.sweep_cells!r}"
+                ) from None
+            return {
+                "sweep": es_ops.embedding_store_recall_sweep(
+                    spark,
+                    df,
+                    args.store,
+                    check_cells=widths,
+                    sample_rows=args.sample_rows,
+                    seed=args.seed if args.seed is not None else 0,
+                )
+            }
         missed, summary = es_ops.embedding_store_recall_audit(
             spark,
             df,
@@ -1017,6 +1052,7 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
                 "max_cell_rows": None,
                 "check_cells": None,
                 "sample_rows": 256,
+                "sweep_cells": None,
                 "clear_max_cell_rows": False,
             },
             # rebuild legitimately re-pins the quantizer geometry and
@@ -1031,6 +1067,7 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
             },
             "flag_allowed": {
                 "sample_rows": ("audit",),
+                "sweep_cells": ("audit",),
                 "clear_max_cell_rows": ("rebuild",),
             },
             "refusal_suffix": ", or move a cell boundary",
@@ -1649,6 +1686,13 @@ def main(argv: list[str] | None = None) -> None:
     es.add_argument(
         "--sample-rows", type=int, default=256,
         help="audit sample size (fixed cost at every corpus scale)",
+    )
+    es.add_argument(
+        "--sweep-cells", type=str, default=None,
+        help="audit only: comma-separated check_cells widths (e.g. "
+        "'1,2,4') measured in ONE pass — exact truth computed once, "
+        "one widened store verdict per width; the pre-rebuild tuning "
+        "loop",
     )
     es.add_argument("--grace-seconds", type=float, default=86400.0)
 

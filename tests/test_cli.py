@@ -857,6 +857,60 @@ def test_cli_embedding_store_rebuild_and_audit(tmp_path, spark, capsys):
     assert lines2[3]["max_cell_rows"] is None
 
 
+def test_cli_embedding_store_audit_sweep(tmp_path, spark, capsys):
+    """Round-12 CLI surface for the check_cells tuning loop:
+    ``audit --sweep-cells 1,2,4`` returns one recall-audit summary per
+    width (truth computed once), matching single-width audits book for
+    book; the flag refuses off audit, with --check-cells, with
+    --output, and on a malformed list."""
+    import json
+
+    import pytest as _pytest
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    emb.filter("vec_id % 2 = 0").write.parquet(a)
+    emb.filter("vec_id % 2 = 1").write.parquet(b)
+    store = str(tmp_path / "store")
+    main(["embedding-store", "build", store, "--input", a,
+          "--eps", "0.4", "--n-cells", "4", "--dim", "64"])
+    main(["embedding-store", "audit", store, "--input", b,
+          "--sample-rows", "32", "--sweep-cells", "1,2,4"])
+    main(["embedding-store", "audit", store, "--input", b,
+          "--sample-rows", "32", "--check-cells", "2"])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    sweep = lines[1]["sweep"]
+    assert [s["check_cells"] for s in sweep] == [1, 2, 4]
+    single = lines[2]
+    mid = sweep[1]
+    for key in ("sample_rows", "check_cells", "truth_matches",
+                "cell_matches", "missed", "recall"):
+        assert mid[key] == single[key], key
+    prev = -1.0
+    for s in sweep:
+        assert s["recall"] >= prev - 1e-12
+        prev = s["recall"]
+    with _pytest.raises(SystemExit, match="only apply to 'audit'"):
+        main(["embedding-store", "refresh", store, "--input", b,
+              "--sweep-cells", "1,2"])
+    with _pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["embedding-store", "audit", store, "--input", b,
+              "--sweep-cells", "1,2", "--check-cells", "2"])
+    with _pytest.raises(SystemExit, match="single-width audit"):
+        main(["embedding-store", "audit", store, "--input", b,
+              "--sweep-cells", "1,2", "--output",
+              str(tmp_path / "missed")])
+    with _pytest.raises(SystemExit, match="comma-separated"):
+        main(["embedding-store", "audit", store, "--input", b,
+              "--sweep-cells", "1,two"])
+
+
 def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
     """refresh/compact/vacuum/export take every store parameter from
     meta.json; an explicitly-passed tuning flag is a silent no-op
