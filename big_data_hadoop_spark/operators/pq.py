@@ -40,6 +40,9 @@ in Python:
   distances is one aggregation with map-side combine (the shuffle
   carries one row per (query, corpus id) pair); top-k is the standard
   per-query rank window. No driver collect anywhere on the search path.
+  A ``residual=True`` IVF-PQ index (full IVFADC) widens the LUT to one
+  per (query, PROBED cell) — ``q*n_probe*m*k`` rows, still
+  query-batch-sized, never corpus-sized.
 
 Codes are deliberately storable: persist ``pq_encode``'s output plus
 ``pq_save``'s codebook table and serve ``pq_search`` from storage —
@@ -336,12 +339,35 @@ class IVFPQIndex:
     """IVF-pruned PQ index: coarse cells from ``similarity.ivf_build``
     plus PQ codes carrying their cell id — ``codes`` is ``(id, cell,
     codes array<int>)``. Persist ``codes`` bucketed by cell and the
-    codebook via :func:`pq_save` for fit-once serve-many."""
+    codebook via :func:`pq_save` for fit-once serve-many.
+
+    ``residual`` marks the encoding domain (pinned at build — codes
+    from one domain are meaningless in the other): False = codes
+    quantize the RAW vectors (one query-only LUT serves every cell),
+    True = codes quantize the coarse RESIDUAL ``x − c_cell`` (Jégou et
+    al.'s full IVFADC): the codebook spends its k centroids per
+    subspace on the within-cell spread instead of re-describing the
+    coarse geometry — tighter quantization at the SAME code size, paid
+    for at search time with one LUT per (query, probed cell)."""
 
     centroids: list[list[float]]
     cb: PQCodebook
     codes: DataFrame
     id_col: str
+    residual: bool = False
+
+
+def _centroid_lits(centroids: list[list[float]]):
+    """The coarse centroids as one literal array-of-arrays column —
+    ``element_at(..., cell + 1)`` indexes a row's centroid without any
+    broadcast variable or join (n_cells × dim doubles of plan
+    literals, the ``ivfpq_search`` probing idiom)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in centroids
+        ]
+    )
 
 
 def ivfpq_build(
@@ -355,21 +381,57 @@ def ivfpq_build(
     seed: int = 42,
     train_cap: int = 100_000,
     n_rows: int | None = None,
+    residual: bool = False,
 ) -> IVFPQIndex:
     """Build the combined index: one coarse KMeans (cells) + ``m``
     subspace KMeans (codebooks) + one encode pass, all on the same
     bounded-sample discipline. This is the shape real billion-vector
-    deployments run (Jégou et al.'s IVFADC, minus residual encoding:
-    codes quantize the RAW vectors, so the same codebook serves every
-    cell and the ADC lookup table is query-only — residual PQ would
-    add per-cell LUTs for tighter quantization at the same code size).
-    """
+    deployments run (Jégou et al.'s IVFADC).
+
+    ``residual=False`` (default, the historical mode): codes quantize
+    the RAW vectors, so the same codebook serves every cell and the
+    ADC lookup table is query-only. ``residual=True`` is the round-12
+    response to the MEASURED quantization ceiling (recall@10 ~0.17 at
+    m=4 on this corpus, flat in n_probe — BASELINE.md): quantize the
+    coarse residual ``x − c_cell`` instead, so the subspace codebooks
+    spend their k centroids on the within-cell spread rather than
+    re-describing coarse geometry the cell id already pins — tighter
+    quantization at the SAME code size (the codes table's shape is
+    unchanged). Cost moves to search: the LUT becomes one per
+    (query, PROBED cell) — ``q × n_probe × m × k`` rows, still a
+    broadcast-sized frame (it scales with the query batch, never the
+    corpus). The residual pass is declarative (``zip_with`` subtract
+    against the literal centroid array under the SAME bounded-sample
+    fits) — no extra shuffle vs the raw mode."""
     from big_data_hadoop_spark.operators.similarity import ivf_build
 
     ivf = ivf_build(
         df, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed,
         train_cap=train_cap, n_rows=n_rows,
     )
+    if residual:
+        res = ivf.assigned.select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(
+                F.col("emb_d"),
+                F.element_at(
+                    _centroid_lits(ivf.centroids), F.col("cell") + 1
+                ),
+                lambda x, y: x - y,
+            ).alias("_res"),
+        )
+        cb = pq_train(
+            res, dim=dim, m=m, k=k, id_col=id_col, vec_col="_res",
+            seed=seed, train_cap=train_cap, n_rows=n_rows,
+        )
+        codes = pq_encode(res, cb, id_col=id_col, vec_col="_res").join(
+            res.select(F.col(id_col), "cell"), id_col
+        )
+        return IVFPQIndex(
+            centroids=ivf.centroids, cb=cb, codes=codes, id_col=id_col,
+            residual=True,
+        )
     cb = pq_train(
         df, dim=dim, m=m, k=k, id_col=id_col, vec_col=vec_col,
         seed=seed, train_cap=train_cap, n_rows=n_rows,
@@ -393,10 +455,17 @@ def ivfpq_search(
     """ADC top-k restricted to each query's ``n_probe`` nearest cells:
     ``(query_id, id, adc_dist, rank)``. With ``n_probe == n_cells``
     this equals :func:`pq_search` over the full code table exactly
-    (pinned by test); smaller ``n_probe`` trades recall for touching
-    only ``n_probe / n_cells`` of the codes — the combination that
-    keeps billion-vector search off both the raw vectors AND most of
-    the compressed corpus."""
+    (pinned by test; raw mode — a residual index has no flat twin,
+    its numpy replication is the pin); smaller ``n_probe`` trades
+    recall for touching only ``n_probe / n_cells`` of the codes — the
+    combination that keeps billion-vector search off both the raw
+    vectors AND most of the compressed corpus.
+
+    For a ``residual=True`` index the approximated distance is
+    ``||q − (c_cell + r̂)||² = ||(q − c_cell) − r̂||²`` — the LUT is
+    built per (query, PROBED cell) from the query's residual against
+    that cell (``q × n_probe × m × k`` rows, broadcast-sized), and
+    the per-candidate sum joins on (query, cell, subspace, code)."""
     cb = index.cb
     q = queries.select(
         F.col(query_id_col), _as_double(F.col(query_vec_col)).alias("_qd")
@@ -413,41 +482,90 @@ def ivfpq_search(
     )
     d2 = _sq_l2(F.col("_qd"), F.col("c.ctr"))
     w = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc("q_cell"))
-    probed = (
+    probed_full = (
         q.select(query_id_col, "_qd", F.explode(centers).alias("c"))
         .select(
-            query_id_col, F.col("c.cell").alias("q_cell"), d2.alias("d2")
+            query_id_col,
+            "_qd",
+            F.col("c.cell").alias("q_cell"),
+            F.col("c.ctr").alias("_ctr"),
+            d2.alias("d2"),
         )
         .withColumn("pr", F.row_number().over(w))
         .filter(F.col("pr") <= n_probe)
-        .select(query_id_col, "q_cell")
     )
-    lut = (
-        q.join(F.broadcast(cb.entries))
-        .select(
+    if index.residual:
+        # one LUT row set per (query, probed cell): the query's
+        # residual against THAT cell vs every (j, code) centroid
+        probed_res = probed_full.select(
             query_id_col,
-            "j",
-            "code",
-            _sq_l2(
-                F.slice("_qd", F.col("j") * cb.dsub + 1, cb.dsub),
-                F.col("centroid"),
-            ).alias("pdist"),
+            "q_cell",
+            F.zip_with(
+                F.col("_qd"), F.col("_ctr"), lambda x, y: x - y
+            ).alias("_qr"),
         )
-    )
-    cand = index.codes.join(
-        F.broadcast(probed),
-        F.col("cell") == F.col("q_cell"),
-    ).select(query_id_col, index.id_col, "codes")
-    flat = cand.select(
-        query_id_col,
-        F.col(index.id_col),
-        F.posexplode("codes").alias("j", "code"),
-    )
-    dists = (
-        flat.join(F.broadcast(lut), [query_id_col, "j", "code"])
-        .groupBy(query_id_col, index.id_col)
-        .agg(F.sum("pdist").alias("adc_dist"))
-    )
+        lut = (
+            probed_res.join(F.broadcast(cb.entries))
+            .select(
+                query_id_col,
+                "q_cell",
+                "j",
+                "code",
+                _sq_l2(
+                    F.slice("_qr", F.col("j") * cb.dsub + 1, cb.dsub),
+                    F.col("centroid"),
+                ).alias("pdist"),
+            )
+        )
+        cand = index.codes.join(
+            F.broadcast(probed_res.select(query_id_col, "q_cell")),
+            F.col("cell") == F.col("q_cell"),
+        ).select(query_id_col, index.id_col, "cell", "codes")
+        flat = cand.select(
+            query_id_col,
+            F.col(index.id_col),
+            "cell",
+            F.posexplode("codes").alias("j", "code"),
+        )
+        dists = (
+            flat.join(
+                F.broadcast(lut),
+                (F.col("cell") == F.col("q_cell"))
+                & (flat[query_id_col] == lut[query_id_col])
+                & (flat["j"] == lut["j"])
+                & (flat["code"] == lut["code"]),
+            )
+            .groupBy(flat[query_id_col], F.col(index.id_col))
+            .agg(F.sum("pdist").alias("adc_dist"))
+        )
+    else:
+        probed = probed_full.select(query_id_col, "q_cell")
+        lut = (
+            q.join(F.broadcast(cb.entries))
+            .select(
+                query_id_col,
+                "j",
+                "code",
+                _sq_l2(
+                    F.slice("_qd", F.col("j") * cb.dsub + 1, cb.dsub),
+                    F.col("centroid"),
+                ).alias("pdist"),
+            )
+        )
+        cand = index.codes.join(
+            F.broadcast(probed),
+            F.col("cell") == F.col("q_cell"),
+        ).select(query_id_col, index.id_col, "codes")
+        flat = cand.select(
+            query_id_col,
+            F.col(index.id_col),
+            F.posexplode("codes").alias("j", "code"),
+        )
+        dists = (
+            flat.join(F.broadcast(lut), [query_id_col, "j", "code"])
+            .groupBy(query_id_col, index.id_col)
+            .agg(F.sum("pdist").alias("adc_dist"))
+        )
     rw = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(index.id_col).asc()
     )

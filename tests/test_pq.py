@@ -335,3 +335,63 @@ def test_refine_recall_monotone_beats_adc(spark, corpus, cb):
         assert ref >= prev - 1e-12, (s, ref, prev)
         prev = ref
     assert prev == pytest.approx(1.0)  # full-corpus shortlist is exact
+
+
+def test_ivfpq_residual_matches_numpy(spark, corpus):
+    """Residual IVF-PQ (full IVFADC — codes quantize ``x − c_cell``):
+    the engine's declarative residual encode and the per-(query,
+    probed-cell) LUT sum are replicated exactly in numpy from the
+    collected centroids + codebook; raw mode stays the default
+    (``residual`` False) and its tests above are untouched."""
+    from big_data_hadoop_spark.operators.pq import ivfpq_build, ivfpq_search
+
+    idx = ivfpq_build(
+        corpus, dim=DIM, n_cells=4, m=4, k=8, seed=7, residual=True
+    )
+    assert idx.residual is True
+
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=float)
+    C = np.array(idx.centroids)
+    cell_of = ((V[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+    B = _np_codebook(idx.cb)
+    R = V - C[cell_of]
+    want_codes = _np_encode(R, B)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in idx.codes.collect()}
+    got_cells = {r["vec_id"]: r["cell"] for r in idx.codes.collect()}
+    for i, vid in enumerate(ids):
+        assert got_codes[vid] == list(want_codes[i]), vid
+        assert got_cells[vid] == cell_of[i], vid
+
+    queries = corpus.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qvec = {
+        r["query_id"]: np.array(r["embedding"], dtype=float)
+        for r in queries.collect()
+    }
+    id2i = {v: i for i, v in enumerate(ids)}
+    dsub = idx.cb.dsub
+    got = ivfpq_search(idx, queries, topk=5, n_probe=4).collect()
+    by_q: dict = {}
+    for r in got:
+        i = id2i[r["vec_id"]]
+        qr = qvec[r["query_id"]] - C[cell_of[i]]
+        want = sum(
+            ((qr[j * dsub : (j + 1) * dsub] - B[j][want_codes[i, j]]) ** 2).sum()
+            for j in range(idx.cb.m)
+        )
+        assert r["adc_dist"] == pytest.approx(want, rel=1e-9)
+        by_q.setdefault(r["query_id"], []).append(r)
+    # full probe covers the corpus: exactly topk rows per query,
+    # contiguous ranks, distances sorted
+    for q, rws in by_q.items():
+        rws.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rws] == list(range(1, 6))
+        dd = [r["adc_dist"] for r in rws]
+        assert dd == sorted(dd)
+    # a query from the corpus finds its own (exactly-encodable-up-to-
+    # quantization) self near the top in residual space too
+    tops = {q: {r["vec_id"] for r in rws} for q, rws in by_q.items()}
+    assert sum(1 for q, s in tops.items() if q in s) >= 2

@@ -190,6 +190,18 @@ def main() -> None:
         _pq, s = sim.topk_recall_audit(exact_l2, approx)
         emit("ivfpq_refine", "shortlist", K * mult, s)
 
+    # ---- residual IVF-PQ (round 12: full IVFADC — codes quantize
+    # x − c_cell; same code size, per-(query, cell) LUT) ----
+    idx_res = ivfpq_build(
+        emb, dim=DIM, n_cells=16, m=4, k=16, seed=42, residual=True
+    )
+    for n_probe in (1, 2, 4, 8, 16):
+        approx = ivfpq_search(
+            idx_res, qvecs, topk=K, n_probe=n_probe
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        _pq, s = sim.topk_recall_audit(exact_l2, approx)
+        emit("ivfpq_residual", "n_probe", n_probe, s)
+
     # ---- IVF (the r11 curve, re-runnable from the same place) ----
     for n_probe in (1, 2, 4, 8, 16):
         approx = sim.ivf_topk(
