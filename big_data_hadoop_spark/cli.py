@@ -496,7 +496,14 @@ def _run_store_cli(args: argparse.Namespace, spec: dict) -> None:
             passed.append(f"--{k.replace('_', '-')}")
             off_build.append(allowed)
     if passed:
-        if all(a == ("build",) or "build" in a for a in off_build):
+        # the unified 'build' message only when every offending flag
+        # is EXCLUSIVELY a build parameter — a multi-action flag (e.g.
+        # --check-cells: build/rebuild/audit) must fall through to the
+        # per-flag lines below or the refusal hides its other legal
+        # actions (round-12 review: "only apply to 'build'" told the
+        # operator the lever was build-only when rebuild/audit are the
+        # documented fixes)
+        if all(tuple(a) == ("build",) for a in off_build):
             raise SystemExit(
                 f"{' '.join(passed)} only apply to 'build' — "
                 f"'{args.action}' takes every store parameter from "
@@ -1005,6 +1012,15 @@ def cmd_embedding_store(args: argparse.Namespace) -> None:
                     "--sweep-cells takes a comma-separated list of "
                     f"ints, got {args.sweep_cells!r}"
                 ) from None
+            if not widths:
+                # an all-separators value (',' or '') parses to an
+                # EMPTY width list — refuse here with the same
+                # message, not as the library's raw traceback after
+                # Spark spin-up
+                raise SystemExit(
+                    "--sweep-cells takes a comma-separated list of "
+                    f"ints, got {args.sweep_cells!r}"
+                )
             return {
                 "sweep": es_ops.embedding_store_recall_sweep(
                     spark,

@@ -183,33 +183,64 @@ def assign_cells(
             - 1
         ).cast("int"),
     )
+    scratch2 = None
     if p > 1:
         # (distance, index) struct sort: lexicographic — distance
         # ascending, index ascending on ties, so element 1 is exactly
-        # the argmin rule above
-        ranked = F.array_sort(
-            F.zip_with(
-                F.col(scratch),
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        )
+        # the argmin rule above. Materialized like `scratch` so the
+        # top-p slice AND the runner-up distance below read ONE sort
+        # per row (round-12 review: cell_dist2 previously re-sorted
+        # the k-vector a second time).
+        scratch2 = "__bdhs_assign_ranked"
+        while scratch2 in df.columns:
+            scratch2 += "_"
         out = out.withColumn(
+            scratch2,
+            F.array_sort(
+                F.zip_with(
+                    F.col(scratch),
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+        ).withColumn(
             "cells",
             F.transform(
-                F.slice(ranked, 1, min(p, k)),
+                F.slice(F.col(scratch2), 1, min(p, k)),
                 lambda s: s["i"].cast("int"),
             ),
         )
     if with_dist:
         out = out.withColumn("cell_dist", F.array_min(F.col(scratch)))
-        out = out.withColumn(
-            "cell_dist2",
-            F.element_at(F.array_sort(F.col(scratch)), 2)
-            if k >= 2
-            else F.lit(None).cast("double"),
-        )
-    return out.drop(scratch)
+        if k < 2:
+            cd2 = F.lit(None).cast("double")
+        elif scratch2 is not None:
+            # the struct sort's 2nd element carries the 2nd-smallest
+            # distance (d is the primary sort key, so the d components
+            # come out as the sorted multiset)
+            cd2 = F.element_at(F.col(scratch2), 2)["d"]
+        else:
+            cd2 = F.element_at(F.array_sort(F.col(scratch)), 2)
+        out = out.withColumn("cell_dist2", cd2)
+    out = out.drop(scratch)
+    return out.drop(scratch2) if scratch2 is not None else out
+
+
+def _checked_cells(assigned: DataFrame) -> list[int]:
+    """The distinct CHECKED cell set of a p>1-assigned frame, collected
+    cell-bounded: the per-row ``cells`` arrays are EXPLODED before the
+    distinct, so the aggregation state and the driver result are
+    bounded by n_cells ints — never by the number of distinct ordered
+    p-tuples a boundary-rich batch can produce (``collect_set`` over
+    the array column buffers up to P(n_cells, p) tuples — a round-12
+    review finding). One tiny extra job, paid only by p>1 stores; the
+    p=1 path keeps its free ride on the stats aggregation."""
+    return sorted(
+        int(r["c"])
+        for r in assigned.select(F.explode("cells").alias("c"))
+        .distinct()
+        .collect()
+    )
 
 
 def _matches(
@@ -477,13 +508,20 @@ def _accept(
         check_cells=p,
     ).localCheckpoint(eager=True)
     # ONE job: usable count, distance diagnostics, the boundary-margin
-    # fraction, AND the batch's CHECKED cell set (bounded by n_cells)
-    # for history pruning
+    # fraction — and, at p=1, the batch's occupied cell set (bounded
+    # by n_cells) for history pruning. At p>1 the checked set comes
+    # from _checked_cells' exploded distinct instead: collect_set over
+    # the `cells` ARRAY column would ship distinct p-TUPLES (up to
+    # P(n_cells, p) arrays, batch-bounded not cell-bounded) through
+    # the aggregation buffer and the driver row — a boundary-rich
+    # 10M-row batch at n_cells=4096 could materialize millions of
+    # tuples where the exploded set never exceeds n_cells ints
+    # (round-12 review).
     drow = assigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("cell_dist").alias("mean"),
         F.percentile("cell_dist", F.lit(0.99)).alias("p99"),
-        F.collect_set("cells" if p > 1 else "cell").alias("cells"),
+        *([] if p > 1 else [F.collect_set("cell").alias("cells")]),
         # boundary-margin diagnostic (see BOUNDARY_MARGIN): with one
         # centroid cell_dist2 is NULL -> otherwise(0.0) -> 0.0, the
         # honest value (no second cell to straddle into)
@@ -518,9 +556,7 @@ def _accept(
         # would only add plan noise (the dense toy-scale case;
         # production batches against many-cell stores touch a subset).
         if p > 1:
-            cells = sorted(
-                {int(c) for arr in (drow["cells"] or []) for c in arr}
-            )
+            cells = _checked_cells(assigned)
         else:
             cells = sorted(int(c) for c in (drow["cells"] or []))
         n_total = len(meta.get("centroids") or []) or 1
@@ -894,14 +930,10 @@ def embedding_store_matches(
     assigned = assign_cells(
         usable, meta["centroids"], vec_col=vec_col, check_cells=p
     ).localCheckpoint(eager=True)
-    crow = assigned.agg(
-        F.collect_set("cells" if p > 1 else "cell").alias("cells")
-    ).first()
     if p > 1:
-        cells = sorted(
-            {int(c) for arr in (crow["cells"] or []) for c in arr}
-        )
+        cells = _checked_cells(assigned)
     else:
+        crow = assigned.agg(F.collect_set("cell").alias("cells")).first()
         cells = sorted(int(c) for c in (crow["cells"] or []))
     history = embedding_store_load(spark, path)
     n_total = len(meta.get("centroids") or []) or 1
@@ -1025,6 +1057,59 @@ def embedding_store_rebuild(
     }
 
 
+def _audit_truth(
+    spark: SparkSession, df: DataFrame, path: str, sample_rows: int,
+    seed: int,
+):
+    """Shared preamble of the recall-audit family (single-width audit
+    AND the multi-width sweep — factored so the two can never silently
+    diverge): validate, draw the deterministic xxhash64-ordered
+    zero-norm-free sample (checkpointed), load history, and compute
+    the checkpointed exact-truth frame — the family's dominant cost,
+    identical at every probe width. Returns ``(meta, sample, n_sample,
+    history, truth)``."""
+    if sample_rows < 1:
+        raise ValueError("sample_rows must be >= 1")
+    meta = batch_store.read_meta(path, _HINT)
+    dim, id_col, vec_col = meta["dim"], meta["id_col"], meta["vec_col"]
+    base = df.select(F.col(id_col), F.col(vec_col))
+    _refuse_malformed(base, dim, vec_col, "audit batch")
+    sample = (
+        base.filter(
+            F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
+        )
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
+        .limit(int(sample_rows))
+        .localCheckpoint(eager=True)
+    )
+    n_sample = sample.count()
+    history = embedding_store_load(spark, path)
+    truth = _truth_frame(
+        sample, history, meta["eps"], dim, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    return meta, sample, n_sample, history, truth
+
+
+def _audit_verdict(
+    sample: DataFrame, history: DataFrame, meta: dict, p: int
+) -> DataFrame:
+    """The store's (possibly hypothetically widened) verdict on the
+    audit sample: assignment at ``check_cells = p`` plus the cell
+    match join — the cheap, per-width side of the audit family."""
+    return _matches(
+        assign_cells(
+            sample, meta["centroids"], vec_col=meta["vec_col"],
+            check_cells=p,
+        ),
+        history,
+        meta["eps"],
+        meta["dim"],
+        meta["id_col"],
+        meta["vec_col"],
+        check_cells=p,
+    )
+
+
 def embedding_store_recall_audit(
     spark: SparkSession,
     df: DataFrame,
@@ -1069,46 +1154,22 @@ def embedding_store_recall_audit(
     the one-time ``embedding_store_rebuild(check_cells=p)``. The truth
     side never changes; only the store-verdict side widens, so the
     sweep's cost is one widened cell join per probed p."""
-    if sample_rows < 1:
-        raise ValueError("sample_rows must be >= 1")
     if check_cells is not None and int(check_cells) < 1:
         raise ValueError("check_cells must be >= 1 (or None for pinned)")
-    meta = batch_store.read_meta(path, _HINT)
-    eps, dim = meta["eps"], meta["dim"]
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    base = df.select(F.col(id_col), F.col(vec_col))
-    _refuse_malformed(base, dim, vec_col, "audit batch")
-    sample = (
-        base.filter(
-            F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
-        )
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
-        .limit(int(sample_rows))
-        .localCheckpoint(eager=True)
+    meta, sample, n_sample, history, truth = _audit_truth(
+        spark, df, path, sample_rows, seed
     )
-    n_sample = sample.count()
+    id_col = meta["id_col"]
     p = int(
         check_cells
         if check_cells is not None
         else (meta.get("check_cells", 1) or 1)
     )
-    history = embedding_store_load(spark, path)
-    truth = _truth_frame(
-        sample, history, eps, dim, id_col, vec_col
-    ).localCheckpoint(eager=True)
     # the store's ACTUAL verdict, at the pinned check_cells — what the
     # audit measures is the recall of whatever rule refresh enforces
-    got = _matches(
-        assign_cells(
-            sample, meta["centroids"], vec_col=vec_col, check_cells=p
-        ),
-        history,
-        eps,
-        dim,
-        id_col,
-        vec_col,
-        check_cells=p,
-    ).localCheckpoint(eager=True)
+    got = _audit_verdict(sample, history, meta, p).localCheckpoint(
+        eager=True
+    )
     missed = truth.join(got, id_col, "left_anti").localCheckpoint(
         eager=True
     )
@@ -1151,43 +1212,19 @@ def embedding_store_recall_sweep(
     ascending (same books minus ``missed_max_cos``, whose per-p
     anti-join materialization is the sweep's point to avoid; run the
     single-p audit at the chosen width for the miss evidence)."""
-    if sample_rows < 1:
-        raise ValueError("sample_rows must be >= 1")
     ps = sorted({int(p) for p in check_cells})
     if not ps or ps[0] < 1:
         raise ValueError("check_cells must be a non-empty set of ints >= 1")
-    meta = batch_store.read_meta(path, _HINT)
-    eps, dim = meta["eps"], meta["dim"]
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    base = df.select(F.col(id_col), F.col(vec_col))
-    _refuse_malformed(base, dim, vec_col, "audit batch")
-    sample = (
-        base.filter(
-            F.exists(_as_double(F.col(vec_col)), lambda x: x != F.lit(0.0))
-        )
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(int(seed))))
-        .limit(int(sample_rows))
-        .localCheckpoint(eager=True)
+    meta, sample, n_sample, history, truth = _audit_truth(
+        spark, df, path, sample_rows, seed
     )
-    n_sample = sample.count()
-    history = embedding_store_load(spark, path)
-    truth = _truth_frame(
-        sample, history, eps, dim, id_col, vec_col
-    ).localCheckpoint(eager=True)
+    id_col = meta["id_col"]
     n_truth = truth.count()
     out = []
     for p in ps:
-        got = _matches(
-            assign_cells(
-                sample, meta["centroids"], vec_col=vec_col, check_cells=p
-            ),
-            history,
-            eps,
-            dim,
-            id_col,
-            vec_col,
-            check_cells=p,
-        ).localCheckpoint(eager=True)
+        got = _audit_verdict(sample, history, meta, p).localCheckpoint(
+            eager=True
+        )
         n_got = got.count()
         n_missed = truth.join(got, id_col, "left_anti").count()
         out.append(

@@ -51,6 +51,8 @@ the same fit-once / search-many contract as ``similarity.IVFIndex``.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -66,6 +68,8 @@ __all__ = [
     "PQCodebook",
     "IVFPQIndex",
     "ivfpq_build",
+    "ivfpq_load",
+    "ivfpq_save",
     "ivfpq_search",
     "pq_train",
     "pq_encode",
@@ -410,6 +414,10 @@ def ivfpq_build(
         train_cap=train_cap, n_rows=n_rows,
     )
     if residual:
+        # ONE execution of the coarse assignment + subtraction: the
+        # codebook fit's sample scan, the encode pass, and the cell
+        # join-back below all read this checkpoint (round-12 review:
+        # the lazy frame re-ran the corpus-wide assignment 3x)
         res = ivf.assigned.select(
             F.col(id_col),
             F.col("cell"),
@@ -420,7 +428,7 @@ def ivfpq_build(
                 ),
                 lambda x, y: x - y,
             ).alias("_res"),
-        )
+        ).localCheckpoint(eager=True)
         cb = pq_train(
             res, dim=dim, m=m, k=k, id_col=id_col, vec_col="_res",
             seed=seed, train_cap=train_cap, n_rows=n_rows,
@@ -573,6 +581,47 @@ def ivfpq_search(
         dists.withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= topk)
         .select(query_id_col, index.id_col, "adc_dist", "rank")
+    )
+
+
+def ivfpq_save(index: IVFPQIndex, path: str) -> None:
+    """Persist the FULL IVF-PQ index — codebook, codes, coarse
+    centroids, AND the encoding domain — so a reload serves
+    identically. ``pq_save`` alone cannot do this faithfully for an
+    index: it stores neither the centroids nor the ``residual`` flag,
+    and a hand-reassembled ``IVFPQIndex`` defaults ``residual=False``
+    — searching residual-domain codes with a raw-domain LUT returns
+    silently wrong rankings (round-12 review). Layout: ``codebook/``
+    (the ``pq_save`` parquet), ``codes/`` (repartitioned by cell so
+    probed-cell scans benefit from row-group min/max skipping), and
+    ``meta.json`` (centroids + residual + id column — driver-sized)."""
+    os.makedirs(path, exist_ok=True)
+    pq_save(index.cb, os.path.join(path, "codebook"))
+    index.codes.repartition("cell").write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "residual": bool(index.residual),
+                "id_col": index.id_col,
+                "centroids": index.centroids,
+            },
+            fh,
+        )
+
+
+def ivfpq_load(spark, path: str) -> IVFPQIndex:
+    """Reload an :func:`ivfpq_save` index; the pinned ``residual``
+    domain rides along, so search picks the right LUT shape."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return IVFPQIndex(
+        centroids=[[float(x) for x in c] for c in meta["centroids"]],
+        cb=pq_load(spark, os.path.join(path, "codebook")),
+        codes=spark.read.parquet(os.path.join(path, "codes")),
+        id_col=meta["id_col"],
+        residual=bool(meta["residual"]),
     )
 
 

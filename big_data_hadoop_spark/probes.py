@@ -94,6 +94,15 @@ def _corpus_fingerprint(sf: str, table: str) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+#: Hard cap on how long a crash-leaked ``.tmp-<pid>`` temporary is
+#: protected by its owner pid LOOKING alive (os.kill(pid, 0)): past
+#: this age the pid is presumed recycled — Linux reuses pids, so a
+#: long-lived unrelated process (or EPERM from another user's) would
+#: otherwise shield a dead builder's gigabytes forever. Probe builders
+#: run minutes; a week is orders of magnitude of slack.
+_TMP_LIVE_CAP = 7 * 86400.0
+
+
 def _shared_store_path(kind: str, key: str) -> str:
     import shutil
     import tempfile
@@ -125,7 +134,14 @@ def _shared_store_path(kind: str, key: str) -> str:
     # the staleness gate: newest mtime across the tree's dirs AND
     # files (a long parquet write lands part files under nested
     # _temporary/ dirs whose top-level mtime sits at job start —
-    # round-11 self-review), age-gated at 1h.
+    # round-11 self-review), age-gated at 1h. The liveness pass is
+    # itself capped at _TMP_LIVE_CAP: Linux recycles pids, so a
+    # crash-leaked tree whose dead owner's pid was later handed to any
+    # long-lived process (possibly another user's — EPERM also reads
+    # "alive") would otherwise be unsweepable FOREVER (round-12
+    # review); past the cap the "owner" is presumed recycled and the
+    # tree falls to the ordinary staleness gate, which still spares it
+    # if anything inside is actually changing.
     now = time.time()
     try:
         leaked = [fn for fn in os.listdir(base) if ".tmp-" in fn]
@@ -135,14 +151,22 @@ def _shared_store_path(kind: str, key: str) -> str:
         p = os.path.join(base, fn)
         pid_str = fn.rsplit(".tmp-", 1)[-1]
         if pid_str.isdigit():
+            alive = True
             try:
                 os.kill(int(pid_str), 0)
-                continue  # owner alive — its write may be in flight
             except (ProcessLookupError, OverflowError):
-                pass  # owner dead (or impossible pid) — fall through
-                # to the staleness gate
+                alive = False  # owner dead (or impossible pid) — fall
+                # through to the staleness gate
             except OSError:
-                continue  # EPERM etc.: someone lives there — keep
+                pass  # EPERM etc.: someone lives there
+            if alive:
+                try:
+                    top_age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if top_age <= _TMP_LIVE_CAP:
+                    # live owner within the cap — keep, no tree walk
+                    continue
         try:
             newest = os.path.getmtime(p)
             for dirpath, _dirs, files in os.walk(p):

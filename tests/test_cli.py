@@ -909,6 +909,11 @@ def test_cli_embedding_store_audit_sweep(tmp_path, spark, capsys):
     with _pytest.raises(SystemExit, match="comma-separated"):
         main(["embedding-store", "audit", store, "--input", b,
               "--sweep-cells", "1,two"])
+    # an all-separators list parses to EMPTY — same friendly refusal,
+    # not the library ValueError as a raw traceback (round-12 review)
+    with _pytest.raises(SystemExit, match="comma-separated"):
+        main(["embedding-store", "audit", store, "--input", b,
+              "--sweep-cells", ","])
 
 
 def test_cli_neardup_graph_refuses_build_flags_off_build(tmp_path, spark):
@@ -987,6 +992,16 @@ def test_cli_embedding_store_check_cells(tmp_path, spark, capsys):
     assert lines[2]["check_cells"] == 2  # audit discloses the rule
     assert 0.0 <= lines[2]["recall"] <= 1.0
     assert lines[4]["check_cells"] == 4
-    with _pytest.raises(SystemExit, match="only apply to 'build'"):
+    # a MULTI-action flag's refusal must name every action that takes
+    # it — "only apply to 'build'" would hide that rebuild/audit are
+    # the documented fixes (round-12 review)
+    with _pytest.raises(
+        SystemExit, match="'audit'/'build'/'rebuild'"
+    ):
         main(["embedding-store", "refresh", store, "--input", b,
+              "--check-cells", "2"])
+    with _pytest.raises(
+        SystemExit, match="'audit'/'build'/'rebuild'"
+    ):
+        main(["embedding-store", "matches", store, "--input", b,
               "--check-cells", "2"])

@@ -395,3 +395,41 @@ def test_ivfpq_residual_matches_numpy(spark, corpus):
     # quantization) self near the top in residual space too
     tops = {q: {r["vec_id"] for r in rws} for q, rws in by_q.items()}
     assert sum(1 for q, s in tops.items() if q in s) >= 2
+
+
+def test_ivfpq_save_load_roundtrip_both_modes(spark, corpus, tmp_path):
+    """``ivfpq_save``/``ivfpq_load`` persist the FULL index — codes,
+    codebook, coarse centroids, and the ``residual`` domain — and a
+    reload serves row-identically in BOTH modes. ``pq_save`` alone
+    cannot: it stores neither centroids nor the flag, and a reload
+    that defaulted residual=False would score residual codes with a
+    raw LUT (silently wrong — the round-12 review finding this API
+    closes)."""
+    from big_data_hadoop_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_search,
+    )
+
+    queries = corpus.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for mode in (False, True):
+        idx = ivfpq_build(
+            corpus, dim=DIM, n_cells=4, m=4, k=8, seed=7, residual=mode
+        )
+        path = str(tmp_path / f"ivfpq_{mode}")
+        ivfpq_save(idx, path)
+        idx2 = ivfpq_load(spark, path)
+        assert idx2.residual is mode
+        assert idx2.centroids == idx.centroids
+        a = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["adc_dist"], 9))
+            for r in ivfpq_search(idx, queries, topk=5, n_probe=2).collect()
+        }
+        b = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["adc_dist"], 9))
+            for r in ivfpq_search(idx2, queries, topk=5, n_probe=2).collect()
+        }
+        assert a == b, mode

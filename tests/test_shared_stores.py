@@ -275,14 +275,23 @@ def test_crash_leak_sweep_spares_live_owners_and_reads_file_mtimes(
         os.utime(p, (dir_mtime, dir_mtime))
         return p
 
+    ancient = time.time() - 8.5 * 86400.0  # past _TMP_LIVE_CAP
     live = plant(f"a.tmp-{os.getpid()}", old, old)  # we are the owner
     dead_fresh = plant(f"b.tmp-{dead_pid}", time.time(), old)
     dead_stale = plant(f"c.tmp-{dead_pid}", old, old)
+    # (d) a RECYCLED pid: the name carries OUR (alive) pid but the
+    # tree is past the liveness hard cap — the round-12 review case
+    # where pid wraparound would shield a dead builder's litter
+    # forever; past the cap it falls to the staleness gate and sweeps
+    recycled = plant(f"d.tmp-{os.getpid()}", ancient, ancient)
     try:
         _shared_store_path("sweeptest", "k1")  # triggers the sweep
         assert os.path.isdir(live), "live owner's temp was reaped"
         assert os.path.isdir(dead_fresh), "fresh FILE mtime ignored"
         assert not os.path.exists(dead_stale), "stale orphan kept"
+        assert not os.path.exists(recycled), (
+            "past-cap tree kept on pid-liveness alone"
+        )
     finally:
-        for p in (live, dead_fresh, dead_stale):
+        for p in (live, dead_fresh, dead_stale, recycled):
             shutil.rmtree(p, ignore_errors=True)
