@@ -46,7 +46,11 @@ from big_data_hadoop_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from big_data_hadoop_spark.operators.multimodal import binary_meta, documents_as_media
-from big_data_hadoop_spark.sources.io import load_table, parquet_row_count
+from big_data_hadoop_spark.sources.io import (
+    fan_out_small_scan,
+    load_table,
+    parquet_row_count,
+)
 
 EMBED_DIM = 64
 
@@ -211,7 +215,9 @@ def _shared_neardup_edges(spark: SparkSession, sf: str) -> DataFrame:
 
     path = shared_neardup_store_path(sf)
     if not os.path.exists(batch_store.meta_path(path)):
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs = fan_out_small_scan(
+            load_table(spark, sf, "documents").select("doc_id", "text")
+        )
         try:
             # validate_ids=False: doc_id is the table's key in the
             # driver testdata — skip the extra id scan
@@ -249,7 +255,9 @@ def _shared_simhash_history(spark: SparkSession, sf: str) -> DataFrame:
 
     path = shared_simhash_store_path(sf)
     if not os.path.exists(batch_store.meta_path(path)):
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs = fan_out_small_scan(
+            load_table(spark, sf, "documents").select("doc_id", "text")
+        )
         history = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
         fp = simhash(history).withColumnRenamed("simhash", "fp")
         try:
@@ -294,7 +302,9 @@ def _shared_exact_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     path = shared_exact_pairs_path(sf)
     if not os.path.isdir(path):
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs = fan_out_small_scan(
+            load_table(spark, sf, "documents").select("doc_id", "text")
+        )
         pairs = minhash_lsh_pairs(docs, threshold=0.7)
         tmp = f"{path}.tmp-{os.getpid()}"
         pairs.write.mode("overwrite").parquet(tmp)
@@ -329,7 +339,9 @@ def _shared_video_framehash(spark: SparkSession, sf: str) -> DataFrame:
 
     path = shared_video_framehash_path(sf)
     if not os.path.isdir(path):
-        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs = fan_out_small_scan(
+            load_table(spark, sf, "documents").select("doc_id", "text")
+        )
         fh = video_dhash(
             documents_as_video(docs, n_frames=4, width=12, height=12),
             n_frames=4,
@@ -425,7 +437,7 @@ def q02_number_counts(spark: SparkSession, sf: str) -> DataFrame:
     integer cents, status/priority words) — the number predicate then has a
     non-empty result to verify, and mixed tokens like ``1-urgent`` exercise
     the discard path (match neither category)."""
-    orders = load_table(spark, sf, "orders")
+    orders = fan_out_small_scan(load_table(spark, sf, "orders"))
     rendered = orders.select(
         F.concat_ws(
             " ",
@@ -446,7 +458,7 @@ def q02_number_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 def q03_pairs_m1(spark: SparkSession, sf: str) -> DataFrame:
     """Distance-1 same-category pairs, top-100 (W1; HadoopWordPairs.java:54-79)."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     p = pair_counts(docs, m=1, lowercase=True)
     return (
         p.select(
@@ -462,7 +474,7 @@ def q03_pairs_m1(spark: SparkSession, sf: str) -> DataFrame:
 
 def q04_pairs_m3(spark: SparkSession, sf: str) -> DataFrame:
     """Window-3 forward pairs, top-100 (W2; HadoopWordPairs2.java:49-77)."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     p = pair_counts(docs, m=3, lowercase=True)
     return (
         p.select(
@@ -483,7 +495,7 @@ def q05_stripes_m1(spark: SparkSession, sf: str) -> DataFrame:
     The stripe is serialized ``n1:c1,n2:c2,...`` — probe outputs must be
     scalar columns (the external canonicalizer hashes raw cell values and
     cannot sort array cells)."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     nb = neighbor_counts(docs, m=1, lowercase=True)
     st = nb.groupBy("token").agg(
         F.concat_ws(
@@ -637,14 +649,14 @@ def q17_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q18_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5).orderBy("id_a", "id_b")
 
 
 def q19_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH candidates exact-verified at jac>=0.9; oracle is the
     brute-force Jaccard join (recall ~1-1e-15 at these band params)."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     return minhash_lsh_pairs(
         docs, n=3, num_perm=128, bands=32, threshold=0.9
     ).orderBy("id_a", "id_b")
@@ -653,7 +665,7 @@ def q19_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 def q51_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash fingerprints — xxhash64-based, not ANSI-SQL-expressible:
     rows-only check (no oracle entry)."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     return simhash(docs).orderBy("doc_id")
 
 
@@ -692,7 +704,7 @@ def q26_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q27_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     media = documents_as_media(docs)
     return binary_meta(media).select("media_id", "n_bytes", "sha").orderBy("media_id")
 
@@ -947,7 +959,7 @@ def q42_scalar_fns(spark: SparkSession, sf: str) -> DataFrame:
 def q43_ppjoin_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Prefix-filtered (PPJoin) exact Jaccard — same contract and oracle
     as q18, different physical plan (the skewed-corpus scale path)."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8, method="prefix").orderBy(
         "id_a", "id_b"
     )
@@ -994,7 +1006,7 @@ def q46_stripes_m3(spark: SparkSession, sf: str) -> DataFrame:
     """Window-3 stripes (W4; HadoopWordStripes2.java:50-112): symmetric
     neighbors at distance <= 3, rolled to a canonical sorted entry string
     (scalar output — see q05)."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     nb = neighbor_counts(docs, m=3, lowercase=True)
     st = nb.groupBy("token").agg(
         F.concat_ws(
@@ -1012,7 +1024,7 @@ def q46_stripes_m3(spark: SparkSession, sf: str) -> DataFrame:
 def q54_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming<=3 near-dup pairs via 4x16-bit pigeonhole banding +
     bit_count verification (xxhash64-based — rows-only check)."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
@@ -1064,7 +1076,7 @@ def q55_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowed rolling-hash fingerprints (MOSS; xxhash64-based —
     rows-only check). Aggregated to per-doc fingerprint counts so the
     output is compact and order-stable."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     fp = ts.winnow_fingerprints(docs, k=5, w=4)
     return (
         fp.groupBy("doc_id")
@@ -1081,7 +1093,7 @@ def q57_winnow_neardup(spark: SparkSession, sf: str) -> DataFrame:
     lists explode the inverted join (measured 158s vs ~4s at sf0.1);
     guarantee-wise k is the smallest match length detected, and 12 chars
     ≈ two words is the documented plagiarism-detection setting."""
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     return ts.winnow_neardup_pairs(docs, k=12, w=8, threshold=0.5).orderBy(
         "id_a", "id_b"
     )
@@ -1143,7 +1155,7 @@ def q60_repetition(spark: SparkSession, sf: str) -> DataFrame:
     line fractions plus top/duplicated n-gram char fractions."""
     from big_data_hadoop_spark.operators.repetition import repetition_signals
 
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     return repetition_signals(docs).orderBy("doc_id")
 
 
@@ -1156,7 +1168,9 @@ def q61_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     boilerplate surfaces (~160 spans at sf0.01)."""
     from big_data_hadoop_spark.operators.substring import duplicate_spans
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     return duplicate_spans(docs, k=25).orderBy("doc_id", "span_start")
 
 
@@ -1201,7 +1215,9 @@ def q64_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:
         content_digests,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     prior = docs.filter("doc_id % 3 = 0")
     new = docs.filter("doc_id % 3 != 0").unionByName(
         prior.orderBy("doc_id").limit(20)
@@ -1289,7 +1305,9 @@ def q68_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     prior = docs.filter("doc_id % 3 = 0")
     batch = docs.filter("doc_id % 3 != 0").unionByName(
         prior.orderBy("doc_id")
@@ -1345,7 +1363,9 @@ def q70_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     top-10 by score; score rounded for display stability only."""
     from big_data_hadoop_spark.operators.bm25 import bm25_index, bm25_topk
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     queries = docs.orderBy("doc_id").limit(5).select(
         F.col("doc_id").alias("query_id"), "text"
     )
@@ -1377,7 +1397,9 @@ def q72_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     Output keeps scalar columns only (piece arrays stay internal)."""
     from big_data_hadoop_spark.operators.bpe import bpe_encode, bpe_train
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     model = bpe_train(docs, n_merges=100)
     return (
         bpe_encode(docs, model)
@@ -1425,7 +1447,9 @@ def q75_hybrid_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     queries; embeddings keyed by vec_id == doc_id."""
     from big_data_hadoop_spark.operators.bm25 import bm25_index, hybrid_topk
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     emb = load_table(spark, sf, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
@@ -2007,7 +2031,9 @@ def q89_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     non-vacuously at every sf."""
     from big_data_hadoop_spark.operators.dedup import edit_distance_pairs
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     twins = docs.filter(
         (F.pmod("doc_id", F.lit(3)) == 0) & (F.length("text") >= 25)
     ).select(
@@ -2079,7 +2105,7 @@ def q92_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     for the production banding (128 perms / 32 bands) at t=0.7."""
     from big_data_hadoop_spark.operators.dedup import lsh_recall_audit
 
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     _, s = lsh_recall_audit(docs, threshold=0.7, sample_docs=400, seed=1)
     return spark.createDataFrame(
         [
@@ -2118,7 +2144,9 @@ def q93_simhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint dump recomputed per probe run."""
     from big_data_hadoop_spark.operators.dedup import simhash_dedup_against
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     batch = docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
     stored = _shared_simhash_history(spark, sf)
     return (
@@ -2406,7 +2434,9 @@ def r03_neardup_graph_store(spark: SparkSession, sf: str) -> DataFrame:
         neardup_graph_refresh,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     root = tempfile.mkdtemp(prefix="neardup_graph_probe_")
     try:
         path = os.path.join(root, "graph")
@@ -2449,7 +2479,9 @@ def r04_image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         image_neardup_pairs,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     fp = image_dhash(
         documents_as_images(docs, width=16, height=16)
     ).localCheckpoint(eager=True)
@@ -2487,7 +2519,9 @@ def r05_audio_fingerprint_neardup(spark: SparkSession, sf: str) -> DataFrame:
         documents_as_audio,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     fp = audio_fingerprint(
         documents_as_audio(docs, n_samples=512)
     ).localCheckpoint(eager=True)
@@ -2530,7 +2564,9 @@ def r06_fingerprint_store(spark: SparkSession, sf: str) -> DataFrame:
         fingerprint_store_refresh,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     # ONE corpus fingerprint pass: build's duplicate-id validation,
     # both halves' filters, and each _accept otherwise re-execute the
     # un-checkpointed simhash aggregation (4x measured in the closing
@@ -2586,7 +2622,9 @@ def r07_video_gif_neardup(spark: SparkSession, sf: str) -> DataFrame:
         video_neardup_pairs,
     )
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     fh = video_dhash(
         documents_as_video(docs, n_frames=4, width=12, height=12),
         n_frames=4,

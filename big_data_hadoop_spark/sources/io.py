@@ -63,6 +63,44 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     return [load_table(spark, sf_dir, n) for n in (names or TABLES)]
 
 
+def fan_out_small_scan(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition a frame whose scan produced fewer splits
+    than the session's parallelism; no-op otherwise.
+
+    A small parquet table is one file with one row group, so its scan is
+    ONE task — and every narrow map stage stacked on it (per-character
+    rolling hashes, n-gram explodes, Arrow decode passes) runs serially
+    until the first exchange, leaving the rest of the cluster idle (the
+    optimization guide's input-skew case: "one huge unsplittable file
+    ... repartition immediately after the read"). Splitting at the scan
+    is not an option here: parquet splits at row-group boundaries, so
+    ``spark.sql.files.minPartitionNum`` cannot open up a single-row-group
+    file. The round-robin exchange moves the small table's bytes once and
+    buys a cores-wide map stage.
+
+    Scale-adaptive by construction: the target defaults to the session's
+    ``defaultParallelism`` and the repartition only fires when the plan's
+    existing partitioning is BELOW it — a corpus-scale scan (thousands of
+    splits) passes through untouched, so production plans never pay an
+    extra exchange.
+
+    Only for partition-order-insensitive consumers: callers whose floats
+    fold across rows in partition order (MLlib KMeans fits, unrounded
+    float aggregations) must keep the scan layout instead — moving rows
+    between partitions perturbs those sums at the ulp level.
+    """
+    target = (
+        min_partitions
+        if min_partitions is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def parquet_row_count(sf_dir: str, name: str) -> int:
     """Exact row count from parquet footer metadata — a driver-side
     footer read, NOT a Spark job. Lets size-dependent knobs (e.g. the IVF
