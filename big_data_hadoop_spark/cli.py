@@ -347,7 +347,10 @@ def cmd_search(args: argparse.Namespace) -> None:
 
     spark = _spark("search")
     docs = _read_docs(spark, args.input)
-    queries = spark.createDataFrame(
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    queries = local_frame(
+        spark,
         [(i, q) for i, q in enumerate(args.query)],
         "query_id long, text string",
     )

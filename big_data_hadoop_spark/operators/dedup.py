@@ -1582,7 +1582,9 @@ def bloom_dedup_against(
     else:
         words = build_digest_bloom(seen_digests, n_bits, n_hashes).words
     spark = df.sparkSession
-    wdf = spark.createDataFrame([(words,)], "_bw array<long>")
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    wdf = local_frame(spark, [(words,)], "_bw array<long>")
     maybe = F.expr(
         " AND ".join(
             "((element_at(_bw, {w} + 1) & {m}) != 0)".format(

@@ -491,8 +491,10 @@ def _dense_ids(ids: DataFrame, col: str = "id") -> DataFrame:
     for p in sorted(counts):
         offs.append((p, acc))
         acc += counts[p]
-    off_df = part.sparkSession.createDataFrame(
-        offs or [(0, 0)], "_p int, _off long"
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    off_df = local_frame(
+        part.sparkSession, offs or [(0, 0)], "_p int, _off long"
     )
     w = Window.partitionBy("_p").orderBy(col)
     return (
@@ -1043,8 +1045,10 @@ def bfs_distances(
     # drop both so the cleaner can free the raw-pair blocks instead of
     # pinning them through every frontier round
     del proj, nodes
-    frontier = spark.createDataFrame(
-        [(s,) for s in seed_list], f"id {id_type}"
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    frontier = local_frame(
+        spark, [(s,) for s in seed_list], f"id {id_type}"
     ).localCheckpoint(eager=True)
     settled = frontier.withColumn(
         "distance", F.lit(0).cast("int")

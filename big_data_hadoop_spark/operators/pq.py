@@ -186,8 +186,10 @@ def pq_train(
             centers = [[float(x) for x in c] for c in model.clusterCenters()]
         rows.extend((j, code, c) for code, c in enumerate(centers))
     train.unpersist()
-    entries = df.sparkSession.createDataFrame(
-        rows, "j int, code int, centroid array<double>"
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    entries = local_frame(
+        df.sparkSession, rows, "j int, code int, centroid array<double>"
     )
     return PQCodebook(entries=entries, dim=dim, m=m, k=k)
 

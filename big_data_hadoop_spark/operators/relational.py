@@ -737,7 +737,10 @@ def funnel_counts(
         F.col("reached") >= F.col("step")
     )
     counts = reached.groupBy("step").agg(F.count("*").alias("n"))
-    all_steps = events.sparkSession.createDataFrame(
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    all_steps = local_frame(
+        events.sparkSession,
         [(i + 1, s) for i, s in enumerate(steps)],
         "step int, event_type string",
     )

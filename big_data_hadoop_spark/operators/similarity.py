@@ -896,7 +896,10 @@ def ivf_save(index: IVFIndex, table: str, buckets: int = 16) -> None:
 
     spark = index.assigned.sparkSession
     write_bucketed(index.assigned, table, buckets, key="cell")
-    meta = spark.createDataFrame(
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    meta = local_frame(
+        spark,
         [(index.id_col, [[float(x) for x in c] for c in index.centroids])],
         "id_col string, centroids array<array<double>>",
     )

@@ -288,12 +288,14 @@ def hashed_linear_scores(
     exactly one scan. ``dim`` up to a few hundred thousand doubles is a
     few MB of broadcast — the standard hashing-trick budget.
     """
+    from big_data_hadoop_spark.sources.io import local_frame
+
     if not weights:
         raise ValueError("weights must be non-empty")
     dim = len(weights)
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [([float(x) for x in weights],)], "_w array<double>"
+    wdf = local_frame(
+        spark, [([float(x) for x in weights],)], "_w array<double>"
     )
     staged = df.join(F.broadcast(wdf)).select(
         F.col(id_col),
@@ -410,6 +412,8 @@ def train_hashed_linear(
         )
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
+    from big_data_hadoop_spark.sources.io import local_frame
+
     spark = df.sparkSession
     staged = (
         df.select(
@@ -428,8 +432,8 @@ def train_hashed_linear(
     w = [0.0] * dim
     b = 0.0
     for _ in range(epochs):
-        wdf = spark.createDataFrame(
-            [([float(x) for x in w],)], "_w array<double>"
+        wdf = local_frame(
+            spark, [([float(x) for x in w],)], "_w array<double>"
         )
         z = _hashed_mean_margin(F.col("_tk"), F.col("_w"), dim) + F.lit(
             float(b)
@@ -474,7 +478,10 @@ def hashed_linear_save(model: HashedLinearModel, path: str) -> None:
     ``similarity.ivf_save``: a separate serving job reloads and scores
     without retraining."""
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-    spark.createDataFrame(
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    local_frame(
+        spark,
         [([float(x) for x in model.weights], float(model.bias))],
         "weights array<double>, bias double",
     ).coalesce(1).write.mode("overwrite").parquet(path)

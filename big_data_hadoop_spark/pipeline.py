@@ -366,8 +366,10 @@ def _global_token_prefix(
     for b in range(n_buckets):
         offsets.append((b, running))
         running += totals.get(b, 0)
-    offset_df = docs.sparkSession.createDataFrame(
-        offsets, "_bkt int, _offset long"
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    offset_df = local_frame(
+        docs.sparkSession, offsets, "_bkt int, _offset long"
     )
 
     w = (

@@ -49,6 +49,7 @@ from big_data_hadoop_spark.operators.multimodal import binary_meta, documents_as
 from big_data_hadoop_spark.sources.io import (
     fan_out_small_scan,
     load_table,
+    local_frame,
     parquet_row_count,
 )
 
@@ -2107,7 +2108,8 @@ def q92_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = fan_out_small_scan(load_table(spark, sf, "documents"))
     _, s = lsh_recall_audit(docs, threshold=0.7, sample_docs=400, seed=1)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 s["sample_docs"],
@@ -2836,7 +2838,8 @@ def r12_check_cells_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
             spark, odds, path, check_cells=(1, 2, 8), sample_rows=128
         )
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "check_cells int, recall double, truth_matches long, "
         "cell_matches long, missed long",
@@ -2931,8 +2934,8 @@ def r11_embedding_store_audit(spark: SparkSession, sf: str) -> DataFrame:
         ("store_build_dist_mean", float(meta["build_dist_mean"])),
         ("store_n_cells", float(meta["n_cells"])),
     ]
-    return spark.createDataFrame(
-        rows, "metric string, value double"
+    return local_frame(
+        spark, rows, "metric string, value double"
     ).orderBy("metric")
 
 

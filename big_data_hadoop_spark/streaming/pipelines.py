@@ -932,7 +932,10 @@ def _append_sink_stats(
     appends it describes."""
     import json
 
-    spark.createDataFrame(
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    local_frame(
+        spark,
         [(int(epoch), json.dumps(stats, sort_keys=True))],
         "epoch long, stats string",
     ).coalesce(1).write.mode("append").parquet(stats_path)
