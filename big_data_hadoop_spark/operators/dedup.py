@@ -979,10 +979,20 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if method not in ("star", "jump"):
+        raise ValueError(f"unknown method {method!r}; use 'jump' or 'star'")
+    # Empty pair graph — the common clean-batch case on the store
+    # verbs' within-batch pass: skip the label bootstrap and the first
+    # propagation round outright (a LIMIT-1 probe of the already-
+    # checkpointed edges vs 4-5 scheduled jobs that compute nothing).
+    if edges.limit(1).count() == 0:
+        if stats is not None:
+            stats["rounds"] = 0
+        return edges.select(
+            F.col("src").alias("member_id"), F.col("dst").alias("cluster_id")
+        )
     if method == "star":
         return _star_clusters(edges, max_iter, stats=stats)
-    if method != "jump":
-        raise ValueError(f"unknown method {method!r}; use 'jump' or 'star'")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

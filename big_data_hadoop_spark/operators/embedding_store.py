@@ -745,9 +745,13 @@ def embedding_store_build(
                 df, dim, id_col, vec_col, "embedding build frame",
                 check_dups=validate_ids,
             )
+            # n_rows = the validation job's exact count: the training
+            # sample is a pure function of (ids, n, cap), so reusing the
+            # count changes nothing and skips ivf_build's presence probe
+            # and sample-count jobs (guide #1.2: fewer passes)
             idx = ivf_build(
                 df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
-                seed=seed, train_cap=train_cap,
+                seed=seed, train_cap=train_cap, n_rows=n_in,
             )
             meta = {
                 "version": 1,

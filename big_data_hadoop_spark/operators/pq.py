@@ -156,7 +156,12 @@ def pq_train(
     dsub = dim // m
     e = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_ed"))
     train = _bounded_training_sample(e, id_col, train_cap, n_rows=n_rows).cache()
-    n_train = train.count()  # one job; also materializes the cache
+    if n_rows is not None and n_rows <= train_cap:
+        # the sample IS the corpus and the caller told us its size —
+        # skip the count job (the first fit materializes the cache)
+        n_train = n_rows
+    else:
+        n_train = train.count()  # one job; also materializes the cache
     if n_train == 0:
         raise ValueError("pq_train needs a non-empty corpus")
     rows = []

@@ -42,14 +42,21 @@ by the pure-Python oracle in ``tests/test_repetition.py``):
   collision, ~#grams²/2⁶⁴, could only mark one extra position
   duplicated).
 
-Scale shape: line metrics and coverage arithmetic are per-row native
-expressions (zero shuffle); n-gram frequency is ONE ``posexplode`` over
-(doc, n, position) and ONE aggregation keyed ``(doc_id, n, gram)`` — the
-same fan-out/aggregate skeleton as the engine's word-count path
-(partition-parallel, never O(doc_len^2) per row, never all-pairs), then a
-per-document pivot back to columns. Duplicate-gram start positions ride
-the aggregation as per-document lists (bounded by document token count),
-so no second pass over text is needed.
+Scale shape: the ENTIRE operator is per-row native expressions — ZERO
+shuffle. N-gram frequencies are per-document by definition, so instead
+of exploding (doc, n, position) rows and aggregating them back by
+``(doc_id, n, gram)`` (the previous formulation: two corpus-wide
+exchanges plus two joins to re-attach the per-doc results), each
+document counts its own grams locally: sort the gram array
+(``array_sort`` — runs of equal grams become contiguous), then one
+linear ``aggregate`` fold tracks run lengths and the running
+(count, char-length, gram) maximum for the top-n-gram family, and one
+shifted ``zip_with`` neighbor-equality pass marks duplicated-gram start
+positions for the coverage family. O(len·log len) work per document per
+n, state bounded by the document's own token count (the same per-row
+arrays the explode formulation materialized anyway), and the corpus
+never crosses the network — at 100 TB the old (doc, n, gram) exchange
+shipped most of the corpus 9 times; this ships nothing.
 """
 
 from __future__ import annotations
@@ -154,88 +161,147 @@ def repetition_signals(
         F.aggregate("_tlens", F.lit(0).cast("long"), lambda a, x: a + x),
     )
 
-    # One row per (doc, n, gram position). A doc shorter than n yields a
-    # NULL array, which posexplode drops — restored as zero-fractions by
-    # the left join below. The two signal families key their grams
-    # differently, and the difference is the dominant cost at scale:
+    # Per-document gram counting — no explode, no (doc, n, gram)
+    # exchange, no join back (see the module docstring's scale-shape
+    # note). A doc shorter than n yields a NULL gram array; every
+    # downstream expression propagates the NULL and the final coalesce
+    # restores the documented zero-fractions. The two signal families
+    # still key their grams differently:
     #
     # * top_ns (small n, argmax): the gram STRING is load-bearing — the
     #   documented tie-break orders by (count, char length, gram) and
-    #   the char length itself comes off the string — so these rows
-    #   carry materialized array_join slices.
-    # * dup_ns (large n, coverage): the gram is ONLY an identity key, so
-    #   rows carry ``xxhash64`` over the token slice instead (the q61
-    #   duplicate-span precedent: 8-byte content identity, no per-gram
-    #   string build, and the (doc, n, gram) shuffle moves fixed-width
-    #   keys instead of up-to-n-token strings). Measured at sf0.1 this
-    #   halves the probe; at 100 TB it is the difference between
-    #   shuffling hashes and shuffling most of the corpus n times over.
-    def _occ(ns: Sequence[int], gram_expr) -> DataFrame:
-        with_n = base.select(
-            F.col(id_col),
-            F.col("_toks"),
-            F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
-        )
-        grams = F.when(
-            F.size("_toks") >= F.col("n"),
+    #   the char length itself comes off the string — so the sorted
+    #   array holds materialized array_join slices and one linear
+    #   ``aggregate`` fold replays the exact max(struct(c, gl, g))
+    #   ordering over its runs.
+    # * dup_ns (large n, coverage): the gram is ONLY an identity key —
+    #   ``xxhash64`` over the token slice (the q61 duplicate-span
+    #   precedent) — so the sorted array holds (hash, position) structs
+    #   and a shifted zip_with neighbor-equality pass marks the start
+    #   positions of grams occurring more than once.
+    def _grams(n: int, gram_expr) -> Column:
+        return F.when(
+            F.size("_toks") >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size("_toks") - F.col("n") + 1),
+                F.sequence(F.lit(1), F.size("_toks") - n + 1),
                 gram_expr,
             ),
         )
-        return with_n.select(
-            F.col(id_col), F.col("n"), F.posexplode(grams).alias("pos", "gram")
+
+    def _top_chars(n: int) -> Column:
+        """``count * char_len`` of the documented argmax gram (0 when no
+        gram repeats): fold the SORTED gram array once, closing each
+        run against the running best with the same (c, gl, g)
+        lexicographic order the previous max(struct) aggregation used.
+        """
+        sorted_g = F.array_sort(
+            _grams(n, lambda i: F.array_join(F.slice("_toks", i, n), " "))
         )
 
-    occ_top = _occ(
-        top_ns, lambda i: F.array_join(F.slice("_toks", i, F.col("n")), " ")
-    )
-    cnt_top = occ_top.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
-    gram_chars = (F.length("gram") - F.col("n") + 1).cast("long")
-    agg_top = cnt_top.groupBy(id_col, "n").agg(
-        F.max(
-            F.struct(
-                F.col("c").alias("c"),
-                gram_chars.alias("gl"),
-                F.col("gram").alias("g"),
+        def _close_run(acc) -> list[Column]:
+            # the finished run: gram acc["prev"], count acc["run"],
+            # char length = string length minus the n-1 joining spaces
+            gl = (F.length(acc["prev"]) - F.lit(n) + 1).cast("long")
+            beats = (acc["run"] > acc["bc"]) | (
+                (acc["run"] == acc["bc"])
+                & (
+                    (gl > acc["bgl"])
+                    | ((gl == acc["bgl"]) & (acc["prev"] > acc["bg"]))
+                )
             )
-        ).alias("m"),
-    )
-    per_top = agg_top.select(
-        F.col(id_col),
-        "n",
-        F.when(F.col("m.c") > 1, F.col("m.c") * F.col("m.gl"))
-        .otherwise(F.lit(0).cast("long"))
-        .alias("top_chars"),
-    )
+            keep = acc["run"] == 0  # no run open (empty array) — keep best
+            return [
+                F.when(keep | ~beats, acc["bc"]).otherwise(acc["run"]),
+                F.when(keep | ~beats, acc["bgl"]).otherwise(gl),
+                F.when(keep | ~beats, acc["bg"]).otherwise(acc["prev"]),
+            ]
 
-    occ_dup = _occ(dup_ns, lambda i: F.xxhash64(F.slice("_toks", i, F.col("n"))))
-    # collect_list drops the NULL emitted for non-repeated grams.
-    cnt_dup = occ_dup.groupBy(id_col, "n", "gram").agg(
-        F.count("*").alias("c"), F.collect_list("pos").alias("poss")
-    )
-    agg_dup = cnt_dup.groupBy(id_col, "n").agg(
-        F.flatten(
-            F.collect_list(F.when(F.col("c") > 1, F.col("poss")))
-        ).alias("starts"),
-    )
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("bc"),
+            F.lit(None).cast("long").alias("bgl"),
+            F.lit(None).cast("string").alias("bg"),
+        )
 
-    # Pivot n back into columns. Each (doc, n) key holds exactly one row,
-    # so max(when(n == k, v)) is a plain conditional projection.
-    piv_top = per_top.groupBy(id_col).agg(
+        def _merge(acc, g):
+            same = F.coalesce(acc["prev"] == g, F.lit(False))
+            bc, bgl, bg = _close_run(acc)
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.when(same, acc["bc"]).otherwise(bc).alias("bc"),
+                F.when(same, acc["bgl"]).otherwise(bgl).alias("bgl"),
+                F.when(same, acc["bg"]).otherwise(bg).alias("bg"),
+            )
+
+        def _finish(acc):
+            bc, bgl, bg = _close_run(acc)
+            return F.when(bc > 1, bc * bgl).otherwise(F.lit(0).cast("long"))
+
+        return F.aggregate(sorted_g, init, _merge, _finish)
+
+    def _dup_starts_sorted(n: int) -> Column:
+        """(hash, pos) structs sorted by hash — duplicate runs are
+        contiguous, so start positions of repeated grams fall out of a
+        neighbor-equality pass (staged as a column by the caller: the
+        two shifted references below re-evaluate their subtree)."""
+        return F.array_sort(
+            _grams(
+                n,
+                lambda i: F.struct(
+                    F.xxhash64(F.slice("_toks", i, n)).alias("h"),
+                    (i - 1).cast("int").alias("pos"),
+                ),
+            )
+        )
+
+    base = base.select(
+        "*",
+        *[_top_chars(n).alias(f"_top_{n}") for n in top_ns],
+        *[_dup_starts_sorted(n).alias(f"_sh_{n}") for n in dup_ns],
+    ).select(
+        "*",
         *[
-            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"_top_{n}")
-            for n in top_ns
-        ],
-    )
-    piv_dup = agg_dup.groupBy(id_col).agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("starts"))).alias(f"_starts_{n}")
+            # eq-next flags: element i is true when gram hash i equals
+            # hash i+1 in sorted order (zip_with pads the shifted side
+            # with NULL -> coalesce false at the tail)
+            F.zip_with(
+                F.col(f"_sh_{n}"),
+                F.slice(
+                    F.col(f"_sh_{n}"),
+                    2,
+                    F.greatest(F.size(f"_sh_{n}") - 1, F.lit(0)),
+                ),
+                lambda x, y: F.coalesce(x["h"] == y["h"], F.lit(False)),
+            ).alias(f"_en_{n}")
             for n in dup_ns
         ],
     )
 
-    joined = base.join(piv_top, id_col, "left").join(piv_dup, id_col, "left")
+    def _starts(n: int) -> Column:
+        # duplicated[i] = eq-next[i] OR eq-next[i-1] (shift right, pad
+        # false at the head) — exactly "this gram's hash occurs more
+        # than once"; emit its 0-based start position
+        ep = F.concat(
+            F.array(F.lit(False)),
+            F.slice(
+                F.col(f"_en_{n}"),
+                1,
+                F.greatest(F.size(f"_en_{n}") - 1, F.lit(0)),
+            ),
+        )
+        dup = F.zip_with(F.col(f"_en_{n}"), ep, lambda a, b: a | b)
+        return F.filter(
+            F.zip_with(
+                F.col(f"_sh_{n}"), dup, lambda s, d: F.when(d, s["pos"])
+            ),
+            lambda p: p.isNotNull(),
+        )
+
+    joined = base
     tot = F.greatest(F.col("_tot"), F.lit(1).cast("long"))
     out_cols = [
         F.col(id_col),
@@ -257,7 +323,7 @@ def repetition_signals(
             F.flatten(
                 F.transform(
                     F.coalesce(
-                        F.col(f"_starts_{n}"),
+                        _starts(n),
                         F.expr("cast(array() as array<int>)"),
                     ),
                     lambda s: F.sequence(s, s + F.lit(n - 1)),

@@ -705,7 +705,7 @@ def q26_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q27_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
-    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
+    docs = load_table(spark, sf, "documents")
     media = documents_as_media(docs)
     return binary_meta(media).select("media_id", "n_bytes", "sha").orderBy("media_id")
 
@@ -1025,7 +1025,7 @@ def q46_stripes_m3(spark: SparkSession, sf: str) -> DataFrame:
 def q54_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming<=3 near-dup pairs via 4x16-bit pigeonhole banding +
     bit_count verification (xxhash64-based — rows-only check)."""
-    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
+    docs = load_table(spark, sf, "documents")
     return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
@@ -1186,7 +1186,10 @@ def q62_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     return (
-        semantic_dedup(emb, eps=0.4, n_cells=8, dim=EMBED_DIM)
+        semantic_dedup(
+            emb, eps=0.4, n_cells=8, dim=EMBED_DIM,
+            n_rows=parquet_row_count(sf, "embeddings"),
+        )
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
@@ -1216,9 +1219,7 @@ def q64_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:
         content_digests,
     )
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     prior = docs.filter("doc_id % 3 = 0")
     new = docs.filter("doc_id % 3 != 0").unionByName(
         prior.orderBy("doc_id").limit(20)
@@ -1306,9 +1307,7 @@ def q68_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     prior = docs.filter("doc_id % 3 = 0")
     batch = docs.filter("doc_id % 3 != 0").unionByName(
         prior.orderBy("doc_id")
@@ -1341,7 +1340,10 @@ def q69_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
     # m=4: halves the driver-coordinated KMeans fits relative to the
     # test tier's m=8 — the probe exhibits the operator shape; parameter
     # sweeps live in tests/test_pq.py
-    cb = pq_train(emb, dim=EMBED_DIM, m=4, k=16, seed=7, max_iter=4)
+    cb = pq_train(
+        emb, dim=EMBED_DIM, m=4, k=16, seed=7, max_iter=4,
+        n_rows=parquet_row_count(sf, "embeddings"),
+    )
     queries = emb.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1398,9 +1400,7 @@ def q72_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     Output keeps scalar columns only (piece arrays stay internal)."""
     from big_data_hadoop_spark.operators.bpe import bpe_encode, bpe_train
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     model = bpe_train(docs, n_merges=100)
     return (
         bpe_encode(docs, model)
@@ -2146,9 +2146,7 @@ def q93_simhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint dump recomputed per probe run."""
     from big_data_hadoop_spark.operators.dedup import simhash_dedup_against
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     batch = docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
     stored = _shared_simhash_history(spark, sf)
     return (
@@ -2239,7 +2237,8 @@ def q96_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     pairs = sim.semantic_neardup_pairs(
-        emb, eps=0.4, n_cells=8, dim=EMBED_DIM
+        emb, eps=0.4, n_cells=8, dim=EMBED_DIM,
+        n_rows=parquet_row_count(sf, "embeddings"),
     )
     clusters = duplicate_clusters(pairs)
     cands = sim.cosine_topk(
@@ -2481,9 +2480,7 @@ def r04_image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         image_neardup_pairs,
     )
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     fp = image_dhash(
         documents_as_images(docs, width=16, height=16)
     ).localCheckpoint(eager=True)
