@@ -348,6 +348,14 @@ def _shared_video_framehash(spark: SparkSession, sf: str) -> DataFrame:
             n_frames=4,
         )
         tmp = f"{path}.tmp-{os.getpid()}"
+        # Keyed exchange before the write: the fanned-out decode would
+        # otherwise land 32 tiny part files, and every one of r08/r09's
+        # many lifecycle jobs then schedules a task per file (measured
+        # r09 6.4s -> 12.3s — the guide's small-files-hurt-twice case).
+        # repartition BY KEY with no pinned count lets AQE size the
+        # write (1 file at probe scale, 64 MB-ish files at corpus
+        # scale) and clusters each clip's frames together.
+        fh = fh.repartition("media_id")
         fh.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)

@@ -282,3 +282,24 @@ def test_dedup_keep_best_col_keeps_argmax_per_cluster(spark):
         r.doc_id for r in dedup_by_clusters(docs, pairs).collect()
     )
     assert kept_min == [1, 10, 99]
+
+
+def test_empty_pair_graph_short_circuits_both_methods(spark):
+    """An EMPTY pair graph (the clean-batch case on every store verb's
+    within-batch pass) must resolve to an empty cluster frame without
+    running a propagation round: rounds == 0 via the stats hook, output
+    schema/types unchanged, and dedup_by_clusters keeps every doc."""
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    for method in ("jump", "star"):
+        stats: dict = {}
+        out = duplicate_clusters(pairs, method=method, stats=stats)
+        assert out.columns == ["member_id", "cluster_id"]
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint",
+            "bigint",
+        ]
+        assert out.count() == 0
+        assert stats == {"rounds": 0}
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    kept = dedup_by_clusters(docs, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
