@@ -182,12 +182,12 @@ def hybrid_topk(
     q_emb = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_q"),
-    ).withColumn("_qn", norm(F.col("_q"), dim)).filter(F.col("_qn") > 0)
+    ).withColumn("_qn", norm("_q", dim)).filter(F.col("_qn") > 0)
     c_emb = corpus_emb.select(
         F.col(index.id_col),
         F.col(vec_col).cast("array<double>").alias("_c"),
-    ).withColumn("_cn", norm(F.col("_c"), dim)).filter(F.col("_cn") > 0)
-    cos = dot(F.col("_q"), F.col("_c"), dim) / (F.col("_qn") * F.col("_cn"))
+    ).withColumn("_cn", norm("_c", dim)).filter(F.col("_cn") > 0)
+    cos = dot("_q", "_c", dim) / (F.col("_qn") * F.col("_cn"))
     scored = (
         cand.join(c_emb, index.id_col)
         .join(q_emb, query_id_col)

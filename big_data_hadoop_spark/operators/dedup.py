@@ -387,16 +387,19 @@ def minhash_signatures(
     """
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
     hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    # the num_perm min-aggregates and the signature array are parsed from
+    # strings in TWO py4j calls: building 3·num_perm Column nodes through
+    # py4j costs ~1 s of driver time per call at the 128 default
+    # (measured; tree identical — pinned by the plan-equality A/B)
     mins = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_s{i}")
-        for i in range(num_perm)
+        F.expr(f"min(xxhash64(h, {i})) AS _s{i}") for i in range(num_perm)
     ]
     return (
         hashed.groupBy(id_col)
         .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"_s{i}") for i in range(num_perm)]).alias("sig"),
+        .selectExpr(
+            f"`{id_col}`",
+            "array(" + ", ".join(f"_s{i}" for i in range(num_perm)) + ") AS sig",
         )
     )
 
@@ -591,17 +594,27 @@ def minhash_dedup_against(
     contract one tier up. Emit the surviving batch's signatures with
     :func:`minhash_signatures` and append them to the stored table for
     the next run."""
+    # Eager checkpoints pin exactly-once execution AND keep every
+    # downstream query's logical plan a leaf instead of re-nesting the
+    # num_perm-wide signature aggregate (it is referenced by the history
+    # match AND the within-batch pass; the un-materialized form cost
+    # ~5 s of driver-side analysis/optimization per run at 128 perms —
+    # the round-13 q68 profile's single largest block).
     sigs = minhash_signatures(
         df, n=n, num_perm=num_perm, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    hits = (
+        minhash_matches_against(
+            sigs,
+            prior_sigs,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+            id_col=id_col,
+        )
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
-    hits = minhash_matches_against(
-        sigs,
-        prior_sigs,
-        num_perm=num_perm,
-        bands=bands,
-        threshold=threshold,
-        id_col=id_col,
-    ).select(id_col)
     fresh = df.join(hits, id_col, "left_anti")
     if not within_batch:
         return fresh
@@ -642,20 +655,28 @@ def simhash(
     hashed = df.select(
         F.col(id_col), F.explode(F.filter(arr, lambda t: t != "")).alias("_t")
     ).select(F.col(id_col), F.xxhash64("_t").alias("h"))
+    # the bit-vote aggregates and the fingerprint OR-fold are parsed from
+    # strings: building ~10·bits Column nodes through py4j costs ~1.5 s
+    # of driver time per call at bits=64 (measured; tree identical —
+    # pinned by the plan-equality A/B)
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"_v{b}")
         for b in range(bits)
     ]
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
-        )
+    fp = " | ".join(
+        f"(CASE WHEN _v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
     return (
-        hashed.groupBy(id_col).agg(*votes).select(F.col(id_col), fp.alias("simhash"))
+        hashed.groupBy(id_col)
+        .agg(*votes)
+        .selectExpr(
+            f"`{id_col}`", f"(CAST(0 AS BIGINT) | {fp}) AS simhash"
+        )
     )
 
 
@@ -898,6 +919,20 @@ def simhash_dedup_against(
     return dedup_by_clusters(fresh, pairs, id_col=id_col)
 
 
+#: Default ceiling (symmetric edge rows) under which the pair graph is
+#: resolved with a driver-side union-find instead of iterated label
+#: propagation. 32 Ki edges is ~0.5 MB of ids on the driver — the same
+#: state class as a small broadcast-join build side — while each
+#: propagation round the fast path replaces costs a full join+agg query
+#: (7-9 scheduled AQE stage-jobs measured per round at any input size,
+#: pure fixed overhead on a near-empty graph). Near-dup components are
+#: shallow but COMMON at batch granularity: most store-verb within-batch
+#: graphs hold dozens of edges and were paying 3-5 rounds of fixed cost.
+#: At corpus scale the probe (one bounded ``take``) leaves the graph on
+#: the cluster untouched.
+SMALL_GRAPH_MAX_EDGES = 32_768
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -905,6 +940,7 @@ def duplicate_clusters(
     max_iter: int = 20,
     method: str = "jump",
     stats: dict | None = None,
+    small_graph_max: int = SMALL_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS:
     ``(member_id, cluster_id)`` where ``cluster_id`` is the minimum id in
@@ -981,16 +1017,28 @@ def duplicate_clusters(
     )
     if method not in ("star", "jump"):
         raise ValueError(f"unknown method {method!r}; use 'jump' or 'star'")
-    # Empty pair graph — the common clean-batch case on the store
-    # verbs' within-batch pass: skip the label bootstrap and the first
-    # propagation round outright (a LIMIT-1 probe of the already-
-    # checkpointed edges vs 4-5 scheduled jobs that compute nothing).
-    if edges.limit(1).count() == 0:
+    # Empty/small pair graph — the common clean-batch case on the store
+    # verbs' within-batch pass: ONE bounded ``take`` of the already-
+    # checkpointed edges replaces the old LIMIT-1 emptiness probe, and
+    # when the whole graph fits under ``small_graph_max`` its components
+    # are resolved with a driver union-find in microseconds instead of
+    # 3-5 propagation rounds of fixed per-round job cost (7-9 AQE
+    # stage-jobs each, measured). Output is IDENTICAL by construction —
+    # (member, component minimum) for every id in the pairs — and
+    # pinned against the distributed methods in tests/test_clusters.py.
+    # A graph past the bound pays one truncated scan and proceeds
+    # distributed, so corpus-scale graphs never collect.
+    head = edges.take(small_graph_max + 1) if small_graph_max >= 0 else None
+    if head is not None and len(head) == 0:
         if stats is not None:
             stats["rounds"] = 0
         return edges.select(
             F.col("src").alias("member_id"), F.col("dst").alias("cluster_id")
         )
+    if head is not None and len(head) <= small_graph_max:
+        if stats is not None:
+            stats["rounds"] = 0
+        return _driver_clusters(edges, head)
     if method == "star":
         return _star_clusters(edges, max_iter, stats=stats)
     labels = (
@@ -1057,6 +1105,56 @@ def duplicate_clusters(
     return labels.select(
         F.col("id").alias("member_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _driver_clusters(edges: DataFrame, head: list) -> DataFrame:
+    """Resolve an ALREADY-COLLECTED small symmetric edge list into
+    ``(member_id, cluster_id = component minimum)`` with a driver-side
+    union-find — the small-graph fast path of :func:`duplicate_clusters`
+    (``head`` is the complete edge set, bounded by ``small_graph_max``;
+    see the constant's comment for the size argument). Path compression
+    + union by minimum root keeps the label exactly the component
+    minimum, the same contract both distributed methods converge to.
+    The frame returns through the Arrow driver path (``local_frame``)
+    with the edge columns' types, so consumers see the same schema the
+    distributed path produces."""
+    from pyspark.sql.types import StructField, StructType
+
+    from big_data_hadoop_spark.sources.io import local_frame
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in head:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by minimum: the smaller id stays the root, so every
+            # root is its component's minimum at the end
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = sorted((m, find(m)) for m in parent)
+    src_t = edges.schema["src"].dataType
+    dst_t = edges.schema["dst"].dataType
+    schema = StructType(
+        [
+            StructField("member_id", src_t, False),
+            StructField("cluster_id", dst_t, False),
+        ]
+    )
+    return local_frame(edges.sparkSession, rows, schema)
 
 
 def _star_clusters(

@@ -153,11 +153,17 @@ def assign_cells(
             )
         return out
     k = len(centroids)
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c])
+    # ONE parsed literal matrix: k·dim F.lit Column nodes through py4j
+    # cost ~0.5 s of driver time per assignment at 8x64 (repr(float)
+    # round-trips doubles exactly, so the parsed literals are the same
+    # doubles the Column path produced — pinned by the plan-equality A/B)
+    cents = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
             for c in centroids
-        ]
+        )
+        + ")"
     )
     emb = _as_double(F.col(vec_col))
     dists = F.transform(

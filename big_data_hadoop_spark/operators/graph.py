@@ -739,7 +739,10 @@ def label_propagation(
 
 
 def triangle_count(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Per-vertex triangle participation over an undirected pair frame
     → ``(id, degree, triangles, coeff)`` where ``coeff`` is the local
@@ -766,7 +769,15 @@ def triangle_count(
     low-degree neighbors. Three keyed shuffles total, no cartesian
     product, state O(edges); pinned against a DuckDB id-ordered
     three-way-join oracle (an independent enumeration order) in
-    tests/test_triangles.py."""
+    tests/test_triangles.py.
+
+    ``n_parts`` sizes the exchange feeding the wedge self-join — the
+    stage whose output EXPANDS ~|wedges|/|edges| past its input, which
+    AQE (coalescing on exchange INPUT bytes) would otherwise squeeze
+    onto a handful of tasks while the rest of the cluster idles (the
+    ``cosine_neardup_pairs`` precedent, VERDICT r3 #6). Defaults to the
+    session's ``defaultParallelism`` — cluster callers should pass
+    their target parallelism explicitly."""
     edges = _canonical_edges(pairs, id_a, id_b)
     deg = _degrees(edges).localCheckpoint(eager=True)
     # orient a→b when (deg, id) of a sorts below b's; carry the head's
@@ -784,8 +795,16 @@ def triangle_count(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dv"),
     ).localCheckpoint(eager=True)
-    w1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
-    w2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    nparts = n_parts or pairs.sparkSession.sparkContext.defaultParallelism
+    # fixed-count repartition ABOVE the checkpoint: both sides of the
+    # wedge self-join read the SAME exchange (Catalyst ReusedExchange),
+    # and a user-pinned count is exempt from AQE coalescing — so wedge
+    # enumeration runs nparts-wide even though the exchange's INPUT is
+    # tiny relative to its expanded output (AQE had squeezed it to 10
+    # tasks here, the suite's single biggest stage)
+    base = oriented.repartition(nparts, "u")
+    w1 = base.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = base.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
     wedges = w1.join(w2, "u").filter(
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
@@ -793,6 +812,16 @@ def triangle_count(
     closing = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
+    # the closing join's streamed side is the EXPANDED wedge set (~x10
+    # the edges, 472 MB measured here) — broadcasting the edge list
+    # instead of shuffling the wedges removes the whole exchange (guide
+    # §3.1); the checkpointed edge list reports no stats, so Spark
+    # would never pick the broadcast itself. Size-gated by the edge
+    # count (one sub-100ms job over checkpointed partitions): past the
+    # cap — graphs where 16·m approaches the broadcast budget — the
+    # planner keeps the plain distributed join.
+    if oriented.count() <= 4_000_000:
+        closing = F.broadcast(closing)
     triangles = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
     per_vertex = (
         triangles.select(

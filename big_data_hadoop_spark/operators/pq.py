@@ -143,6 +143,14 @@ def pq_train(
     per-fit state is ``k`` centroids of ``dim/m`` doubles. ``k`` is
     clamped to the sample size like ``ivf_build``; ``max_iter=8`` for
     the same reason (a quantizer needs coverage, not convergence).
+
+    ``n_rows``, when given, must be the EXACT row count of ``df``: it
+    sizes the sampling modulus and — when it bounds ``train_cap`` —
+    replaces the sample count that clamps ``k`` and gates the
+    empty-corpus refusal, so a stale or full-table count for a filtered
+    frame would mis-clamp ``k`` past the true sample size and hand
+    KMeans an impossible fit. In-repo callers pass parquet footer
+    counts or the validation job's count of the same frame.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

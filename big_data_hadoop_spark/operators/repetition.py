@@ -301,7 +301,6 @@ def repetition_signals(
             lambda p: p.isNotNull(),
         )
 
-    joined = base
     tot = F.greatest(F.col("_tot"), F.lit(1).cast("long"))
     out_cols = [
         F.col(id_col),
@@ -338,4 +337,4 @@ def repetition_signals(
         out_cols.append(
             (covered_len.cast("double") / tot).alias(f"dup_{n}gram_char_frac")
         )
-    return joined.select(*out_cols)
+    return base.select(*out_cols)

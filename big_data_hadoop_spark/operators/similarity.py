@@ -37,31 +37,49 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
     """Left-fold dot product: ``((0.0 + a1*b1) + a2*b2) + ...``
 
     With ``dim`` given, the fold is unrolled into a flat codegen'd
     expression over ``element_at`` — identical association order (so
     bit-identical results), but no per-row zipped-array allocation. On an
     all-pairs join the unrolled form is the difference between scanning
-    doubles and building two throwaway arrays per candidate pair.
+    doubles and building two throwaway arrays per candidate pair. The
+    unrolled form takes column NAMES and parses ONE SQL string: building
+    3·dim Column nodes through py4j costs ~0.4 s of driver time per call
+    at dim=64, the parser under a millisecond, and the resulting
+    expression tree is identical (pinned by the optimized-plan equality
+    A/B this round).
     """
     if dim is not None:
-        acc = F.lit(0.0)
-        for i in range(1, dim + 1):
-            acc = acc + F.element_at(a, i) * F.element_at(b, i)
-        return acc
+        if not isinstance(a, str) or not isinstance(b, str):
+            raise TypeError("dot(dim=...) takes column names, not Columns")
+        return F.expr(
+            "0.0D"
+            + "".join(
+                f" + element_at(`{a}`, {i}) * element_at(`{b}`, {i})"
+                for i in range(1, dim + 1)
+            )
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
     if dim is not None:
-        acc = F.lit(0.0)
-        for i in range(1, dim + 1):
-            acc = acc + F.element_at(a, i) * F.element_at(a, i)
-        return F.sqrt(acc)
+        if not isinstance(a, str):
+            raise TypeError("norm(dim=...) takes a column name, not a Column")
+        return F.expr(
+            "SQRT(0.0D"
+            + "".join(
+                f" + element_at(`{a}`, {i}) * element_at(`{a}`, {i})"
+                for i in range(1, dim + 1)
+            )
+            + ")"
+        )
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -76,7 +94,7 @@ def with_norm(
     dim: int | None = None,
 ) -> DataFrame:
     emb = _as_double(F.col(vec_col))
-    return df.withColumn("emb_d", emb).withColumn(out, norm(F.col("emb_d"), dim))
+    return df.withColumn("emb_d", emb).withColumn(out, norm("emb_d", dim))
 
 
 def _flat(
@@ -112,35 +130,40 @@ def _flat(
     fallback, logged ``ERROR CodeGenerator``). Embeddings are fixed-dim
     and null-free, so the fallback value is never observed.
     """
-    cast_once = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in extra],
-        _as_double(F.col(vec_col)).alias("_ed"),
+    cast_once = df.selectExpr(
+        f"`{id_col}`",
+        *[f"`{c}`" for c in extra],
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS _ed",
     )
-    flat = cast_once.select(
-        F.col(id_col),
-        *[F.col(c) for c in extra],
+    # one selectExpr / one F.expr: the 3·dim-node projection and the
+    # dim-term norm are parsed JVM-side from strings — assembling them
+    # Column-by-Column costs ~1.5 s of py4j driver time per call at
+    # dim=64 (measured; the parse is <1 ms and the expression tree is
+    # identical, pinned by the optimized-plan equality A/B this round)
+    flat = cast_once.selectExpr(
+        f"`{id_col}`",
+        *[f"`{c}`" for c in extra],
         *[
-            F.coalesce(F.element_at(F.col("_ed"), i), F.lit(0.0)).alias(
-                f"{prefix}{i}"
-            )
+            f"COALESCE(element_at(_ed, {i}), 0.0D) AS {prefix}{i}"
             for i in range(1, dim + 1)
         ],
     )
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}")
+    acc = "0.0D" + "".join(
+        f" + {prefix}{i} * {prefix}{i}" for i in range(1, dim + 1)
+    )
     # coalesce: Spark declares SQRT nullable unconditionally, and a
     # nullable nrm under a join predicate re-triggers the inferred-filter
     # explosion described above. sqrt(sum of squares) is never null here.
-    return flat.withColumn("nrm", F.coalesce(F.sqrt(acc), F.lit(0.0)))
+    return flat.withColumn("nrm", F.expr(f"COALESCE(SQRT({acc}), 0.0D)"))
 
 
 def _flat_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}")
-    return acc
+    return F.expr(
+        "0.0D"
+        + "".join(
+            f" + {prefix_a}{i} * {prefix_b}{i}" for i in range(1, dim + 1)
+        )
+    )
 
 
 def cosine_neardup_pairs(

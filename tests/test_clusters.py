@@ -91,7 +91,7 @@ def test_star_converges_in_log_rounds_on_10k_chain(spark):
     n = 10_000
     pairs = [(i, i + 1) for i in range(1, n)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = duplicate_clusters(df, method="star", max_iter=16)
+    got = duplicate_clusters(df, method="star", max_iter=16, small_graph_max=0)
     assert got.filter(F.col("cluster_id") != 1).count() == 0
     assert got.count() == n
 
@@ -240,12 +240,15 @@ def test_stats_hook_reports_log_rounds(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     star_stats: dict = {}
     got = duplicate_clusters(
-        df, method="star", max_iter=16, stats=star_stats
+        df, method="star", max_iter=16, stats=star_stats,
+        small_graph_max=0,
     )
     assert got.filter(F.col("cluster_id") != 1).count() == 0
     assert 2 <= star_stats["rounds"] <= 12
     jump_stats: dict = {}
-    duplicate_clusters(df, method="jump", stats=jump_stats).collect()
+    duplicate_clusters(
+        df, method="jump", stats=jump_stats, small_graph_max=0
+    ).collect()
     assert 2 <= jump_stats["rounds"] <= 14
 
 
@@ -303,3 +306,43 @@ def test_empty_pair_graph_short_circuits_both_methods(spark):
     docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     kept = dedup_by_clusters(docs, pairs)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_small_graph_fast_path_matches_distributed(spark):
+    """The driver union-find fast path (small_graph_max) must produce
+    EXACTLY the distributed methods' labels — same (member, component
+    minimum) pairs, same schema — on a graph mixing chains, stars, a
+    self-loop, and singleton-free ids, and stats must report rounds=0
+    (no propagation executed). The 10k-chain/convergence tests force
+    small_graph_max=0, so the distributed iteration stays pinned."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 20),
+             (30, 31), (7, 3)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    fast_stats: dict = {}
+    fast = duplicate_clusters(df, stats=fast_stats)
+    assert fast_stats == {"rounds": 0}
+    assert fast.columns == ["member_id", "cluster_id"]
+    assert [f.dataType.simpleString() for f in fast.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+    got = {r.member_id: r.cluster_id for r in fast.collect()}
+    slow = {
+        r.member_id: r.cluster_id
+        for r in duplicate_clusters(df, small_graph_max=0).collect()
+    }
+    star = {
+        r.member_id: r.cluster_id
+        for r in duplicate_clusters(
+            df, method="star", small_graph_max=0
+        ).collect()
+    }
+    assert got == slow == star == _union_find(pairs)
+    # boundary: a graph LARGER than the bound must go distributed and
+    # still agree (small_graph_max counts SYMMETRIC edge rows)
+    tiny_bound = duplicate_clusters(df, small_graph_max=2)
+    assert {
+        r.member_id: r.cluster_id for r in tiny_bound.collect()
+    } == got
