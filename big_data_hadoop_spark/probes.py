@@ -1374,9 +1374,7 @@ def q70_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     top-10 by score; score rounded for display stability only."""
     from big_data_hadoop_spark.operators.bm25 import bm25_index, bm25_topk
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     queries = docs.orderBy("doc_id").limit(5).select(
         F.col("doc_id").alias("query_id"), "text"
     )
@@ -2114,7 +2112,7 @@ def q92_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     for the production banding (128 perms / 32 bands) at t=0.7."""
     from big_data_hadoop_spark.operators.dedup import lsh_recall_audit
 
-    docs = fan_out_small_scan(load_table(spark, sf, "documents"))
+    docs = load_table(spark, sf, "documents")
     _, s = lsh_recall_audit(docs, threshold=0.7, sample_docs=400, seed=1)
     return local_frame(
         spark,
@@ -2443,9 +2441,7 @@ def r03_neardup_graph_store(spark: SparkSession, sf: str) -> DataFrame:
         neardup_graph_refresh,
     )
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="neardup_graph_probe_")
     try:
         path = os.path.join(root, "graph")
@@ -2526,9 +2522,7 @@ def r05_audio_fingerprint_neardup(spark: SparkSession, sf: str) -> DataFrame:
         documents_as_audio,
     )
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     fp = audio_fingerprint(
         documents_as_audio(docs, n_samples=512)
     ).localCheckpoint(eager=True)
@@ -2571,9 +2565,7 @@ def r06_fingerprint_store(spark: SparkSession, sf: str) -> DataFrame:
         fingerprint_store_refresh,
     )
 
-    docs = fan_out_small_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     # ONE corpus fingerprint pass: build's duplicate-id validation,
     # both halves' filters, and each _accept otherwise re-execute the
     # un-checkpointed simhash aggregation (4x measured in the closing
