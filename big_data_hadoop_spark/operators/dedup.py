@@ -1470,6 +1470,16 @@ def edit_distance_pairs(
     )
     if stats is not None:
         stats["candidates"] = all_cand.count()
+    # the banded-levenshtein verification below is CPU-heavy per BYTE
+    # of its input, so the candidate checkpoint's byte-sized partition
+    # count (AQE coalesced the distinct to ONE partition here — a 1.3s
+    # single-task verify stage in the round-13 profile) under-fans it;
+    # round-robin back to cores-width only when below it (the shared
+    # fan_out_small_scan rule — a corpus-scale candidate set already
+    # wider than the cluster passes through untouched)
+    from big_data_hadoop_spark.sources.io import fan_out_small_scan
+
+    all_cand = fan_out_small_scan(all_cand)
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_txt").alias("_ta")
     )

@@ -1228,21 +1228,72 @@ def embedding_store_recall_sweep(
     meta, sample, n_sample, history, truth = _audit_truth(
         spark, df, path, sample_rows, seed
     )
-    id_col = meta["id_col"]
-    n_truth = truth.count()
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dim, eps = meta["dim"], meta["eps"]
+    # ONE widened pass instead of one verdict join per probed p
+    # (round-13): the checked-cell sets are nested prefixes of each
+    # sample row's distance-ranked cell list (``cells[0] == cell``,
+    # ties to the lower index — the assign_cells contract), so a row
+    # matches at width p iff its best-RANKED matching cell sits at
+    # rank <= p. Compute per-sample-id the minimum matching rank with
+    # one posexplode + cell join at p_max, then derive every width's
+    # books driver-side from two bounded collects (<= sample_rows ids
+    # each — the audit family is fixed-size by design). Books are
+    # EXACTLY the per-p verdict join's (pinned in
+    # tests/test_embedding_store.py::
+    # test_recall_sweep_books_equal_single_p_audits).
+    p_max = ps[-1]
+    assigned = assign_cells(
+        sample, meta["centroids"], vec_col=vec_col, check_cells=p_max
+    )
+    if p_max > 1:
+        na = _flat(assigned, id_col, vec_col, dim, "_a", extra=("cells",))
+        na = na.select(
+            F.col(id_col),
+            *[F.col(c) for c in na.columns if c not in (id_col, "cells")],
+            F.posexplode("cells").alias("_rank0", "cell"),
+        )
+    else:
+        na = _flat(
+            assigned, id_col, vec_col, dim, "_a", extra=("cell",)
+        ).withColumn("_rank0", F.lit(0))
+    sb = (
+        _flat(
+            history.select(
+                F.col(id_col).alias("_sid"), "cell", F.col(vec_col)
+            ),
+            "_sid",
+            vec_col,
+            dim,
+            "_b",
+            extra=("cell",),
+        )
+        .withColumnRenamed("cell", "cell_b")
+        .withColumnRenamed("nrm", "nrm_b")
+    )
+    dotc = _flat_dot("_a", "_b", dim)
+    ranks = (
+        na.join(
+            sb,
+            (F.col("cell") == F.col("cell_b"))
+            & (dotc >= F.lit(float(eps)) * F.col("nrm") * F.col("nrm_b")),
+        )
+        .groupBy(F.col(id_col))
+        .agg((F.min("_rank0") + 1).alias("_minr"))
+    )
+    min_rank = {row[0]: row[1] for row in ranks.collect()}
+    truth_ids = {row[0] for row in truth.select(F.col(id_col)).collect()}
+    n_truth = len(truth_ids)
     out = []
     for p in ps:
-        got = _audit_verdict(sample, history, meta, p).localCheckpoint(
-            eager=True
-        )
-        n_got = got.count()
-        n_missed = truth.join(got, id_col, "left_anti").count()
+        got_ids = {i for i, r in min_rank.items() if r <= p}
+        n_missed = len(truth_ids - got_ids)
         out.append(
             {
                 "sample_rows": n_sample,
                 "check_cells": p,
                 "truth_matches": n_truth,
-                "cell_matches": n_got,
+                "cell_matches": len(got_ids),
                 "missed": n_missed,
                 "recall": (
                     (n_truth - n_missed) / n_truth if n_truth else 1.0

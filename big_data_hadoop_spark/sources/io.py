@@ -129,7 +129,17 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
             raise ValueError("fallback")
         pdf = pd.DataFrame(rows)
         return spark.createDataFrame(pdf, schema=schema)
-    except Exception:
+    except Exception as e:  # deliberate broad fallback — but visible
+        if not isinstance(e, ValueError):
+            # a systematic Arrow/pandas refusal (schema drift, new value
+            # shape) silently double-paying the slow path is the failure
+            # mode ADVICE r12 flagged; surface it at debug level
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "local_frame Arrow path fell back to plain "
+                "createDataFrame: %r", e
+            )
         return spark.createDataFrame(rows, schema)
 
 
