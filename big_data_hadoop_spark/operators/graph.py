@@ -796,12 +796,12 @@ def triangle_count(
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dv"),
     ).localCheckpoint(eager=True)
     nparts = n_parts or pairs.sparkSession.sparkContext.defaultParallelism
-    # fixed-count repartition ABOVE the checkpoint: both sides of the
-    # wedge self-join read the SAME exchange (Catalyst ReusedExchange),
-    # and a user-pinned count is exempt from AQE coalescing — so wedge
-    # enumeration runs nparts-wide even though the exchange's INPUT is
-    # tiny relative to its expanded output (AQE had squeezed it to 10
-    # tasks here, the suite's single biggest stage)
+    # fixed-count repartition of the checkpointed edge list: each
+    # self-join side pays one tiny pinned exchange (user-pinned counts
+    # are exempt from AQE coalescing), so wedge enumeration runs
+    # nparts-wide even though the exchange's INPUT is tiny relative to
+    # its expanded output (AQE had squeezed it to 10 tasks here, the
+    # suite's single biggest stage)
     base = oriented.repartition(nparts, "u")
     w1 = base.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
     w2 = base.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
